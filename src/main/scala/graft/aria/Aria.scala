@@ -1,0 +1,183 @@
+package graft.aria
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.Workload
+import graft.model.{AriaConfig, EpochStats}
+
+/** Aria-style deterministic epoch-batch transaction processing as Spark
+  * dataflow (SURVEY.md §2.2, T2–T11).
+  *
+  * Reference pipeline (/root/reference/src/database/ycsb/db.h:111-125):
+  *   Execute → Commit(analyze) → Install → Collect, with device-wide
+  * barriers between phases. Each phase is a pure set-oriented transform
+  * over immutable snapshots, so the natural Spark expression is:
+  *
+  *   Execute/reserve  = ops ⋈ table (snapshot) + groupBy(key).agg(min(tid))
+  *   Commit(analyze)  = ops ⋈ reservations + per-txn max(hazard flags)
+  *   Install          = decision `when()` + left-join merge write-back
+  *   Collect          = filter aborted + row_number renumber
+  *
+  * The CAS-min races of the reference (metadatahelper.cuh:36-90) are a
+  * commutative min-monoid — exactly Spark's partial+final hash aggregation,
+  * so reservations shuffle once on `key` with map-side combine. At cluster
+  * scale each phase is a single shuffle stage; the phase barriers of the
+  * reference are Spark's stage boundaries for free.
+  *
+  * Semantics preserved (SURVEY.md §2.5): min-Tid wins reservations; hazards
+  * only against strictly smaller Tids; Tid 0 = unreserved sentinel; every op
+  * is a read-set entry, update ops also write-set entries; ops on absent
+  * keys are skipped (primary path, TrancM_func.cuh:32-34); aborted txns
+  * retry with their original ops, compacted and renumbered 1..m; commit
+  * rules: no-reorder → abort iff raw∨waw (TrancM_func.cuh:209), reorder →
+  * abort iff waw ∨ (raw∧war) (TrancM_func.cuh:183-187).
+  */
+object Aria {
+
+  /** T5 Reserve: per-key min-Tid read/write reservations for one epoch.
+    * 0 = unreserved (the reference's zero sentinel). Input ops MUST already
+    * be restricted to keys present in the table.
+    */
+  def reserve(ops: DataFrame): DataFrame =
+    ops.groupBy("key").agg(
+      min("tid").as("rts"),
+      coalesce(min(when(col("isUpdate"), col("tid"))), lit(0)).as("wts"))
+
+  /** T6 Commit: per-txn hazard analysis against the reservation table.
+    * RAW: any op (read set = all ops) sees a write reservation from a
+    * strictly smaller Tid. WAR: any write op sees a read reservation from a
+    * strictly smaller Tid. WAW: any write op sees a write reservation from
+    * a strictly smaller Tid. (TrancM_func.cuh:126-164.)
+    */
+  def analyze(ops: DataFrame, reservations: DataFrame): DataFrame = {
+    val j = ops.join(reservations, Seq("key"))
+    j.groupBy("tid").agg(
+      max(col("wts") =!= 0 && col("wts") < col("tid")).as("raw"),
+      max(col("isUpdate") && col("rts") < col("tid")).as("war"),
+      max(col("isUpdate") && col("wts") =!= 0 && col("wts") < col("tid")).as("waw"))
+  }
+
+  /** T7 decision: abort column per txn.
+    * no-reorder: abort iff raw ∨ waw (WAR computed but ignored, §2.6);
+    * reorder (Aria's deterministic reordering): abort iff waw ∨ (raw ∧ war).
+    */
+  def decide(verdicts: DataFrame, reorder: Boolean): DataFrame = {
+    val abortCol =
+      if (reorder) col("waw") || (col("raw") && col("war"))
+      else col("raw") || col("waw")
+    verdicts.withColumn("abort", abortCol)
+  }
+
+  /** T7 Install: merge committed writes back into the table snapshot.
+    *
+    * Within a txn, the last op on a key wins (ops applied in op order,
+    * TrancM_func.cuh:213-224 ≙ T10's per-key op chains). Across txns, at
+    * most one committed writer per key exists — any non-min-Tid writer
+    * carries WAW and aborted — so the per-key winner is unique; we assert
+    * this in tests rather than tie-breaking (SURVEY.md §7.4.4).
+    *
+    * The merge is a left join table⋈winners on key + coalesce per field:
+    * one shuffle of the (small) winner set against the table; with AQE the
+    * winner side broadcasts when small.
+    */
+  def install(table: DataFrame, ops: DataFrame, decisions: DataFrame, seed: Long): DataFrame = {
+    val committedWrites = ops
+      .join(decisions.filter(!col("abort")).select("tid"), Seq("tid"))
+      .filter(col("isUpdate"))
+    // Last op per key among committed writers. The committed tid is unique
+    // per key (non-min writers abort on WAW), so ordering by opIdx alone is
+    // total; max(struct) is a commutative agg → partial+final aggregation,
+    // one shuffle, no single-partition window.
+    val winners = committedWrites
+      .groupBy("key")
+      .agg(max(struct(col("opIdx"), col("tid"), col("epoch"))).as("w"))
+      .select(col("key"), col("w.tid").as("tid"), col("w.epoch").as("epoch"),
+        col("w.opIdx").as("opIdx"))
+    val valued = (0 until 10).foldLeft(winners) { (df, i) =>
+      df.withColumn(s"nf$i", Workload.writePayload(seed, i))
+    }.select(col("key") +: (0 until 10).map(i => col(s"nf$i")): _*)
+
+    table.join(valued, Seq("key"), "left").select(
+      col("key") +: (0 until 10).map(i => coalesce(col(s"nf$i"), col(s"f$i")).as(s"f$i")): _*)
+  }
+
+  /** T8 Collect: keep aborted txns' ops, renumber Tids 1..m preserving
+    * original relative order (TransctionManager.cuh:176-184), bump epoch.
+    *
+    * Renumbering needs a dense rank over a global total order on old tid. A
+    * no-partition window would funnel every row through one partition, so
+    * instead we rank only the (distinct, small) aborted-tid set with a
+    * range-partitioned sort + `zipWithIndex` — fully distributed — and map
+    * it back with a (broadcastable) join.
+    */
+  def collect(ops: DataFrame, decisions: DataFrame): DataFrame = {
+    val spark = ops.sparkSession
+    val mapping = spark.createDataFrame(
+      decisions.filter(col("abort")).select("tid").distinct().orderBy("tid")
+        .rdd.map(_.getInt(0)).zipWithIndex()
+        .map { case (t, i) => (t, i.toInt + 1) })
+      .toDF("tid", "newTid")
+    ops.join(broadcast(mapping), Seq("tid"))
+      .select(col("newTid").as("tid"), (col("epoch") + 1).as("epoch"),
+        col("opIdx"), col("key"), col("isUpdate"))
+  }
+
+  final case class EpochResult(table: DataFrame, retryOps: DataFrame,
+                               stats: EpochStats, abortedTids: Array[Int])
+
+  /** T11: one epoch — Execute(restrict to present keys) → Reserve → Analyze
+    * → Decide → Install → Collect. Returns the new table snapshot and the
+    * renumbered retry batch.
+    *
+    * `nTxnsInBatch` is the batch size INCLUDING txns whose exploded op set
+    * is empty (zero generated ops, or every op on an absent key): those
+    * never enter `ops`, carry no hazards, and commit vacuously — exactly
+    * the reference, where an op-less thread runs the phases with empty
+    * read/write sets and installs nothing.
+    */
+  def runEpoch(table: DataFrame, opsIn: DataFrame, epoch: Int,
+               nTxnsInBatch: Long, cfg: AriaConfig): EpochResult = {
+    // Execute: batch point lookups ≡ equi-join; ops on absent keys are
+    // dropped entirely (never enter read/write sets, TrancM_func.cuh:32-34).
+    val ops = opsIn.join(table.select("key"), Seq("key"), "leftsemi")
+      .select("tid", "epoch", "opIdx", "key", "isUpdate")
+
+    val res = reserve(ops)
+    val verdicts = decide(analyze(ops, res), cfg.reorder)
+    val decisions = verdicts.select("tid", "abort")
+
+    val newTable = install(table, ops, decisions, cfg.seed)
+    val retry = collect(ops, decisions)
+
+    val abortedTids = decisions.filter(col("abort")).select("tid")
+      .collect().map(_.getInt(0)).sorted
+    val nAborted = abortedTids.length.toLong
+    EpochResult(newTable, retry,
+      EpochStats(epoch, nTxnsInBatch, nTxnsInBatch - nAborted, nAborted), abortedTids)
+  }
+
+  final case class RunResult(table: DataFrame, stats: Seq[EpochStats])
+
+  /** The full drain-to-empty loop (db.h:104-109): run epochs until no txns
+    * remain. `localCheckpoint` per epoch truncates lineage so plans don't
+    * snowball across iterations (SURVEY.md §7.4.1) — on a cluster this is
+    * the standard iterative-algorithm pattern (cf. GraphX/ALS).
+    */
+  def run(spark: SparkSession, cfg: AriaConfig): RunResult = {
+    var table = Workload.kvTable(spark, cfg.tableKeys, cfg.seed).localCheckpoint()
+    var ops = Workload.txnOps(spark, cfg.nTxns, cfg.maxOps, cfg.writePct,
+      cfg.keysMax, cfg.seed).localCheckpoint()
+    val stats = Seq.newBuilder[EpochStats]
+    var epoch = 0
+    var remaining = cfg.nTxns.toLong
+    while (remaining > 0 && epoch < cfg.maxEpochs) {
+      val r = runEpoch(table, ops, epoch, remaining, cfg)
+      table = r.table.localCheckpoint()
+      ops = r.retryOps.localCheckpoint()
+      stats += r.stats
+      remaining = r.stats.aborted
+      epoch += 1
+    }
+    RunResult(table, stats.result())
+  }
+}

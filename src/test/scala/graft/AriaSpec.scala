@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.aria.Aria
+import graft.gen.Workload
+import graft.model.AriaConfig
+
+import scala.collection.mutable
+
+/** Aria engine vs. an independent plain-Scala simulator (SURVEY.md §5.1-5.2).
+  *
+  * The simulator consumes the SAME generated inputs (collected once from the
+  * Workload DataFrames) but re-implements the epoch state machine with plain
+  * collections — reservations, hazards, commit rules, write-back, retry
+  * compaction — mirroring /root/reference/src/database/ycsb/TrancM_func.cuh
+  * and TransctionManager.cuh semantics directly.
+  */
+class AriaSpec extends SparkSpec {
+
+  case class Op(tid: Int, opIdx: Int, key: Int, isUpdate: Boolean)
+
+  /** md5-hex prefix — must match Prng.payloadField(md5(concat_ws("_", ...))). */
+  def md5_10(parts: Any*): String = {
+    val s = parts.mkString("_")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString.substring(0, 10)
+  }
+
+  case class SimResult(table: Map[Int, IndexedSeq[String]],
+                       epochStats: Seq[(Int, Long, Long)]) // (epoch, committed, aborted)
+
+  /** Plain-Scala Aria simulator. `ops0` = epoch-0 batch (tid asc, opIdx asc). */
+  def simulate(table0: Map[Int, IndexedSeq[String]], ops0: Seq[Op],
+               seed: Long, reorder: Boolean, maxEpochs: Int = 64): SimResult = {
+    val table = mutable.Map[Int, IndexedSeq[String]]() ++= table0
+    var batch: Seq[Seq[Op]] = ops0.groupBy(_.tid).toSeq.sortBy(_._1).map(_._2.sortBy(_.opIdx))
+    val stats = Seq.newBuilder[(Int, Long, Long)]
+    var epoch = 0
+    while (batch.nonEmpty && epoch < maxEpochs) {
+      // ops on absent keys never enter read/write sets (TrancM_func.cuh:32-34)
+      val present: Seq[(Int, Seq[Op])] =
+        batch.map(ops => (ops.head.tid, ops.filter(o => table.contains(o.key))))
+      // Reserve: per-key min tid (reads) / min update tid (writes)
+      val rts = mutable.Map[Int, Int]()
+      val wts = mutable.Map[Int, Int]()
+      for ((tid, ops) <- present; o <- ops) {
+        rts.updateWith(o.key)(v => Some(v.fold(tid)(math.min(_, tid))))
+        if (o.isUpdate) wts.updateWith(o.key)(v => Some(v.fold(tid)(math.min(_, tid))))
+      }
+      // Analyze + decide
+      val aborted = present.collect { case (tid, ops)
+        if {
+          val raw = ops.exists(o => wts.get(o.key).exists(w => w != 0 && w < tid))
+          val war = ops.exists(o => o.isUpdate && rts.get(o.key).exists(r => r != 0 && r < tid))
+          val waw = ops.exists(o => o.isUpdate && wts.get(o.key).exists(w => w != 0 && w < tid))
+          if (reorder) waw || (raw && war) else raw || waw
+        } => tid
+      }.toSet
+      // Install: committed txns in tid order, ops in op order (serial replay)
+      for ((tid, ops) <- present if !aborted.contains(tid); o <- ops if o.isUpdate)
+        table(o.key) = (0 until 10).map(i => md5_10(seed, "write", epoch, tid, o.opIdx, i))
+      stats += ((epoch, (present.size - aborted.size).toLong, aborted.size.toLong))
+      // Collect: keep aborted txns' FULL op lists, renumber 1..m in order
+      batch = present.filter(p => aborted.contains(p._1)).sortBy(_._1)
+        .zipWithIndex.map { case ((_, ops), i) =>
+          ops.map(o => o.copy(tid = i + 1))
+        }.filter(_.nonEmpty)
+      epoch += 1
+    }
+    SimResult(table.toMap, stats.result())
+  }
+
+  def collectTable(df: org.apache.spark.sql.DataFrame): Map[Int, IndexedSeq[String]] =
+    df.collect().map { r =>
+      r.getInt(0) -> (1 to 10).map(r.getString).toIndexedSeq
+    }.toMap
+
+  val cfg = AriaConfig(nTxns = 60, maxOps = 10, writePct = 40, keysMax = 80,
+    tableKeys = 120, seed = 42L, maxEpochs = 64)
+
+  def runBoth(reorder: Boolean): Unit = {
+    val c = cfg.copy(reorder = reorder)
+    val table0 = collectTable(Workload.kvTable(spark, c.tableKeys, c.seed))
+    val ops0 = Workload.txnOps(spark, c.nTxns, c.maxOps, c.writePct, c.keysMax, c.seed)
+      .collect().map(r => Op(r.getInt(0), r.getInt(2), r.getInt(3), r.getBoolean(4))).toSeq
+
+    val sim = simulate(table0, ops0, c.seed, reorder)
+    val run = Aria.run(spark, c)
+    val sparkTable = collectTable(run.table)
+
+    // NOTE: spark stats count the whole batch (incl. op-less txns, which
+    // commit vacuously); the simulator drops empty-op txns from later
+    // epochs. Compare aborted counts (identical by construction) and
+    // final state (the real invariant).
+    val simAborts = sim.epochStats.map(_._3)
+    val sparkAborts = run.stats.map(_.aborted)
+    assert(sparkAborts.takeWhile(_ > 0) === simAborts.takeWhile(_ > 0).take(sparkAborts.length),
+      s"per-epoch abort counts diverge: spark=$sparkAborts sim=$simAborts")
+    assert(sparkTable.size === sim.table.size)
+    val diffs = sparkTable.keySet.filter(k => sparkTable(k) != sim.table(k))
+    assert(diffs.isEmpty, s"table rows diverge at keys: ${diffs.take(5)}")
+  }
+
+  test("no-reorder mode matches serial-replay simulator") { runBoth(reorder = false) }
+  test("reorder mode matches serial-replay simulator") { runBoth(reorder = true) }
+
+  test("reservation table = groupwise min(tid)") {
+    val ops = Workload.txnOps(spark, 40, 8, 50, 30, 7L)
+    val res = Aria.reserve(ops).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    val raw = ops.collect().map(r => (r.getInt(0), r.getInt(3), r.getBoolean(4)))
+    val expected = raw.groupBy(_._2).map { case (k, rows) =>
+      val rts = rows.map(_._1).min
+      val w = rows.filter(_._3).map(_._1)
+      (k, rts, if (w.isEmpty) 0 else w.min)
+    }.toSeq
+    assert(res.sorted === expected.sorted)
+  }
+
+  test("at most one committed writer per key per epoch") {
+    val c = cfg
+    val table = Workload.kvTable(spark, c.tableKeys, c.seed)
+    val ops0 = Workload.txnOps(spark, c.nTxns, c.maxOps, c.writePct, c.keysMax, c.seed)
+    val ops = ops0.join(table.select("key"), Seq("key"), "leftsemi")
+      .select("tid", "epoch", "opIdx", "key", "isUpdate")
+    val decisions = Aria.decide(Aria.analyze(ops, Aria.reserve(ops)), reorder = false)
+    val writers = ops.filter(col("isUpdate"))
+      .join(decisions.filter(!col("abort")).select("tid"), Seq("tid"))
+      .select("key", "tid").distinct()
+      .groupBy("key").count().filter(col("count") > 1)
+    assert(writers.count() === 0)
+  }
+
+  test("determinism: same seed, different partitioning → identical final table") {
+    val c = cfg.copy(nTxns = 30, maxEpochs = 8)
+    val t1 = collectTable(Aria.run(spark, c).table)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val t2 = collectTable(Aria.run(spark, c).table)
+      assert(t1 === t2)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("epoch loop drains: committed+aborted = batch size each epoch, ends at 0") {
+    val run = Aria.run(spark, cfg)
+    assert(run.stats.nonEmpty)
+    for (s <- run.stats) assert(s.committed + s.aborted === s.txns)
+    assert(run.stats.last.aborted === 0 || run.stats.length === cfg.maxEpochs)
+    // each epoch's batch = previous epoch's aborts
+    for (Seq(a, b) <- run.stats.sliding(2)) assert(b.txns === a.aborted)
+  }
+}
