@@ -1,0 +1,250 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the point of each algorithm):
+  *  - exact: one shuffle on the content hash — embarrassingly scalable.
+  *  - MinHash+LSH: signatures are a per-row map; banding turns the O(n²)
+  *    pair problem into an equi-join on (band, bucket) — only docs sharing
+  *    a band bucket ever meet. At 100 TB the bucket join is the only
+  *    shuffle, and bucket sizes are bounded w.h.p.
+  *  - SimHash: per-row 32-bit signature; near-pair search equi-joins on
+  *    8-bit signature pieces — by pigeonhole any pair within Hamming ≤ 3
+  *    shares one of the 4 pieces — then verifies with bit_count. Never a
+  *    cross join.
+  *  - n-gram Jaccard: inverted-index join on shared shingles (never the
+  *    full cross product), then exact Jaccard from intersection counts.
+  *
+  * Everything is built from codegen'd built-ins on the portable md5-based
+  * hash (Portable.hash60) so the DuckDB oracle reproduces results exactly.
+  */
+object Dedup {
+
+  private val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Word 3-gram shingles, distinct, of the lowercased token stream. */
+  private def shingles(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  private val shinglesSql: String =
+    """list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(generate_series(1, len(toks) - 2),
+      |                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+
+  /** doc_id → distinct shingles (shared sub-plan of the near-dup ops). */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  private val shingleTableSql: String =
+    s"""WITH tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+       |st AS (SELECT doc_id, $shinglesSql AS sh FROM tk)""".stripMargin
+
+  /** Exact dedup: cluster by content hash, representative = min doc_id.
+    * The window over the hash is equivalent to a groupBy(min) + join at
+    * scale; with hash-partitioning it is one shuffle either way. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("rep_doc_id", min("doc_id").over(Window.partitionBy("content_hash")))
+      .select(col("doc_id"), col("content_hash"), col("rep_doc_id"),
+        (col("doc_id") =!= col("rep_doc_id")).as("is_duplicate"))
+      .orderBy("doc_id")
+
+  val exactSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |       min(doc_id) OVER (PARTITION BY md5(text)) AS rep_doc_id,
+      |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** MinHash band buckets: k=16 min-hashes over word-3-gram shingles,
+    * folded into 4 bands of 4 (md5 of the band's minhash run).
+    * collect_list is order-nondeterministic → sort_array(struct) first, so
+    * the bucket string is a pure function of the (h → minhash) map. */
+  def minhashBands(spark: SparkSession, dir: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    shingleTable(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("h"), col("shingle"))
+      .groupBy("doc_id", "h")
+      .agg(min(Portable.hash60(concat_ws("_", col("h"), col("shingle")))).as("mh"))
+      .groupBy(col("doc_id"), expr(s"h div $rows").cast("int").as("band"))
+      .agg(md5(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("h"), col("mh")))).getField("mh"),
+          m => m.cast("string")))).as("bucket"))
+      .orderBy("doc_id", "band")
+  }
+
+  def minhashBandsSql(k: Int = 16, bands: Int = 4): String = {
+    val rows = k / bands
+    s"""$shingleTableSql,
+       |sh AS (SELECT doc_id, unnest(st.sh) AS shingle FROM st),
+       |mh AS (
+       |  SELECT doc_id, hs.h AS h,
+       |         min(('0x' || substr(md5(hs.h || '_' || shingle), 1, 15))::BIGINT) AS mh
+       |  FROM sh, (SELECT unnest(generate_series(0, ${k - 1})) AS h) hs
+       |  GROUP BY doc_id, hs.h
+       |)
+       |SELECT doc_id, CAST(h // $rows AS INT) AS band,
+       |       md5(string_agg(mh::VARCHAR, ',' ORDER BY h)) AS bucket
+       |FROM mh GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket (a < b), with the
+    * count of shared bands. The equi-join on (band, bucket) bounds the
+    * comparison set — the 100 TB-safe near-dup path. */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val b = minhashBands(spark, dir)
+    val l = b.select(col("doc_id").as("a"), col("band"), col("bucket"))
+    val r = b.select(col("doc_id").as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("shared_bands"))
+      .orderBy("a", "b")
+  }
+
+  val minhashCandidatesSql: String =
+    s"""WITH bands AS (${minhashBandsSql().replace("ORDER BY doc_id, band", "")})
+       |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
+       |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+       |WHERE l.doc_id < r.doc_id
+       |GROUP BY a, b ORDER BY a, b""".stripMargin
+
+  /** SimHash 32-bit signatures: per (doc, bit) sum of ±1 contributions of
+    * each distinct token's hash bit; signature bit j set iff the sum is
+    * positive. Linear map + two grouped aggregations. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .withColumn("th", Portable.hash60(col("tok")))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("j"), col("th"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("shiftright(th, j) % 2 = 1"), 1L).otherwise(-1L)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+        .as("simhash"))
+      .orderBy("doc_id")
+
+  val simhashSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+       |bits AS (
+       |  SELECT doc_id, js.j AS j,
+       |         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> js.j) % 2 = 1
+       |                  THEN 1 ELSE -1 END) AS s
+       |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js
+       |  GROUP BY doc_id, js.j
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs within Hamming ≤ 3, found by equi-joining on
+    * the 4 8-bit signature pieces (pigeonhole-complete for ≤ 3 flips),
+    * then verifying with bit_count — no cross join anywhere. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(spark, dir)
+    val pieces = sig.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("p"))
+      .withColumn("piece", expr("shiftright(simhash, p * 8) % 256"))
+    val l = pieces.select(col("doc_id").as("a"), col("simhash").as("sig_a"),
+      col("p"), col("piece"))
+    val r = pieces.select(col("doc_id").as("b"), col("simhash").as("sig_b"),
+      col("p"), col("piece"))
+    l.join(r, Seq("p", "piece"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a", "b")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH sig AS (${simhashSql.replace("ORDER BY doc_id", "")}),
+       |pieces AS (
+       |  SELECT doc_id, simhash, ps.p AS p, (simhash >> (ps.p * 8)) % 256 AS piece
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS p) ps
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |         l.simhash AS sig_a, r.simhash AS sig_b
+       |  FROM pieces l JOIN pieces r ON l.p = r.p AND l.piece = r.piece
+       |  WHERE l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY a, b""".stripMargin
+
+  /** n-gram Jaccard near-dup pairs via inverted-index join: each shared
+    * distinct shingle contributes one joined row, so count(*) per pair IS
+    * |A∩B|; |A∪B| from per-doc sizes. Exact integer ratio → double. */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val st = shingleTable(spark, dir)
+    val sizes = st.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val inv = st.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = inv.select(col("doc_id").as("a"), col("shingle"))
+      .join(inv.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  def jaccardPairsSql(threshold: Double = 0.2): String =
+    s"""$shingleTableSql,
+       |sizes AS (SELECT doc_id, len(sh)::BIGINT AS n_sh FROM st),
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM st),
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+       |  FROM inv l JOIN inv r ON l.shingle = r.shingle
+       |  WHERE l.doc_id < r.doc_id GROUP BY a, b
+       |)
+       |SELECT a, b, inter,
+       |       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+       |FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
+       |           JOIN sizes sb ON pairs.b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
+    "dedup_minhash_candidates" -> minhashCandidates,
+    "dedup_simhash" -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_minhash_bands" -> minhashBandsSql(),
+    "dedup_minhash_candidates" -> minhashCandidatesSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_jaccard_pairs" -> jaccardPairsSql())
+}

@@ -1,0 +1,206 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-d).
+  *
+  * Numeric strategy: embeddings are fixed-point-quantized to BIGINTs
+  * (Portable.quantize) so dot products and norms are exact integers and
+  * the final cosine is the identical IEEE double in Spark and the DuckDB
+  * oracle — float-sum ordering differences can never flip a rank.
+  *
+  * Scale design:
+  *  - Brute-force top-k: the query set is tiny → broadcast it; the corpus
+  *    scan is a single map stage, and per-query top-k is a bounded
+  *    partial+final aggregation (no global sort of the corpus).
+  *  - LSH ANN: 16 random-hyperplane sign bits (hyperplane components ±1,
+  *    derived from the portable hash — deterministic, no stored model).
+  *    Bucket join on the signature prefilters candidates; exact cosine
+  *    re-ranks. At 100 TB the corpus is scanned once to build signatures
+  *    and all joins are equi-joins on (bucket).
+  *  - Near-dup pairs: cosine ≥ τ via the LSH buckets (the exact
+  *    brute-force variant exists as the small-scale baseline).
+  */
+object Similarity {
+
+  private val dims = 64
+  private val nPlanes = 16
+
+  /** Quantized embeddings: vec_id, q (BIGINT[64]), norm (BIGINT). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), Portable.quantize(col("embedding")).as("q"))
+      .withColumn("nsq", Portable.normSqQ(col("q")))
+
+  private val quantizedSql: String =
+    """q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |),
+      |qn AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM q
+      |)""".stripMargin
+
+  private val dotSql =
+    s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> a.qv[i] * b.qv[i])) AS BIGINT)"
+
+  /** Brute-force exact cosine top-k: queries = vec_id < 8 against the full
+    * corpus (self excluded). The query side broadcasts; ranking is
+    * per-query (bounded k), not a global sort. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val qn = quantized(spark, dir)
+    val queries = qn.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    val corpus = qn.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
+    val scored = queries.join(broadcast(corpus), col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    scored
+      .select(col("query_id"), col("cand_id"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def cosineTopKSql(k: Int = 10): String =
+    s"""WITH $quantizedSql,
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 8
+       |),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Random-hyperplane LSH signatures: bit p = sign of Σ_i q_i·s(p,i),
+    * s(p,i) ∈ {±1} from the portable hash of "p_i". Integer projections →
+    * exactly reproducible. */
+  def lshSignatures(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
+      .withColumn("proj",
+        aggregate(
+          zip_with(col("q"), sequence(lit(0), lit(dims - 1)),
+            (x, i) => x * when(pmod(Portable.hash60(concat_ws("_", col("p"), i)), lit(2L)) === 1L,
+              lit(1L)).otherwise(lit(-1L))),
+          lit(0L), (a, v) => a + v))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L))
+        .as("signature"))
+      .orderBy("vec_id")
+
+  val lshSignaturesSql: String =
+    s"""WITH $quantizedSql,
+       |proj AS (
+       |  SELECT vec_id, ps.p AS p,
+       |         CAST(list_sum(list_transform(generate_series(1, $dims),
+       |           i -> qv[i] * (CASE WHEN ('0x' || substr(md5(ps.p || '_' || (i-1)), 1, 15))::BIGINT % 2 = 1
+       |                         THEN 1 ELSE -1 END))) AS BIGINT) AS proj
+       |  FROM qn, (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) ps
+       |)
+       |SELECT vec_id,
+       |       CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS signature
+       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ANN via LSH buckets: candidates share the exact 16-bit signature;
+    * exact cosine re-ranks within the bucket. Recall trades off with
+    * bucket width — the scale path when brute force is too big. */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn = quantized(spark, dir)
+    val sig = lshSignatures(spark, dir)
+    val side = qn.join(sig, "vec_id")
+    val l = side.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("nsq").as("na"), col("signature"))
+    val r = side.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+      col("nsq").as("nb"), col("signature"))
+    l.join(r, Seq("signature"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("cand_id"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def annLshSql(k: Int = 5): String =
+    s"""WITH $quantizedSql,
+       |proj AS (
+       |  SELECT vec_id, ps.p AS p,
+       |         CAST(list_sum(list_transform(generate_series(1, $dims),
+       |           i -> qv[i] * (CASE WHEN ('0x' || substr(md5(ps.p || '_' || (i-1)), 1, 15))::BIGINT % 2 = 1
+       |                         THEN 1 ELSE -1 END))) AS BIGINT) AS proj
+       |  FROM qn, (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) ps
+       |),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS signature
+       |  FROM proj GROUP BY vec_id
+       |),
+       |side AS (SELECT qn.vec_id, qv, nsq, signature FROM qn JOIN sig ON qn.vec_id = sig.vec_id),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM side a JOIN side b ON a.signature = b.signature AND a.vec_id <> b.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding near-duplicate pairs: exact cosine ≥ τ over all pairs
+    * (small-scale baseline; the LSH bucket variant above is the scale
+    * path). */
+  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
+    val qn = quantized(spark, dir)
+    val l = qn.select(col("vec_id").as("a"), col("q").as("qa"), col("nsq").as("na"))
+    val r = qn.select(col("vec_id").as("b"), col("q").as("qb"), col("nsq").as("nb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= tau)
+      .select("a", "b", "cosine")
+      .orderBy("a", "b")
+  }
+
+  def nearDupPairsSql(tau: Double = 0.9): String =
+    s"""WITH $quantizedSql
+       |SELECT a.vec_id AS a, b.vec_id AS b,
+       |       CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+       |WHERE CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $tau
+       |ORDER BY a, b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
+    "sim_lsh_signatures" -> lshSignatures,
+    "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> cosineTopKSql(),
+    "sim_lsh_signatures" -> lshSignaturesSql,
+    "sim_ann_lsh" -> annLshSql(),
+    "sim_neardup_pairs" -> nearDupPairsSql())
+}

@@ -1,0 +1,171 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language ID, fingerprinting.
+  *
+  * All per-document (embarrassingly parallel — no shuffle except the
+  * final presentation sort), built from codegen'd array/string built-ins:
+  * at 100 TB these run as a single map stage over the parquet scan with
+  * only `doc_id`/`text` read (column pruning).
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens; empty strings filtered.
+    * DuckDB: `list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> len(x)>0)`. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
+
+  private val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Token counting: whitespace tokens, distinct tokens, chars, and a
+    * BPE-ish sub-word count (tokens plus an extra unit per 4 chars over
+    * the first 4 — a crude proxy for byte-pair splits, same formula both
+    * engines). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        // NB: `/` on integers is DOUBLE division in Spark SQL — use
+        // floor((len-1)/4.0) to mirror DuckDB's `(length(x)-1) // 4`.
+        aggregate(transform(col("toks"),
+          tk => lit(1L) + floor((length(tk).cast("double") - 1d) / 4d)),
+          lit(0L), (a, v) => a + v).as("n_subwords"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    s"""WITH tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents)
+       |SELECT doc_id,
+       |       len(toks)::BIGINT AS n_tokens,
+       |       len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+       |       length(text)::BIGINT AS n_chars_computed,
+       |       CAST(list_sum(list_transform(toks, x -> 1 + (length(x) - 1) // 4)) AS BIGINT) AS n_subwords
+       |FROM tk ORDER BY doc_id""".stripMargin
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Quality scoring: length, mean token length, stopword ratio, repetition
+    * (1 - distinct/total), alpha-space purity. Ratios are divisions of
+    * exact integers → identical doubles in both engines. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(toks) > 0)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        (aggregate(transform(toks, tk => length(tk).cast("long")), lit(0L), (a, v) => a + v)
+          .cast("double") / size(toks)).as("mean_token_len"),
+        (size(filter(toks, tk => tk.isin(enStop: _*))).cast("double") / size(toks))
+          .as("stopword_ratio"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .as("repetition_ratio"),
+        (length(regexp_replace(col("text"), "[^a-z ]", "")).cast("double") /
+          length(col("text"))).as("purity_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = enStop.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents)
+       |SELECT doc_id,
+       |       length(text)::BIGINT AS n_chars_computed,
+       |       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_token_len,
+       |       CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+       |       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
+       |       CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) AS purity_ratio
+       |FROM tk WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "zh" -> Seq("de0", "shi4", "le0", "zai4", "he2", "you3", "wo3", "ta1"))
+
+  /** Language ID: stopword-hit-count heuristic with a fixed priority
+    * tie-break (en > de > es > fr > zh). A real deployment swaps the word
+    * lists for n-gram profiles; the dataflow (pure per-row map) is
+    * identical. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = stopwords.foldLeft(
+      t(spark, dir, "documents").withColumn("toks", toks)) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("toks"), tk => tk.isin(words: _*))).cast("long"))
+    }
+    val langs = stopwords.map(_._1)
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    // first lang (in priority order) achieving the max score
+    val pred = langs.reverse.foldLeft(lit("unknown")) { case (acc, l) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang").as("labeled_lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = stopwords.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> list_contains(${lst(ws)}, x)))::BIGINT AS s_$l"
+    }.mkString(",\n|       ")
+    val langs = stopwords.map(_._1)
+    val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("\n|         ")
+    s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |       $scores
+       |FROM tk)
+       |SELECT doc_id, lang AS labeled_lang,
+       |       CASE $cases
+       |         ELSE 'unknown' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: (a) content fingerprint = md5 of the sorted
+    * distinct token set (word-order/duplication invariant); (b) a
+    * positional rolling hash Σ i·(h(tok_i) mod 1000003) — order-sensitive,
+    * overflow-safe. Both exactly reproducible in SQL. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("set_fingerprint"),
+        coalesce(aggregate(
+          zip_with(col("toks"), sequence(lit(1), greatest(size(col("toks")), lit(1))),
+            (tk, i) => i.cast("long") * pmod(Portable.hash60(tk), lit(1000003L))),
+          lit(0L), (a, v) => a + v), lit(0L)).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents)
+       |SELECT doc_id,
+       |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS set_fingerprint,
+       |       CAST(coalesce(list_sum(list_transform(generate_series(1, len(toks)),
+       |           i -> i * (('0x' || substr(md5(toks[i]), 1, 15))::BIGINT % 1000003))), 0) AS BIGINT) AS rolling_hash
+       |FROM tk ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> tokenCounts,
+    "text_quality_score" -> qualityScore,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_token_counts" -> tokenCountsSql,
+    "text_quality_score" -> qualityScoreSql,
+    "text_lang_id" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql)
+}
