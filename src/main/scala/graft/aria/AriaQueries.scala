@@ -1,0 +1,69 @@
+package graft.aria
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.Workload
+import graft.model.AriaConfig
+
+/** Harness-facing queries over the Aria transaction engine. The epoch
+  * loop is not SQL-expressible (iterative, state-carrying), so these have
+  * no DuckDB oracle — the driver records rows-only checks; deep
+  * correctness is covered by the serial-replay simulator in AriaSpec.
+  *
+  * Config is intentionally independent of sfDir (the engine runs on its
+  * own deterministic generated workload — matching the reference, which
+  * generates its data in memory, db.h:42-53).
+  */
+object AriaQueries {
+
+  private val cfg = AriaConfig(
+    nTxns = 150, maxOps = 30, writePct = 40,
+    keysMax = 2000, tableKeys = 20000, seed = 42L, maxEpochs = 32)
+
+  /** Per-epoch commit/abort accounting of the full drain-to-empty run —
+    * the reference's observable behavior (printf traces of db.test()). */
+  def epochStats(spark: SparkSession, dir: String): DataFrame = {
+    val run = Aria.run(spark, cfg)
+    spark.createDataFrame(run.stats).orderBy("epoch")
+  }
+
+  /** Reorder-mode comparison: both commit rules on the same batch —
+    * reorder must commit a superset per epoch 0 (Aria's optimization). */
+  def reorderComparison(spark: SparkSession, dir: String): DataFrame = {
+    val base = Aria.run(spark, cfg).stats
+    val reorder = Aria.run(spark, cfg.copy(reorder = true)).stats
+    val rows = Seq(
+      ("no_reorder", base.length.toLong, base.map(_.committed).sum, base.head.committed),
+      ("reorder", reorder.length.toLong, reorder.map(_.committed).sum, reorder.head.committed))
+    spark.createDataFrame(rows)
+      .toDF("mode", "epochs_to_drain", "total_committed", "epoch0_committed")
+      .orderBy("mode")
+  }
+
+  /** Final table state after the drain, summarized (checksum + count) —
+    * the serializability-relevant output. */
+  def finalTableSummary(spark: SparkSession, dir: String): DataFrame = {
+    val run = Aria.run(spark, cfg)
+    run.table.agg(
+      count(lit(1)).as("n_rows"),
+      expr("bit_xor(xxhash64(key, f0, f4, f9))").as("table_checksum"))
+  }
+
+  /** One epoch's verdicts (hazard flags + decision) on the epoch-0 batch
+    * — the Execute→Reserve→Analyze→Decide slice as a single DataFrame. */
+  def epoch0Verdicts(spark: SparkSession, dir: String): DataFrame = {
+    val table = Workload.kvTable(spark, cfg.tableKeys, cfg.seed)
+    val ops0 = Workload.txnOps(spark, cfg.nTxns, cfg.maxOps, cfg.writePct,
+      cfg.keysMax, cfg.seed)
+    val ops = ops0.join(table.select("key"), Seq("key"), "leftsemi")
+      .select("tid", "epoch", "opIdx", "key", "isUpdate")
+    Aria.decide(Aria.analyze(ops, Aria.reserve(ops)), cfg.reorder)
+      .orderBy("tid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aria_epoch_stats" -> epochStats,
+    "aria_reorder_comparison" -> reorderComparison,
+    "aria_final_table" -> finalTableSummary,
+    "aria_epoch0_verdicts" -> epoch0Verdicts)
+}

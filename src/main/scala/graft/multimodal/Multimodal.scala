@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+
+/** Multimodal-column handling for training-data pipelines.
+  *
+  * Model: media (image/audio/video) live as opaque `BINARY` columns with
+  * typed metadata alongside — the layout used by parquet-based multimodal
+  * datasets. Real decode libraries are not available in this environment,
+  * so the decode kernels are STUBS with a deterministic fake
+  * implementation ([[FakeCodec]]) — but everything Spark-side is real and
+  * tested: schemas, the mapPartitions batch shape, partition sizing, and
+  * the metadata dataflow.
+  *
+  * Scale design: per-row media ops are embarrassingly parallel map
+  * stages; the only tuning that matters at 100 TB is partition byte size
+  * (`spark.sql.files.maxPartitionBytes`) so a partition of blobs fits in
+  * executor memory, and column pruning so metadata-only queries never
+  * touch the blob column (parquet reads skip the binary pages entirely).
+  */
+object Multimodal {
+
+  /** One media blob + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, content: Array[Byte],
+      declared_w: Int, declared_h: Int)
+
+  /** Decoded/featurized record (what a real decoder would emit). */
+  final case class DecodedRow(
+      media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** STUB decode kernel. A production build replaces this object with
+    * bindings to a real codec (e.g. javacpp-ffmpeg / TwelveMonkeys); the
+    * call sites, batch shape and schemas do not change. The fake is
+    * deterministic in the blob bytes so tests and reruns agree. */
+  object FakeCodec {
+    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+      val h = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+      (64 + math.floorMod(h, 448).toInt, 64 + math.floorMod(h >> 9, 448).toInt)
+    }
+    def frameCount(kind: String, nBytes: Int): Int =
+      if (kind == "video") 1 + nBytes / 256 else 1
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(17L)((a, b) => a * 131 + (b & 0xff))
+  }
+
+  /** Synthesize a media table from documents (the container has no real
+    * media): content = UTF-8 bytes of the text, kind round-robins over
+    * image/audio/video. Deterministic. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        (pmod(Portable.hash60(concat(lit("w"), col("doc_id"))), lit(448L)) + 64L)
+          .cast("int").as("declared_w"),
+        (pmod(Portable.hash60(concat(lit("h"), col("doc_id"))), lit(448L)) + 64L)
+          .cast("int").as("declared_h"))
+
+  /** The decode pipeline: typed Dataset → mapPartitions over the codec —
+    * the real batch shape (one JVM call per partition, streaming
+    * iterator, no per-row driver involvement). */
+  def decodeAll(spark: SparkSession, dir: String): Dataset[DecodedRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h) = FakeCodec.decodeDims(m.content)
+        DecodedRow(m.media_id, m.kind, m.content.length, w, h,
+          FakeCodec.frameCount(m.kind, m.content.length), FakeCodec.checksum(m.content))
+      }
+    }
+  }
+
+  /** Metadata-only query — never touches the blob column (column
+    * pruning), fully SQL-expressible → has a DuckDB oracle. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("kind"),
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        col("declared_w"), col("declared_h"),
+        (col("declared_w").cast("long") * col("declared_h")).as("declared_pixels"))
+      .orderBy("media_id")
+
+  val mediaMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |       octet_length(encode(text))::BIGINT AS n_bytes,
+      |       CAST(('0x' || substr(md5('w' || doc_id), 1, 15))::BIGINT % 448 + 64 AS INT) AS declared_w,
+      |       CAST(('0x' || substr(md5('h' || doc_id), 1, 15))::BIGINT % 448 + 64 AS INT) AS declared_h,
+      |       (('0x' || substr(md5('w' || doc_id), 1, 15))::BIGINT % 448 + 64)
+      |         * (('0x' || substr(md5('h' || doc_id), 1, 15))::BIGINT % 448 + 64) AS declared_pixels
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Aggregate over the decoded (stub) features: per kind, count/bytes/
+    * frame totals — demonstrates decode → relational composition. Not
+    * oracle-expressible (the codec isn't SQL); rows-only check. */
+  def decodeSummary(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(spark, dir).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        max("width").as("max_width"))
+      .orderBy("kind")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> mediaMeta,
+    "mm_decode_summary" -> decodeSummary)
+
+  /** mm_decode_summary intentionally omitted: stub codec isn't
+    * SQL-expressible; the driver records a rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" -> mediaMetaSql)
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the reference's epoch loop is a
+  * micro-batch pattern (SURVEY.md §2 T11), and the harness `events` table
+  * is the stream analog. Everything here works identically on a streaming
+  * or batch DataFrame (same Catalyst plans), so the batch queries
+  * `agg_tumbling_events` / `window_sessionize` serve as the correctness
+  * oracles for these transforms; the specs drive them through
+  * MemoryStream to exercise watermarks, state and late-data semantics.
+  *
+  * Scale: windowed aggregation state is per (window, key) — bounded by
+  * the watermark horizon; sessionization state is per user — bounded by
+  * the timeout. Both shuffle once on the group key, the standard pattern
+  * for 1000-executor streaming jobs.
+  */
+object Streaming {
+
+  /** events schema as stored (ts kept as epoch-nanos LongType — see
+    * Tables.t: Spark cannot read parquet NANOS timestamps natively). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over an events directory (one-file-per-trigger
+    * keeps micro-batches bounded). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource needs a directory; the harness lays one file per
+    // table in the sf dir, so glob-filter to the events file.
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  /** Normalize epoch-nanos to a TimestampType column for event-time ops. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window count/sum per event type with a watermark: the
+    * streaming form of `Relational.tumblingAgg`. Works on batch frames
+    * too (watermark is a no-op there). */
+  def tumblingAgg(events: DataFrame, windowSec: Int = 3600,
+                  watermarkSec: Int = 600): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", s"$watermarkSec seconds")
+      .groupBy(window(col("event_time"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class EventIn(event_id: Long, ts: Long, user_id: Long,
+                           event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, session_start_ns: Long,
+                              session_end_ns: Long, n_events: Long)
+  // public: Spark's state-store encoder codegen cannot instantiate a
+  // private nested case class
+  final case class SessionState(startNs: Long, endNs: Long, n: Long)
+
+  /** Stateful sessionization with `flatMapGroupsWithState` and
+    * EVENT-TIME timeouts: a session closes `gapSec` after its last event
+    * in event time, i.e. when the watermark passes end+gap. Event-time
+    * (not processing-time) timeouts make the computation replayable and
+    * independent of wall-clock — required for a deterministic engine and
+    * for backfills at scale. State per user is bounded by the watermark
+    * horizon. */
+  def sessionizeStream(events: Dataset[EventIn], gapSec: Int = 1800,
+                       watermarkDelaySec: Int = 0): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapNs = gapSec.toLong * 1000000000L
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", s"$watermarkDelaySec seconds")
+      .as[EventIn] // extra event_time column is carried by the plan, not the encoder
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.startNs, s.endNs, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts - s.endNs <= gapNs =>
+                  cur = Some(SessionState(s.startNs, math.max(s.endNs, e.ts), s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.startNs, s.endNs, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes session end + gap
+              state.setTimeoutTimestamp((s.endNs + gapNs) / 1000000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Micro-batch sink driver (foreachBatch): the Spark idiom for the
+    * reference's per-epoch host loop — each batch is a deterministic
+    * set-transform, exactly like Aria's epochs. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, queryName: String,
+                  outputMode: String = "update"): Unit = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    // processAllAvailable + stop, NOT AvailableNow + awaitTermination: a
+    // pending processing-time state timeout keeps an AvailableNow query
+    // alive until the timeout fires (potentially the full gap duration).
+    q.processAllAvailable()
+    q.stop()
+  }
+}

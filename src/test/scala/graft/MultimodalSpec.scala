@@ -1,0 +1,28 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: the decode pipeline's schema, batch shape and
+  * determinism (the codec itself is a documented stub — FakeCodec). */
+class MultimodalSpec extends SparkSpec {
+
+  test("decode pipeline: 1 output row per media row, deterministic") {
+    val a = Multimodal.decodeAll(spark, sf("sf0.001")).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeAll(spark, sf("sf0.001")).collect().sortBy(_.media_id)
+    assert(a.length === 500)
+    assert(a.toSeq === b.toSeq)
+    // stub decode produces plausible dims and checksums depend on content
+    assert(a.forall(r => r.width >= 64 && r.width < 512 && r.height >= 64 && r.height < 512))
+    assert(a.map(_.checksum).distinct.length > 490)
+    // frame counts: only video has > 1
+    assert(a.filter(_.kind != "video").forall(_.n_frames == 1))
+    assert(a.exists(r => r.kind == "video" && r.n_frames > 1))
+  }
+
+  test("media metadata agrees with decoded byte counts") {
+    val meta = Multimodal.mediaMeta(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val dec = Multimodal.decodeAll(spark, sf("sf0.001")).collect()
+    assert(dec.forall(d => meta(d.media_id) == d.n_bytes.toLong))
+  }
+}

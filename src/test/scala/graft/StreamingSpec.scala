@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{EventIn, SessionOut}
+
+/** Structured Streaming semantics: the streaming transforms must agree
+  * with their batch counterparts (same Catalyst plans), and stateful
+  * sessionization must close sessions on gap boundaries. */
+class StreamingSpec extends SparkSpec {
+  import StreamingSpec.Ev
+
+  private val hourNs = 3600L * 1000000000L
+
+  def mkEvents(n: Int): Seq[Ev] =
+    (0 until n).map { i =>
+      Ev(i.toLong, (i.toLong * 737L % 7200L) * 1000000000L + i, i % 5L,
+        if (i % 3 == 0) "click" else "view", i * 1.5, "{}")
+    }
+
+  test("streaming tumbling agg (complete mode) equals batch tumbling agg") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val events = mkEvents(200)
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    Streaming.runToMemory(spark,
+      Streaming.tumblingAgg(ms.toDF(), windowSec = 3600, watermarkSec = 60),
+      "tumbling_out", outputMode = "complete")
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = Streaming.tumblingAgg(events.toDF(), windowSec = 3600, watermarkSec = 60)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionization closes sessions at gap boundaries (event-time)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // base > 0: rows at or before the initial watermark (0) are dropped
+    // as late data by flatMapGroupsWithState.
+    val base = hourNs
+    val sec = 1000000000L
+    // batch 1 — user 1: two sessions (2h gap); user 2: one session.
+    val batch1 = Seq(
+      EventIn(1, base, 1L, "a", 1.0),
+      EventIn(2, base + 10L * sec, 1L, "a", 1.0),
+      EventIn(3, base + 2L * hourNs, 1L, "a", 1.0),
+      EventIn(4, base + 2L * hourNs + sec, 1L, "a", 1.0),
+      EventIn(5, base, 2L, "b", 1.0))
+    val ms = MemoryStream[EventIn]
+    val out = Streaming.sessionizeStream(ms.toDS(), gapSec = 1800)
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .start()
+    ms.addData(batch1)
+    q.processAllAvailable()
+    // first session of user 1 closed in-batch when the 2h-later event
+    // arrived (the follow-up no-data batch may already fire user 2's
+    // event-time timeout too — watermark = base+2h+1s)
+    val afterB1 = spark.table("sessions_out").as[SessionOut].collect().toSeq
+    assert(afterB1.contains(SessionOut(1L, base, base + 10L * sec, 2L)))
+    // batches 2+3 — far-future events advance the watermark past every
+    // earlier session's end+gap → event-time timeouts close them (the
+    // watermark lags one batch, hence two pushes).
+    ms.addData(Seq(EventIn(6, 10L * hourNs, 3L, "c", 1.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(EventIn(7, 20L * hourNs, 3L, "c", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_out").as[SessionOut].collect().toSeq
+    assert(rows.toSet === Set(
+      SessionOut(1L, base, base + 10L * sec, 2L),
+      SessionOut(1L, base + 2L * hourNs, base + 2L * hourNs + sec, 2L),
+      SessionOut(2L, base, base, 1L),
+      SessionOut(3L, 10L * hourNs, 10L * hourNs, 1L)))
+  }
+
+  test("file-based events stream processes the real table incrementally") {
+    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
+    assert(stream.isStreaming)
+    Streaming.runToMemory(spark,
+      Streaming.tumblingAgg(stream), "events_stream_out", outputMode = "complete")
+    val n = spark.table("events_stream_out").count()
+    assert(n > 0)
+    ()
+  }
+}
+
+object StreamingSpec {
+  // top-level: Spark cannot encode case classes nested in a test class
+  case class Ev(event_id: Long, ts: Long, user_id: Long,
+                event_type: String, value: Double, props: String)
+}
+
+class StreamingBatchParitySpec extends SparkSpec {
+  import org.apache.spark.sql.functions.sum
+
+  test("file-stream totals match the batch tumbling query") {
+    val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
+    Streaming.runToMemory(spark,
+      Streaming.tumblingAgg(stream), "events_stream_parity", outputMode = "complete")
+    // agrees with the batch query over the same data
+    val batch = operators.Relational.tumblingAgg(spark, sf("sf0.001"))
+    val streamedTotal = spark.table("events_stream_parity")
+      .agg(sum("n_events")).head.getLong(0)
+    val batchTotal = batch.agg(sum("n_events")).head.getLong(0)
+    assert(streamedTotal === batchTotal)
+  }
+}
