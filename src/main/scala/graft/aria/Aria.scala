@@ -104,19 +104,17 @@ object Aria {
   /** T8 Collect: keep aborted txns' ops, renumber Tids 1..m preserving
     * original relative order (TransctionManager.cuh:176-184), bump epoch.
     *
-    * Renumbering needs a dense rank over a global total order on old tid. A
-    * no-partition window would funnel every row through one partition, so
-    * instead we rank only the (distinct, small) aborted-tid set with a
-    * range-partitioned sort + `zipWithIndex` — fully distributed — and map
-    * it back with a (broadcastable) join.
+    * The aborted-Tid set is already on the driver (the loop needs the
+    * count anyway, and it is bounded by the batch size — 150 in the
+    * reference, never the table size), so renumbering is a driver-built
+    * broadcast mapping joined back to the distributed ops — no global
+    * window, no extra job.
     */
-  def collect(ops: DataFrame, decisions: DataFrame): DataFrame = {
+  def collect(ops: DataFrame, abortedTids: Array[Int]): DataFrame = {
     val spark = ops.sparkSession
-    val mapping = spark.createDataFrame(
-      decisions.filter(col("abort")).select("tid").distinct().orderBy("tid")
-        .rdd.map(_.getInt(0)).zipWithIndex()
-        .map { case (t, i) => (t, i.toInt + 1) })
-      .toDF("tid", "newTid")
+    import spark.implicits._
+    val mapping = abortedTids.sorted.zipWithIndex
+      .map { case (t, i) => (t, i + 1) }.toSeq.toDF("tid", "newTid")
     ops.join(broadcast(mapping), Seq("tid"))
       .select(col("newTid").as("tid"), (col("epoch") + 1).as("epoch"),
         col("opIdx"), col("key"), col("isUpdate"))
@@ -146,11 +144,13 @@ object Aria {
     val verdicts = decide(analyze(ops, res), cfg.reorder)
     val decisions = verdicts.select("tid", "abort")
 
-    val newTable = install(table, ops, decisions, cfg.seed)
-    val retry = collect(ops, decisions)
-
+    // the only driver action of the epoch: the loop needs the abort set
+    // anyway (loop condition + Tid renumbering); bounded by batch size.
     val abortedTids = decisions.filter(col("abort")).select("tid")
       .collect().map(_.getInt(0)).sorted
+
+    val newTable = install(table, ops, decisions, cfg.seed)
+    val retry = collect(ops, abortedTids)
     val nAborted = abortedTids.length.toLong
     EpochResult(newTable, retry,
       EpochStats(epoch, nTxnsInBatch, nTxnsInBatch - nAborted, nAborted), abortedTids)
@@ -164,16 +164,20 @@ object Aria {
     * the standard iterative-algorithm pattern (cf. GraphX/ALS).
     */
   def run(spark: SparkSession, cfg: AriaConfig): RunResult = {
-    var table = Workload.kvTable(spark, cfg.tableKeys, cfg.seed).localCheckpoint()
+    // lazy localCheckpoints: lineage is truncated identically, but the
+    // materialization folds into the next epoch's first job instead of
+    // costing a dedicated job per checkpoint (2 fewer jobs/epoch).
+    var table = Workload.kvTable(spark, cfg.tableKeys, cfg.seed)
+      .localCheckpoint(false)
     var ops = Workload.txnOps(spark, cfg.nTxns, cfg.maxOps, cfg.writePct,
-      cfg.keysMax, cfg.seed).localCheckpoint()
+      cfg.keysMax, cfg.seed).localCheckpoint(false)
     val stats = Seq.newBuilder[EpochStats]
     var epoch = 0
     var remaining = cfg.nTxns.toLong
     while (remaining > 0 && epoch < cfg.maxEpochs) {
       val r = runEpoch(table, ops, epoch, remaining, cfg)
-      table = r.table.localCheckpoint()
-      ops = r.retryOps.localCheckpoint()
+      table = r.table.localCheckpoint(false)
+      ops = r.retryOps.localCheckpoint(false)
       stats += r.stats
       remaining = r.stats.aborted
       epoch += 1

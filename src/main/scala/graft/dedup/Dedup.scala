@@ -30,15 +30,18 @@ object Dedup {
 
   private val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
-  /** Word 3-gram shingles, distinct, of the lowercased token stream. */
-  private def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word 3-gram shingles, distinct, from an ALREADY-MATERIALIZED token
+    * array column. The column must be concrete (come through an exchange
+    * or checkpoint): if `toks` is an inline alias of `split(...)`,
+    * CollapseProject inlines it into every `element_at` lambda call and
+    * the split re-runs per element — quadratic blowup (measured 40×
+    * slowdown on the shingle pipeline). */
+  private def shingles(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
 
   private val shinglesSql: String =
     """list_distinct(CASE WHEN len(toks) >= 3
@@ -46,11 +49,22 @@ object Dedup {
       |                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |    ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
-  /** doc_id → distinct shingles (shared sub-plan of the near-dup ops). */
+  /** doc_id → distinct shingles (shared sub-plan of the near-dup ops).
+    * Repartition first: the harness tables are single parquet files (one
+    * scan partition), which would serialize the tokenize/shingle map
+    * stage; at production scale the source has natural splits and this
+    * is a no-op-equivalent. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      // parallelize off the single-file scan…
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      // …and HARD-materialize the token arrays: an exchange alone is not
+      // a projection barrier (the optimizer pushes the tokenize past it),
+      // and an inlined tokenizer re-runs per element_at inside the
+      // shingle lambda — measured 12s vs 1s on sf0.1
+      .localCheckpoint(false)
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
 
   private val shingleTableSql: String =
     s"""WITH tk AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
@@ -73,44 +87,64 @@ object Dedup {
       |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Universal-hash family for MinHash: mh_i = (a_i·(H mod p) + b_i) mod p
+  // over ONE md5-derived base hash H per shingle — 16× fewer md5s than
+  // hashing (i, shingle) pairs, and no explode over i (the 16 minhashes
+  // are 16 parallel min-aggregate columns). Constants embedded literally
+  // in both engines' plans.
+  private val P = 2147483647L // 2^31 - 1
+  private def uhA(i: Int): Long = 2L * i + 3L
+  private def uhB(i: Int): Long = 104729L * i + 12345L
+
   /** MinHash band buckets: k=16 min-hashes over word-3-gram shingles,
-    * folded into 4 bands of 4 (md5 of the band's minhash run).
-    * collect_list is order-nondeterministic → sort_array(struct) first, so
-    * the bucket string is a pure function of the (h → minhash) map. */
+    * folded into 4 bands of 4 (md5 of the band's minhash run). One
+    * shuffle (the per-doc groupBy); bands unpivot from columns. */
   def minhashBands(spark: SparkSession, dir: String, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
+    val mins = (0 until k).map(i =>
+      min(pmod(lit(uhA(i)) * col("hp") + lit(uhB(i)), lit(P))).as(s"mh$i"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+          .as("bucket"))
+    }
     shingleTable(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("h"), col("shingle"))
-      .groupBy("doc_id", "h")
-      .agg(min(Portable.hash60(concat_ws("_", col("h"), col("shingle")))).as("mh"))
-      .groupBy(col("doc_id"), expr(s"h div $rows").cast("int").as("band"))
-      .agg(md5(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("h"), col("mh")))).getField("mh"),
-          m => m.cast("string")))).as("bucket"))
+      .select(col("doc_id"), pmod(Portable.hash60(col("shingle")), lit(P)).as("hp"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .orderBy("doc_id", "band")
   }
 
   def minhashBandsSql(k: Int = 16, bands: Int = 4): String = {
     val rows = k / bands
+    val minExprs = (0 until k).map(i =>
+      s"min((${uhA(i)} * hp + ${uhB(i)}) % $P) AS mh$i").mkString(",\n|         ")
+    val bandSelects = (0 until bands).map { b =>
+      val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM mh"
+    }.mkString("\n|  UNION ALL ")
     s"""$shingleTableSql,
        |sh AS (SELECT doc_id, unnest(st.sh) AS shingle FROM st),
+       |hp AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P) AS hp FROM sh),
        |mh AS (
-       |  SELECT doc_id, hs.h AS h,
-       |         min(('0x' || substr(md5(hs.h || '_' || shingle), 1, 15))::BIGINT) AS mh
-       |  FROM sh, (SELECT unnest(generate_series(0, ${k - 1})) AS h) hs
-       |  GROUP BY doc_id, hs.h
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM hp GROUP BY doc_id
        |)
-       |SELECT doc_id, CAST(h // $rows AS INT) AS band,
-       |       md5(string_agg(mh::VARCHAR, ',' ORDER BY h)) AS bucket
-       |FROM mh GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin
+       |SELECT * FROM (
+       |  $bandSelects
+       |) ORDER BY doc_id, band""".stripMargin
   }
 
   /** LSH candidate pairs: docs sharing any band bucket (a < b), with the
     * count of shared bands. The equi-join on (band, bucket) bounds the
     * comparison set — the 100 TB-safe near-dup path. */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val b = minhashBands(spark, dir)
+    // one materialization of the signature pipeline for both join sides
+    val b = minhashBands(spark, dir).localCheckpoint(false)
     val l = b.select(col("doc_id").as("a"), col("band"), col("bucket"))
     val r = b.select(col("doc_id").as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -132,6 +166,7 @@ object Dedup {
     * positive. Linear map + two grouped aggregations. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
       .withColumn("th", Portable.hash60(col("tok")))
@@ -165,16 +200,19 @@ object Dedup {
     val pieces = sig.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("p"))
       .withColumn("piece", expr("shiftright(simhash, p * 8) % 256"))
+      .localCheckpoint(false) // read twice (both join sides)
     val l = pieces.select(col("doc_id").as("a"), col("simhash").as("sig_a"),
       col("p"), col("piece"))
     val r = pieces.select(col("doc_id").as("b"), col("simhash").as("sig_b"),
       col("p"), col("piece"))
     l.join(r, Seq("p", "piece"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
+      // hamming filter BEFORE the pair-dedup: bit_count is a cheap scalar,
+      // and it shrinks the distinct's shuffle to the near-pairs only
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= 3)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+      .distinct()
       .orderBy("a", "b")
   }
 
@@ -197,12 +235,30 @@ object Dedup {
   /** n-gram Jaccard near-dup pairs via inverted-index join: each shared
     * distinct shingle contributes one joined row, so count(*) per pair IS
     * |A∩B|; |A∪B| from per-doc sizes. Exact integer ratio → double. */
+  /** Document-frequency cap: shingles appearing in more than this many
+    * documents are dropped from the similarity index (standard
+    * stop-shingle removal). Caps the inverted-index join fanout — a
+    * shingle shared by f docs generates O(f²) pair rows, so without the
+    * cap one ubiquitous shingle dominates the whole job at scale. The
+    * doc's effective shingle set (and |A|,|B|) is the rare set,
+    * consistently on both engines. */
+  val maxShingleDf = 20
+
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val st = shingleTable(spark, dir)
-    val sizes = st.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    // materialize the exploded index once (lazy checkpoint): it is read
+    // 4× below (df counts, sizes, both join sides) and re-deriving the
+    // tokenize→shingle pipeline each time dominates the query otherwise
     val inv = st.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val pairs = inv.select(col("doc_id").as("a"), col("shingle"))
-      .join(inv.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .localCheckpoint(false)
+    val rare = inv.join(
+      inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"))
+      .localCheckpoint(false)
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = rare.select(col("doc_id").as("a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
@@ -218,11 +274,17 @@ object Dedup {
 
   def jaccardPairsSql(threshold: Double = 0.2): String =
     s"""$shingleTableSql,
-       |sizes AS (SELECT doc_id, len(sh)::BIGINT AS n_sh FROM st),
        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM st),
+       |rare AS (
+       |  SELECT inv.doc_id, inv.shingle FROM inv
+       |  JOIN (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle) d
+       |    ON inv.shingle = d.shingle
+       |  WHERE d.df <= $maxShingleDf
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
        |pairs AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-       |  FROM inv l JOIN inv r ON l.shingle = r.shingle
+       |  FROM rare l JOIN rare r ON l.shingle = r.shingle
        |  WHERE l.doc_id < r.doc_id GROUP BY a, b
        |)
        |SELECT a, b, inter,

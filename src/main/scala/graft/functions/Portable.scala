@@ -37,13 +37,17 @@ object Portable {
   def quantize(arr: Column): Column =
     transform(arr, x => floor(x.cast("double") * 10000d + 0.5d).cast("long"))
 
-  /** Exact integer dot product of two quantized (BIGINT) arrays. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized (BIGINT) arrays — a
+    * native codegen'd expression (see ArrayDotLong for why not the
+    * higher-order-function form; results are identical). */
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ArrayDotLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   /** Exact integer squared norm of a quantized array. */
-  def normSqQ(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, v) => acc + v)
+  def normSqQ(a: Column): Column = dotQ(a, a)
 
   /** Cosine similarity from quantized arrays — exact-identical doubles in
     * both engines (integer dot/norms, then correctly-rounded sqrt & div). */

@@ -30,9 +30,12 @@ object Similarity {
   private val dims = 64
   private val nPlanes = 16
 
-  /** Quantized embeddings: vec_id, q (BIGINT[64]), norm (BIGINT). */
+  /** Quantized embeddings: vec_id, q (BIGINT[64]), norm (BIGINT).
+    * Repartitioned off the single-file scan so the quantize/projection
+    * map stages parallelize (no-op at production scale). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), Portable.quantize(col("embedding")).as("q"))
       .withColumn("nsq", Portable.normSqQ(col("q")))
 
@@ -123,7 +126,8 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val qn = quantized(spark, dir)
     val sig = lshSignatures(spark, dir)
-    val side = qn.join(sig, "vec_id")
+    // materialized once for both join sides (quantize + 16 projections)
+    val side = qn.join(sig, "vec_id").localCheckpoint(false)
     val l = side.select(col("vec_id").as("query_id"), col("q").as("qa"),
       col("nsq").as("na"), col("signature"))
     val r = side.select(col("vec_id").as("cand_id"), col("q").as("qb"),

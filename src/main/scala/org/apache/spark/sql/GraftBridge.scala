@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` API: Column ↔ catalyst Expression
+  * conversion for registering custom codegen expressions (Spark 4 split
+  * Column off the catalyst tree; the blessed converters live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, package-private).
+  * This is the entire surface we borrow — no other internals are used.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
