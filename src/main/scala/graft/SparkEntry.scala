@@ -14,14 +14,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ text.TextAnalysis.queries ++
+    operators.Relational.queries ++ operators.Relational2.queries ++
+      text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
       multimodal.Multimodal.queries ++ aria.AriaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ text.TextAnalysis.oracles ++
+    operators.Relational.oracles ++ operators.Relational2.oracles ++
+      text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
       multimodal.Multimodal.oracles
 }
