@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.{Relational, Relational2}
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries scale are checked mechanically, not by eyeball —
+  * filter pushdown to the parquet scan, column pruning (ReadSchema),
+  * broadcast of dimension sides, and whole-stage codegen presence.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan // force planning
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("point lookup pushes the key filter into the parquet scan") {
+    val p = planString(Relational.pointLookup(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(l_orderkey,42\\).*\\].*"), p)
+  }
+
+  test("point lookup prunes columns: ReadSchema has only the 5 projected") {
+    val p = planString(Relational.pointLookup(spark, sf("sf0.001")))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"), read)
+  }
+
+  test("pricing summary reads only the aggregated columns") {
+    val p = planString(Relational.pricingSummary(spark, sf("sf0.001")))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    for (c <- Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_shipdate")) assert(read.contains(c), s"$c missing: $read")
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"), read)
+  }
+
+  test("date filter is pushed for the pricing summary") {
+    val p = planString(Relational.pricingSummary(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("5-way star join broadcasts the dimension chain") {
+    val p = planString(Relational.localSupplierVolume(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("semi/anti joins plan as existence joins, not row-multiplying joins") {
+    val p = planString(Relational.semiAntiJoin(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("delete planes as LeftAnti with broadcast") {
+    val p = planString(Relational2.deleteAntiJoin(spark, sf("sf0.001")))
+    assert(p.contains("LeftAnti"), p.take(1200))
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val p = planString(Relational.reserveMinAgg(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate"), p.take(1200))
+    // partial then final: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("whole-stage codegen covers the scan→aggregate pipeline") {
+    // AQE prints codegen stage spans only for the executed (final) plan
+    val df = Relational.pricingSummary(spark, sf("sf0.001"))
+    df.collect()
+    val p = planString(df)
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(p.contains("[codegen id"), p.take(1500))
+    for (op <- Seq("Filter", "HashAggregate"))
+      assert(p.linesIterator.exists(l => l.contains(op) && l.contains("[codegen id")),
+        s"$op not codegen'd:\n${p.take(1500)}")
+  }
+
+  test("top-k per group stays partitioned (no global sort before filter)") {
+    val df = Relational.topkPerGroup(spark, sf("sf0.001"))
+    val p = planString(df)
+    // the window runs partitioned by o_custkey; the only global sort is
+    // the final presentation orderBy
+    assert(p.contains("Window"), p.take(1200))
+    assert(p.contains("o_custkey"), p.take(1200))
+  }
+
+  test("ArrayDotLong participates in codegen (no CodegenFallback)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Portable
+    // non-foldable input (id column) so the expression reaches runtime
+    // codegen instead of being constant-folded (which exercises eval)
+    val df = spark.range(4).select(
+      Portable.dotQ(array(col("id"), lit(2L)), array(lit(3L), lit(4L))).as("d"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(8L, 11L, 14L, 17L))
+    val p = planString(df)
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("[codegen id")), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
+}
