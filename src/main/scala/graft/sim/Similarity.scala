@@ -196,13 +196,91 @@ object Similarity {
        |WHERE CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $tau
        |ORDER BY a, b""".stripMargin
 
+  /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    * first 16 vectors — a stand-in for trained k-means centroids; the
+    * dataflow is identical), each vector assigned to its nearest
+    * centroid cell; a query probes its nprobe=2 nearest cells and ranks
+    * only those cells' members by exact cosine.
+    *
+    * Scale shape: assignment is a broadcast map-stage (corpus × 16
+    * centroids); the search joins the probe list to the cell-partitioned
+    * corpus on cell id — an equi-join, never a cross product. This is
+    * the standard IVF layout for billion-vector corpora. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
+              nCells: Int = 16): DataFrame = {
+    val qn = quantized(spark, dir).localCheckpoint(false)
+    val cents = qn.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("nsq").as("nc"))
+    // nearest cell per vector (cosine desc, cid asc tie-break)
+    val assign = qn.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        Portable.dotQ(col("q"), col("qc")).cast("double") /
+          (sqrt(col("nsq").cast("double")) * sqrt(col("nc").cast("double"))))
+      .select(col("vec_id"), col("q"), col("nsq"), col("cid"), col("ccos"),
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))).as("crn"))
+    val cells = assign.filter(col("crn") === 1)
+      .select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"),
+        col("cid"))
+      .localCheckpoint(false)
+    // query side: nprobe nearest cells
+    val probes = assign.filter(col("vec_id") < 8 && col("crn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"),
+        col("cid"))
+    probes.join(cells, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("cand_id"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopKSql(k: Int = 5, nprobe: Int = 2, nCells: Int = 16): String =
+    s"""WITH $quantizedSql,
+       |cents AS (SELECT vec_id AS cid, qv AS qc, nsq AS nc FROM qn WHERE vec_id < $nCells),
+       |assign AS (
+       |  SELECT qn.vec_id, qn.qv, qn.nsq, c.cid,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> qn.qv[i] * c.qc[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))) AS ccos
+       |  FROM qn CROSS JOIN cents c
+       |),
+       |ranked_assign AS (
+       |  SELECT vec_id, qv, nsq, cid, ccos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+       |  FROM assign
+       |),
+       |cells AS (SELECT vec_id AS cand_id, qv AS qb, nsq AS nb, cid
+       |          FROM ranked_assign WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, qv AS qa, nsq AS na, cid
+       |           FROM ranked_assign WHERE vec_id < 8 AND crn <= $nprobe),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> p.qa[i] * s.qb[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(s.nb AS DOUBLE))) AS cosine
+       |  FROM probes p JOIN cells s USING (cid)
+       |  WHERE p.query_id <> s.cand_id
+       |),
+       |final_rank AS (
+       |  SELECT query_id, cand_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, cosine, rank FROM final_rank
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "sim_lsh_signatures" -> lshSignatures,
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_topk" -> ivfTopKSql(),
     "sim_cosine_topk" -> cosineTopKSql(),
     "sim_lsh_signatures" -> lshSignaturesSql,
     "sim_ann_lsh" -> annLshSql(),

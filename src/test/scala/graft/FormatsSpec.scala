@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Formats
+import graft.operators.Tables
+
+/** Source/sink round-trips and partition pruning. */
+class FormatsSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_formats").toString
+
+  test("csv and json round-trips preserve data") {
+    val df = Tables.t(spark, sf("sf0.001"), "nation")
+    for (fmt <- Seq("csv", "json", "parquet")) {
+      val back = Formats.roundTrip(spark, df, s"$tmp/rt_$fmt", fmt)
+        .orderBy("n_nationkey").collect().toSeq
+      assert(back === df.orderBy("n_nationkey").collect().toSeq, fmt)
+    }
+  }
+
+  test("partitioned parquet write prunes partitions on filtered read") {
+    val df = Tables.t(spark, sf("sf0.001"), "customer")
+    Formats.partitionedWrite(spark, df, s"$tmp/part_cust", "c_mktsegment")
+    val pruned = Formats.prunedRead(spark, s"$tmp/part_cust", "c_mktsegment", "BUILDING")
+    val expected = df.filter(col("c_mktsegment") === "BUILDING").count()
+    assert(pruned.count() === expected)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the partition filter must hit the file index, not a row-level Filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[.*c_mktsegment.*\\].*"), plan.take(1200))
+  }
+}
