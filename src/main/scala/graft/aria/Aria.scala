@@ -137,8 +137,14 @@ object Aria {
                nTxnsInBatch: Long, cfg: AriaConfig): EpochResult = {
     // Execute: batch point lookups ≡ equi-join; ops on absent keys are
     // dropped entirely (never enter read/write sets, TrancM_func.cuh:32-34).
-    val ops = opsIn.join(table.select("key"), Seq("key"), "leftsemi")
-      .select("tid", "epoch", "opIdx", "key", "isUpdate")
+    // When the generator's keyspace is contained in the table keyspace
+    // (keys 1..keysMax ⊆ 1..tableKeys, both dense), the presence filter
+    // is statically a no-op — skip the per-epoch semi-join shuffle.
+    val ops =
+      if (cfg.keysMax <= cfg.tableKeys)
+        opsIn.select("tid", "epoch", "opIdx", "key", "isUpdate")
+      else opsIn.join(table.select("key"), Seq("key"), "leftsemi")
+        .select("tid", "epoch", "opIdx", "key", "isUpdate")
 
     val res = reserve(ops)
     val verdicts = decide(analyze(ops, res), cfg.reorder)
@@ -164,6 +170,26 @@ object Aria {
     * the standard iterative-algorithm pattern (cf. GraphX/ALS).
     */
   def run(spark: SparkSession, cfg: AriaConfig): RunResult = {
+    // Size the engine's shuffles to its (small-batch) workload: the
+    // reference batch is ≤200 txns over ≤200k keys — dozens of shuffle
+    // partitions only add scheduling latency per epoch, and AQE's
+    // per-stage re-optimization is pure overhead at this size. Restored
+    // after the loop; results are partitioning-independent (asserted in
+    // AriaSpec), so this is a latency knob, not a semantics knob. On a
+    // real cluster with large batches, keep AQE on and partitions high.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(prevParts.toInt, 8).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runLoop(spark, cfg)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  private def runLoop(spark: SparkSession, cfg: AriaConfig): RunResult = {
     // lazy localCheckpoints: lineage is truncated identically, but the
     // materialization folds into the next epoch's first job instead of
     // costing a dedicated job per checkpoint (2 fewer jobs/epoch).
