@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.ArrayDotLong
+
+/** The engine's `SparkSessionExtensions` entry point — the extensibility
+  * surface the reference lacks entirely (SURVEY.md §2.4: no UDF/UDAF/
+  * extension API). Registers the custom codegen expressions as SQL
+  * functions so `spark.sql("SELECT array_dot_long(a, b)")` works
+  * anywhere in the session, including pure-SQL callers:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)
+  *     .getOrCreate()
+  *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * No custom Rule[LogicalPlan]/SparkStrategy is registered: the survey's
+  * conclusion (SURVEY.md §4) is that every reference strategy maps to a
+  * built-in Catalyst facility; injectFunction is the one extension point
+  * the engine genuinely needs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.arrayDotLong)
+  }
+}
+
+object GraftExtensions {
+  private[plans] val arrayDotLong = (
+    new FunctionIdentifier("array_dot_long"),
+    new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "array_dot_long requires exactly 2 arguments")
+      ArrayDotLong(children.head, children(1)): Expression
+    })
+
+  /** Register into an already-running session (driver-provided sessions
+    * that can't be rebuilt with `.withExtensions`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, arrayDotLong._1.funcName, arrayDotLong._2, arrayDotLong._3)
+}
