@@ -15,7 +15,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
-      operators.Skew.queries ++
+      operators.Relational3.queries ++ operators.Skew.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
       multimodal.Multimodal.queries ++ aria.AriaQueries.queries
@@ -24,7 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
-      operators.Skew.oracles ++
+      operators.Relational3.oracles ++ operators.Skew.oracles ++
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
       multimodal.Multimodal.oracles

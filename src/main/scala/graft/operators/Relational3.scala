@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third tranche: subqueries (scalar-correlated and IN — exercising
+  * Catalyst's decorrelation), pivot, exact percentiles, regexp/string
+  * functions, and conditional expressions.
+  */
+object Relational3 {
+  import Tables.t
+
+  /** Correlated scalar subquery per customer (decorrelated by Catalyst
+    * into a left outer aggregate join — no per-row execution). */
+  def correlatedScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("v_customer_sub")
+    t(spark, dir, "orders").createOrReplaceTempView("v_orders_sub")
+    spark.sql(
+      """SELECT c_custkey,
+        |       (SELECT max(o_totalprice) FROM v_orders_sub
+        |        WHERE o_custkey = c_custkey) AS max_order
+        |FROM v_customer_sub ORDER BY c_custkey""".stripMargin)
+  }
+
+  val correlatedScalarSubquerySql: String =
+    """SELECT c_custkey,
+      |       (SELECT max(o_totalprice) FROM orders
+      |        WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** IN / NOT IN subqueries (planned as semi/anti joins). */
+  def inSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part").createOrReplaceTempView("v_part_sub")
+    t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem_sub")
+    spark.sql(
+      """SELECT p_partkey,
+        |       p_partkey IN (SELECT l_partkey FROM v_lineitem_sub
+        |                     WHERE l_returnflag = 'R') AS returned_ever
+        |FROM v_part_sub ORDER BY p_partkey""".stripMargin)
+  }
+
+  val inSubquerySql: String =
+    """SELECT p_partkey,
+      |       p_partkey IN (SELECT l_partkey FROM lineitem
+      |                     WHERE l_returnflag = 'R') AS returned_ever
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Pivot: quantity totals per returnflag, pivoted by linestatus.
+    * Oracle uses the portable CASE form (identical semantics). */
+  def pivotQuantities(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("qty"))
+      .select(col("l_returnflag"),
+        col("F").cast("double").as("qty_f"),
+        col("O").cast("double").as("qty_o"))
+      .orderBy("l_returnflag")
+
+  val pivotQuantitiesSql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+      |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact interpolated percentiles (not sketches): Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation
+    * definition over identical input doubles. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        min("l_extendedprice").as("pmin"),
+        max("l_extendedprice").as("pmax"))
+      .orderBy("l_returnflag")
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_extendedprice, 0.5) AS p50,
+      |       quantile_cont(l_extendedprice, 0.9) AS p90,
+      |       min(l_extendedprice) AS pmin,
+      |       max(l_extendedprice) AS pmax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Regexp function surface: extract, replace, match over part names. */
+  def regexpFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("^(anti|micro)").as("prefixed"))
+      .orderBy("p_partkey")
+
+  val regexpFunctionsSql: String =
+    """SELECT p_partkey,
+      |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |       regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+      |       regexp_matches(p_name, '^(anti|micro)') AS prefixed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** String padding/trim/case/position surface. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .select(col("n_nationkey"),
+        lpad(col("n_name"), 12, "*").as("padded"),
+        trim(lit(" x  ")).as("trimmed"),
+        initcap(lower(col("n_name"))).as("title_case"),
+        instr(col("n_name"), "A").cast("long").as("a_pos"),
+        repeat(lit("ab"), 3).as("repeated"),
+        translate(col("n_name"), "AEI", "aei").as("translated"))
+      .orderBy("n_nationkey")
+
+  val stringFunctionsSql: String =
+    """SELECT n_nationkey,
+      |       lpad(n_name, 12, '*') AS padded,
+      |       trim(' x  ') AS trimmed,
+      |       list_aggregate(list_transform(string_split(lower(n_name), ' '),
+      |         w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS title_case,
+      |       coalesce(nullif(instr(n_name, 'A'), 0), 0)::BIGINT AS a_pos,
+      |       repeat('ab', 3) AS repeated,
+      |       translate(n_name, 'AEI', 'aei') AS translated
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** Conditional expressions: CASE, nullif, ifnull, least/greatest. */
+  def conditionals(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("size_class"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+        least(col("o_custkey"), col("o_orderkey")).as("least_key"),
+        greatest(col("o_custkey"), col("o_orderkey")).as("greatest_key"))
+      .orderBy("o_orderkey")
+
+  val conditionalsSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_totalprice > 200000 THEN 'big'
+      |            WHEN o_totalprice > 100000 THEN 'mid'
+      |            ELSE 'small' END AS size_class,
+      |       nullif(o_orderstatus, 'O') AS status_or_null,
+      |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+      |       least(o_custkey, o_orderkey) AS least_key,
+      |       greatest(o_custkey, o_orderkey) AS greatest_key
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sub_correlated_scalar" -> correlatedScalarSubquery,
+    "sub_in_semijoin" -> inSubquery,
+    "agg_pivot_linestatus" -> pivotQuantities,
+    "agg_percentiles" -> percentiles,
+    "fn_regexp" -> regexpFunctions,
+    "fn_string_extra" -> stringFunctions,
+    "fn_conditionals" -> conditionals)
+
+  val oracles: Map[String, String] = Map(
+    "sub_correlated_scalar" -> correlatedScalarSubquerySql,
+    "sub_in_semijoin" -> inSubquerySql,
+    "agg_pivot_linestatus" -> pivotQuantitiesSql,
+    "agg_percentiles" -> percentilesSql,
+    "fn_regexp" -> regexpFunctionsSql,
+    "fn_string_extra" -> stringFunctionsSql,
+    "fn_conditionals" -> conditionalsSql)
+}
