@@ -170,7 +170,7 @@ object Relational {
     t(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("tid"),
-        row_number().over(Window.orderBy("o_orderkey")).as("new_tid"))
+        row_number().over(Window.orderBy("o_orderkey")).cast("long").as("new_tid"))
       .orderBy("tid")
 
   val collectRenumberSql: String =
@@ -183,7 +183,7 @@ object Relational {
   def opChainSeq(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
-        row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")).as("seq"))
+        row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")).cast("long").as("seq"))
       .orderBy("user_id", "seq")
 
   val opChainSeqSql: String =
@@ -346,7 +346,8 @@ object Relational {
     t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(
-          Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))).as("rk"))
+          Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("rk"))
       .filter(col("rk") <= 3)
       .orderBy("o_custkey", "rk")
 
@@ -398,10 +399,10 @@ object Relational {
       |  FROM events
       |)
       |SELECT user_id, event_id,
-      |       sum(CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000
+      |       CAST(sum(CASE WHEN prev_tns IS NULL OR tns - prev_tns > 1800000000000
       |                THEN 1 ELSE 0 END)
       |         OVER (PARTITION BY user_id ORDER BY tns, event_id
-      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |FROM gaps ORDER BY user_id, event_id""".stripMargin
 
   /** Tumbling-window aggregation over events (batch form of the
@@ -443,7 +444,7 @@ object Relational {
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_name"), 1, 8).as("name_pfx"),
-        length(col("p_type")).as("type_len"),
+        length(col("p_type")).cast("long").as("type_len"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         (col("p_size") % 7).as("size_mod"),
         abs(col("p_size") - 25).as("size_dist"))
@@ -461,10 +462,10 @@ object Relational {
     t(spark, dir, "orders")
       .select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("d"),
-        quarter(col("o_orderdate")).as("q"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
         unix_timestamp(col("o_orderdate")).as("epoch_s"))
       .orderBy("o_orderkey")
 

@@ -37,11 +37,11 @@ object Relational2 {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
     t(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        rank().over(w).as("rk"),
-        dense_rank().over(w).as("drk"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
         lag("o_orderkey", 1).over(w).as("prev_ok"),
         lead("o_orderkey", 1).over(w).as("next_ok"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("o_custkey", "rk", "o_orderkey")
   }
 

@@ -69,7 +69,8 @@ object Similarity {
     scored
       .select(col("query_id"), col("cand_id"), col("cosine"),
         row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
@@ -139,7 +140,8 @@ object Similarity {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .select(col("query_id"), col("cand_id"), col("cosine"),
         row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
@@ -234,7 +236,8 @@ object Similarity {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .select(col("query_id"), col("cand_id"), col("cosine"),
         row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
