@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Skew.queries ++
-      operators.TimeSeries.queries ++
+      operators.TimeSeries.queries ++ operators.Relational4.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
       multimodal.Multimodal.queries ++ aria.AriaQueries.queries
@@ -26,7 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Skew.oracles ++
-      operators.TimeSeries.oracles ++
+      operators.TimeSeries.oracles ++ operators.Relational4.oracles ++
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
       multimodal.Multimodal.oracles

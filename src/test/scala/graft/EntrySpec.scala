@@ -17,7 +17,7 @@ class EntrySpec extends SparkSpec {
     val maps = Seq(
       operators.Relational.queries, operators.Relational2.queries,
       operators.Relational3.queries, operators.Skew.queries,
-      operators.TimeSeries.queries,
+      operators.TimeSeries.queries, operators.Relational4.queries,
       text.TextAnalysis.queries, dedup.Dedup.queries,
       sim.Similarity.queries, multimodal.Multimodal.queries,
       aria.AriaQueries.queries)
