@@ -161,36 +161,44 @@ object Dedup {
        |WHERE l.doc_id < r.doc_id
        |GROUP BY a, b ORDER BY a, b""".stripMargin
 
-  /** SimHash 32-bit signatures: per (doc, bit) sum of ±1 contributions of
+  /** SimHash 32-bit signatures: per bit j, the sum of ±1 contributions of
     * each distinct token's hash bit; signature bit j set iff the sum is
-    * positive. Linear map + two grouped aggregations. */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+    * positive. The 32 bit-sums are 32 parallel aggregate columns over
+    * ONE exploded token row per (doc, token) — not a (doc × token × bit)
+    * explosion, which is 32× the shuffle for the same answer. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until 32).map(j =>
+      sum(when(expr(s"shiftright(th, $j) % 2 = 1"), 1L).otherwise(-1L)).as(s"s$j"))
+    val sig = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
     t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
       .withColumn("th", Portable.hash60(col("tok")))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(31))).as("j"), col("th"))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("shiftright(th, j) % 2 = 1"), 1L).otherwise(-1L)).as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-        .as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
       .orderBy("doc_id")
+  }
 
-  val simhashSql: String =
+  val simhashSql: String = {
+    val sums = (0 until 32).map(j =>
+      s"sum(CASE WHEN (th >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n|         ")
+    val sig = (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM tok),
        |bits AS (
-       |  SELECT doc_id, js.j AS j,
-       |         sum(CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> js.j) % 2 = 1
-       |                  THEN 1 ELSE -1 END) AS s
-       |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js
-       |  GROUP BY doc_id, js.j
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM th GROUP BY doc_id
        |)
-       |SELECT doc_id,
-       |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
 
   /** SimHash near-dup pairs within Hamming ≤ 3, found by equi-joining on
     * the 4 8-bit signature pieces (pigeonhole-complete for ≤ 3 flips),
