@@ -77,6 +77,34 @@ object Multimodal {
     }
   }
 
+  final case class ResizedRow(
+      media_id: Long, kind: String, width: Int, height: Int,
+      target_w: Int, target_h: Int, scale_x: Double, scale_y: Double)
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** Resize (stub): computes the real metadata dataflow — per-row target
+    * dims + scale factors through the typed pipeline; the pixel resample
+    * itself is the documented codec stub. */
+  def resizeAll(spark: SparkSession, dir: String, targetW: Int = 224,
+                targetH: Int = 224): Dataset[ResizedRow] = {
+    import spark.implicits._
+    decodeAll(spark, dir).map { d =>
+      ResizedRow(d.media_id, d.kind, d.width, d.height, targetW, targetH,
+        targetW.toDouble / d.width, targetH.toDouble / d.height)
+    }
+  }
+
+  /** Frame sampling (stub): every k-th frame of video media, one output
+    * row per sampled frame — the explode-shaped dataflow a real
+    * frame-extractor produces (bounded per-row fan-out). */
+  def sampleFrames(spark: SparkSession, dir: String, every: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    decodeAll(spark, dir).filter(_.kind == "video").flatMap { d =>
+      (0 until d.n_frames by every).map(i =>
+        FrameRow(d.media_id, i, d.checksum * 31 + i))
+    }
+  }
+
   /** Metadata-only query — never touches the blob column (column
     * pruning), fully SQL-expressible → has a DuckDB oracle. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =

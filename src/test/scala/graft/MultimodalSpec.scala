@@ -19,6 +19,23 @@ class MultimodalSpec extends SparkSpec {
     assert(a.exists(r => r.kind == "video" && r.n_frames > 1))
   }
 
+  test("resize pipeline emits scale factors for every media row") {
+    val r = Multimodal.resizeAll(spark, sf("sf0.001")).collect()
+    assert(r.length === 500)
+    assert(r.forall(x => x.scale_x > 0 && x.scale_x == 224.0 / x.width))
+  }
+
+  test("frame sampling fans out only video media, every k-th frame") {
+    val dec = Multimodal.decodeAll(spark, sf("sf0.001")).collect()
+      .filter(_.kind == "video").map(d => d.media_id -> d.n_frames).toMap
+    val frames = Multimodal.sampleFrames(spark, sf("sf0.001"), every = 4).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(f => dec.contains(f.media_id)))
+    val counts = frames.groupBy(_.media_id).view.mapValues(_.length).toMap
+    assert(counts.forall { case (id, n) => n == (dec(id) + 3) / 4 })
+    assert(frames.forall(f => f.frame_idx % 4 == 0))
+  }
+
   test("media metadata agrees with decoded byte counts") {
     val meta = Multimodal.mediaMeta(spark, sf("sf0.001")).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
