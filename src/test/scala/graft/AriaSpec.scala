@@ -105,6 +105,19 @@ class AriaSpec extends SparkSpec {
   test("no-reorder mode matches serial-replay simulator") { runBoth(reorder = false) }
   test("reorder mode matches serial-replay simulator") { runBoth(reorder = true) }
 
+  test("simulator equivalence holds on a different seed and shape") {
+    val c2 = cfg.copy(seed = 7L, nTxns = 45, maxOps = 12, keysMax = 60, tableKeys = 90)
+    val table0 = collectTable(Workload.kvTable(spark, c2.tableKeys, c2.seed))
+    val ops0 = Workload.txnOps(spark, c2.nTxns, c2.maxOps, c2.writePct, c2.keysMax, c2.seed)
+      .collect().map(r => Op(r.getInt(0), r.getInt(2), r.getInt(3), r.getBoolean(4))).toSeq
+    val sim = simulate(table0, ops0, c2.seed, reorder = false)
+    val run = Aria.run(spark, c2)
+    val sparkTable = collectTable(run.table)
+    assert(sparkTable.size === sim.table.size)
+    val diffs = sparkTable.keySet.filter(k => sparkTable(k) != sim.table(k))
+    assert(diffs.isEmpty, s"table rows diverge at keys: ${diffs.take(5)}")
+  }
+
   test("reservation table = groupwise min(tid)") {
     val ops = Workload.txnOps(spark, 40, 8, 50, 30, 7L)
     val res = Aria.reserve(ops).collect()
