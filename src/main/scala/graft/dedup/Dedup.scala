@@ -302,7 +302,66 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
        |ORDER BY a, b""".stripMargin
 
+  /** Near-dup clustering: ROUNDS iterations of min-label propagation
+    * over the (symmetric) LSH candidate graph — turns candidate pairs
+    * into dedup groups with a canonical representative (min doc_id).
+    * Bounded-iteration propagation (not run-to-convergence) keeps the
+    * operator a pure deterministic dataflow with an exact SQL oracle;
+    * ROUNDS=5 covers graph diameter 5, far beyond near-dup cluster
+    * diameters in practice. Each round is one join + grouped min —
+    * the standard scalable connected-components kernel (cf. GraphX
+    * label propagation). */
+  val clusterRounds = 5
+
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashCandidates(spark, dir).select("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(false)
+    var labels = t(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to clusterRounds) {
+      labels = labels.as("l")
+        .join(edges.as("e"), col("l.doc_id") === col("e.src"), "left")
+        .join(labels.select(col("doc_id").as("nd"), col("label").as("nl")).as("n"),
+          col("e.dst") === col("n.nd"), "left")
+        .groupBy(col("l.doc_id").as("doc_id"), col("l.label").as("old_label"))
+        .agg(min("n.nl").as("min_neighbor"))
+        .select(col("doc_id"),
+          least(col("old_label"), coalesce(col("min_neighbor"), col("old_label")))
+            .as("label"))
+        .localCheckpoint(false)
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"),
+        (col("label") =!= col("doc_id")).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
+  val nearDupClustersSql: String = {
+    val base = minhashCandidatesSql.replace("ORDER BY a, b", "")
+    val rounds = (1 to clusterRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT l.doc_id,
+         |         least(l.label, coalesce(min(n.label), l.label)) AS label
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.src = l.doc_id
+         |  LEFT JOIN l${i - 1} n ON n.doc_id = e.dst
+         |  GROUP BY l.doc_id, l.label
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cand AS ($base),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM cand
+       |  UNION ALL SELECT b, a FROM cand
+       |),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |$rounds
+       |SELECT doc_id, label AS cluster_rep, label <> doc_id AS is_duplicate
+       |FROM l$clusterRounds ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_neardup_clusters" -> nearDupClusters,
     "dedup_exact" -> exact,
     "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
     "dedup_minhash_candidates" -> minhashCandidates,
@@ -311,6 +370,7 @@ object Dedup {
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_neardup_clusters" -> nearDupClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_minhash_bands" -> minhashBandsSql(),
     "dedup_minhash_candidates" -> minhashCandidatesSql,
