@@ -117,6 +117,22 @@ object Streaming {
       }
   }
 
+  /** Streaming exact deduplication: drop rows whose content hash was
+    * already seen, with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — duplicates are only guaranteed
+    * dropped while their first occurrence is inside the watermark, which
+    * is the scalable contract: unbounded dedup state is a memory leak at
+    * 100 TB/day). Works on the same frame batch-side via dropDuplicates. */
+  def dedupStream(docs: DataFrame, watermarkSec: Int = 3600): DataFrame = {
+    val withTime = docs.withColumn("event_time",
+      timestamp_micros(expr("ts div 1000")))
+    if (docs.isStreaming)
+      withTime
+        .withWatermark("event_time", s"$watermarkSec seconds")
+        .dropDuplicatesWithinWatermark("content_hash")
+    else withTime.dropDuplicates("content_hash")
+  }
+
   /** Micro-batch sink driver (foreachBatch): the Spark idiom for the
     * reference's per-epoch host loop — each batch is a deterministic
     * set-transform, exactly like Aria's epochs. */

@@ -78,6 +78,30 @@ class StreamingSpec extends SparkSpec {
       SessionOut(3L, 10L * hourNs, 10L * hourNs, 1L)))
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sec = 1000000000L
+    val ms = MemoryStream[(Long, Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "content_hash")
+    val q = Streaming.dedupStream(docs, watermarkSec = 3600)
+      .select("doc_id", "content_hash")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: two distinct, one in-batch duplicate
+    ms.addData(Seq((1L, 10L * sec, "h1"), (2L, 11L * sec, "h2"), (3L, 12L * sec, "h1")))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of h2 + one new
+    ms.addData(Seq((4L, 20L * sec, "h2"), (5L, 21L * sec, "h3")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept.map(_._2) === Set("h1", "h2", "h3"))
+    assert(!kept.exists(_._1 == 4L), s"cross-batch duplicate survived: $kept")
+    assert(kept.size === 3)
+  }
+
   test("file-based events stream processes the real table incrementally") {
     val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     assert(stream.isStreaming)
