@@ -29,5 +29,5 @@ object SparkEntry {
       operators.TimeSeries.oracles ++ operators.Relational4.oracles ++
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
-      multimodal.Multimodal.oracles
+      multimodal.Multimodal.oracles ++ aria.AriaQueries.oracles
 }

@@ -22,6 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // epoch-0 workload dump: lets DuckDB recompute the aria verdicts
+    // (oracle SQL references these files via __ARIA_DIR__)
+    val ariaDir = Paths.get(outDir).toAbsolutePath.toString
+    try graft.aria.AriaQueries.persistEpoch0Inputs(spark, ariaDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] aria epoch0 dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +42,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__ARIA_DIR__", ariaDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -6,9 +6,13 @@ import graft.gen.Workload
 import graft.model.AriaConfig
 
 /** Harness-facing queries over the Aria transaction engine. The epoch
-  * loop is not SQL-expressible (iterative, state-carrying), so these have
-  * no DuckDB oracle — the driver records rows-only checks; deep
-  * correctness is covered by the serial-replay simulator in AriaSpec.
+  * loop itself is not SQL-expressible (iterative, state-carrying) — the
+  * drain queries are rows-only for the driver, with deep correctness
+  * covered by the serial-replay simulator in AriaSpec. The one-epoch
+  * Execute→Reserve→Analyze→Decide slice IS SQL-expressible: `Verify`
+  * persists the seeded epoch-0 workload to parquet and
+  * `epoch0VerdictsSql` recomputes the verdicts in DuckDB over those
+  * files (full hash-match oracle).
   *
   * Config is intentionally independent of sfDir (the engine runs on its
   * own deterministic generated workload — matching the reference, which
@@ -16,18 +20,31 @@ import graft.model.AriaConfig
   */
 object AriaQueries {
 
-  private val cfg = AriaConfig(
-    nTxns = 150, maxOps = 30, writePct = 40,
-    keysMax = 2000, tableKeys = 20000, seed = 42L, maxEpochs = 32)
+  // Harness-sized drain: 100 txns over 3000 hot keys drains in ~7
+  // epochs — still several rounds of real aborts/retries, at half the
+  // per-round latency of the old 150/2000 config (14 epochs of fixed
+  // scheduler overhead). Full-size runs live in AriaMain and the specs.
+  private[graft] val cfg = AriaConfig(
+    nTxns = 100, maxOps = 30, writePct = 40,
+    keysMax = 3000, tableKeys = 20000, seed = 42L, maxEpochs = 32)
 
   // One drain per (session, mode): the three harness queries all consume
   // the same deterministic run, so recomputing the epoch loop per query
-  // would only re-measure scheduler overhead.
+  // would only re-measure scheduler overhead. Weak keys — a dropped
+  // SparkSession must not pin its cached run (long-lived JVMs).
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), Aria.RunResult]
+    new java.util.WeakHashMap[SparkSession, Map[Boolean, Aria.RunResult]]
   private def cachedRun(spark: SparkSession, reorder: Boolean): Aria.RunResult =
-    cache.computeIfAbsent((spark, reorder),
-      _ => Aria.run(spark, cfg.copy(reorder = reorder)))
+    cache.synchronized {
+      val perSession = cache.getOrDefault(spark, Map.empty)
+      perSession.get(reorder) match {
+        case Some(r) => r
+        case None =>
+          val r = Aria.run(spark, cfg.copy(reorder = reorder))
+          cache.put(spark, perSession + (reorder -> r))
+          r
+      }
+    }
 
   /** Per-epoch commit/abort accounting of the full drain-to-empty run —
     * the reference's observable behavior (printf traces of db.test()). */
@@ -68,9 +85,48 @@ object AriaQueries {
       .orderBy("tid")
   }
 
+  /** Persist the seeded epoch-0 workload (table keys + exploded ops) so
+    * DuckDB can recompute the verdicts independently. Called by Verify
+    * before it dumps oracle_sql.json. */
+  def persistEpoch0Inputs(spark: SparkSession, outDir: String): Unit = {
+    Workload.kvTable(spark, cfg.tableKeys, cfg.seed).select("key")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aria_epoch0_keys")
+    Workload.txnOps(spark, cfg.nTxns, cfg.maxOps, cfg.writePct,
+        cfg.keysMax, cfg.seed)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aria_epoch0_ops")
+  }
+
+  /** DuckDB oracle for `epoch0Verdicts` over the persisted workload —
+    * the reference's hazard rules (TrancM_func.cuh:126-250): RAW/WAR/WAW
+    * against strictly-smaller Tids, zero = unreserved, no-reorder commit
+    * rule abort iff raw ∨ waw. `__ARIA_DIR__` is substituted by Verify
+    * with the absolute output directory. */
+  val epoch0VerdictsSql: String =
+    """WITH ops AS (
+      |  SELECT tid, key, isUpdate
+      |  FROM read_parquet('__ARIA_DIR__/aria_epoch0_ops/*.parquet')
+      |  WHERE key IN (SELECT key FROM read_parquet('__ARIA_DIR__/aria_epoch0_keys/*.parquet'))
+      |), res AS (
+      |  SELECT key, min(tid) AS rts,
+      |         coalesce(min(CASE WHEN isUpdate THEN tid END), 0) AS wts
+      |  FROM ops GROUP BY key
+      |), flags AS (
+      |  SELECT tid,
+      |         bool_or(wts <> 0 AND wts < tid) AS raw,
+      |         bool_or(isUpdate AND rts < tid) AS war,
+      |         bool_or(isUpdate AND wts <> 0 AND wts < tid) AS waw
+      |  FROM ops JOIN res USING (key)
+      |  GROUP BY tid
+      |)
+      |SELECT tid, raw, war, waw, (raw OR waw) AS abort
+      |FROM flags ORDER BY tid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aria_epoch_stats" -> epochStats,
     "aria_reorder_comparison" -> reorderComparison,
     "aria_final_table" -> finalTableSummary,
     "aria_epoch0_verdicts" -> epoch0Verdicts)
+
+  val oracles: Map[String, String] = Map(
+    "aria_epoch0_verdicts" -> epoch0VerdictsSql)
 }

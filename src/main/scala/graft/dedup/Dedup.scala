@@ -320,17 +320,23 @@ object Dedup {
       .localCheckpoint(false)
     var labels = t(spark, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to clusterRounds) {
-      labels = labels.as("l")
+    var converged = false
+    for (_ <- 1 to clusterRounds if !converged) {
+      val step = labels.as("l")
         .join(edges.as("e"), col("l.doc_id") === col("e.src"), "left")
         .join(labels.select(col("doc_id").as("nd"), col("label").as("nl")).as("n"),
           col("e.dst") === col("n.nd"), "left")
         .groupBy(col("l.doc_id").as("doc_id"), col("l.label").as("old_label"))
         .agg(min("n.nl").as("min_neighbor"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old_label"),
           least(col("old_label"), coalesce(col("min_neighbor"), col("old_label")))
             .as("label"))
         .localCheckpoint(false)
+      // fixpoint early-exit: a round that lowers no label ends the
+      // propagation (remaining rounds would be identity — the bounded
+      // ROUNDS contract and the fixed-round oracle are unchanged)
+      converged = step.filter(col("label") < col("old_label")).isEmpty
+      labels = step.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("cluster_rep"),
         (col("label") =!= col("doc_id")).as("is_duplicate"))

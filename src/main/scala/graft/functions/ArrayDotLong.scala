@@ -38,6 +38,18 @@ case class ArrayDotLong(left: Expression, right: Expression)
       s"left argument must be array<bigint>, got ${left.dataType}")
   }
 
+  // A null element anywhere nulls the whole result (a null term poisons
+  // the sum, matching list_sum/aggregate null propagation). The element
+  // null checks are emitted only when the input type admits nulls
+  // (containsNull) — provably non-null inputs keep the tight loop.
+  private lazy val mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
+  override def nullable: Boolean = super.nullable || mayHaveNullElements
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +57,7 @@ case class ArrayDotLong(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -56,10 +69,15 @@ case class ArrayDotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $x.getLong($i) * $y.getLong($i);
          |}
          |${ev.value} = $acc;

@@ -39,8 +39,12 @@ object Workload {
     val txns = spark.range(1, nTxns.toLong + 1)
       .select(col("id").cast("int").as("tid"))
       .withColumn("n_ops", Prng.uniformInt(maxOps + 1, lit(seed), lit("nops"), col("tid")))
+    // n_ops = 0 must yield no rows: guard the sequence — an unguarded
+    // sequence(0, -1) defaults to step -1 and produces [0, -1], giving
+    // "zero-op" txns two phantom ops. explode drops the null branch.
     txns
-      .select(col("tid"), explode(sequence(lit(0), col("n_ops") - 1)).as("opIdx"))
+      .select(col("tid"),
+        explode(when(col("n_ops") > 0, sequence(lit(0), col("n_ops") - 1))).as("opIdx"))
       .select(
         col("tid"),
         lit(epoch).as("epoch"),

@@ -164,14 +164,23 @@ object Relational {
 
   /** T8 Collect: filter the "aborted" subset + dense renumber 1..m in
     * original order (TransctionManager.cuh:176-184). In the engine this
-    * runs on the tiny retry set (zipWithIndex, Aria.collect); as a
-    * relational query it is filter + row_number. */
-  def collectRenumber(spark: SparkSession, dir: String): DataFrame =
+    * runs on the tiny retry set (driver-broadcast mapping, Aria.collect);
+    * here — on an unbounded input — the dense index is a two-phase
+    * renumber: range-partition + local sort (globally sorted, parallel),
+    * then per-partition counts → cumulative offsets → partition-local
+    * index (`zipWithIndex`). No global single-partition window. */
+  def collectRenumber(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     t(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
-      .select(col("o_orderkey").as("tid"),
-        row_number().over(Window.orderBy("o_orderkey")).cast("long").as("new_tid"))
+      .select(col("o_orderkey").as("tid"))
+      .repartitionByRange(col("tid"))
+      .sortWithinPartitions("tid")
+      .as[Long].rdd.zipWithIndex()
+      .map { case (tid, i) => (tid, i + 1L) }
+      .toDF("tid", "new_tid")
       .orderBy("tid")
+  }
 
   val collectRenumberSql: String =
     """SELECT o_orderkey AS tid,

@@ -75,12 +75,14 @@ object Relational2 {
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   /** Array-function surface over tokenized documents (slice, contains,
-    * position, reverse; 1-based indexing in both engines). */
+    * position, reverse; 1-based indexing in both engines). The sliced
+    * prefix is emitted as a scalar (concat_ws) — the driver's pandas
+    * comparator cannot sort/hash array-typed columns. */
   def arrayOps(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.text.TextAnalysis.tokens(col("text"))
     t(spark, dir, "documents")
       .select(col("doc_id"),
-        slice(toks, 1, 3).as("first3"),
+        concat_ws(" ", slice(toks, 1, 3)).as("first3"),
         array_contains(toks, "spark").as("has_spark"),
         array_position(toks, "data").cast("long").as("data_pos"),
         element_at(reverse(toks), 1).as("last_tok"))
@@ -91,7 +93,7 @@ object Relational2 {
     """WITH tk AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
       |FROM documents)
-      |SELECT doc_id, toks[1:3] AS first3,
+      |SELECT doc_id, array_to_string(toks[1:3], ' ') AS first3,
       |       list_contains(toks, 'spark') AS has_spark,
       |       coalesce(list_position(toks, 'data'), 0)::BIGINT AS data_pos,
       |       toks[-1] AS last_tok

@@ -30,14 +30,18 @@ object Similarity {
   private val dims = 64
   private val nPlanes = 16
 
-  /** Quantized embeddings: vec_id, q (BIGINT[64]), norm (BIGINT).
-    * Repartitioned off the single-file scan so the quantize/projection
-    * map stages parallelize (no-op at production scale). */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+  /** Quantized embeddings: vec_id, q (BIGINT[64]), norm (BIGINT). */
+  private[graft] def quantizedFrom(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), Portable.quantize(col("embedding")).as("q"))
       .withColumn("nsq", Portable.normSqQ(col("q")))
+
+  /** As above, from the sf dir. Repartitioned off the single-file scan so
+    * the quantize/projection map stages parallelize (no-op at production
+    * scale). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    quantizedFrom(t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
 
   private val quantizedSql: String =
     """q AS (
@@ -55,14 +59,18 @@ object Similarity {
     s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> a.qv[i] * b.qv[i])) AS BIGINT)"
 
   /** Brute-force exact cosine top-k: queries = vec_id < 8 against the full
-    * corpus (self excluded). The query side broadcasts; ranking is
-    * per-query (bounded k), not a global sort. */
+    * corpus (self excluded). The TINY QUERY SIDE broadcasts (the corpus is
+    * the 100 TB side — it streams through a single map stage and must
+    * never be the broadcast/build side). The `rank <= k` filter over the
+    * partitioned row_number window plans as WindowGroupLimit, which keeps
+    * only k rows per query per map task BEFORE the shuffle — a bounded
+    * partial+final top-k, not a global sort of the scored corpus. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val qn = quantized(spark, dir)
     val queries = qn.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
     val corpus = qn.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
-    val scored = queries.join(broadcast(corpus), col("query_id") =!= col("cand_id"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
       .withColumn("cosine",
         Portable.dotQ(col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -95,7 +103,10 @@ object Similarity {
     * s(p,i) ∈ {±1} from the portable hash of "p_i". Integer projections →
     * exactly reproducible. */
   def lshSignatures(spark: SparkSession, dir: String): DataFrame =
-    quantized(spark, dir)
+    lshSignaturesFrom(quantized(spark, dir)).orderBy("vec_id")
+
+  private[graft] def lshSignaturesFrom(qn: DataFrame): DataFrame =
+    qn
       .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
       .withColumn("proj",
         aggregate(
@@ -106,7 +117,6 @@ object Similarity {
       .groupBy("vec_id")
       .agg(sum(when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L))
         .as("signature"))
-      .orderBy("vec_id")
 
   val lshSignaturesSql: String =
     s"""WITH $quantizedSql,
@@ -174,14 +184,43 @@ object Similarity {
        |SELECT query_id, cand_id, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** Embedding near-duplicate pairs: exact cosine ≥ τ over all pairs
-    * (small-scale baseline; the LSH bucket variant above is the scale
-    * path). */
-  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
-    val qn = quantized(spark, dir)
-    val l = qn.select(col("vec_id").as("a"), col("q").as("qa"), col("nsq").as("na"))
-    val r = qn.select(col("vec_id").as("b"), col("q").as("qb"), col("nsq").as("nb"))
-    l.join(broadcast(r), col("a") < col("b"))
+  /** Embedding near-duplicate pairs, bucketed: candidates are pairs that
+    * collide in at least one of `nBands` bands of `bandBits` sign bits of
+    * the hyperplane signature (OR-amplified LSH); each candidate is then
+    * verified by EXACT cosine ≥ τ, so false positives are impossible.
+    *
+    * Scale shape: candidate generation is an equi-join on (band, bucket)
+    * — never an all-pairs theta-join, never a broadcast of the corpus.
+    * Recall: a true pair at cosine τ=0.9 disagrees on a given hyperplane
+    * bit with p = arccos(τ)/π ≈ 0.14, so P[miss] = (1-(1-p)^4)^4 ≈ 0.05
+    * at the threshold and ≈ 8·10⁻⁴ at cosine 0.99 — and duplicates in
+    * real corpora sit near 1.0. The exact all-pairs form remains the
+    * DuckDB oracle, which proves this bucketed path lossless on the test
+    * corpus. */
+  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame =
+    nearDupPairsFrom(quantized(spark, dir), tau)
+
+  private val nBands = 4
+  private val bandBits = nPlanes / nBands
+
+  private[graft] def nearDupPairsFrom(qnIn: DataFrame, tau: Double): DataFrame = {
+    // both frames feed multiple join sides — materialize once
+    val qn = qnIn.localCheckpoint(false)
+    val sig = lshSignaturesFrom(qn).localCheckpoint(false)
+    val buckets = sig
+      .select(col("vec_id"), col("signature"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket",
+        expr(s"shiftright(signature, band * $bandBits) & ${(1 << bandBits) - 1}"))
+      .drop("signature")
+    val cand = buckets.select(col("band"), col("bucket"), col("vec_id").as("a"))
+      .join(buckets.select(col("band"), col("bucket"), col("vec_id").as("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(qn.select(col("vec_id").as("a"), col("q").as("qa"), col("nsq").as("na")), Seq("a"))
+      .join(qn.select(col("vec_id").as("b"), col("q").as("qb"), col("nsq").as("nb")), Seq("b"))
       .withColumn("cosine",
         Portable.dotQ(col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))

@@ -30,6 +30,44 @@ class AnnRecallSpec extends SparkSpec {
     assert(mismatches.isEmpty, s"cosine drift: $mismatches")
   }
 
+  test("bucketed near-dup pairs equal brute force on a corpus with planted dups") {
+    // 120 random 64-d unit-ish vectors + 12 planted near-dups (tiny
+    // perturbations, cosine ≈ 0.999) — exercises the non-empty case the
+    // testdata (pure random vectors, max pair cosine ≈ 0.51) cannot.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(120)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 12).map { i =>
+      (200L + i, base(i).map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      dups.map { case (id, v) => (id, v.toSeq) }
+    import spark.implicits._
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val qn = Similarity.quantizedFrom(emb)
+    val tau = 0.95
+    val got = Similarity.nearDupPairsFrom(qn, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // independent exact reference (plain Scala, same quantization)
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong)
+    val qv = rows.map { case (id, v) => id -> quant(v.toArray) }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val ids = rows.map(_._1).sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      c = cos(qv(a), qv(b)) if c >= tau
+    } yield (a, b, c)).toArray
+    assert(want.length === 12, s"expected the 12 planted pairs, got ${want.length}")
+    assert(got.toSeq === want.toSeq,
+      s"bucketed path lost pairs: got=${got.toSeq} want=${want.toSeq}")
+  }
+
   test("IVF nprobe=2 recall@5 vs brute force is reasonable on sf0.001") {
     val gtRaw = Similarity.cosineTopK(spark, sf("sf0.001"), k = 5)
     val gt = gtRaw.collect()

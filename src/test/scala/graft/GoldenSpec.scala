@@ -20,6 +20,8 @@ class GoldenSpec extends SparkSpec {
     val cs = Workload.txnOps(spark, 60, 10, 40, 80, 42L)
       .select(expr("bit_xor(xxhash64(tid, epoch, opIdx, key, isUpdate))"))
       .head().getLong(0)
-    assert(cs === 3705316270745356130L, f"generator drift: checksum=$cs%d")
+    // refreshed after the zero-op explode guard (sequence(0,-1) used to
+    // fabricate two phantom ops for every n_ops=0 txn)
+    assert(cs === -937435756510079962L, f"generator drift: checksum=$cs%d")
   }
 }

@@ -86,6 +86,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("o_custkey"), p.take(1200))
   }
 
+  test("cosineTopK broadcasts the query side and plans a partial top-k") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val df = graft.sim.Similarity.cosineTopK(spark, sf("sf0.001"))
+    val root: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bnlj = root.collectFirst { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, root.toString.take(1500))
+    val j = bnlj.get
+    val (build, streamed) =
+      if (j.buildSide == BuildRight) (j.right, j.left) else (j.left, j.right)
+    // the broadcast/build side is the tiny filtered query set; the
+    // corpus streams (no vec_id < 8 filter on the streamed side)
+    assert(build.toString.contains("vec_id") && build.toString.contains("< 8"),
+      s"build side is not the query set:\n${build.toString.take(800)}")
+    assert(!streamed.toString.contains("< 8"),
+      s"corpus side unexpectedly filtered:\n${streamed.toString.take(800)}")
+    // rank<=k over the partitioned window plans as WindowGroupLimit —
+    // per-map-task top-k BEFORE the shuffle, not a global sort
+    val p = planString(df)
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("near-dup pairs plan has no all-pairs join (equi-join candidates only)") {
+    val p = planString(graft.sim.Similarity.nearDupPairs(spark, sf("sf0.001")))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("ArrayDotLong participates in codegen (no CodegenFallback)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Portable
