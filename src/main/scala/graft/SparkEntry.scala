@@ -19,7 +19,8 @@ object SparkEntry {
       operators.TimeSeries.queries ++ operators.Relational4.queries ++
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
-      multimodal.Multimodal.queries ++ aria.AriaQueries.queries
+      multimodal.Multimodal.queries ++ aria.AriaQueries.queries ++
+      streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.TimeSeries.oracles ++ operators.Relational4.oracles ++
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
-      multimodal.Multimodal.oracles ++ aria.AriaQueries.oracles
+      multimodal.Multimodal.oracles ++ aria.AriaQueries.oracles ++
+      streaming.StreamingQueries.oracles
 }

@@ -20,7 +20,7 @@ class EntrySpec extends SparkSpec {
       operators.TimeSeries.queries, operators.Relational4.queries,
       text.TextAnalysis.queries, dedup.Dedup.queries,
       sim.Similarity.queries, multimodal.Multimodal.queries,
-      aria.AriaQueries.queries)
+      aria.AriaQueries.queries, streaming.StreamingQueries.queries)
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size === total,
       "duplicate query names collapsed in the merged map")

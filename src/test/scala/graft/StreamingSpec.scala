@@ -122,6 +122,22 @@ object StreamingSpec {
 class StreamingBatchParitySpec extends SparkSpec {
   import org.apache.spark.sql.functions.sum
 
+  test("harness streaming tumbling agg equals the batch query row-for-row") {
+    val streamed = graft.streaming.StreamingQueries
+      .streamTumblingAgg(spark, sf("sf0.001")).collect().toSeq
+    val batch = operators.Relational.tumblingAgg(spark, sf("sf0.001"))
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("harness streaming sessionize and dedup produce rows at sf0.001") {
+    assert(graft.streaming.StreamingQueries
+      .streamSessionize(spark, sf("sf0.001")).count() > 0)
+    assert(graft.streaming.StreamingQueries
+      .streamDedup(spark, sf("sf0.001")).count() > 0)
+  }
+
   test("file-stream totals match the batch tumbling query") {
     val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     Streaming.runToMemory(spark,
