@@ -36,16 +36,30 @@ object Multimodal {
   /** STUB decode kernel. A production build replaces this object with
     * bindings to a real codec (e.g. javacpp-ffmpeg / TwelveMonkeys); the
     * call sites, batch shape and schemas do not change. The fake is
-    * deterministic in the blob bytes so tests and reruns agree. */
+    * CONTENT-ADDRESSED: every output is an md5-derived function of the
+    * raw blob bytes (a genuine per-row JVM digest call through
+    * mapPartitions), which makes the whole decode pipeline exactly
+    * reproducible in the DuckDB oracle — swapping in a real codec flips
+    * the downstream queries back to rows-only checks, nothing else. */
   object FakeCodec {
-    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      val h = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-      (64 + math.floorMod(h, 448).toInt, 64 + math.floorMod(h >> 9, 448).toInt)
+    /** First 15 md5 hex chars of salt-bytes ++ blob as a non-negative
+      * Long — the byte-level analog of Portable.hash60 (DuckDB:
+      * ('0x' || substr(md5(salt || text), 1, 15))::BIGINT when the blob
+      * is the UTF-8 encoding of text). */
+    private def hash60(salt: String, bytes: Array[Byte]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(salt.getBytes("UTF-8"))
+      md.update(bytes)
+      java.lang.Long.parseLong(
+        md.digest().take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
     }
+    def decodeDims(bytes: Array[Byte]): (Int, Int) =
+      (64 + (hash60("w", bytes) % 448).toInt, 64 + (hash60("h", bytes) % 448).toInt)
     def frameCount(kind: String, nBytes: Int): Int =
       if (kind == "video") 1 + nBytes / 256 else 1
-    def checksum(bytes: Array[Byte]): Long =
-      bytes.foldLeft(17L)((a, b) => a * 131 + (b & 0xff))
+    /** Bounded below 2^32 so downstream integer math (frame checksums)
+      * cannot overflow in engines with non-wrapping BIGINTs. */
+    def checksum(bytes: Array[Byte]): Long = hash60("ck", bytes) % 4294967296L
   }
 
   /** Synthesize a media table from documents (the container has no real
@@ -126,8 +140,9 @@ object Multimodal {
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Aggregate over the decoded (stub) features: per kind, count/bytes/
-    * frame totals — demonstrates decode → relational composition. Not
-    * oracle-expressible (the codec isn't SQL); rows-only check. */
+    * frame totals — demonstrates decode → relational composition. Fully
+    * oracle-checked because the stub codec is content-addressed (md5 of
+    * the blob = md5 of the text it encodes). */
   def decodeSummary(spark: SparkSession, dir: String): DataFrame =
     decodeAll(spark, dir).toDF()
       .groupBy("kind")
@@ -137,12 +152,68 @@ object Multimodal {
         max("width").as("max_width"))
       .orderBy("kind")
 
+  /** Decoded rows in SQL (shared CTE): the content blob is the UTF-8
+    * encoding of `text`, so md5 over salt||text hashes the same bytes
+    * the JVM codec digests. */
+  private val decodedSql: String =
+    """dec AS (
+      |  SELECT doc_id AS media_id,
+      |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+      |         octet_length(encode(text)) AS n_bytes,
+      |         CAST(('0x' || substr(md5('w' || text), 1, 15))::BIGINT % 448 + 64 AS INT) AS width,
+      |         CAST(('0x' || substr(md5('h' || text), 1, 15))::BIGINT % 448 + 64 AS INT) AS height,
+      |         ('0x' || substr(md5('ck' || text), 1, 15))::BIGINT % 4294967296 AS checksum
+      |  FROM documents
+      |), decf AS (
+      |  SELECT *, CAST(CASE WHEN kind = 'video' THEN 1 + n_bytes // 256 ELSE 1 END AS INT) AS n_frames
+      |  FROM dec
+      |)""".stripMargin
+
+  val decodeSummarySql: String =
+    s"""WITH $decodedSql
+       |SELECT kind, count(*) AS n_media,
+       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       |       max(width) AS max_width
+       |FROM decf GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Resize metadata through the typed decode pipeline (scale factors
+    * are exact IEEE divisions of identical integers in both engines). */
+  def resizeMeta(spark: SparkSession, dir: String): DataFrame =
+    resizeAll(spark, dir).toDF().orderBy("media_id")
+
+  val resizeMetaSql: String =
+    s"""WITH $decodedSql
+       |SELECT media_id, kind, width, height,
+       |       224 AS target_w, 224 AS target_h,
+       |       CAST(224 AS DOUBLE) / width AS scale_x,
+       |       CAST(224 AS DOUBLE) / height AS scale_y
+       |FROM decf ORDER BY media_id""".stripMargin
+
+  /** Every-4th-frame sampling of video media (bounded per-row fan-out). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(spark, dir).toDF().orderBy("media_id", "frame_idx")
+
+  val frameSampleSql: String =
+    s"""WITH $decodedSql,
+       |f AS (
+       |  SELECT media_id, checksum,
+       |         unnest(generate_series(0, n_frames - 1, 4)) AS fi
+       |  FROM decf WHERE kind = 'video'
+       |)
+       |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       |       checksum * 31 + fi AS frame_checksum
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta,
-    "mm_decode_summary" -> decodeSummary)
+    "mm_decode_summary" -> decodeSummary,
+    "mm_resize_meta" -> resizeMeta,
+    "mm_frame_sample" -> frameSample)
 
-  /** mm_decode_summary intentionally omitted: stub codec isn't
-    * SQL-expressible; the driver records a rows-only check. */
   val oracles: Map[String, String] = Map(
-    "mm_media_meta" -> mediaMetaSql)
+    "mm_media_meta" -> mediaMetaSql,
+    "mm_decode_summary" -> decodeSummarySql,
+    "mm_resize_meta" -> resizeMetaSql,
+    "mm_frame_sample" -> frameSampleSql)
 }
