@@ -65,12 +65,15 @@ object AriaQueries {
   }
 
   /** Final table state after the drain, summarized (checksum + count) —
-    * the serializability-relevant output. */
+    * the serializability-relevant output. The checksum is md5-portable
+    * (Portable.hash60 of key + 3 payload fields) so DuckDB can recompute
+    * the identical value from the unrolled drain oracle. */
   def finalTableSummary(spark: SparkSession, dir: String): DataFrame = {
     val run = cachedRun(spark, reorder = false)
-    run.table.agg(
-      count(lit(1)).as("n_rows"),
-      expr("bit_xor(xxhash64(key, f0, f4, f9))").as("table_checksum"))
+    run.table
+      .select(graft.functions.Portable.hash60(
+        concat_ws("_", col("key"), col("f0"), col("f4"), col("f9"))).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("table_checksum"))
   }
 
   /** One epoch's verdicts (hazard flags + decision) on the epoch-0 batch
@@ -121,6 +124,110 @@ object AriaQueries {
       |SELECT tid, raw, war, waw, (raw OR waw) AS abort
       |FROM flags ORDER BY tid""".stripMargin
 
+  // ——— Unrolled drain oracles ———————————————————————————————————————
+  //
+  // The drain loop is iterative, but for a FIXED config it is a fixed
+  // (data-dependently truncated) number of deterministic epochs, each a
+  // pure relational transform of the previous epoch's retry batch. So
+  // the whole drain — stats trajectory, reorder comparison, and final
+  // table — unrolls into a chain of SQL CTEs over NOTHING but the
+  // persisted epoch-0 workload: DuckDB independently re-derives every
+  // epoch (reserve → analyze → decide → renumbered retry batch) and the
+  // md5 write payloads. `unrollEpochs` must cover the drain length
+  // (engine: 7 epochs no-reorder / 5 reorder at this config; a config
+  // needing more would surface as a row-count mismatch, never silently).
+  // CTEs are MATERIALIZED: each epoch must evaluate once, both for cost
+  // and to keep DuckDB from re-expanding the parquet scan per reference.
+  private val unrollEpochs = 12
+
+  private def drainChainSql(mode: String, reorder: Boolean): Seq[String] = {
+    val dec = if (reorder) "(waw OR (raw AND war))" else "(raw OR waw)"
+    val head = Seq(
+      s"""ops_${mode}_0 AS MATERIALIZED (
+         |  SELECT tid, epoch, opIdx, key, isUpdate
+         |  FROM read_parquet('__ARIA_DIR__/aria_epoch0_ops/*.parquet')
+         |  WHERE key IN (SELECT key FROM read_parquet('__ARIA_DIR__/aria_epoch0_keys/*.parquet')))""".stripMargin)
+    val epochs = (0 until unrollEpochs).flatMap { e =>
+      Seq(
+        s"""res_${mode}_$e AS (
+           |  SELECT key, min(tid) AS rts,
+           |         coalesce(min(CASE WHEN isUpdate THEN tid END), 0) AS wts
+           |  FROM ops_${mode}_$e GROUP BY key)""".stripMargin,
+        s"""flg_${mode}_$e AS MATERIALIZED (
+           |  SELECT tid, bool_or(wts <> 0 AND wts < tid) AS raw,
+           |         bool_or(isUpdate AND rts < tid) AS war,
+           |         bool_or(isUpdate AND wts <> 0 AND wts < tid) AS waw
+           |  FROM ops_${mode}_$e JOIN res_${mode}_$e USING (key) GROUP BY tid)""".stripMargin,
+        s"""ab_${mode}_$e AS MATERIALIZED (
+           |  SELECT tid, row_number() OVER (ORDER BY tid) AS new_tid
+           |  FROM flg_${mode}_$e WHERE $dec)""".stripMargin,
+        s"""ops_${mode}_${e + 1} AS MATERIALIZED (
+           |  SELECT ab.new_tid AS tid, o.epoch + 1 AS epoch, o.opIdx, o.key, o.isUpdate
+           |  FROM ops_${mode}_$e o JOIN ab_${mode}_$e ab ON o.tid = ab.tid)""".stripMargin)
+    }
+    val statRows = (0 until unrollEpochs).map { e =>
+      val txns = if (e == 0) cfg.nTxns.toString
+                 else s"(SELECT count(*) FROM ab_${mode}_${e - 1})"
+      val ab = s"(SELECT count(*) FROM ab_${mode}_$e)"
+      s"""SELECT $e AS epoch, CAST($txns AS BIGINT) AS txns,
+         |       CAST($txns - $ab AS BIGINT) AS committed, CAST($ab AS BIGINT) AS aborted
+         |WHERE $txns > 0""".stripMargin
+    }
+    head ++ epochs :+ s"stats_$mode AS (${statRows.mkString("\nUNION ALL\n")})"
+  }
+
+  val epochStatsSql: String =
+    s"""WITH ${drainChainSql("nr", reorder = false).mkString(",\n")}
+       |SELECT CAST(epoch AS INT) AS epoch, txns, committed, aborted
+       |FROM stats_nr ORDER BY epoch""".stripMargin
+
+  val reorderComparisonSql: String =
+    s"""WITH ${(drainChainSql("nr", reorder = false) ++ drainChainSql("ro", reorder = true)).mkString(",\n")}
+       |SELECT 'no_reorder' AS mode,
+       |       (SELECT count(*) FROM stats_nr)::BIGINT AS epochs_to_drain,
+       |       (SELECT sum(committed) FROM stats_nr)::BIGINT AS total_committed,
+       |       (SELECT committed FROM stats_nr WHERE epoch = 0)::BIGINT AS epoch0_committed
+       |UNION ALL
+       |SELECT 'reorder',
+       |       (SELECT count(*) FROM stats_ro)::BIGINT,
+       |       (SELECT sum(committed) FROM stats_ro)::BIGINT,
+       |       (SELECT committed FROM stats_ro WHERE epoch = 0)::BIGINT
+       |ORDER BY mode""".stripMargin
+
+  /** Final-table oracle: the per-key winning write is the committed
+    * update op with the greatest (epoch, opIdx) across the whole drain
+    * (install applies epochs sequentially; within an epoch the committed
+    * writer per key is unique). Payload fields are the same md5 strings
+    * Workload.writePayload/kvTable produce. */
+  val finalTableSql: String = {
+    def payload(i: Int): String =
+      s"""CASE WHEN w.key IS NULL THEN substr(md5('${cfg.seed}_load_' || k.key || '_$i'), 1, 10)
+         |     ELSE substr(md5('${cfg.seed}_write_' || w.epoch || '_' || w.tid || '_' || w.opIdx || '_$i'), 1, 10) END""".stripMargin
+    val cw = (0 until unrollEpochs).map { e =>
+      s"""SELECT o.key, o.epoch, o.tid, o.opIdx
+         |FROM ops_nr_$e o JOIN flg_nr_$e f USING (tid)
+         |WHERE NOT (f.raw OR f.waw) AND o.isUpdate""".stripMargin
+    }
+    s"""WITH ${drainChainSql("nr", reorder = false).mkString(",\n")},
+       |cw AS (${cw.mkString("\nUNION ALL\n")}),
+       |win AS (
+       |  SELECT key, epoch, tid, opIdx,
+       |         row_number() OVER (PARTITION BY key ORDER BY epoch DESC, opIdx DESC) AS rn
+       |  FROM cw
+       |),
+       |fin AS (
+       |  SELECT k.key,
+       |         ${payload(0)} AS f0,
+       |         ${payload(4)} AS f4,
+       |         ${payload(9)} AS f9
+       |  FROM read_parquet('__ARIA_DIR__/aria_epoch0_keys/*.parquet') k
+       |  LEFT JOIN (SELECT * FROM win WHERE rn = 1) w ON k.key = w.key
+       |)
+       |SELECT count(*)::BIGINT AS n_rows,
+       |       bit_xor(('0x' || substr(md5(key || '_' || f0 || '_' || f4 || '_' || f9), 1, 15))::BIGINT) AS table_checksum
+       |FROM fin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aria_epoch_stats" -> epochStats,
     "aria_reorder_comparison" -> reorderComparison,
@@ -128,5 +235,8 @@ object AriaQueries {
     "aria_epoch0_verdicts" -> epoch0Verdicts)
 
   val oracles: Map[String, String] = Map(
-    "aria_epoch0_verdicts" -> epoch0VerdictsSql)
+    "aria_epoch0_verdicts" -> epoch0VerdictsSql,
+    "aria_epoch_stats" -> epochStatsSql,
+    "aria_reorder_comparison" -> reorderComparisonSql,
+    "aria_final_table" -> finalTableSql)
 }
