@@ -23,6 +23,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Untimed warmup: a cheap slice of the surface (scan, decimal agg,
+    // window, text map) so the alphabetically-first timed query doesn't
+    // absorb session-wide codegen/JIT cost (measured: ~6 s swing on the
+    // first query). Methodology documented in BASELINE.md.
+    for (n <- Seq("s11_full_scan_count", "q1_pricing_summary",
+                  "window_topk_per_group", "text_token_counts");
+         fn <- SparkEntry.queries.get(n))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     val failed = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

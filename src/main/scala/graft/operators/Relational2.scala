@@ -57,11 +57,12 @@ object Relational2 {
       |ORDER BY o_custkey, rk, o_orderkey""".stripMargin
 
   /** CUBE over (returnflag, linestatus) — all four grouping combinations
-    * in one pass. */
+    * in one pass. fanOut: the 4× Expand + decimal partial agg is the
+    * CPU-heavy part; see Tables.fanOut. */
   def cubePricing(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    Tables.fanOut(t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty")))
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum("qty").cast("double").as("sum_qty"))
       .transform(d => d.orderBy(d("l_returnflag").asc_nulls_first,

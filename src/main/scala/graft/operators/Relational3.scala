@@ -70,7 +70,8 @@ object Relational3 {
     * and DuckDB `quantile_cont` share the linear-interpolation
     * definition over identical input doubles. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+    Tables.fanOut(t(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice"))
       .groupBy("l_returnflag")
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("p50"),

@@ -22,4 +22,15 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Round-robin repartition iff the planned scan yields fewer partitions
+    * than the session parallelism. The harness files are single-row-group
+    * parquet, so every scan is ONE task and CPU-heavy operators above it
+    * serialize; production multi-split scans already parallelize, making
+    * this a planning-time no-op there. Apply AFTER filters/projections so
+    * scan pushdown/pruning is unaffected. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

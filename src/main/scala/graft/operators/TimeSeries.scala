@@ -68,11 +68,67 @@ object TimeSeries {
       |GROUP BY GROUPING SETS ((event_type), ((epoch_ns(ts) // 3600000000000) * 3600), ())
       |ORDER BY event_type ASC NULLS FIRST, hour_start ASC NULLS FIRST""".stripMargin
 
+  /** Interval (range) join: for every 'click' event, the same-user
+    * events strictly inside the following 30-minute window — the
+    * point-in-interval join class the reference lacks entirely.
+    *
+    * Scale path: bucketize time by the window width W. An interval
+    * (c, c+W] spans exactly the two buckets {c div W, c div W + 1}, so
+    * the probe (click) side explodes ≤2× and the join is an EQUI-join
+    * on (user, bucket) with an exact range refine — never an
+    * inequality/theta join (which Spark would plan as a nested-loop).
+    * All interval arithmetic is integer µs so the DuckDB theta-join
+    * oracle computes identical boundaries. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = 1800L * 1000000L // 30 min in µs
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("value"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    val probes = clicks.withColumn("bucket",
+      explode(array(expr(s"click_us div $w"), expr(s"click_us div $w") + 1)))
+    val others = ev
+      .select(col("user_id"), col("ts_us").as("other_us"), col("value"),
+        expr(s"ts_us div $w").as("bucket"))
+    val agg = probes.join(others, Seq("user_id", "bucket"))
+      .filter(col("other_us") > col("click_us") && col("other_us") <= col("click_us") + w)
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_follow"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_follow_value"))
+    clicks.join(agg, Seq("click_id"), "left")
+      .select(col("user_id"), col("click_id"), col("click_us"),
+        coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+        col("sum_follow_value"))
+      .orderBy("user_id", "click_id")
+  }
+
+  val rangeJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events
+      |), clicks AS (
+      |  SELECT user_id, event_id AS click_id, ts_us AS click_us
+      |  FROM ev WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT c.click_id, count(*) AS n_follow,
+      |         CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_follow_value
+      |  FROM clicks c JOIN ev e
+      |    ON c.user_id = e.user_id
+      |   AND e.ts_us > c.click_us AND e.ts_us <= c.click_us + 1800000000
+      |  GROUP BY c.click_id
+      |)
+      |SELECT c.user_id, c.click_id, c.click_us,
+      |       coalesce(j.n_follow, 0)::BIGINT AS n_follow, j.sum_follow_value
+      |FROM clicks c LEFT JOIN j USING (click_id)
+      |ORDER BY c.user_id, c.click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
+    "ts_range_join" -> rangeJoin,
     "agg_grouping_sets" -> groupingSets)
 
   val oracles: Map[String, String] = Map(
     "ts_asof_join" -> asofJoinSql,
+    "ts_range_join" -> rangeJoinSql,
     "agg_grouping_sets" -> groupingSetsSql)
 }

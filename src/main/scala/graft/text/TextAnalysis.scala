@@ -157,15 +157,49 @@ object TextAnalysis {
        |           i -> i * (('0x' || substr(md5(toks[i]), 1, 15))::BIGINT % 1000003))), 0) AS BIGINT) AS rolling_hash
        |FROM tk ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-trigram fraction — the n-gram repetition signal
+    * large-scale quality filters use (a doc whose trigrams repeat
+    * heavily is boilerplate/spam): 1 − distinct/total over the sliding
+    * token 3-grams. Pure per-row map stage, like the other text ops. */
+  def trigramStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("tris", transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      .select(col("doc_id"),
+        size(col("tris")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tris"))).cast("long").as("n_distinct_trigrams"),
+        (lit(1.0) - size(array_distinct(col("tris"))).cast("double") / size(col("tris")))
+          .as("dup_trigram_ratio"))
+      .orderBy("doc_id")
+
+  val trigramStatsSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, len(toks) - 2),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+       |  FROM tk WHERE len(toks) >= 3
+       |)
+       |SELECT doc_id,
+       |       len(tris)::BIGINT AS n_trigrams,
+       |       len(list_distinct(tris))::BIGINT AS n_distinct_trigrams,
+       |       1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) AS dup_trigram_ratio
+       |FROM tri ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> tokenCounts,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
-    "text_fingerprint" -> fingerprint)
+    "text_fingerprint" -> fingerprint,
+    "text_trigram_stats" -> trigramStats)
 
   val oracles: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_trigram_stats" -> trigramStatsSql)
 }

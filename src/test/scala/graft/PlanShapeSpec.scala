@@ -118,6 +118,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("range join plans as bucketed equi-join, not an inequality nested loop") {
+    val p = planString(graft.operators.TimeSeries.rangeJoin(spark, sf("sf0.001")))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("ArrayDotLong participates in codegen (no CodegenFallback)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Portable
