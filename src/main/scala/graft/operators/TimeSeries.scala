@@ -122,13 +122,47 @@ object TimeSeries {
       |FROM clicks c LEFT JOIN j USING (click_id)
       |ORDER BY c.user_id, c.click_id""".stripMargin
 
+  /** The same range join written as a PLAIN inequality join and rewritten
+    * to the bucketed form by the [[graft.plans.BucketizeRangeJoin]]
+    * optimizer rule — the (c)-tier extension path (custom Rule via
+    * SparkSessionExtensions) demonstrated on the driver board. Runs in a
+    * child session so the rule registration cannot leak into sibling
+    * harness queries; same output contract and oracle as `ts_range_join`. */
+  def rangeJoinViaRule(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = spark0.newSession()
+    graft.plans.GraftExtensions.register(spark)
+    val w = 1800L * 1000000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("value"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    val others = ev.select(col("user_id").as("o_user"), col("ts_us").as("other_us"),
+      col("value"))
+    val agg = clicks.join(others,
+        col("o_user") === col("c_user") &&
+          col("other_us") > col("click_us") &&
+          col("other_us") <= col("click_us") + lit(w))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_follow"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_follow_value"))
+    clicks.join(agg, Seq("click_id"), "left")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_us"),
+        coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+        col("sum_follow_value"))
+      .orderBy("user_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
     "ts_range_join" -> rangeJoin,
+    "ts_range_join_rule" -> rangeJoinViaRule,
     "agg_grouping_sets" -> groupingSets)
 
   val oracles: Map[String, String] = Map(
     "ts_asof_join" -> asofJoinSql,
     "ts_range_join" -> rangeJoinSql,
+    "ts_range_join_rule" -> rangeJoinSql,
     "agg_grouping_sets" -> groupingSetsSql)
 }

@@ -18,14 +18,16 @@ import graft.functions.ArrayDotLong
   *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
   * }}}
   *
-  * No custom Rule[LogicalPlan]/SparkStrategy is registered: the survey's
-  * conclusion (SURVEY.md §4) is that every reference strategy maps to a
-  * built-in Catalyst facility; injectFunction is the one extension point
-  * the engine genuinely needs.
+  * Also injects the one optimizer rule the engine genuinely needs —
+  * [[BucketizeRangeJoin]], which turns point-in-interval inequality
+  * joins (nested-loop by default) into bucketed equi-joins. Everything
+  * else the reference does maps to a built-in Catalyst facility
+  * (SURVEY.md §4), so no further Rule/Strategy is registered.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotLong)
+    ext.injectOptimizerRule(_ => BucketizeRangeJoin)
   }
 }
 
@@ -40,7 +42,11 @@ object GraftExtensions {
 
   /** Register into an already-running session (driver-provided sessions
     * that can't be rebuilt with `.withExtensions`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(
       spark, arrayDotLong._1.funcName, arrayDotLong._2, arrayDotLong._3)
+    if (!spark.experimental.extraOptimizations.contains(BucketizeRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BucketizeRangeJoin
+  }
 }
