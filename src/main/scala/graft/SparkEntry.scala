@@ -20,7 +20,7 @@ object SparkEntry {
       text.TextAnalysis.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
       multimodal.Multimodal.queries ++ aria.AriaQueries.queries ++
-      streaming.StreamingQueries.queries
+      streaming.StreamingQueries.queries ++ sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
       multimodal.Multimodal.oracles ++ aria.AriaQueries.oracles ++
-      streaming.StreamingQueries.oracles
+      streaming.StreamingQueries.oracles ++ sources.Formats.oracles
 }

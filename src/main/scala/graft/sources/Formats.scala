@@ -33,4 +33,50 @@ object Formats {
   def prunedRead(spark: SparkSession, path: String, partitionCol: String,
                  value: String): DataFrame =
     spark.read.parquet(path).filter(col(partitionCol) === value)
+
+  // ——— Driver-board queries: the format surface, oracle-checked ———
+
+  import graft.operators.Tables.t
+  import org.apache.spark.sql.types.DecimalType
+
+  /** CSV round-trip of the nation table: write → schema'd read-back must
+    * reproduce the original exactly (quoting covers commas/newlines in
+    * comments). Oracle = the original table. */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    roundTrip(spark, t(spark, dir, "nation"), s"$path/nation_csv", "csv")
+      .orderBy("n_nationkey")
+  }
+
+  val csvRoundTripSql: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
+
+  /** Partitioned-parquet write + partition-pruned read: events laid out
+    * by event_type, then only the 'click' directory is scanned (the
+    * 100 TB layout move — prune before any I/O); aggregated per user.
+    * Oracle = the same aggregate over the original table. */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString +
+      "/events_by_type"
+    partitionedWrite(spark, t(spark, dir, "events"), path, "event_type")
+    prunedRead(spark, path, "event_type", "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val partitionedPruneSql: String =
+    """SELECT user_id, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> csvRoundTrip,
+    "src_partitioned_prune" -> partitionedPrune)
+
+  val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" -> csvRoundTripSql,
+    "src_partitioned_prune" -> partitionedPruneSql)
 }

@@ -20,7 +20,8 @@ class EntrySpec extends SparkSpec {
       operators.TimeSeries.queries, operators.Relational4.queries,
       text.TextAnalysis.queries, dedup.Dedup.queries,
       sim.Similarity.queries, multimodal.Multimodal.queries,
-      aria.AriaQueries.queries, streaming.StreamingQueries.queries)
+      aria.AriaQueries.queries, streaming.StreamingQueries.queries,
+      sources.Formats.queries)
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size === total,
       "duplicate query names collapsed in the merged map")
