@@ -26,12 +26,16 @@ object Bench {
     // Untimed warmup: a cheap slice of the surface (scan, decimal agg,
     // window, text map) so the alphabetically-first timed query doesn't
     // absorb session-wide codegen/JIT cost (measured: ~6 s swing on the
-    // first query). Methodology documented in BASELINE.md.
-    for (n <- Seq("s11_full_scan_count", "q1_pricing_summary",
-                  "window_topk_per_group", "text_token_counts");
-         fn <- SparkEntry.queries.get(n))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // first query). Skipped under SPARK_GRAFT_ONLY (single-query
+    // iteration must not run unrelated work). The 4 warmup queries are
+    // themselves re-timed warm — a small conservative bias on 4
+    // sub-second queries. Methodology documented in BASELINE.md.
+    if (only.isEmpty)
+      for (n <- Seq("s11_full_scan_count", "q1_pricing_summary",
+                    "window_topk_per_group", "text_token_counts");
+           fn <- SparkEntry.queries.get(n))
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
     val failed = Seq.newBuilder[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

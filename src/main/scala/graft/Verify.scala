@@ -23,12 +23,17 @@ object Verify {
       }
     }
     // epoch-0 workload dump: lets DuckDB recompute the aria verdicts
-    // (oracle SQL references these files via __ARIA_DIR__)
+    // (oracle SQL references these files via __ARIA_DIR__). If the dump
+    // fails, DROP the aria oracles instead of emitting SQL over files
+    // that don't exist — a degraded round must not turn into hard
+    // oracle errors.
     val ariaDir = Paths.get(outDir).toAbsolutePath.toString
-    try graft.aria.AriaQueries.persistEpoch0Inputs(spark, ariaDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] aria epoch0 dump failed: ${e.getMessage}")
-    }
+    val ariaDumpOk =
+      try { graft.aria.AriaQueries.persistEpoch0Inputs(spark, ariaDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aria epoch0 dump failed: ${e.getMessage}")
+        false
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,6 +47,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (_, v) => ariaDumpOk || !v.contains("__ARIA_DIR__") }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__ARIA_DIR__", ariaDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

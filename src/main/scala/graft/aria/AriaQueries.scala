@@ -30,12 +30,15 @@ object AriaQueries {
 
   // One drain per (session, mode): the three harness queries all consume
   // the same deterministic run, so recomputing the epoch loop per query
-  // would only re-measure scheduler overhead. Weak keys — a dropped
-  // SparkSession must not pin its cached run (long-lived JVMs).
+  // would only re-measure scheduler overhead. NOTE weak keys alone would
+  // be useless here — RunResult holds DataFrames, which strongly
+  // reference their SparkSession, pinning the entry — so the real leak
+  // control is purging entries whose context is stopped on every access.
   private val cache =
-    new java.util.WeakHashMap[SparkSession, Map[Boolean, Aria.RunResult]]
+    new java.util.HashMap[SparkSession, Map[Boolean, Aria.RunResult]]
   private def cachedRun(spark: SparkSession, reorder: Boolean): Aria.RunResult =
     cache.synchronized {
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
       val perSession = cache.getOrDefault(spark, Map.empty)
       perSession.get(reorder) match {
         case Some(r) => r

@@ -38,17 +38,17 @@ case class ArrayDotLong(left: Expression, right: Expression)
       s"left argument must be array<bigint>, got ${left.dataType}")
   }
 
-  // A null element anywhere nulls the whole result (a null term poisons
-  // the sum, matching list_sum/aggregate null propagation). The element
-  // null checks are emitted only when the input type admits nulls
-  // (containsNull) — provably non-null inputs keep the tight loop.
+  // A pair with a null element contributes NOTHING to the sum — exactly
+  // what the DuckDB-oracle form computes (a null term in list_transform
+  // is SKIPPED by list_sum, not propagated), so both engines agree even
+  // on arrays that carry nulls. The element null checks are emitted only
+  // when the input type admits nulls (containsNull) — provably non-null
+  // inputs keep the tight branch-free loop.
   private lazy val mayHaveNullElements: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, cn) => cn
       case _ => true
     })
-
-  override def nullable: Boolean = super.nullable || mayHaveNullElements
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -57,8 +57,8 @@ case class ArrayDotLong(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))) return null
-      acc += x.getLong(i) * y.getLong(i)
+      if (!(mayHaveNullElements && (x.isNullAt(i) || y.isNullAt(i))))
+        acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     acc
@@ -71,7 +71,7 @@ case class ArrayDotLong(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val nullCheck =
         if (mayHaveNullElements)
-          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) continue;"""
         else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());

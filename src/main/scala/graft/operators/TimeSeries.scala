@@ -122,12 +122,13 @@ object TimeSeries {
       |FROM clicks c LEFT JOIN j USING (click_id)
       |ORDER BY c.user_id, c.click_id""".stripMargin
 
-  /** The same range join written as a PLAIN inequality join and rewritten
-    * to the bucketed form by the [[graft.plans.BucketizeRangeJoin]]
-    * optimizer rule — the (c)-tier extension path (custom Rule via
-    * SparkSessionExtensions) demonstrated on the driver board. Runs in a
-    * child session so the rule registration cannot leak into sibling
-    * harness queries; same output contract and oracle as `ts_range_join`. */
+  /** A PURE interval join (no equi key — the shape Spark plans as a
+    * nested loop) rewritten to the bucketed form by the
+    * [[graft.plans.BucketizeRangeJoin]] optimizer rule — the (c)-tier
+    * extension path (custom Rule via SparkSessionExtensions) on the
+    * driver board: platform-wide events in the 30 minutes after each
+    * click. Runs in a child session so the rule registration cannot
+    * leak into sibling harness queries. */
   def rangeJoinViaRule(spark0: SparkSession, dir: String): DataFrame = {
     val spark = spark0.newSession()
     graft.plans.GraftExtensions.register(spark)
@@ -138,11 +139,9 @@ object TimeSeries {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts_us").as("click_us"))
-    val others = ev.select(col("user_id").as("o_user"), col("ts_us").as("other_us"),
-      col("value"))
+    val others = ev.select(col("ts_us").as("other_us"), col("value"))
     val agg = clicks.join(others,
-        col("o_user") === col("c_user") &&
-          col("other_us") > col("click_us") &&
+        col("other_us") > col("click_us") &&
           col("other_us") <= col("click_us") + lit(w))
       .groupBy("click_id")
       .agg(count(lit(1)).as("n_follow"),
@@ -154,6 +153,24 @@ object TimeSeries {
       .orderBy("user_id", "click_id")
   }
 
+  val rangeJoinViaRuleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events
+      |), clicks AS (
+      |  SELECT user_id, event_id AS click_id, ts_us AS click_us
+      |  FROM ev WHERE event_type = 'click'
+      |), j AS (
+      |  SELECT c.click_id, count(*) AS n_follow,
+      |         CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_follow_value
+      |  FROM clicks c JOIN ev e
+      |    ON e.ts_us > c.click_us AND e.ts_us <= c.click_us + 1800000000
+      |  GROUP BY c.click_id
+      |)
+      |SELECT c.user_id, c.click_id, c.click_us,
+      |       coalesce(j.n_follow, 0)::BIGINT AS n_follow, j.sum_follow_value
+      |FROM clicks c LEFT JOIN j USING (click_id)
+      |ORDER BY c.user_id, c.click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
     "ts_range_join" -> rangeJoin,
@@ -163,6 +180,6 @@ object TimeSeries {
   val oracles: Map[String, String] = Map(
     "ts_asof_join" -> asofJoinSql,
     "ts_range_join" -> rangeJoinSql,
-    "ts_range_join_rule" -> rangeJoinSql,
+    "ts_range_join_rule" -> rangeJoinViaRuleSql,
     "agg_grouping_sets" -> groupingSetsSql)
 }

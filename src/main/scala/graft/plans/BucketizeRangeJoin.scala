@@ -72,6 +72,23 @@ object BucketizeRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** An equality conjunct whose references span both sides: the join
+    * already has an equi key, Spark will hash/sort-merge it, and the
+    * rewrite would only double one side's volume (e.g. re-exploding a
+    * hand-bucketed range join). The rule's mission is narrower: prevent
+    * the nested-loop plan a PURE inequality join gets. */
+  private def hasInterSideEquality(conjuncts: Seq[Expression],
+                                   left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+        (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      case EqualNullSafe(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+        (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+
   private def findRangeCond(conjuncts: Seq[Expression],
                             left: LogicalPlan, right: LogicalPlan): Option[RangeCond] = {
     val lowers = conjuncts.flatMap(asLower)
@@ -94,7 +111,9 @@ object BucketizeRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         if !j.output.exists(_.name.startsWith(bucketPrefix)) &&
            !left.output.exists(_.name.startsWith(bucketPrefix)) &&
            !right.output.exists(_.name.startsWith(bucketPrefix)) =>
-      findRangeCond(splitConjunctivePredicates(cond), left, right) match {
+      val conjuncts = splitConjunctivePredicates(cond)
+      if (hasInterSideEquality(conjuncts, left, right)) j
+      else findRangeCond(conjuncts, left, right) match {
         case Some(RangeCond(p, s, w)) =>
           val wLit = Literal(w, LongType)
           // interval side (s) explodes to its two candidate buckets

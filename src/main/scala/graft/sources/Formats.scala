@@ -39,14 +39,18 @@ object Formats {
   import graft.operators.Tables.t
   import org.apache.spark.sql.types.DecimalType
 
+  /** Fixed per-(purpose, sf) scratch path: repeated Verify/Bench/spec
+    * runs overwrite in place instead of accumulating a new temp dir (and
+    * a full table copy) per invocation. */
+  private def scratch(purpose: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_fmt_${purpose}_${math.abs(dir.hashCode)}"
+
   /** CSV round-trip of the nation table: write → schema'd read-back must
     * reproduce the original exactly (quoting covers commas/newlines in
     * comments). Oracle = the original table. */
-  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
-    roundTrip(spark, t(spark, dir, "nation"), s"$path/nation_csv", "csv")
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    roundTrip(spark, t(spark, dir, "nation"), scratch("csv_rt", dir), "csv")
       .orderBy("n_nationkey")
-  }
 
   val csvRoundTripSql: String =
     "SELECT * FROM nation ORDER BY n_nationkey"
@@ -56,8 +60,7 @@ object Formats {
     * 100 TB layout move — prune before any I/O); aggregated per user.
     * Oracle = the same aggregate over the original table. */
   def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_part").toString +
-      "/events_by_type"
+    val path = scratch("part_events", dir)
     partitionedWrite(spark, t(spark, dir, "events"), path, "event_type")
     prunedRead(spark, path, "event_type", "click")
       .groupBy("user_id")

@@ -106,9 +106,12 @@ object StreamingQueries {
     * duplicate group is engine-internal). */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = unique("stream_dedup")
+    // coalesce on both engines: a NULL props must hash like '', not be
+    // silently dropped (Spark concat_ws skips NULLs, DuckDB || nulls out)
     val docs = Streaming.readEventsStream(spark, dir)
       .select(col("ts"),
-        md5(concat_ws("|", col("event_type"), col("props"))).as("content_hash"))
+        md5(concat_ws("|", col("event_type"), coalesce(col("props"), lit(""))))
+          .as("content_hash"))
     Streaming.runToMemory(spark,
       Streaming.dedupStream(docs).select("content_hash"),
       name, outputMode = "append")
@@ -116,7 +119,7 @@ object StreamingQueries {
   }
 
   val streamDedupSql: String =
-    """SELECT DISTINCT md5(event_type || '|' || props) AS content_hash
+    """SELECT DISTINCT md5(event_type || '|' || coalesce(props, '')) AS content_hash
       |FROM events ORDER BY content_hash""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

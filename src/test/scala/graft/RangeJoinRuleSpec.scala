@@ -50,6 +50,28 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(2000)) // the ≤2-bucket explode
   }
 
+  test("joins that already carry an inter-side equi key are left alone") {
+    val s = spark.newSession()
+    graft.plans.GraftExtensions.register(s)
+    val dir = sf("sf0.001")
+    val ev = Tables.t(s, dir, "events")
+      .select(col("user_id").as("o_user"), expr("ts div 1000").as("other_us"))
+    val clicks = Tables.t(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("click_us"))
+    val joined = clicks.join(ev,
+      col("o_user") === col("c_user") &&
+        col("other_us") > col("click_us") &&
+        col("other_us") <= col("click_us") + lit(w))
+      .groupBy("click_id").agg(count(lit(1)).as("n"))
+    val p = planString(joined)
+    // equi key present → Spark hash-joins it already; the rule must not
+    // explode a side for nothing
+    assert(!p.contains("Generate"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("the rewrite is result-identical to the nested-loop plan") {
     val base = intervalJoin(spark.newSession()).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
