@@ -26,10 +26,11 @@ import org.apache.spark.sql.types.LongType
   * are recognized; `>=`/`<` bounds keep their exact semantics via the
   * retained refine).
   *
-  * Domain constraint: the bucket-membership implication uses truncating
-  * integer division, which equals floor division only for NON-NEGATIVE
-  * operands — the universal case for the epoch-time columns this
-  * targets. Both `p` and `s` must be BIGINT; `W` a positive literal.
+  * Domain note: the containment proof is written for non-negative
+  * operands (the epoch-time case this targets); a seeded randomized
+  * test (RangeJoinRuleSpec) shows the ≤2-bucket cover also holds under
+  * truncating division on negative domains. Both `p` and `s` must be
+  * BIGINT; `W` a positive literal.
   *
   * Registered by [[GraftExtensions]] (injectOptimizerRule) or via
   * `spark.experimental.extraOptimizations`. The rule runs inside a

@@ -82,4 +82,28 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(base.nonEmpty)
     assert(got === base)
   }
+
+  test("rewrite identity holds on randomized data including negative domains") {
+    // the documented constraint is non-negative time; this shows the
+    // bucket-containment argument is conservative — truncating division
+    // keeps the ≤2-bucket cover on negatives too (seeded, deterministic)
+    val rnd = new scala.util.Random(11)
+    def mk(s: SparkSession, seq: Seq[Long], name: String) = {
+      import s.implicits._
+      seq.toDF(name)
+    }
+    val points = Seq.fill(250)(rnd.nextLong() % 100000L)
+    val starts = Seq.fill(250)(rnd.nextLong() % 100000L)
+    val wSmall = 3600L
+    def run(s: SparkSession): Seq[(Long, Long)] = {
+      val j = mk(s, points, "p").join(mk(s, starts, "s"),
+        col("p") > col("s") && col("p") <= col("s") + lit(wSmall))
+      j.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    }
+    val base = run(spark.newSession())
+    val ruled = spark.newSession()
+    graft.plans.GraftExtensions.register(ruled)
+    assert(base.nonEmpty)
+    assert(run(ruled) === base)
+  }
 }
