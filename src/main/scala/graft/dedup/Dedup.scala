@@ -366,6 +366,42 @@ object Dedup {
        |FROM l$clusterRounds ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-document repeated-span detection (the exact-substring-dedup
+    * signal of Lee et al.'s "Deduplicating Training Data Makes Language
+    * Models Better"): word 8-gram spans occurring in ≥2 distinct
+    * documents. Inverted-index shape — explode distinct spans per doc,
+    * ONE shuffle on the span (at 100 TB the span would be hashed first;
+    * the raw string is kept here for oracle readability — the dataflow
+    * is identical). */
+  def repeatedSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      // hard projection barrier — see shingleTable (inlined tokenizer
+      // would re-run per slice() call inside the lambda)
+      .localCheckpoint(false)
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))))).as("span"))
+      .groupBy("span")
+      // spans are per-doc distinct → plain count = distinct-doc count
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), col("span"))
+
+  def repeatedSpansSql(k: Int = 8): String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |           i -> array_to_string(toks[i:i+${k - 1}], ' ')))) AS span
+       |  FROM tk WHERE len(toks) >= $k
+       |)
+       |SELECT span, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+       |FROM grams GROUP BY span HAVING count(*) >= 2
+       |ORDER BY n_docs DESC, span""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_neardup_clusters" -> nearDupClusters,
     "dedup_exact" -> exact,
@@ -373,7 +409,8 @@ object Dedup {
     "dedup_minhash_candidates" -> minhashCandidates,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
-    "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)))
+    "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_neardup_clusters" -> nearDupClustersSql,
@@ -382,5 +419,6 @@ object Dedup {
     "dedup_minhash_candidates" -> minhashCandidatesSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
-    "dedup_jaccard_pairs" -> jaccardPairsSql())
+    "dedup_jaccard_pairs" -> jaccardPairsSql(),
+    "dedup_repeated_spans" -> repeatedSpansSql())
 }

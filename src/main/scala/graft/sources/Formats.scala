@@ -75,11 +75,41 @@ object Formats {
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Bucketed-table co-located join: both sides written bucketed (and
+    * bucket-sorted) on the join key → SortMergeJoin with NO shuffle
+    * Exchange on either side — the layout that turns the biggest
+    * fact-fact join at 100 TB into a scan-local merge. The merge hint
+    * keeps the demonstration on the bucketed path even when one side
+    * would broadcast at toy scale. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = scratch("bucketed", dir)
+    t(spark, dir, "orders").select("o_orderkey", "o_orderstatus")
+      .write.mode(SaveMode.Overwrite).bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("graft_orders_b")
+    t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.mode(SaveMode.Overwrite).bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("graft_lineitem_b")
+    spark.table("graft_orders_b").hint("merge")
+      .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderstatus, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundTrip,
-    "src_partitioned_prune" -> partitionedPrune)
+    "src_partitioned_prune" -> partitionedPrune,
+    "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundTripSql,
-    "src_partitioned_prune" -> partitionedPruneSql)
+    "src_partitioned_prune" -> partitionedPruneSql,
+    "src_bucketed_join" -> bucketedJoinSql)
 }

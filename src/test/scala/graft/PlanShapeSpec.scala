@@ -118,6 +118,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("bucketed-table join runs with no shuffle below the join") {
+    val df = graft.sources.Formats.bucketedJoin(spark, sf("sf0.001"))
+    df.collect() // force execution so the AQE final plan is available
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps stages in leaf QueryStageExec nodes, so assert on the
+    // printed tree: nothing below the SortMergeJoin line is an Exchange
+    // (the join's children print after it)
+    val s = root.toString
+    val idx = s.indexOf("SortMergeJoin")
+    assert(idx >= 0, s.take(1500))
+    assert(!s.substring(idx).contains("Exchange"), s.substring(idx).take(1500))
+  }
+
   test("range join plans as bucketed equi-join, not an inequality nested loop") {
     val p = planString(graft.operators.TimeSeries.rangeJoin(spark, sf("sf0.001")))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
