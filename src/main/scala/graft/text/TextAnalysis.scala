@@ -189,17 +189,71 @@ object TextAnalysis {
        |       1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris) AS dup_trigram_ratio
        |FROM tri ORDER BY doc_id""".stripMargin
 
+  /** Count-min sketch of the corpus token frequencies — a distributed
+    * sketch as pure dataflow: d=4 hash rows × w=1024 buckets, each
+    * cell a commutative count (one shuffle with map-side combine, like
+    * any production CMS build at 100 TB). The hash family is the
+    * portable md5 (`hash60(i || '_' || token) mod w`), so the ENTIRE
+    * sketch — and every estimate read from it — is bit-identical in the
+    * DuckDB oracle, unlike engine-internal HLL/CMS binaries. Output:
+    * the 20 most frequent tokens with exact and sketch-estimated counts
+    * (estimate = min over the d cells; ≥ exact by construction, equal
+    * absent collisions). */
+  def countMinEstimates(spark: SparkSession, dir: String,
+                        d: Int = 4, w: Int = 1024, topN: Int = 20): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    def bucket(i: Column, tok: Column): Column =
+      pmod(Portable.hash60(concat_ws("_", i, tok)), lit(w.toLong))
+    val sketch = toks
+      .select(col("tok"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("bucket", bucket(col("i"), col("tok")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), col("tok")).limit(topN)
+    probes
+      .select(col("tok"), col("exact_count"), explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("bucket", bucket(col("i"), col("tok")))
+      .join(sketch, Seq("i", "bucket"))
+      .groupBy("tok", "exact_count").agg(min("c").as("est_count"))
+      .orderBy(desc("exact_count"), col("tok"))
+  }
+
+  def countMinEstimatesSql(d: Int = 4, w: Int = 1024, topN: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT unnest($tokSql) AS tok FROM documents
+       |), cells AS (
+       |  SELECT tok, i.i AS i,
+       |         ('0x' || substr(md5(i.i || '_' || tok), 1, 15))::BIGINT % $w AS bucket
+       |  FROM toks, (SELECT unnest(generate_series(0, ${d - 1})) AS i) i
+       |), sketch AS (
+       |  SELECT i, bucket, count(*) AS c FROM cells GROUP BY i, bucket
+       |), probes AS (
+       |  SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok
+       |  ORDER BY exact_count DESC, tok LIMIT $topN
+       |), probe_cells AS (
+       |  SELECT p.tok, p.exact_count, i.i AS i,
+       |         ('0x' || substr(md5(i.i || '_' || p.tok), 1, 15))::BIGINT % $w AS bucket
+       |  FROM probes p, (SELECT unnest(generate_series(0, ${d - 1})) AS i) i
+       |)
+       |SELECT pc.tok, pc.exact_count, min(s.c)::BIGINT AS est_count
+       |FROM probe_cells pc JOIN sketch s ON pc.i = s.i AND pc.bucket = s.bucket
+       |GROUP BY pc.tok, pc.exact_count
+       |ORDER BY exact_count DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> tokenCounts,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
-    "text_trigram_stats" -> trigramStats)
+    "text_trigram_stats" -> trigramStats,
+    "text_countmin_est" -> ((s, d) => countMinEstimates(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
-    "text_trigram_stats" -> trigramStatsSql)
+    "text_trigram_stats" -> trigramStatsSql,
+    "text_countmin_est" -> countMinEstimatesSql())
 }
