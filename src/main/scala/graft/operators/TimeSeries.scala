@@ -171,15 +171,43 @@ object TimeSeries {
       |FROM clicks c LEFT JOIN j USING (click_id)
       |ORDER BY c.user_id, c.click_id""".stripMargin
 
+  /** Sliding-window aggregation (1 h windows every 30 min): each event
+    * lies in exactly two windows, so the assignment is a bounded 2×
+    * explode of the two covering starts — never a range join. Batch
+    * form of `window(col, "1 hour", "30 minutes")`. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), col("value"),
+        expr("ts div 1800000000000").as("k"))
+      .select(col("event_type"), col("value"),
+        explode(array(col("k") * 1800, (col("k") - 1) * 1800)).as("window_start"))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val slidingAggSql: String =
+    """WITH k AS (
+      |  SELECT event_type, value, epoch_ns(ts) // 1800000000000 AS k FROM events
+      |), win AS (
+      |  SELECT event_type, value, unnest([k * 1800, (k - 1) * 1800]) AS window_start FROM k
+      |)
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM win GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
     "ts_range_join" -> rangeJoin,
     "ts_range_join_rule" -> rangeJoinViaRule,
+    "agg_sliding_events" -> slidingAgg,
     "agg_grouping_sets" -> groupingSets)
 
   val oracles: Map[String, String] = Map(
     "ts_asof_join" -> asofJoinSql,
     "ts_range_join" -> rangeJoinSql,
     "ts_range_join_rule" -> rangeJoinViaRuleSql,
+    "agg_sliding_events" -> slidingAggSql,
     "agg_grouping_sets" -> groupingSetsSql)
 }

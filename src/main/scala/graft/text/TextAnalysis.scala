@@ -241,13 +241,39 @@ object TextAnalysis {
        |GROUP BY pc.tok, pc.exact_count
        |ORDER BY exact_count DESC, tok""".stripMargin
 
+  /** Deterministic train/val/test split assignment — hash-based
+    * bernoulli (NOT rand(): the split of every document is a pure
+    * function of its id, stable across runs, partitionings and
+    * backfills — the only defensible way to split a 100 TB corpus).
+    * 80/10/10 on hash60("split_" + doc_id) mod 100. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        pmod(Portable.hash60(concat_ws("_", lit("split"), col("doc_id"))), lit(100L))
+          .as("h"))
+      .select(col("doc_id"), col("h"),
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100 AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, h,
+      |       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> tokenCounts,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
     "text_trigram_stats" -> trigramStats,
-    "text_countmin_est" -> ((s, d) => countMinEstimates(s, d)))
+    "text_countmin_est" -> ((s, d) => countMinEstimates(s, d)),
+    "text_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
@@ -255,5 +281,6 @@ object TextAnalysis {
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_trigram_stats" -> trigramStatsSql,
-    "text_countmin_est" -> countMinEstimatesSql())
+    "text_countmin_est" -> countMinEstimatesSql(),
+    "text_split_assign" -> splitAssignSql)
 }
