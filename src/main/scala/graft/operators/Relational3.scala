@@ -151,6 +151,61 @@ object Relational3 {
       |       greatest(o_custkey, o_orderkey) AS greatest_key
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Double aggregation (the TPC-H Q13 shape): per-customer order
+    * counts via a LEFT join (customers with no orders keep count 0 —
+    * count over a nullable key skips nulls), then the distribution of
+    * those counts. Two cascaded shuffles, both partial+final. */
+  def countDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_custkey"), col("o_orderkey"))
+    t(spark, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val countDistributionSql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus <> 'F'
+      |  ) o ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |SELECT c_count, count(*) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Scalar subquery over a derived aggregate (the TPC-H Q15 shape):
+    * per-supplier revenue, keeping the supplier(s) achieving the global
+    * maximum. Catalyst plans the max as a one-row broadcast. */
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = t(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+        .cast("double").as("total_revenue"))
+    val maxRev = revenue.agg(max("total_revenue").as("m"))
+    revenue.join(broadcast(maxRev), col("total_revenue") === col("m"))
+      .select(col("supplier_no"), col("total_revenue"))
+      .orderBy("supplier_no")
+  }
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val topRevenueSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem GROUP BY l_suppkey
+      |)
+      |SELECT supplier_no, total_revenue FROM revenue
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY supplier_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sub_correlated_scalar" -> correlatedScalarSubquery,
     "sub_in_semijoin" -> inSubquery,
@@ -158,7 +213,9 @@ object Relational3 {
     "agg_percentiles" -> percentiles,
     "fn_regexp" -> regexpFunctions,
     "fn_string_extra" -> stringFunctions,
-    "fn_conditionals" -> conditionals)
+    "fn_conditionals" -> conditionals,
+    "agg_count_distribution" -> countDistribution,
+    "sub_scalar_agg_max" -> topRevenueSupplier)
 
   val oracles: Map[String, String] = Map(
     "sub_correlated_scalar" -> correlatedScalarSubquerySql,
@@ -167,5 +224,7 @@ object Relational3 {
     "agg_percentiles" -> percentilesSql,
     "fn_regexp" -> regexpFunctionsSql,
     "fn_string_extra" -> stringFunctionsSql,
-    "fn_conditionals" -> conditionalsSql)
+    "fn_conditionals" -> conditionalsSql,
+    "agg_count_distribution" -> countDistributionSql,
+    "sub_scalar_agg_max" -> topRevenueSupplierSql)
 }
