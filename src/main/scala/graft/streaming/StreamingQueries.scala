@@ -122,13 +122,56 @@ object StreamingQueries {
     """SELECT DISTINCT md5(event_type || '|' || coalesce(props, '')) AS content_hash
       |FROM events ORDER BY content_hash""".stripMargin
 
+  /** Stream-stream interval join: clicks joined to same-user errors
+    * within the following 30 minutes — both sides are real streams with
+    * watermarks and an event-time range constraint (the production
+    * shape: the constraint is what lets Spark evict join state as the
+    * watermark advances). The single-file source makes the run one
+    * micro-batch, so the emitted pairs are exactly the batch join — the
+    * exact oracle. Time compared at µs (DuckDB's parquet-NANOS
+    * truncation; see streamSessionize). */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = unique("stream_sjoin")
+    def src = Streaming.withEventTime(Streaming.readEventsStream(spark, dir))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("click_us"), col("event_time").as("c_time"))
+      .withWatermark("c_time", "0 seconds")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        expr("ts div 1000").as("error_us"), col("event_time").as("e_time"))
+      .withWatermark("e_time", "0 seconds")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_time") >= col("c_time") &&
+        col("e_time") <= col("c_time") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"),
+        col("click_us"), col("error_us"))
+    Streaming.runToMemory(spark, joined, name, outputMode = "append")
+    spark.table(name).orderBy("user_id", "click_id", "error_id")
+  }
+
+  val streamIntervalJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |)
+      |SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |       c.us AS click_us, e.us AS error_us
+      |FROM ev c JOIN ev e
+      |  ON c.user_id = e.user_id
+      | AND c.event_type = 'click' AND e.event_type = 'error'
+      | AND e.us >= c.us AND e.us <= c.us + 1800000000
+      |ORDER BY c.user_id, click_id, error_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> streamTumblingAgg,
     "stream_sessionize" -> streamSessionize,
-    "stream_dedup" -> streamDedup)
+    "stream_dedup" -> streamDedup,
+    "stream_interval_join" -> streamIntervalJoin)
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_interval_join" -> streamIntervalJoinSql)
 }
