@@ -28,9 +28,23 @@ object StreamingQueries {
   private def unique(prefix: String): String =
     s"${prefix}_${counter.incrementAndGet()}"
 
+  /** Streaming state cost scales with shuffle partitions (one state
+    * store per partition per stateful operator, each with per-batch
+    * file checkpointing) — at harness data sizes 8 partitions cut the
+    * fixed store overhead ~4× vs 32 with identical results
+    * (partitioning-independent; the oracles prove it). Results are
+    * registered in the child session's memory sink, so the returned
+    * frame belongs to the child — callers only write it out. */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   /** Streaming tumbling-window aggregation, run to completion. Output
     * contract matches the batch `Relational.tumblingAgg`. */
-  def streamTumblingAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamTumblingAgg(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val name = unique("stream_tumbling")
     Streaming.runToMemory(spark,
       Streaming.tumblingAgg(Streaming.readEventsStream(spark, dir)),
@@ -47,7 +61,8 @@ object StreamingQueries {
   /** Stateful streaming sessionization (flatMapGroupsWithState with
     * event-time timeouts), run to completion; returns the closed
     * sessions. */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionize(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val name = unique("stream_sessions")
     val events = Streaming.readEventsStream(spark, dir)
@@ -104,7 +119,8 @@ object StreamingQueries {
     * completion; projected to the content hash so the output is the
     * deterministic distinct-hash set (which physical row survives a
     * duplicate group is engine-internal). */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val name = unique("stream_dedup")
     // coalesce on both engines: a NULL props must hash like '', not be
     // silently dropped (Spark concat_ws skips NULLs, DuckDB || nulls out)
@@ -130,7 +146,8 @@ object StreamingQueries {
     * micro-batch, so the emitted pairs are exactly the batch join — the
     * exact oracle. Time compared at µs (DuckDB's parquet-NANOS
     * truncation; see streamSessionize). */
-  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamIntervalJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val name = unique("stream_sjoin")
     def src = Streaming.withEventTime(Streaming.readEventsStream(spark, dir))
     val clicks = src.filter(col("event_type") === "click")
