@@ -184,10 +184,13 @@ object Relational3 {
     * per-supplier revenue, keeping the supplier(s) achieving the global
     * maximum. Catalyst plans the max as a one-row broadcast. */
   def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: the aggregate feeds both the max side and the
+    // join side (Catalyst does not dedupe the shared subplan)
     val revenue = t(spark, dir, "lineitem")
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
         .cast("double").as("total_revenue"))
+      .localCheckpoint(false)
     val maxRev = revenue.agg(max("total_revenue").as("m"))
     revenue.join(broadcast(maxRev), col("total_revenue") === col("m"))
       .select(col("supplier_no"), col("total_revenue"))

@@ -201,8 +201,14 @@ object TextAnalysis {
     * absent collisions). */
   def countMinEstimates(spark: SparkSession, dir: String,
                         d: Int = 4, w: Int = 1024, topN: Int = 20): DataFrame = {
+    // repartition off the single-file scan (the 4× explode + md5 per
+    // token is the CPU-heavy stage) and materialize once — the token
+    // stream feeds BOTH the sketch build and the exact probe counts
     val toks = t(spark, dir, "documents")
-      .select(explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select("tok")
+      .localCheckpoint(false)
     def bucket(i: Column, tok: Column): Column =
       pmod(Portable.hash60(concat_ws("_", i, tok)), lit(w.toLong))
     val sketch = toks

@@ -19,31 +19,21 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
-  test("bucketed tables join without a shuffle (co-located join)") {
-    import org.apache.spark.sql.functions.col
-    // external tables via option("path", ...) — warehouse.dir is a
-    // static conf and can't be set on a live session
-    val wh = s"$tmp/warehouse"
-    val orders = Tables.t(spark, sf("sf0.001"), "orders")
-    val lineitem = Tables.t(spark, sf("sf0.001"), "lineitem")
-    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").option("path", s"$wh/orders_b").saveAsTable("orders_b")
-    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
-    // disable broadcast so the bucket co-location (not broadcast) is
-    // what avoids the shuffle — at real scale neither side broadcasts
-    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = spark.table("orders_b")
-        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
-      assert(joined.count() === lineitem.count()) // FK join preserves rows
-      val plan = joined.queryExecution.executedPlan.toString
-      // both sides bucketed on the join key with equal bucket counts →
-      // SortMergeJoin with NO shuffle Exchange on either side
-      assert(plan.contains("SortMergeJoin"), plan.take(2000))
-      assert(!plan.contains("ShuffleExchange"), plan.take(2000))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  test("bucketed co-located join equals the direct join (semantics)") {
+    // plan shape (SortMergeJoin with no Exchange below it) is asserted
+    // in PlanShapeSpec against the same query — here we pin semantics
+    val got = Formats.bucketedJoin(spark, sf("sf0.001")).collect().toSeq
+    val direct = Tables.t(spark, sf("sf0.001"), "orders")
+      .join(Tables.t(spark, sf("sf0.001"), "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_items"),
+        org.apache.spark.sql.functions.sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(got === direct)
+    assert(got.nonEmpty)
   }
 
   test("partitioned parquet write prunes partitions on filtered read") {

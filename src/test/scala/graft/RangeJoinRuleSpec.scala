@@ -103,6 +103,10 @@ class RangeJoinRuleSpec extends SparkSpec {
     val base = run(spark.newSession())
     val ruled = spark.newSession()
     graft.plans.GraftExtensions.register(ruled)
+    // the rewrite must actually FIRE here, or the identity is vacuous
+    val ruledPlan = planString(mk(ruled, points, "p").join(mk(ruled, starts, "s"),
+      col("p") > col("s") && col("p") <= col("s") + lit(wSmall)))
+    assert(!ruledPlan.contains("BroadcastNestedLoopJoin"), ruledPlan.take(1500))
     assert(base.nonEmpty)
     assert(run(ruled) === base)
   }

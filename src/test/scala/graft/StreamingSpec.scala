@@ -131,11 +131,13 @@ class StreamingBatchParitySpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("harness streaming sessionize and dedup produce rows at sf0.001") {
+  test("harness streaming sessionize, dedup and interval join produce rows at sf0.001") {
     assert(graft.streaming.StreamingQueries
       .streamSessionize(spark, sf("sf0.001")).count() > 0)
     assert(graft.streaming.StreamingQueries
       .streamDedup(spark, sf("sf0.001")).count() > 0)
+    assert(graft.streaming.StreamingQueries
+      .streamIntervalJoin(spark, sf("sf0.001")).count() > 0)
   }
 
   test("file-stream totals match the batch tumbling query") {
