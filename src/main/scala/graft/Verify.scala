@@ -23,11 +23,13 @@ object Verify {
       }
     }
     // epoch-0 workload dump: lets DuckDB recompute the aria verdicts
-    // (oracle SQL references these files via __ARIA_DIR__). If the dump
-    // fails, DROP the aria oracles instead of emitting SQL over files
-    // that don't exist — a degraded round must not turn into hard
-    // oracle errors.
-    val ariaDir = Paths.get(outDir).toAbsolutePath.toString
+    // (oracle SQL references these files via __ARIA_DIR__). Written to a
+    // SIBLING of outDir — the driver enumerates outDir's children as
+    // query results, so input dumps inside it would surface as phantom
+    // query rows. If the dump fails, DROP the aria oracles instead of
+    // emitting SQL over files that don't exist — a degraded round must
+    // not turn into hard oracle errors.
+    val ariaDir = Paths.get(outDir).toAbsolutePath.toString + "_oracle_inputs"
     val ariaDumpOk =
       try { graft.aria.AriaQueries.persistEpoch0Inputs(spark, ariaDir); true }
       catch { case e: Throwable =>
