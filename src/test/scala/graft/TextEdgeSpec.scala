@@ -41,6 +41,42 @@ class TextEdgeSpec extends SparkSpec {
     assert(vals === again)
   }
 
+  test("trigram construction: <3 tokens yields none; repeats are counted") {
+    import spark.implicits._
+    // the inline trigram form mirrors TextAnalysis.trigramStats
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "x y x y x y x y"))
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("tris", transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      .select(col("doc_id"), size(col("tris")).as("n"),
+        size(array_distinct(col("tris"))).as("nd"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(!m.contains(1L))             // 2 tokens → filtered out
+    assert(m(2L) === ((1, 1)))          // a b c → one trigram
+    assert(m(3L) === ((6, 2)))          // xyx/yxy alternating → 6 total, 2 distinct
+  }
+
+  test("split assignment is a total, deterministic 3-way partition") {
+    val out = TextAnalysis.splitAssign(spark, sf("sf0.001")).collect()
+    assert(out.length === 500)
+    val bySplit = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // hash-uniformity sanity: train ≈ 80% ± wide tolerance
+    assert(bySplit("train") > 350 && bySplit("train") < 450, bySplit.toString)
+    val again = TextAnalysis.splitAssign(spark, sf("sf0.001")).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("count-min estimates never undercount (CMS invariant)") {
+    val rows = TextAnalysis.countMinEstimates(spark, sf("sf0.001")).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).mkString(", "))
+  }
+
   test("quantize rounds half away from zero symmetrically at exact ties") {
     import spark.implicits._
     // floor(x*10000 + 0.5): 0.00005 → 1, -0.00005 → 0 (floor semantics,
