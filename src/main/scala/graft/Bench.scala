@@ -32,7 +32,8 @@ object Bench {
     // sub-second queries. Methodology documented in BASELINE.md.
     if (only.isEmpty)
       for (n <- Seq("s11_full_scan_count", "q1_pricing_summary",
-                    "window_topk_per_group", "text_token_counts");
+                    "window_topk_per_group", "text_token_counts",
+                    "sim_lsh_signatures"); // codegen-heaviest family
            fn <- SparkEntry.queries.get(n))
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
