@@ -17,7 +17,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Skew.queries ++
       operators.TimeSeries.queries ++ operators.Relational4.queries ++
-      text.TextAnalysis.queries ++
+      text.TextAnalysis.queries ++ text.Retrieval.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
       multimodal.Multimodal.queries ++ aria.AriaQueries.queries ++
       streaming.StreamingQueries.queries ++ sources.Formats.queries
@@ -28,7 +28,7 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Skew.oracles ++
       operators.TimeSeries.oracles ++ operators.Relational4.oracles ++
-      text.TextAnalysis.oracles ++
+      text.TextAnalysis.oracles ++ text.Retrieval.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
       multimodal.Multimodal.oracles ++ aria.AriaQueries.oracles ++
       streaming.StreamingQueries.oracles ++ sources.Formats.oracles

@@ -1,0 +1,253 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.{t, fanOut}
+import graft.functions.Portable
+
+/** Retrieval-style scoring and corpus-hygiene operators for a training-
+  * data pipeline: TF-IDF term extraction, BM25 document ranking, PII
+  * redaction, and train/test decontamination.
+  *
+  * Exactness: all scores avoid transcendentals (ln/log are not
+  * bit-identical across libms). IDF is a RATIONAL surrogate — an
+  * integer-scaled ratio computed with BIGINT integer division — so every
+  * downstream double is derived from identical integers via IEEE
+  * correctly-rounded ops in the same order in both engines.
+  *
+  * Scale: every pair/score path is an equi-join on a bounded key
+  * (term, n-gram) over an inverted index, never all-pairs; per-doc maps
+  * are embarrassingly parallel.
+  */
+object Retrieval {
+
+  private val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** TF-IDF top terms per document. idf_scaled = (N * 1e6) DIV df
+    * (integer division — exact in both engines); score = tf * idf_scaled.
+    * Top-5 terms per doc by (score desc, term asc).
+    *
+    * Plan: tokenize+explode (map, fanned out off the 1-file scan) →
+    * one shuffle to (doc_id, term) counts → term-level df agg (reuses the
+    * tf frame, hard-materialized once) → broadcast scalar N → per-doc
+    * top-k via a partitioned window (WindowGroupLimit pushes the k
+    * filter into the partial sort at scale).
+    */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = fanOut(docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds both df-agg and the score join
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("idf_scaled", expr("(n * 1000000) DIV df"))
+      .withColumn("score", col("tf") * col("idf_scaled"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rn").cast("long").as("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  def tfidfTopSql(k: Int = 5): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest($tokSql) AS term FROM documents
+       |), tfc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+       |), dfc AS (
+       |  SELECT term, count(*) AS df FROM tfc GROUP BY term
+       |), n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+       |         tfc.tf * ((n.n * 1000000) // dfc.df) AS score,
+       |         (n.n * 1000000) // dfc.df AS idf_scaled
+       |  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+       |), ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+       |  FROM scored
+       |)
+       |SELECT doc_id, term, tf, df, score, rn::BIGINT AS rn
+       |FROM ranked WHERE rn <= $k ORDER BY doc_id, rn""".stripMargin
+
+  /** BM25 ranking of documents for a fixed conjunctive term query
+    * (k1=1.2, b=0.75). The idf is the log-free rational surrogate
+    * ((N-df)*2+1)*1e6 DIV (df*2+1) — monotone in the classic idf, and
+    * integer-exact. Per-term partial scores are pivoted to COLUMNS and
+    * added in a fixed left-to-right order (a plain SUM over term rows
+    * would add doubles in engine-dependent order).
+    *
+    * Plan: term-filtered explode (the isin filter prunes before the
+    * shuffle) → (doc,term) tf → broadcast 3-row df/N/avgdl → pivot →
+    * global top-50 (TakeOrderedAndProject, no full sort at scale).
+    */
+  val bm25Terms: Seq[String] = Seq("spark", "vector", "join")
+
+  def bm25Rank(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tk = fanOut(docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint(false) // feeds tf, N/avgdl, and the final join
+    val stats = tk.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+    val tf = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfc), "term")
+      .join(tk.select("doc_id", "dl"), "doc_id")
+      .crossJoin(broadcast(stats.select("n", "avgdl")))
+      .withColumn("idf_scaled", expr("(((n - df) * 2 + 1) * 1000000) DIV (df * 2 + 1)"))
+      .withColumn("s", col("idf_scaled").cast("double") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val parts = bm25Terms.map(term =>
+      coalesce(max(when(col("term") === term, col("s"))), lit(0.0)).as(s"s_$term"))
+    scored.groupBy("doc_id").agg(parts.head, parts.tail: _*)
+      .withColumn("score",
+        bm25Terms.map(term => col(s"s_$term")).reduceLeft(_ + _))
+      .orderBy(desc("score"), col("doc_id")).limit(topN)
+  }
+
+  def bm25RankSql(topN: Int = 50): String = {
+    val termList = bm25Terms.map(s => s"'$s'").mkString("(", ", ", ")")
+    val pivots = bm25Terms.map(term =>
+      s"coalesce(max(CASE WHEN term = '$term' THEN s END), 0.0) AS s_$term")
+      .mkString(",\n|         ")
+    val total = bm25Terms.map(term => s"s_$term").mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokSql AS toks FROM documents
+       |), dls AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM tk
+       |), stats AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS term FROM dls
+       |  ) WHERE term IN $termList GROUP BY doc_id, term
+       |), dfc AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  -- fractional literals are cast to DOUBLE: a bare 2.2 is DECIMAL
+       |  -- in DuckDB (exact 6.6 for tf*2.2) while Spark's lit(2.2) is the
+       |  -- double 2.2000...018 — a 1-ulp divergence in the final score
+       |  SELECT tf.doc_id, tf.term,
+       |         CAST((((n - df) * 2 + 1) * 1000000) // (df * 2 + 1) AS DOUBLE)
+       |           * (tf * 2.2::DOUBLE)
+       |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS s
+       |  FROM tf JOIN dfc USING (term)
+       |       JOIN dls USING (doc_id)
+       |       CROSS JOIN stats
+       |), piv AS (
+       |  SELECT doc_id,
+       |         $pivots
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT doc_id, s_spark, s_vector, s_join, $total AS score
+       |FROM piv ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+  }
+
+  /** PII-style redaction over a synthesized event log line
+    * (`user=<id> <props>`): mask every digit run, count the masked
+    * spans, and fingerprint the redacted text. Pure per-row map stage —
+    * at 100 TB this is one pass over the scan with only the three used
+    * columns read. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        concat(lit("user="), col("user_id"), lit(" "), col("props")).as("log"))
+      .select(
+        col("event_id"),
+        size(regexp_extract_all(col("log"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_masked"),
+        md5(regexp_replace(col("log"), "[0-9]+", "#")).as("redacted_md5"),
+        length(regexp_replace(col("log"), "[0-9]+", "#")).cast("long")
+          .as("redacted_len"))
+      .orderBy("event_id")
+
+  val piiRedactSql: String =
+    """WITH lg AS (
+      |  SELECT event_id, 'user=' || user_id || ' ' || props AS log FROM events
+      |)
+      |SELECT event_id,
+      |       len(regexp_extract_all(log, '[0-9]+'))::BIGINT AS n_masked,
+      |       md5(regexp_replace(log, '[0-9]+', '#', 'g')) AS redacted_md5,
+      |       length(regexp_replace(log, '[0-9]+', '#', 'g'))::BIGINT AS redacted_len
+      |FROM lg ORDER BY event_id""".stripMargin
+
+  /** Train/test decontamination: find test-split documents whose word
+    * 8-grams also appear in train-split documents (the standard n-gram
+    * membership check run before publishing a corpus). Splits are the
+    * deterministic hash split of `text_split_assign`.
+    *
+    * Scale shape: distinct 8-grams per doc → inverted-index equi-join on
+    * the gram between the test and train sides, with a document-frequency
+    * cap (grams in > maxGramDf docs are boilerplate and excluded — same
+    * rationale as the Jaccard stop-shingle cap; an f-doc gram fans out
+    * O(f_test · f_train) rows otherwise). Never all-pairs.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+                    maxGramDf: Int = 100): DataFrame = {
+    val grams = fanOut(t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+      .filter(size(col("toks")) >= n)
+      .localCheckpoint(false) // barrier: keep the split() out of the per-index lambda
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))))
+        .as("gram"))
+      .withColumn("split",
+        when(pmod(Portable.hash60(concat_ws("_", lit("split"), col("doc_id"))), lit(100L)) < 80,
+          "train").otherwise("other"))
+      .localCheckpoint(false) // feeds the df cap and both join sides
+    val rare = grams.groupBy("gram").agg(countDistinct("doc_id").as("gdf"))
+      .filter(col("gdf") <= maxGramDf).select("gram")
+    val capped = grams.join(rare, "gram")
+    val train = capped.filter(col("split") === "train")
+      .select(col("gram"), col("doc_id").as("train_doc"))
+    val test = capped.filter(col("split") === "other")
+      .select(col("gram"), col("doc_id").as("test_doc"))
+    test.join(train, "gram")
+      .groupBy("test_doc")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+        countDistinct("train_doc").as("n_train_docs"))
+      .orderBy("test_doc")
+  }
+
+  def decontaminateSql(n: Int = 8, maxGramDf: Int = 100): String = {
+    val gramExpr = (1 to n).map(j => s"toks[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokSql AS toks FROM documents
+       |), grams AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           generate_series(1, len(toks) - ${n - 1}), i -> $gramExpr))) AS gram,
+       |         CASE WHEN ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100 < 80
+       |              THEN 'train' ELSE 'other' END AS split
+       |  FROM tk WHERE len(toks) >= $n
+       |), rare AS (
+       |  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) <= $maxGramDf
+       |), capped AS (SELECT g.* FROM grams g JOIN rare USING (gram))
+       |SELECT te.doc_id AS test_doc,
+       |       count(DISTINCT te.gram)::BIGINT AS n_shared_grams,
+       |       count(DISTINCT tr.doc_id)::BIGINT AS n_train_docs
+       |FROM capped te JOIN capped tr
+       |  ON te.gram = tr.gram AND te.split = 'other' AND tr.split = 'train'
+       |GROUP BY te.doc_id ORDER BY test_doc""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_top" -> ((s, d) => tfidfTop(s, d)),
+    "text_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
+    "text_pii_redact" -> piiRedact,
+    "dedup_decontaminate" -> ((s, d) => decontaminate(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "text_tfidf_top" -> tfidfTopSql(),
+    "text_bm25_rank" -> bm25RankSql(),
+    "text_pii_redact" -> piiRedactSql,
+    "dedup_decontaminate" -> decontaminateSql())
+}
