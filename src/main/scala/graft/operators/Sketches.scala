@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.{t, fanOut}
+import graft.functions.Portable
+
+/** Distributed sketches and sampling operators — the approximate-query
+  * toolkit a 100 TB pipeline leans on when exact answers are too
+  * expensive: HyperLogLog cardinality, Bloom-filter join pruning
+  * (the manual form of a runtime filter), bottom-k per-stratum samples,
+  * and deterministic hash-based stratified sampling.
+  *
+  * Exactness discipline: engine-internal sketch binaries
+  * (approx_count_distinct, bloom_filter_agg) are NOT cross-engine
+  * comparable, so these sketches are built as PLAIN DATAFLOW over the
+  * portable md5 hash — every register, bit position and estimate is
+  * bit-identical in the DuckDB oracle. The shapes are the production
+  * ones: one shuffle with map-side combine per sketch build.
+  */
+object Sketches {
+
+  /** HyperLogLog distinct-count of lineitem's order keys, m=256
+    * registers, reported next to the exact count. (The input must be in
+    * HLL's n >> m regime: the raw estimator is biased high below ~3m
+    * distincts, and the standard linear-counting correction is ln()-based
+    * — not bit-portable cross-engine. The documents token vocabulary is
+    * ~31 terms, so order keys are the honest demo.)
+    *
+    * Register build: bucket = h mod 256 from the 60-bit md5 hash; the
+    * remaining 52 bits w rank by rho = 53 - bitlength(w) (leading-zero
+    * count + 1, via the portable `bin()` string length; w=0 → 53).
+    * The harmonic sum Σ 2^-M_j is computed as the INTEGER
+    * Σ 2^(53-M_j) (order-independent, exact — doubles would sum in
+    * engine-dependent order), with absent registers contributing 2^53;
+    * the single final division happens in doubles. Raw estimate only —
+    * no small/large-range correction branches (documented; corrections
+    * are ln()-based and not bit-portable).
+    *
+    * Scale: explode → 256-register max-agg (map-side combine) → one
+    * scalar. The register table is 256 rows whatever the input size.
+    */
+  def hllDistinct(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val m = 1 << p // 256
+    val toks = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("tok"))
+      .localCheckpoint(false) // feeds registers + exact count
+    val h = Portable.hash60(col("tok"))
+    val w = expr(s"h DIV $m")
+    val regs = toks
+      .select(pmod(h, lit(m.toLong)).as("bucket"), h.as("h"))
+      .withColumn("rho", when(w === 0, lit(53L))
+        .otherwise(lit(53L) - length(bin(w)).cast("long")))
+      .groupBy("bucket").agg(max("rho").as("mreg"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val est = regs.agg(
+        sum(expr("shiftleft(1L, cast(53 - mreg as int))")).as("sum_present"),
+        count(lit(1)).as("v"))
+      .withColumn("sum_int",
+        col("sum_present") + (lit(m.toLong) - col("v")) * lit(1L << 53))
+      .withColumn("hll_est",
+        lit(alpha * m * m) * lit((1L << 53).toDouble) / col("sum_int").cast("double"))
+    val exact = toks.agg(countDistinct(col("tok")).as("n_exact"))
+    exact.crossJoin(est.select(col("v").as("n_buckets_used"), col("hll_est")))
+  }
+
+  def hllDistinctSql(p: Int = 8): String = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH toks AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) AS tok FROM lineitem
+       |), hashed AS (
+       |  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+       |), regs AS (
+       |  SELECT h % $m AS bucket,
+       |         max(CASE WHEN h // $m = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $m)) END) AS mreg
+       |  FROM hashed GROUP BY bucket
+       |), agg AS (
+       |  SELECT CAST(sum(1::BIGINT << (53 - mreg)) AS BIGINT) AS sum_present,
+       |         count(*) AS v
+       |  FROM regs
+       |), est AS (
+       |  SELECT v,
+       |         sum_present + ($m - v) * (1::BIGINT << 53) AS sum_int
+       |  FROM agg
+       |)
+       |SELECT (SELECT count(DISTINCT tok) FROM toks) AS n_exact,
+       |       v AS n_buckets_used,
+       |       ${alpha * m * m}::DOUBLE * ${(1L << 53).toDouble}::DOUBLE
+       |         / CAST(sum_int AS DOUBLE) AS hll_est
+       |FROM est""".stripMargin
+  }
+
+  /** Bloom-filter join pruning — the manual form of Spark's runtime
+    * bloom filter: build an m=65536-bit, k=3 filter over the custkeys of
+    * one market segment, pre-filter orders through it, then verify with
+    * the exact join and report the false-positive accounting.
+    *
+    * The "bitset" is the distinct set of set positions (≤ m rows,
+    * broadcast); membership = an order's k positions all hit the set,
+    * checked by an equi-join on position + count == k. Everything stays
+    * declarative: at scale this is a broadcast semi-join that prunes the
+    * probe BEFORE the expensive shuffle join it protects.
+    */
+  def bloomPrune(spark: SparkSession, dir: String,
+                 segment: String = "BUILDING", m: Int = 65536, k: Int = 3): DataFrame = {
+    def positions(key: Column): Column = // k portable hash positions
+      array((0 until k).map(i =>
+        pmod(Portable.hash60(concat_ws("_", lit(s"bf$i"), key)), lit(m.toLong))): _*)
+    val build = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey")).localCheckpoint(false) // build side reused 3×
+    val bits = build
+      .select(explode(positions(col("c_custkey"))).as("pos")).distinct()
+    val probe = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val passed = probe
+      .select(col("o_orderkey"), col("o_custkey"),
+        explode(positions(col("o_custkey"))).as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy("o_orderkey", "o_custkey").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k)
+      .localCheckpoint(false) // reused by pass-count and true-match join
+    val trueMatch = passed.join(build, passed("o_custkey") === build("c_custkey"))
+    val counts = Seq(
+      build.agg(count(lit(1)).as("n_build")),
+      probe.agg(count(lit(1)).as("n_probe")),
+      bits.agg(count(lit(1)).as("n_bits_set")),
+      passed.agg(count(lit(1)).as("n_bloom_pass")),
+      trueMatch.agg(count(lit(1)).as("n_true_match")))
+    counts.reduceLeft(_ crossJoin _)
+      .withColumn("n_false_pos", col("n_bloom_pass") - col("n_true_match"))
+  }
+
+  def bloomPruneSql(segment: String = "BUILDING", m: Int = 65536, k: Int = 3): String = {
+    val posList = (0 until k).map(i =>
+      s"('0x' || substr(md5('bf${i}_' || key), 1, 15))::BIGINT % $m")
+      .mkString("[", ", ", "]")
+    s"""WITH build AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = '$segment'
+       |), bits AS (
+       |  SELECT DISTINCT unnest($posList) AS pos
+       |  FROM (SELECT c_custkey AS key FROM build)
+       |), probe_pos AS (
+       |  SELECT o_orderkey, o_custkey, unnest($posList) AS pos
+       |  FROM (SELECT o_orderkey, o_custkey, o_custkey AS key FROM orders)
+       |), passed AS (
+       |  SELECT o_orderkey, o_custkey
+       |  FROM probe_pos JOIN bits USING (pos)
+       |  GROUP BY o_orderkey, o_custkey HAVING count(*) = $k
+       |)
+       |SELECT (SELECT count(*) FROM build) AS n_build,
+       |       (SELECT count(*) FROM orders) AS n_probe,
+       |       (SELECT count(*) FROM bits) AS n_bits_set,
+       |       (SELECT count(*) FROM passed) AS n_bloom_pass,
+       |       (SELECT count(*) FROM passed p JOIN build b ON p.o_custkey = b.c_custkey)
+       |         AS n_true_match,
+       |       (SELECT count(*) FROM passed) -
+       |       (SELECT count(*) FROM passed p JOIN build b ON p.o_custkey = b.c_custkey)
+       |         AS n_false_pos""".stripMargin
+  }
+
+  /** Bottom-k sample per stratum: the k customers with the smallest
+    * portable hash per market segment — a deterministic uniform sample
+    * that doubles as the bottom-k distinct-count/Jaccard sketch.
+    * Partitioned window top-k (WindowGroupLimit keeps it a partial
+    * top-k per partition at scale, never a full sort). */
+  def bottomK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Portable.hash60(concat_ws("_", lit("bk"), col("c_custkey")))
+    val w = Window.partitionBy("c_mktsegment").orderBy("h", "c_custkey")
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), h.as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  def bottomKSql(k: Int = 5): String =
+    s"""WITH hashed AS (
+       |  SELECT c_mktsegment, c_custkey,
+       |         ('0x' || substr(md5('bk_' || c_custkey), 1, 15))::BIGINT AS h
+       |  FROM customer
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY h, c_custkey)::BIGINT AS rn
+       |  FROM hashed
+       |)
+       |SELECT c_mktsegment, c_custkey, h, rn FROM ranked
+       |WHERE rn <= $k ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Deterministic stratified sample accounting: a 10% hash-bernoulli
+    * sample per order priority (pure function of the key — stable across
+    * runs/partitionings/backfills, unlike rand()), reported as
+    * per-stratum population vs sample counts and the achieved rate.
+    * One aggregation pass; the sample predicate is a map-side filter. */
+  def stratifiedSample(spark: SparkSession, dir: String, permille: Int = 100): DataFrame = {
+    val inSample =
+      pmod(Portable.hash60(concat_ws("_", lit("samp"), col("o_orderkey"))), lit(1000L))
+        .lt(permille)
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("population"),
+        sum(when(inSample, 1L).otherwise(0L)).as("n_sample"),
+        min(when(inSample, col("o_totalprice"))).as("sample_min_price"),
+        max(when(inSample, col("o_totalprice"))).as("sample_max_price"))
+      .withColumn("rate", col("n_sample").cast("double") / col("population"))
+      .orderBy("o_orderpriority")
+  }
+
+  def stratifiedSampleSql(permille: Int = 100): String =
+    s"""WITH flagged AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |         ('0x' || substr(md5('samp_' || o_orderkey), 1, 15))::BIGINT % 1000 < $permille AS in_s
+       |  FROM orders
+       |)
+       |SELECT o_orderpriority,
+       |       count(*) AS population,
+       |       CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       |       min(CASE WHEN in_s THEN o_totalprice END) AS sample_min_price,
+       |       max(CASE WHEN in_s THEN o_totalprice END) AS sample_max_price,
+       |       CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate
+       |FROM flagged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
+    "join_bloom_prune" -> ((s, d) => bloomPrune(s, d)),
+    "sample_bottomk" -> ((s, d) => bottomK(s, d)),
+    "sample_stratified" -> ((s, d) => stratifiedSample(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "agg_hll_distinct" -> hllDistinctSql(),
+    "join_bloom_prune" -> bloomPruneSql(),
+    "sample_bottomk" -> bottomKSql(),
+    "sample_stratified" -> stratifiedSampleSql())
+}
