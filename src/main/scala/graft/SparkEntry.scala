@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Relational2.queries ++
       operators.Relational3.queries ++ operators.Skew.queries ++
-      operators.Sketches.queries ++
+      operators.Sketches.queries ++ operators.TpchMore.queries ++
       operators.TimeSeries.queries ++ operators.Relational4.queries ++
       text.TextAnalysis.queries ++ text.Retrieval.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
@@ -28,7 +28,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Relational2.oracles ++
       operators.Relational3.oracles ++ operators.Skew.oracles ++
-      operators.Sketches.oracles ++
+      operators.Sketches.oracles ++ operators.TpchMore.oracles ++
       operators.TimeSeries.oracles ++ operators.Relational4.oracles ++
       text.TextAnalysis.oracles ++ text.Retrieval.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
