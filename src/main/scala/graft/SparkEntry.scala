@@ -20,6 +20,7 @@ object SparkEntry {
       operators.TimeSeries.queries ++ operators.Relational4.queries ++
       text.TextAnalysis.queries ++ text.Retrieval.queries ++
       dedup.Dedup.queries ++ sim.Similarity.queries ++
+      sim.Embeddings.queries ++ sim.GraphOps.queries ++
       multimodal.Multimodal.queries ++ aria.AriaQueries.queries ++
       streaming.StreamingQueries.queries ++ sources.Formats.queries
 
@@ -32,6 +33,7 @@ object SparkEntry {
       operators.TimeSeries.oracles ++ operators.Relational4.oracles ++
       text.TextAnalysis.oracles ++ text.Retrieval.oracles ++
       dedup.Dedup.oracles ++ sim.Similarity.oracles ++
+      sim.Embeddings.oracles ++ sim.GraphOps.oracles ++
       multimodal.Multimodal.oracles ++ aria.AriaQueries.oracles ++
       streaming.StreamingQueries.oracles ++ sources.Formats.oracles
 }

@@ -1,0 +1,161 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+
+/** Embedding-column maintenance operators: int8 quantization (the
+  * storage/serving format for billion-vector ANN indexes) — plus, in
+  * GraphOps, the rank propagation a content-graph pipeline runs over
+  * linked documents.
+  *
+  * Exactness: floats are first fixed-point-quantized (Portable.quantize,
+  * exact BIGINTs); the int8 code is floor(q*127/maxabs + 0.5) where the
+  * division happens on identical doubles in both engines (IEEE
+  * correctly-rounded, same order) — so every code, checksum and stat is
+  * bit-identical cross-engine.
+  */
+object Embeddings {
+
+  /** Symmetric int8 quantization of the 64-d embedding column:
+    * per-vector max-abs scale, codes in [-127, 127], with integer
+    * summaries (sum / L1 / min / max of the codes) that make the whole
+    * codebook hash-comparable. Pure per-row map stage over a
+    * column-pruned scan — the 100 TB shape is one pass, no shuffle. */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val q = Portable.quantize(col("embedding"))
+    t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), q.as("q"))
+      .withColumn("maxabs_q",
+        array_max(transform(col("q"), x => abs(x))))
+      .filter(col("maxabs_q") > 0) // all-zero vectors have no scale
+      .withColumn("q8", transform(col("q"),
+        x => floor(x.cast("double") * 127d / col("maxabs_q").cast("double") + 0.5d)
+          .cast("long")))
+      .select(
+        col("vec_id"), col("maxabs_q"),
+        size(col("q8")).cast("long").as("n_dims"),
+        aggregate(col("q8"), lit(0L), (a, v) => a + v).as("sum_q8"),
+        aggregate(col("q8"), lit(0L), (a, v) => a + abs(v)).as("l1_q8"),
+        array_min(col("q8")).as("min_q8"),
+        array_max(col("q8")).as("max_q8"))
+      .orderBy("vec_id")
+  }
+
+  val int8QuantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), scaled AS (
+      |  SELECT vec_id, q,
+      |         list_max(list_transform(q, x -> abs(x))) AS maxabs_q
+      |  FROM q
+      |), codes AS (
+      |  SELECT vec_id, maxabs_q,
+      |         list_transform(q, x -> CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / CAST(maxabs_q AS DOUBLE) + 0.5) AS BIGINT)) AS q8
+      |  FROM scaled WHERE maxabs_q > 0
+      |)
+      |SELECT vec_id, maxabs_q,
+      |       len(q8)::BIGINT AS n_dims,
+      |       CAST(list_sum(q8) AS BIGINT) AS sum_q8,
+      |       CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT) AS l1_q8,
+      |       list_min(q8) AS min_q8,
+      |       list_max(q8) AS max_q8
+      |FROM codes ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embed_quantize" -> int8Quantize)
+
+  val oracles: Map[String, String] = Map(
+    "sim_embed_quantize" -> int8QuantizeSql)
+}
+
+/** Iterative rank propagation (PageRank) as pure dataflow — the shape of
+  * every link-analysis / popularity job a corpus pipeline runs: an edge
+  * table, per-node out-degrees, and K join+aggregate rounds.
+  *
+  * Exactness across engines comes from SCALED-INTEGER arithmetic: ranks
+  * are BIGINTs at scale 1e12 and every step is integer DIV / multiply /
+  * SUM — order-independent, so Spark's partial aggregation and DuckDB's
+  * serial sum agree bit-for-bit (a double-valued PageRank would diverge
+  * in the last ulp from summation order alone).
+  *
+  * Scale: each round is one equi-join on src + one groupBy on dst —
+  * the standard distributed PageRank layout; K is fixed (3), lineage is
+  * cut per round.
+  */
+object GraphOps {
+
+  private val S = 1000000000000L // rank scale
+
+  /** Undirected part↔supplier graph from distinct lineitem pairs.
+    * Node ids are prefixed strings (p123 / s45). */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "lineitem")
+      .select(concat(lit("p"), col("l_partkey")).as("p"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct()
+    pairs.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+  }
+
+  private val edgesSql: String =
+    """pairs AS (
+      |  SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem
+      |), edges AS (
+      |  SELECT p AS src, s AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT s AS src, p AS dst FROM pairs
+      |)""".stripMargin
+
+  /** 3 rounds of scaled-integer PageRank (d=0.85), top-20 nodes.
+    * r0 = S DIV N; r' = (15*S DIV 100) DIV N + 85 * Σ(r(u) DIV deg(u)) DIV 100. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3, topN: Int = 20): DataFrame = {
+    val e = edges(spark, dir).localCheckpoint(false) // reused every round
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val n = deg.count() // node count (every node has outdegree here)
+    val baseRank = expr(s"${S}L DIV ${n}L")
+    val teleport = expr(s"(15 * ${S}L DIV 100) DIV ${n}L")
+    var ranks = deg.select(col("src").as("node"), baseRank.as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+      ranks = contrib.groupBy("dst").agg(sum("c").as("in_sum"))
+        .select(col("dst").as("node"),
+          (teleport + expr("85 * in_sum DIV 100")).as("rank"))
+        .localCheckpoint(false) // cut lineage per round
+    }
+    ranks.orderBy(desc("rank"), col("node")).limit(topN)
+  }
+
+  def pageRankSql(iters: Int = 3, topN: Int = 20): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         (15 * ${S} // 100) // n.n + 85 * sum(r.rank // d.deg) // 100 AS rank
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |       JOIN deg d ON e.src = d.src
+         |       CROSS JOIN n
+         |  GROUP BY e.dst, n.n
+         |)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, ${S} // n.n AS rank FROM deg CROSS JOIN n),
+       |$rounds
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$iters ORDER BY rank DESC, node LIMIT $topN""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, d) => pageRank(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql())
+}
