@@ -12,28 +12,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Every module contributing (queries, oracles) — the single place a
+    * new module registers; EntrySpec checks name uniqueness across it. */
+  val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    (operators.Relational.queries, operators.Relational.oracles),
+    (operators.Relational2.queries, operators.Relational2.oracles),
+    (operators.Relational3.queries, operators.Relational3.oracles),
+    (operators.Skew.queries, operators.Skew.oracles),
+    (operators.Sketches.queries, operators.Sketches.oracles),
+    (operators.TpchMore.queries, operators.TpchMore.oracles),
+    (operators.TimeSeries.queries, operators.TimeSeries.oracles),
+    (operators.Relational4.queries, operators.Relational4.oracles),
+    (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (text.Retrieval.queries, text.Retrieval.oracles),
+    (dedup.Dedup.queries, dedup.Dedup.oracles),
+    (sim.Similarity.queries, sim.Similarity.oracles),
+    (sim.Embeddings.queries, sim.Embeddings.oracles),
+    (sim.GraphOps.queries, sim.GraphOps.oracles),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
+    (aria.AriaQueries.queries, aria.AriaQueries.oracles),
+    (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracles),
+    (sources.Formats.queries, sources.Formats.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Relational2.queries ++
-      operators.Relational3.queries ++ operators.Skew.queries ++
-      operators.Sketches.queries ++ operators.TpchMore.queries ++
-      operators.TimeSeries.queries ++ operators.Relational4.queries ++
-      text.TextAnalysis.queries ++ text.Retrieval.queries ++
-      dedup.Dedup.queries ++ sim.Similarity.queries ++
-      sim.Embeddings.queries ++ sim.GraphOps.queries ++
-      multimodal.Multimodal.queries ++ aria.AriaQueries.queries ++
-      streaming.StreamingQueries.queries ++ sources.Formats.queries
+    modules.iterator.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ operators.Relational2.oracles ++
-      operators.Relational3.oracles ++ operators.Skew.oracles ++
-      operators.Sketches.oracles ++ operators.TpchMore.oracles ++
-      operators.TimeSeries.oracles ++ operators.Relational4.oracles ++
-      text.TextAnalysis.oracles ++ text.Retrieval.oracles ++
-      dedup.Dedup.oracles ++ sim.Similarity.oracles ++
-      sim.Embeddings.oracles ++ sim.GraphOps.oracles ++
-      multimodal.Multimodal.oracles ++ aria.AriaQueries.oracles ++
-      streaming.StreamingQueries.oracles ++ sources.Formats.oracles
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }

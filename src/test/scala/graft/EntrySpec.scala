@@ -14,16 +14,11 @@ class EntrySpec extends SparkSpec {
   }
 
   test("query names are stable and unique across modules") {
-    val maps = Seq(
-      operators.Relational.queries, operators.Relational2.queries,
-      operators.Relational3.queries, operators.Skew.queries,
-      operators.TimeSeries.queries, operators.Relational4.queries,
-      text.TextAnalysis.queries, dedup.Dedup.queries,
-      sim.Similarity.queries, multimodal.Multimodal.queries,
-      aria.AriaQueries.queries, streaming.StreamingQueries.queries,
-      sources.Formats.queries)
-    val total = maps.map(_.size).sum
+    val total = SparkEntry.modules.map(_._1.size).sum
     assert(SparkEntry.queries.size === total,
       "duplicate query names collapsed in the merged map")
+    val oracleTotal = SparkEntry.modules.map(_._2.size).sum
+    assert(SparkEntry.oracleSql.size === oracleTotal,
+      "duplicate oracle names collapsed in the merged map")
   }
 }
