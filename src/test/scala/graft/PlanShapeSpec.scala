@@ -140,6 +140,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("bloom prune broadcasts the bitset side, never the probe") {
+    val p = planString(graft.operators.Sketches.bloomPrune(spark, sf("sf0.001")))
+    // the position-membership join must be a broadcast hash equi-join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the only nested-loop joins are the five 1-row scalar-count
+    // combines at the top (Cross with a broadcast 1-row build side)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
+
+  test("tf-idf per-doc top-k plans as WindowGroupLimit (partial top-k)") {
+    val p = planString(graft.text.Retrieval.tfidfTop(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("bm25 global top-N is a TakeOrdered, not a full sort") {
+    val p = planString(graft.text.Retrieval.bm25Rank(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q14 broadcasts the part dimension") {
+    val p = planString(graft.operators.TpchMore.promoEffect(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q6 pushes all three predicates into the parquet scan") {
+    val p = planString(graft.operators.TpchMore.forecastRevenue(spark, sf("sf0.001")))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed: $pushed")
+  }
+
+  test("decontamination joins on the gram key (no all-pairs)") {
+    val p = planString(graft.text.Retrieval.decontaminate(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("ArrayDotLong participates in codegen (no CodegenFallback)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Portable
