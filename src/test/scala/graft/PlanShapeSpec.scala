@@ -147,8 +147,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     // the only nested-loop joins are the five 1-row scalar-count
     // combines at the top (Cross with a broadcast 1-row build side)
-    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+    // (tree lines carry the join type; the "(n) Op" detail-section
+    // headers don't — look only at tree lines)
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
   }
 
   test("tf-idf per-doc top-k plans as WindowGroupLimit (partial top-k)") {
