@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.Relational3.queries, operators.Relational3.oracles),
     (operators.Skew.queries, operators.Skew.oracles),
     (operators.Sketches.queries, operators.Sketches.oracles),
+    (operators.Analytics.queries, operators.Analytics.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.TimeSeries.queries, operators.TimeSeries.oracles),
     (operators.Relational4.queries, operators.Relational4.oracles),

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Tables.t
+
+/** Value-window functions and moment statistics.
+  *
+  * The moment statistics (mean/variance/correlation) are computed from
+  * EXACT DECIMAL power sums (Σx, Σy, Σxy, Σx², Σy²) — commutative,
+  * partitioning-independent — with the floating-point formula applied
+  * once at the end to identical inputs, so the doubles are bit-identical
+  * cross-engine. Spark's built-in corr()/stddev() stream doubles and are
+  * summation-order-dependent — useless against a hash oracle and a
+  * reproducibility hazard at 100 TB (same data, different partitioning,
+  * different third decimal). This is the numerically-stable-by-exactness
+  * alternative.
+  */
+object Analytics {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Value-window family over each user's event sequence: lag/lead,
+    * first/last value over the running frame, and the 2nd event's type
+    * via nth_value. Partitioned by user (scales); event-time order with
+    * the event_id tie-break. */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("first_type", first("event_type").over(wRun))
+      .withColumn("second_type", nth_value(col("event_type"), 2).over(wRun))
+      .withColumn("last_type_so_far", last("event_type").over(wRun))
+      .select("user_id", "event_id", "ts_us", "event_type", "prev_type",
+        "next_type", "first_type", "second_type", "last_type_so_far")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  // events.ts is read as epoch-nanos (Tables.t); DuckDB sees parquet ns
+  // truncated to µs — integer µs is the portable meeting point.
+  val valueWindowsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |)
+      |SELECT user_id, event_id, ts_us, event_type,
+      |       lag(event_type, 1) OVER w AS prev_type,
+      |       lead(event_type, 1) OVER w AS next_type,
+      |       first_value(event_type) OVER wrun AS first_type,
+      |       nth_value(event_type, 2) OVER wrun AS second_type,
+      |       last_value(event_type) OVER wrun AS last_type_so_far
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+      |       wrun AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** Per-returnflag moment statistics of (quantity, extendedprice):
+    * count, means, sample variance/stddev of x, and corr(x,y) — all from
+    * exact DECIMAL power sums, one aggregation pass (map-side combine),
+    * double math only on the final 1-row-per-group projection. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mean_qty"),
+        (col("sy").cast("double") / col("n")).as("mean_price"),
+        // sample variance: (Σx² − (Σx)²/n) / (n−1), all exact until the divides
+        ((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - 1)).as("var_qty"),
+        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - 1)).as("stddev_qty"),
+        // corr = (nΣxy − ΣxΣy) / (sqrt(nΣx²−(Σx)²) · sqrt(nΣy²−(Σy)²))
+        ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val momentStatsSql: String =
+    """WITH sums AS (
+      |  SELECT l_returnflag,
+      |         count(*) AS n,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |       CAST(sx AS DOUBLE) / n AS mean_qty,
+      |       CAST(sy AS DOUBLE) / n AS mean_price,
+      |       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_qty,
+      |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS stddev_qty,
+      |       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      |FROM sums ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_value_family" -> valueWindows,
+    "stat_moments" -> momentStats)
+
+  val oracles: Map[String, String] = Map(
+    "window_value_family" -> valueWindowsSql,
+    "stat_moments" -> momentStatsSql)
+}
