@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.Relational4.queries, operators.Relational4.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
+    (text.Pipeline.queries, text.Pipeline.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Similarity.queries, sim.Similarity.oracles),
     (sim.Embeddings.queries, sim.Embeddings.oracles),
