@@ -111,11 +111,42 @@ object Analytics {
       |            * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
       |FROM sums ORDER BY l_returnflag""".stripMargin
 
+  /** Event-time RANGE-frame window: per user, the rolling 5-second sum
+    * of `value` (RANGE, not ROWS — peers at the same timestamp share a
+    * frame; the frame is defined by the time axis, which is what a
+    * rolling metric means). Partitioned by user; value summed in
+    * DECIMAL so the rolling sums are order-exact, cast DOUBLE at the
+    * end. */
+  def rangeFrameSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-5000000L, 0L) // 5 s in µs
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("value").cast(DecimalType(18, 4)).as("v"))
+      .withColumn("rolling_5s", sum("v").over(w).cast("double"))
+      .select("user_id", "event_id", "ts_us", "rolling_5s")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val rangeFrameSumSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, ts_us,
+      |       CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                         RANGE BETWEEN 5000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS rolling_5s
+      |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_value_family" -> valueWindows,
+    "window_range_frame" -> rangeFrameSum,
     "stat_moments" -> momentStats)
 
   val oracles: Map[String, String] = Map(
     "window_value_family" -> valueWindowsSql,
+    "window_range_frame" -> rangeFrameSumSql,
     "stat_moments" -> momentStatsSql)
 }

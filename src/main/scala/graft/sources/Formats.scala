@@ -103,13 +103,37 @@ object Formats {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** ORC round-trip of the customer table — the other columnar lake
+    * format; typed schema is preserved natively (no header/schema
+    * dance). Oracle = the original table. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    roundTrip(spark, t(spark, dir, "customer"), scratch("orc_rt", dir), "orc")
+      .orderBy("c_custkey")
+
+  val orcRoundTripSql: String =
+    "SELECT * FROM customer ORDER BY c_custkey"
+
+  /** JSON-lines round-trip of the supplier table: write → schema'd
+    * read-back. Doubles survive exactly (the writer emits the shortest
+    * round-trippable decimal form). Oracle = the original table. */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame =
+    roundTrip(spark, t(spark, dir, "supplier"), scratch("json_rt", dir), "json")
+      .orderBy("s_suppkey")
+
+  val jsonRoundTripSql: String =
+    "SELECT * FROM supplier ORDER BY s_suppkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundTrip,
+    "src_orc_roundtrip" -> orcRoundTrip,
+    "src_json_roundtrip" -> jsonRoundTrip,
     "src_partitioned_prune" -> partitionedPrune,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundTripSql,
+    "src_orc_roundtrip" -> orcRoundTripSql,
+    "src_json_roundtrip" -> jsonRoundTripSql,
     "src_partitioned_prune" -> partitionedPruneSql,
     "src_bucketed_join" -> bucketedJoinSql)
 }
