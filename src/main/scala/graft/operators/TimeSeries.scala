@@ -197,8 +197,27 @@ object TimeSeries {
       |FROM win GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** The same as-of join through the NATIVE custom operator
+    * (plans/AsOfJoin: LogicalPlan + Strategy + merge-join SparkPlan) —
+    * identical semantics and oracle as the window-composition
+    * `ts_asof_join`, proving the custom physical operator against the
+    * same DuckDB SQL. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("ts div 1000").as("click_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), expr("ts div 1000").as("err_us"))
+    graft.plans.AsOfJoin.asof(clicks, errors,
+        key = "user_id", ts = "ts", payload = "err_us", outName = "asof_error_us")
+      .select(col("user_id"), col("event_id"), col("click_us"), col("asof_error_us"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
+    "ts_asof_join_native" -> asofJoinNative,
     "ts_range_join" -> rangeJoin,
     "ts_range_join_rule" -> rangeJoinViaRule,
     "agg_sliding_events" -> slidingAgg,
@@ -206,6 +225,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "ts_asof_join" -> asofJoinSql,
+    "ts_asof_join_native" -> asofJoinSql,
     "ts_range_join" -> rangeJoinSql,
     "ts_range_join_rule" -> rangeJoinViaRuleSql,
     "agg_sliding_events" -> slidingAggSql,

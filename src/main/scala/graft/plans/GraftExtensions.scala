@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotLong)
     ext.injectOptimizerRule(_ => BucketizeRangeJoin)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoin
+
+/** The native as-of join operator (LogicalPlan + Strategy + merge
+  * SparkPlan): edge semantics on synthetic rows, and full equivalence
+  * with the window-composition form on the harness data. */
+class AsOfJoinNativeSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, Long)], names: (String, String)) = {
+    import spark.implicits._
+    rows.toDF(names._1, names._2)
+  }
+
+  test("matches at-or-before semantics, null before the first right row") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 20L, 102L), (2L, 7L, 200L))
+      .toDF("k", "t", "row_id")
+    val right = Seq((1L, 10L, 1010L), (1L, 15L, 1015L), (2L, 8L, 2008L))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asof(left, right, "k", "t", "v", "asof_v")
+      .select("row_id", "asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(100L) === None, "t=5 precedes every right row")
+    assert(out(101L) === Some(1010L), "t=10 matches the equal-ts right row")
+    assert(out(102L) === Some(1015L), "t=20 takes the latest at-or-before")
+    assert(out(200L) === None, "key 2's right row is at t=8 > 7")
+  }
+
+  test("keys with no right rows at all yield null") {
+    import spark.implicits._
+    val left = Seq((5L, 1L, 1L)).toDF("k", "t", "row_id")
+    val right = Seq((6L, 1L, 66L)).toDF("k", "t", "v")
+    val out = AsOfJoin.asof(left, right, "k", "t", "v", "asof_v").collect()
+    assert(out.length === 1 && out(0).isNullAt(3))
+  }
+
+  test("empty right side joins every left row to null") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 1L), (2L, 2L, 2L)).toDF("k", "t", "row_id")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "t", "v")
+    val out = AsOfJoin.asof(left, right, "k", "t", "v", "asof_v").collect()
+    assert(out.length === 2 && out.forall(_.isNullAt(3)))
+  }
+
+  test("native operator equals the window composition on harness data") {
+    val native = graft.operators.TimeSeries.asofJoinNative(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    val composed = graft.operators.TimeSeries.asofJoin(spark, sf("sf0.001"))
+      .collect().map(_.toSeq).toSeq
+    assert(native === composed)
+  }
+
+  test("plan co-partitions and sorts both sides; scans stay pruned") {
+    val df = graft.operators.TimeSeries.asofJoinNative(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p.take(1200))
+    // both sides hashpartitioned on the key and sorted (key, ts)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("!AsOfJoin"), "invalid plan marker:\n" + p.take(1200))
+  }
+}
