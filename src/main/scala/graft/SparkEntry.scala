@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.TimeSeries.queries, operators.TimeSeries.oracles),
     (operators.Relational4.queries, operators.Relational4.oracles),
+    (operators.Relational5.queries, operators.Relational5.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
     (text.Pipeline.queries, text.Pipeline.oracles),

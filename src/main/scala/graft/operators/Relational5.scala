@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Tables.t
+
+/** Remaining relational surface: EXISTS decorrelation, INTERSECT,
+  * deterministic nested-type aggregation, UNPIVOT, and LATERAL
+  * (correlated derived-table) joins.
+  */
+object Relational5 {
+
+  /** Correlated EXISTS / NOT EXISTS in one pass: orders tagged by
+    * whether any line item ships after the order date (EXISTS
+    * decorrelates to a semi-join, NOT EXISTS to an anti-join — both
+    * existence joins, no row multiplication). */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("v_r5_orders")
+    t(spark, dir, "lineitem").createOrReplaceTempView("v_r5_lineitem")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus,
+        |       EXISTS (SELECT 1 FROM v_r5_lineitem l
+        |               WHERE l.l_orderkey = o.o_orderkey
+        |                 AND l.l_shipdate > o.o_orderdate) AS has_late_ship
+        |FROM v_r5_orders o
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val existsSubquerySql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       EXISTS (SELECT 1 FROM lineitem l
+      |               WHERE l.l_orderkey = o.o_orderkey
+      |                 AND l.l_shipdate > o.o_orderdate) AS has_late_ship
+      |FROM orders o
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** INTERSECT (set semantics): nation keys that have BOTH customers
+    * and suppliers. Plans as a distinct-ing semi-join — no row blowup. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+      .intersect(t(spark, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")))
+      .orderBy("nationkey")
+
+  val setIntersectSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |INTERSECT
+      |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** Nested-type aggregation, made deterministic: collect_list is
+    * assembly-order-dependent (useless for reproducible output at any
+    * scale); sort_array(collect_set(...)) pins it. Per nation: the
+    * sorted distinct set of customer market segments. */
+  def collectSorted(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("nationkey")
+
+  val collectSortedSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       list_sort(list_distinct(list(c_mktsegment))) AS segments,
+      |       count(*) AS n_customers
+      |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin
+
+  /** UNPIVOT (wide → long): the per-returnflag decimal totals melted
+    * into (flag, metric, value) rows via stack(). */
+  def unpivotTotals(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("price"),
+        sum(col("l_discount").cast(DecimalType(18, 2))).cast("double").as("discount"))
+      .select(col("l_returnflag"),
+        expr("stack(3, 'qty', qty, 'price', price, 'discount', discount) AS (metric, value)"))
+      .orderBy("l_returnflag", "metric")
+
+  val unpivotTotalsSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+      |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+      |  UNION ALL SELECT l_returnflag, 'price', price FROM wide
+      |  UNION ALL SELECT l_returnflag, 'discount', discount FROM wide
+      |)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** LATERAL correlated derived table: for each region, the top-2
+    * nations by name (a per-row dependent subquery with ORDER BY/LIMIT
+    * — the general form of top-N-per-group when the inner query is
+    * richer than a window can express). */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "region").createOrReplaceTempView("v_r5_region")
+    t(spark, dir, "nation").createOrReplaceTempView("v_r5_nation")
+    spark.sql(
+      """SELECT r.r_name, t.n_name
+        |FROM v_r5_region r,
+        |LATERAL (SELECT n_name FROM v_r5_nation n
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  val lateralTopNSql: String =
+    """SELECT r.r_name, t.n_name
+      |FROM region r,
+      |LATERAL (SELECT n_name FROM nation n
+      |         WHERE n.n_regionkey = r.r_regionkey
+      |         ORDER BY n_name LIMIT 2) t
+      |ORDER BY r_name, n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sub_exists" -> existsSubquery,
+    "set_ops_intersect" -> setIntersect,
+    "agg_collect_sorted" -> collectSorted,
+    "agg_unpivot" -> unpivotTotals,
+    "join_lateral_topn" -> lateralTopN)
+
+  val oracles: Map[String, String] = Map(
+    "sub_exists" -> existsSubquerySql,
+    "set_ops_intersect" -> setIntersectSql,
+    "agg_collect_sorted" -> collectSortedSql,
+    "agg_unpivot" -> unpivotTotalsSql,
+    "join_lateral_topn" -> lateralTopNSql)
+}
