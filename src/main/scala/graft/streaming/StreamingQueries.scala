@@ -180,15 +180,44 @@ object StreamingQueries {
       | AND e.us >= c.us AND e.us <= c.us + 1800000000
       |ORDER BY c.user_id, click_id, error_id""".stripMargin
 
+  /** Stream-static enrichment join + aggregation: the events STREAM
+    * joined to the static customer dimension (users are customers:
+    * user_id = c_custkey; unmatched users drop out of the inner join),
+    * aggregated per market segment in complete mode. The production
+    * enrich-then-aggregate shape — the static side is planned per
+    * micro-batch (broadcast at dim size), no join state to evict. */
+  def streamStaticJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val name = unique("stream_enrich")
+    val dim = graft.operators.Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = Streaming.readEventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_value"))
+    Streaming.runToMemory(spark, enriched, name, outputMode = "complete")
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> streamTumblingAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_dedup" -> streamDedup,
-    "stream_interval_join" -> streamIntervalJoin)
+    "stream_interval_join" -> streamIntervalJoin,
+    "stream_static_join" -> streamStaticJoin)
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_interval_join" -> streamIntervalJoinSql)
+    "stream_interval_join" -> streamIntervalJoinSql,
+    "stream_static_join" -> streamStaticJoinSql)
 }
