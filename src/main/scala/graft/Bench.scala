@@ -58,7 +58,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
     val failures = failed.result()
-    val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the failed list is also tail-window-bounded: name the first 10,
+    // count the rest (bench_detail.json has the full set via stderr)
+    val failedJson = (failures.take(10).map("\"" + _ + "\"") ++
+      (if (failures.size > 10) Seq(s""""+${failures.size - 10} more"""") else Nil))
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${entriesJson(results)},"failed":$failedJson,"sf":"$sfDir"}"""

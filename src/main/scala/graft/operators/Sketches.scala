@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Tables.{t, fanOut}
+import graft.operators.Tables.t
 import graft.functions.Portable
 
 /** Distributed sketches and sampling operators — the approximate-query

@@ -197,23 +197,46 @@ object TimeSeries {
       |FROM win GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
-  /** The same as-of join through the NATIVE custom operator
-    * (plans/AsOfJoin: LogicalPlan + Strategy + merge-join SparkPlan) —
-    * identical semantics and oracle as the window-composition
-    * `ts_asof_join`, proving the custom physical operator against the
-    * same DuckDB SQL. */
+  /** The as-of join through the NATIVE custom operator (plans/AsOfJoin:
+    * LogicalPlan + Strategy + merge-join SparkPlan), with the STANDARD
+    * as-of semantics: latest right row with `rt <= lt` (pandas
+    * merge_asof "backward", equal timestamps match). Note this differs
+    * from `ts_asof_join`'s window composition on exact-timestamp ties —
+    * the composition's union ordering excludes a same-ts error with a
+    * larger event_id — so the native query carries its OWN inequality
+    * oracle, not the composition's. Matching runs at µs resolution on
+    * both engines (DuckDB only sees µs), which also makes ties
+    * payload-deterministic: the payload IS the compared timestamp. */
   def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id"), col("ts"),
+      .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("click_us"))
     val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), expr("ts div 1000").as("err_us"))
+      .select(col("user_id"), expr("ts div 1000").as("err_us"),
+        expr("ts div 1000").as("err_us_payload"))
     graft.plans.AsOfJoin.asof(clicks, errors,
-        key = "user_id", ts = "ts", payload = "err_us", outName = "asof_error_us")
+        key = "user_id", ts = "click_us", rightTsName = "err_us",
+        payload = "err_us_payload", outName = "asof_error_us")
       .select(col("user_id"), col("event_id"), col("click_us"), col("asof_error_us"))
       .orderBy("user_id", "event_id")
   }
+
+  /** at-or-before inequality form (max error µs ≤ click µs per user) —
+    * the textbook as-of definition the native operator implements. */
+  val asofJoinNativeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), clicks AS (
+      |  SELECT user_id, event_id, us AS click_us FROM ev WHERE event_type = 'click'
+      |), errors AS (
+      |  SELECT user_id, us AS err_us FROM ev WHERE event_type = 'error'
+      |)
+      |SELECT c.user_id, c.event_id, c.click_us, max(e.err_us) AS asof_error_us
+      |FROM clicks c LEFT JOIN errors e
+      |  ON c.user_id = e.user_id AND e.err_us <= c.click_us
+      |GROUP BY c.user_id, c.event_id, c.click_us
+      |ORDER BY c.user_id, c.event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
@@ -225,7 +248,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "ts_asof_join" -> asofJoinSql,
-    "ts_asof_join_native" -> asofJoinSql,
+    "ts_asof_join_native" -> asofJoinNativeSql,
     "ts_range_join" -> rangeJoinSql,
     "ts_range_join_rule" -> rangeJoinViaRuleSql,
     "agg_sliding_events" -> slidingAggSql,

@@ -159,10 +159,19 @@ object AsOfJoin {
 
   /** DataFrame-level entry: as-of join `left` with `right` on
     * `key` (BIGINT), matching the latest right row with
-    * `rightTs <= leftTs`, emitting right's `payload` column (BIGINT) as
-    * `outName`. Registers the strategy in the session on first use. */
+    * `rightTs <= leftTs` (standard "backward" as-of: equal timestamps
+    * match), emitting right's `payload` column (BIGINT) as `outName`.
+    * `rightTsName` defaults to `ts` when both sides share the column
+    * name. Registers the strategy in the session on first use.
+    *
+    * Tie semantics: among right rows with IDENTICAL (key, ts), the one
+    * folded last in sort order wins — which one that is is not defined
+    * (the required child ordering is only (key, ts)). If such ties can
+    * carry different payloads, disambiguate upstream (aggregate to one
+    * row per (key, ts), or fold the tiebreak into the ts column). */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
-           key: String, ts: String, payload: String, outName: String): DataFrame = {
+           key: String, ts: String, payload: String, outName: String,
+           rightTsName: String = null): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = leftDf.sparkSession
     register(spark)
@@ -176,14 +185,20 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    val rTs = Option(rightTsName).getOrElse(ts)
     val node = AsOfJoin(lp, rp,
-      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, ts), attr(rp, payload),
+      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, rTs), attr(rp, payload),
       AttributeReference(outName, LongType, nullable = true)())
     GraftBridge.ofRows(spark, node)
   }
 
+  /** No-op when the strategy is already present — whether injected at
+    * builder time via GraftExtensions (planner.strategies sees those)
+    * or added here earlier; double registration would make the planner
+    * produce duplicate candidate plans per node. */
   def register(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy) &&
+        !spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 }

@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
-import graft.functions.Portable
 
 /** The end-to-end corpus-curation pipeline, composed from the
   * already-verified stages: language filter → quality filter → exact
@@ -46,9 +45,7 @@ object Pipeline {
       .select(col("b").as("doc_id")).distinct()
     val s4 = s3.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint(false)
     val withSplit = s4.select(col("nc"),
-      when(pmod(Portable.hash60(concat_ws("_", lit("split"), col("doc_id"))), lit(100L)) < 80, "train")
-        .when(pmod(Portable.hash60(concat_ws("_", lit("split"), col("doc_id"))), lit(100L)) < 90, "val")
-        .otherwise("test").as("split"))
+      TextAnalysis.splitOf(col("doc_id")).as("split"))
     def stageRow(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"), coalesce(sum("nc"), lit(0L)).as("n_chars"))
         .select(lit(name).as("stage"), col("n_docs"), col("n_chars"))
@@ -91,8 +88,8 @@ object Pipeline {
        |  SELECT s3.* FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |), sp AS (
        |  SELECT nc,
-       |         CASE WHEN ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-       |              WHEN ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+       |         CASE WHEN ${TextAnalysis.splitHashSql} < 80 THEN 'train'
+       |              WHEN ${TextAnalysis.splitHashSql} < 90 THEN 'val'
        |              ELSE 'test' END AS split
        |  FROM s4
        |)

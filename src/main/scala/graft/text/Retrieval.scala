@@ -200,8 +200,7 @@ object Retrieval {
           i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))))
         .as("gram"))
       .withColumn("split",
-        when(pmod(Portable.hash60(concat_ws("_", lit("split"), col("doc_id"))), lit(100L)) < 80,
-          "train").otherwise("other"))
+        when(TextAnalysis.splitHash(col("doc_id")) < 80, "train").otherwise("other"))
       .localCheckpoint(false) // feeds the df cap and both join sides
     val rare = grams.groupBy("gram").agg(countDistinct("doc_id").as("gdf"))
       .filter(col("gdf") <= maxGramDf).select("gram")
@@ -225,7 +224,7 @@ object Retrieval {
        |  SELECT doc_id,
        |         unnest(list_distinct(list_transform(
        |           generate_series(1, len(toks) - ${n - 1}), i -> $gramExpr))) AS gram,
-       |         CASE WHEN ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100 < 80
+       |         CASE WHEN ${TextAnalysis.splitHashSql} < 80
        |              THEN 'train' ELSE 'other' END AS split
        |  FROM tk WHERE len(toks) >= $n
        |), rare AS (

@@ -247,6 +247,23 @@ object TextAnalysis {
        |GROUP BY pc.tok, pc.exact_count
        |ORDER BY exact_count DESC, tok""".stripMargin
 
+  /** THE canonical split hash: hash60("split_" + doc_id) mod 100.
+    * Every consumer of the train/val/test assignment (splitAssign,
+    * Pipeline.curationFunnel, Retrieval.decontaminate) derives from
+    * this one expression — a drifted copy would silently stop
+    * describing the published split. SQL twin: [[splitHashSql]]. */
+  def splitHash(docId: Column): Column =
+    pmod(Portable.hash60(concat_ws("_", lit("split"), docId)), lit(100L))
+
+  val splitHashSql: String =
+    "('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100"
+
+  /** 80/10/10 split label from [[splitHash]]. */
+  def splitOf(docId: Column): Column = {
+    val h = splitHash(docId)
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
   /** Deterministic train/val/test split assignment — hash-based
     * bernoulli (NOT rand(): the split of every document is a pure
     * function of its id, stable across runs, partitionings and
@@ -254,18 +271,15 @@ object TextAnalysis {
     * 80/10/10 on hash60("split_" + doc_id) mod 100. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"),
-        pmod(Portable.hash60(concat_ws("_", lit("split"), col("doc_id"))), lit(100L))
-          .as("h"))
+      .select(col("doc_id"), splitHash(col("doc_id")).as("h"))
       .select(col("doc_id"), col("h"),
         when(col("h") < 80, "train").when(col("h") < 90, "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
   val splitAssignSql: String =
-    """WITH h AS (
-      |  SELECT doc_id,
-      |         ('0x' || substr(md5('split_' || doc_id), 1, 15))::BIGINT % 100 AS h
+    s"""WITH h AS (
+      |  SELECT doc_id, $splitHashSql AS h
       |  FROM documents
       |)
       |SELECT doc_id, h,

@@ -44,12 +44,30 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(out.length === 2 && out.forall(_.isNullAt(3)))
   }
 
-  test("native operator equals the window composition on harness data") {
+  test("native operator equals the batch inequality join on harness data") {
+    import spark.implicits._
     val native = graft.operators.TimeSeries.asofJoinNative(spark, sf("sf0.001"))
       .collect().map(_.toSeq).toSeq
-    val composed = graft.operators.TimeSeries.asofJoin(spark, sf("sf0.001"))
+    val ev = graft.operators.Tables.t(spark, sf("sf0.001"), "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("click_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), expr("ts div 1000").as("err_us"))
+    val expected = clicks.join(errors,
+        col("user_id") === col("e_user") && col("err_us") <= col("click_us"), "left")
+      .groupBy("user_id", "event_id", "click_us")
+      .agg(max("err_us").as("asof_error_us"))
+      .orderBy("user_id", "event_id")
       .collect().map(_.toSeq).toSeq
-    assert(native === composed)
+    assert(native === expected)
+  }
+
+  test("equal timestamps match (standard backward as-of, unlike the union window)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L)).toDF("k", "t", "row_id")
+    val right = Seq((1L, 10L, 42L)).toDF("k", "t", "v")
+    val out = AsOfJoin.asof(left, right, "k", "t", "v", "asof_v").collect()
+    assert(out(0).getLong(3) === 42L, "rt == lt must match")
   }
 
   test("plan co-partitions and sorts both sides; scans stay pruned") {
