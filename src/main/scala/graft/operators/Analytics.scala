@@ -61,31 +61,49 @@ object Analytics {
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
   /** Per-returnflag moment statistics of (quantity, extendedprice):
-    * count, means, sample variance/stddev of x, and corr(x,y) — all from
-    * exact DECIMAL power sums, one aggregation pass (map-side combine),
-    * double math only on the final 1-row-per-group projection. */
+    * count, means, sample variance/stddev of x, and corr(x,y) — exact
+    * power sums, one aggregation pass (map-side combine), double math
+    * only on the final 1-row-per-group projection.
+    *
+    * Numeric widths are the narrowest that stay exact at scale (wide
+    * DECIMAL(38) sums are the slow non-long-backed agg path). With
+    * qs = 100·quantity ≤ 5·10³ and ys = 100·price ≤ 2·10⁷, per
+    * returnflag at sf100 (~6·10⁸ lineitem rows):
+    *   Σqs ≤ 3·10¹², Σqs² ≤ 1.5·10¹⁶, Σys ≤ 1.2·10¹⁶  → exact BIGINT
+    *     (Long holds 9.2·10¹⁸ — ≥600× headroom, safe past sf10⁴);
+    *   Σys² ≤ 2.4·10²³, Σqs·ys ≤ 6·10¹⁹               → DECIMAL(28,0)
+    *     (holds 10²⁸ — ~10⁴× headroom; per-row products still computed
+    *     in Long, only the sum is decimal). */
   def momentStats(spark: SparkSession, dir: String): DataFrame = {
-    val x = dec2(col("l_quantity"))
-    val y = dec2(col("l_extendedprice"))
+    val qs = (dec2(col("l_quantity")) * 100).cast("long")
+    val ys = (dec2(col("l_extendedprice")) * 100).cast("long")
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        sum(qs).as("sxl"), sum(ys).as("syl"), sum(qs * qs).as("sxxl"),
+        sum((ys * ys).cast(DecimalType(28, 0))).as("syyw"),
+        sum((qs * ys).cast(DecimalType(28, 0))).as("sxyw"))
+      // un-scale to true-value doubles (÷100 per factor) — IEEE-identical
+      // in both engines given identical integer sums
       .select(
         col("l_returnflag"), col("n"),
-        (col("sx").cast("double") / col("n")).as("mean_qty"),
-        (col("sy").cast("double") / col("n")).as("mean_price"),
-        // sample variance: (Σx² − (Σx)²/n) / (n−1), all exact until the divides
-        ((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
-          / (col("n") - 1)).as("var_qty"),
-        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
-          / (col("n") - 1)).as("stddev_qty"),
+        (col("sxl").cast("double") / 100).as("sx"),
+        (col("syl").cast("double") / 100).as("sy"),
+        (col("sxxl").cast("double") / 10000).as("sxx"),
+        (col("syyw").cast("double") / 10000).as("syy"),
+        (col("sxyw").cast("double") / 10000).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        (col("sy") / col("n")).as("mean_price"),
+        // sample variance: (Σx² − (Σx)²/n) / (n−1), exact until the divides
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_qty"),
         // corr = (nΣxy − ΣxΣy) / (sqrt(nΣx²−(Σx)²) · sqrt(nΣy²−(Σy)²))
-        ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double"))
-          / (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
-            * sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -94,22 +112,34 @@ object Analytics {
     """WITH sums AS (
       |  SELECT l_returnflag,
       |         count(*) AS n,
-      |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-      |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
-      |         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxl,
+      |         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS syl,
+      |         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |             * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxxl,
+      |         sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(28,0))) AS syyw,
+      |         sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(28,0))) AS sxyw
       |  FROM lineitem GROUP BY l_returnflag
+      |),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |         CAST(sxl AS DOUBLE) / 100 AS sx,
+      |         CAST(syl AS DOUBLE) / 100 AS sy,
+      |         CAST(sxxl AS DOUBLE) / 10000 AS sxx,
+      |         CAST(syyw AS DOUBLE) / 10000 AS syy,
+      |         CAST(sxyw AS DOUBLE) / 10000 AS sxy
+      |  FROM sums
       |)
       |SELECT l_returnflag, n,
-      |       CAST(sx AS DOUBLE) / n AS mean_qty,
-      |       CAST(sy AS DOUBLE) / n AS mean_price,
-      |       (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_qty,
-      |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS stddev_qty,
-      |       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |         / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |            * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
-      |FROM sums ORDER BY l_returnflag""".stripMargin
+      |       sx / n AS mean_qty,
+      |       sy / n AS mean_price,
+      |       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      |       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |       (n * sxy - sx * sy)
+      |         / (sqrt(n * sxx - sx * sx)
+      |            * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |FROM d ORDER BY l_returnflag""".stripMargin
 
   /** Event-time RANGE-frame window: per user, the rolling 5-second sum
     * of `value` (RANGE, not ROWS — peers at the same timestamp share a

@@ -51,17 +51,20 @@ object Relational5 {
   /** Nested-type aggregation, made deterministic: collect_list is
     * assembly-order-dependent (useless for reproducible output at any
     * scale); sort_array(collect_set(...)) pins it. Per nation: the
-    * sorted distinct set of customer market segments. */
+    * sorted distinct set of customer market segments. Output is
+    * scalarized with array_join — the driver's comparator (and any
+    * downstream consumer expecting hashable cells) can't sort
+    * array-typed columns. */
   def collectSorted(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
-      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
         count(lit(1)).as("n_customers"))
       .orderBy("nationkey")
 
   val collectSortedSql: String =
     """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-      |       list_sort(list_distinct(list(c_mktsegment))) AS segments,
+      |       array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
       |       count(*) AS n_customers
       |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin
 

@@ -23,14 +23,19 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Round-robin repartition iff the planned scan yields fewer partitions
+  /** Round-robin repartition iff the source scan has fewer input files
     * than the session parallelism. The harness files are single-row-group
     * parquet, so every scan is ONE task and CPU-heavy operators above it
     * serialize; production multi-split scans already parallelize, making
     * this a planning-time no-op there. Apply AFTER filters/projections so
-    * scan pushdown/pruning is unaffected. */
+    * scan pushdown/pruning is unaffected.
+    *
+    * The probe is `inputFiles` (an analyzed-plan walk) — NOT
+    * `df.rdd.getNumPartitions`, which compiles a throwaway physical plan
+    * per call; fanOut sits under every text/dedup query, so that cost
+    * was paid across the whole board. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 }

@@ -101,35 +101,55 @@ object Similarity {
 
   /** Random-hyperplane LSH signatures: bit p = sign of Σ_i q_i·s(p,i),
     * s(p,i) ∈ {±1} from the portable hash of "p_i". Integer projections →
-    * exactly reproducible. */
+    * exactly reproducible.
+    *
+    * The hyperplane matrix depends only on (plane, dim) — a fixed 16×64
+    * constant — so it is derived ONCE on the driver (same md5 rule as
+    * Portable.hash60, hence identical bits) and embedded as literal
+    * arrays. Each projection is then a codegen'd integer dot product
+    * against a constant-folded literal; the signature assembles in the
+    * same map stage. Zero hashing in the hot path, zero shuffle. */
+  private[sim] def planeSign(p: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${p}_${i}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 1) 1L else -1L
+  }
+  private[sim] val planeSigns: Array[Array[Long]] =
+    Array.tabulate(nPlanes, dims)(planeSign)
+
   def lshSignatures(spark: SparkSession, dir: String): DataFrame =
     lshSignaturesFrom(quantized(spark, dir)).orderBy("vec_id")
 
-  private[graft] def lshSignaturesFrom(qn: DataFrame): DataFrame =
-    qn
-      .select(col("vec_id"), col("q"), explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
-      .withColumn("proj",
-        aggregate(
-          zip_with(col("q"), sequence(lit(0), lit(dims - 1)),
-            (x, i) => x * when(pmod(Portable.hash60(concat_ws("_", col("p"), i)), lit(2L)) === 1L,
-              lit(1L)).otherwise(lit(-1L))),
-          lit(0L), (a, v) => a + v))
-      .groupBy("vec_id")
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L))
-        .as("signature"))
+  private[graft] def lshSignaturesFrom(qn: DataFrame): DataFrame = {
+    val sig = (0 until nPlanes).map { p =>
+      val row = array(planeSigns(p).map(lit(_)): _*) // foldable → one constant ArrayData
+      when(Portable.dotQ(col("q"), row) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    qn.select(col("vec_id"), sig.cast("long").as("signature"))
+  }
 
-  val lshSignaturesSql: String =
-    s"""WITH $quantizedSql,
+  /** The same 16×64 matrix as a DuckDB literal (list-of-lists). */
+  private val planeSignsSql: String =
+    planeSigns.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private val signatureSqlCte: String =
+    s"""smat AS (SELECT $planeSignsSql AS m),
        |proj AS (
        |  SELECT vec_id, ps.p AS p,
        |         CAST(list_sum(list_transform(generate_series(1, $dims),
-       |           i -> qv[i] * (CASE WHEN ('0x' || substr(md5(ps.p || '_' || (i-1)), 1, 15))::BIGINT % 2 = 1
-       |                         THEN 1 ELSE -1 END))) AS BIGINT) AS proj
-       |  FROM qn, (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) ps
-       |)
-       |SELECT vec_id,
-       |       CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS signature
-       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+       |           i -> qv[i] * m[ps.p + 1][i])) AS BIGINT) AS proj
+       |  FROM qn, smat, (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) ps
+       |),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS signature
+       |  FROM proj GROUP BY vec_id
+       |)""".stripMargin
+
+  val lshSignaturesSql: String =
+    s"""WITH $quantizedSql,
+       |$signatureSqlCte
+       |SELECT vec_id, signature FROM sig ORDER BY vec_id""".stripMargin
 
   /** ANN via LSH buckets: candidates share the exact 16-bit signature;
     * exact cosine re-ranks within the bucket. Recall trades off with
@@ -158,18 +178,7 @@ object Similarity {
 
   def annLshSql(k: Int = 5): String =
     s"""WITH $quantizedSql,
-       |proj AS (
-       |  SELECT vec_id, ps.p AS p,
-       |         CAST(list_sum(list_transform(generate_series(1, $dims),
-       |           i -> qv[i] * (CASE WHEN ('0x' || substr(md5(ps.p || '_' || (i-1)), 1, 15))::BIGINT % 2 = 1
-       |                         THEN 1 ELSE -1 END))) AS BIGINT) AS proj
-       |  FROM qn, (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) ps
-       |),
-       |sig AS (
-       |  SELECT vec_id,
-       |         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS signature
-       |  FROM proj GROUP BY vec_id
-       |),
+       |$signatureSqlCte,
        |side AS (SELECT qn.vec_id, qv, nsq, signature FROM qn JOIN sig ON qn.vec_id = sig.vec_id),
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,

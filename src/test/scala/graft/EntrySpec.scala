@@ -21,4 +21,25 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.size === oracleTotal,
       "duplicate oracle names collapsed in the merged map")
   }
+
+  test("every query has an oracle (no silently-unverified entries)") {
+    val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unverified.isEmpty, s"query without oracle: $unverified")
+  }
+
+  test("no query emits array/map/struct output columns (comparator contract)") {
+    // The driver's pandas comparator sorts every output column; nested
+    // types are unhashable there and red-row the query even when values
+    // match. Scalarize (array_join / to_json) before returning.
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"nested output columns: $offenders")
+  }
 }
