@@ -25,11 +25,14 @@ import org.apache.spark.sql.types.LongType
   * state (the last matching right value). That is the shape a
   * time-series engine gives this join at 100 TB.
   *
-  * Scope (documented, deliberate): single BIGINT key, BIGINT event
-  * time, one BIGINT payload — the harness schema's shape. Generalizing
-  * to arbitrary key/payload types means swapping the primitive
-  * accessors for GenerateOrdering/projections; the planner integration
-  * (distribution, ordering, strategy) is type-agnostic already.
+  * Scope (documented, deliberate): single integral key and event time
+  * (BIGINT/INT/SMALLINT/TINYINT/DATE/TIMESTAMP — all long-comparable
+  * physical types), one payload column of ANY atomic type (read via
+  * typed accessors, buffer-backed values defensively copied across the
+  * reused Unsafe row). Composite keys / nested payloads would swap the
+  * primitive accessors for GenerateOrdering/projections; the planner
+  * integration (distribution, ordering, strategy) is type-agnostic
+  * already.
   */
 /** The logical node holds ATTRIBUTE references to its key/ts/payload
   * columns so `references` is truthful — Catalyst's ColumnPruning
@@ -96,10 +99,27 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  /** Long-valued accessor for the integral key/ts physical types. */
+  private def longGetter(dt: org.apache.spark.sql.types.DataType): (InternalRow, Int) => Long =
+    dt match {
+      case LongType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => (r, i) => r.getLong(i)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => (r, i) => r.getInt(i).toLong
+      case org.apache.spark.sql.types.ShortType => (r, i) => r.getShort(i).toLong
+      case org.apache.spark.sql.types.ByteType => (r, i) => r.getByte(i).toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of key/ts must be an integral/instant type, got ${other.simpleString}")
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKey = leftKeyOrd; val lTs = leftTsOrd
     val rKey = rightKeyOrd; val rTs = rightTsOrd; val rPay = rightPayloadOrd
-    val numLeft = left.output.size
+    val getLk = longGetter(left.output(leftKeyOrd).dataType)
+    val getLt = longGetter(left.output(leftTsOrd).dataType)
+    val getRk = longGetter(right.output(rightKeyOrd).dataType)
+    val getRt = longGetter(right.output(rightTsOrd).dataType)
+    val payType = payloadAttr.dataType
     val outSchema = left.output :+ payloadAttr
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val proj = UnsafeProjection.create(outSchema.zipWithIndex.map {
@@ -110,20 +130,20 @@ case class AsOfJoinExec(
       // O(1) merge state: the last right row folded in, and its key
       var lastKey = 0L
       var lastValid = false
-      var lastPayload = 0L
-      var lastPayloadNull = true
-      // one-row lookahead of the right side (primitives extracted
-      // before advancing — Unsafe row buffers are reused)
+      var lastPayload: Any = null
+      // one-row lookahead of the right side (values extracted before
+      // advancing — Unsafe row buffers are reused, so buffer-backed
+      // payloads (strings/binary/decimal) are copied out)
       var rHas = false
-      var rk = 0L; var rt = 0L; var rpNull = true; var rp = 0L
+      var rk = 0L; var rt = 0L; var rp: Any = null
       def advance(): Unit = {
         rHas = false
         while (!rHas && ri.hasNext) {
           val r = ri.next()
           if (!r.isNullAt(rKey) && !r.isNullAt(rTs)) {
-            rk = r.getLong(rKey); rt = r.getLong(rTs)
-            rpNull = r.isNullAt(rPay)
-            rp = if (rpNull) 0L else r.getLong(rPay)
+            rk = getRk(r, rKey); rt = getRt(r, rTs)
+            rp = if (r.isNullAt(rPay)) null
+                 else InternalRow.copyValue(r.get(rPay, payType))
             rHas = true
           } // null key/ts can never match — skip
         }
@@ -133,15 +153,15 @@ case class AsOfJoinExec(
         if (l.isNullAt(lKey) || l.isNullAt(lTs)) {
           payloadRow.setNullAt(0)
         } else {
-          val lk = l.getLong(lKey); val lt = l.getLong(lTs)
+          val lk = getLk(l, lKey); val lt = getLt(l, lTs)
           // fold in every right row at or before (lk, lt)
           while (rHas && (rk < lk || (rk == lk && rt <= lt))) {
             lastKey = rk; lastValid = true
-            lastPayload = rp; lastPayloadNull = rpNull
+            lastPayload = rp
             advance()
           }
-          if (lastValid && lastKey == lk && !lastPayloadNull)
-            payloadRow.setLong(0, lastPayload)
+          if (lastValid && lastKey == lk && lastPayload != null)
+            payloadRow.update(0, lastPayload)
           else payloadRow.setNullAt(0)
         }
         proj(joined(l, payloadRow))
@@ -158,11 +178,12 @@ object AsOfJoin {
   import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 
   /** DataFrame-level entry: as-of join `left` with `right` on
-    * `key` (BIGINT), matching the latest right row with
+    * `key` (integral), matching the latest right row with
     * `rightTs <= leftTs` (standard "backward" as-of: equal timestamps
-    * match), emitting right's `payload` column (BIGINT) as `outName`.
-    * `rightTsName` defaults to `ts` when both sides share the column
-    * name. Registers the strategy in the session on first use.
+    * match), emitting right's `payload` column (any atomic type) as
+    * `outName`. `rightTsName` defaults to `ts` when both sides share
+    * the column name. Registers the strategy in the session on first
+    * use.
     *
     * Tie semantics: among right rows with IDENTICAL (key, ts), the one
     * folded last in sort order wins — which one that is is not defined
@@ -186,9 +207,10 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
     val rTs = Option(rightTsName).getOrElse(ts)
+    val payloadAttr = attr(rp, payload)
     val node = AsOfJoin(lp, rp,
-      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, rTs), attr(rp, payload),
-      AttributeReference(outName, LongType, nullable = true)())
+      attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, rTs), payloadAttr,
+      AttributeReference(outName, payloadAttr.dataType, nullable = true)())
     GraftBridge.ofRows(spark, node)
   }
 

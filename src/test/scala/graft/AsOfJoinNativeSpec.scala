@@ -70,6 +70,38 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(out(0).getLong(3) === 42L, "rt == lt must match")
   }
 
+  test("string payload and int key/ts (typed-accessor generalization)") {
+    import spark.implicits._
+    val left = Seq((1, 5, 100L), (1, 12, 101L), (2, 9, 200L))
+      .toDF("k", "t", "row_id")
+    val right = Seq((1, 4, "alpha"), (1, 10, "beta"), (2, 10, "gamma"))
+      .toDF("k", "t", "label")
+    val out = AsOfJoin.asof(left, right, "k", "t", "label", "asof_label")
+    assert(out.schema("asof_label").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val m = out.collect()
+      .map(r => r.getLong(2) -> Option(r.getString(3))).toMap
+    assert(m(100L) === Some("alpha"), "t=5 takes the t=4 label")
+    assert(m(101L) === Some("beta"), "t=12 takes the latest at-or-before")
+    assert(m(200L) === None, "key 2's only right row is later")
+  }
+
+  test("buffer-backed payloads survive the reused-row lookahead (many rows)") {
+    import spark.implicits._
+    // enough rows that Unsafe row buffer reuse would corrupt un-copied
+    // string payloads: every left row must see ITS key's latest label
+    val left = (1L to 2000L).map(i => (i % 50, i, i)).toDF("k", "t", "row_id")
+    val right = (1L to 2000L).map(i => (i % 50, i, s"v_${i % 50}_$i"))
+      .toDF("k", "t", "label")
+    val out = AsOfJoin.asof(left, right, "k", "t", "label", "asof_label")
+      .collect()
+    assert(out.length === 2000)
+    out.foreach { r =>
+      val k = r.getLong(0); val t = r.getLong(1)
+      assert(r.getString(3) === s"v_${k}_$t", s"k=$k t=$t got ${r.getString(3)}")
+    }
+  }
+
   test("plan co-partitions and sorts both sides; scans stay pruned") {
     val df = graft.operators.TimeSeries.asofJoinNative(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString

@@ -194,4 +194,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("[codegen id")), p)
     assert(!p.contains("CodegenFallback"), p)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (unsalted twin)") {
+    // join_salted_skew salts BY HAND; this is the evidence that the
+    // UNSALTED form of the same hot-key join self-heals under AQE: one
+    // key carrying 90% of the fact side is detected post-shuffle and
+    // split into advisory-sized sub-partitions (the right side's
+    // matching partition is replicated per split). Thresholds are
+    // lowered because local-mode partitions are far below the 256 MB
+    // production default — the detection logic exercised is the same.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val fact = spark.range(200000).select(
+        when(pmod(col("id"), lit(10L)) =!= 0L, lit(0L))
+          .otherwise(pmod(col("id"), lit(97L))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(97).select(col("id").as("k"), (col("id") * 2).as("label"))
+      // global agg (no per-key distribution requirement above the join,
+      // so the skew split does not force an extra shuffle)
+      val q = fact.join(dim.hint("merge"), "k").agg(sum("label").as("s"))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE skew mitigation did not engage:\n" + p.take(3000))
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
