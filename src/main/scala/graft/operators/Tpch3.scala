@@ -1,0 +1,530 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Tables.t
+
+/** The remainder of the TPC-H decision-support suite, adapted to the
+  * harness schema (TESTDATA.md). The harness tables have no partsupp,
+  * no l_commitdate/l_receiptdate/l_shipmode, no p_container and no
+  * c_phone, so the queries that reference those (Q2/Q4/Q9/Q11/Q12/Q16/
+  * Q20/Q21/Q22) keep their SHAPE — the join topology, subquery class
+  * and aggregation pattern that make each one a distinct optimizer/
+  * executor exercise — over the columns that exist; each adaptation is
+  * documented at the query.
+  *
+  * Exactness rules as everywhere: money in DECIMAL(18,2) end to end,
+  * DOUBLE only on the final projection; conditional counts summed as
+  * BIGINT; every output totally ordered on unique keys; int32-sourced
+  * keys cast BIGINT on both engines.
+  *
+  * Scale notes per query in the scaladoc; the common frame: lineitem/
+  * orders are the 100 TB fact sides and only ever equi-join on their
+  * keys; part (2k), supplier (100), nation (25), customer (1.5k) are
+  * broadcast dims at harness scale (at production scale customer joins
+  * by shuffle — the code says broadcast() only where the dim is
+  * bounded by the schema: nation, region, and filtered part subsets).
+  */
+object Tpch3 {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val one = lit(1).cast(DecimalType(18, 2))
+  private val revenue = dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  /** Q2 (adapted — no partsupp): for every part of one size/type
+    * bucket, the minimum-acctbal supplier that has actually shipped it
+    * (supplier↔part pairs come from lineitem instead of partsupp; the
+    * "min supplycost" correlated subquery becomes min acctbal). The
+    * shape kept: a per-part correlated minimum resolved against a
+    * supplier dim, then the winner joined back for its attributes.
+    * Plan: distinct (part, supp) pairs from the fact table (one
+    * shuffle), broadcast supplier attach, per-part min via a
+    * partitioned window (WindowGroupLimit → partial top-1). */
+  def minSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_size") === 25 && col("p_type") === "SMALL")
+        .select("p_partkey", "p_name")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey")).distinct()
+    pairs
+      .join(broadcast(t(spark, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_partkey").orderBy(col("s_acctbal"), col("s_suppkey"))))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"),
+        col("s_name"), dec2(col("s_acctbal")).cast("double").as("s_acctbal"))
+      .orderBy("p_partkey")
+  }
+
+  val minSupplierSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT p_partkey, p_name, l_suppkey
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_size = 25 AND p_type = 'SMALL'
+      |), ranked AS (
+      |  SELECT p_partkey, p_name, s_name, s_acctbal,
+      |         row_number() OVER (PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) AS rn
+      |  FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+      |)
+      |SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, s_name,
+      |       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+      |FROM ranked WHERE rn = 1 ORDER BY p_partkey""".stripMargin
+
+  /** Q4 (adapted — no commit/receipt dates): order-priority checking.
+    * "late" = EXISTS a lineitem shipped after the order date (the
+    * commitdate<receiptdate proxy available in this schema). The shape
+    * kept: a quarter-filtered scan of orders, an EXISTS decorrelated
+    * to a left-semi join on the fact table, counts per priority. */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val late = t(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(late, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q7: volume shipping between two nations — revenue flowing from
+    * suppliers in one nation to customers in the other, per direction
+    * per year. Both nation dims broadcast (n1 ≠ n2 instances of the
+    * same 25-row table); the only big shuffles are the two fact-side
+    * equi-joins (lineitem→orders, orders→customer). */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = broadcast(t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    val n2 = broadcast(t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("c_nationkey") === col("c_nkey"))
+      .join(n2, col("s_nationkey") === col("s_nkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  def volumeShippingSql(nationA: String = "NATION_1", nationB: String = "NATION_2"): String =
+    s"""SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       |       year(l_shipdate) AS l_year,
+       |       CAST(sum($revenueSql) AS DOUBLE) AS revenue,
+       |       count(*) AS n_lines
+       |FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ((n2.n_name = '$nationA' AND n1.n_name = '$nationB')
+       |    OR (n2.n_name = '$nationB' AND n1.n_name = '$nationA'))
+       |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8: national market share — of all ECONOMY-part revenue sold to
+    * customers in one region, the fraction supplied from one nation,
+    * per year. The ratio of two exact DECIMAL sums, divided once in
+    * doubles on the final 1-row-per-year projection. */
+  def marketShare(spark: SparkSession, dir: String,
+                  nation: String = "NATION_2", region: String = "ASIA"): DataFrame = {
+    val custRegion = broadcast(
+      t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(t(spark, dir, "nation").select("n_nationkey", "n_regionkey"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(spark, dir, "region").filter(col("r_name") === region)
+          .select("r_regionkey"), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey"))
+    val suppNation = broadcast(
+      t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(t(spark, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === nation, revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("nation_volume"),
+        sum(revenue).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  def marketShareSql(nation: String = "NATION_2", region: String = "ASIA"): String =
+    s"""WITH vol AS (
+       |  SELECT year(o_orderdate) AS o_year,
+       |         CAST(sum(CASE WHEN n2.n_name = '$nation' THEN $revenueSql
+       |                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+       |         CAST(sum($revenueSql) AS DOUBLE) AS total_volume
+       |  FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |    JOIN region ON n1.n_regionkey = r_regionkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE p_type = 'ECONOMY' AND r_name = '$region'
+       |  GROUP BY 1
+       |)
+       |SELECT o_year, nation_volume, total_volume,
+       |       nation_volume / total_volume AS mkt_share
+       |FROM vol ORDER BY o_year""".stripMargin
+
+  /** Q9 (adapted — no ps_supplycost): product-type profit. Cost is
+    * modeled from the column that exists — 10% of p_retailprice per
+    * unit — so profit = revenue − qty·0.1·retailprice; the shape kept:
+    * a part-name LIKE filter, the full lineitem→orders/part/supplier/
+    * nation join tree, profit grouped by supplier nation × year. */
+  def productProfit(spark: SparkSession, dir: String, namePart: String = "blue"): DataFrame = {
+    val cost = dec2(col("l_quantity")) * dec2(col("p_retailprice")) *
+      lit(0.1).cast(DecimalType(18, 2))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_name").contains(namePart))
+        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revenue - cost).cast("double").as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  def productProfitSql(namePart: String = "blue"): String =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |       CAST(sum($revenueSql
+       |                - CAST(l_quantity AS DECIMAL(18,2))
+       |                  * CAST(p_retailprice AS DECIMAL(18,2))
+       |                  * CAST(0.1 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+       |FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%$namePart%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin
+
+  /** Q11 (adapted — no partsupp): important stock. Per-part "value" is
+    * its total revenue in the fact table; parts whose value exceeds
+    * fraction⁻¹ of the global total qualify. The shape kept: a grouped
+    * aggregate HAVING-compared against a scalar subquery over the same
+    * data (planned as a 1-row broadcast cross join, not a recompute per
+    * group). The compare is done on exact DECIMALs — no double
+    * threshold wobble. */
+  def partValueShare(spark: SparkSession, dir: String, fraction: Double = 0.001): DataFrame = {
+    val perPart = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").cast("long").as("p_partkey"))
+      .agg(sum(revenue).as("value"))
+    val total = perPart.agg(sum(col("value")).as("grand_total"))
+    perPart.crossJoin(broadcast(total))
+      // fraction chosen so the DECIMAL scale is exact: 0.001 = 1/1000
+      .filter(col("value") * 1000 > col("grand_total"))
+      .select(col("p_partkey"), col("value").cast("double").as("value"))
+      .orderBy(desc("value"), col("p_partkey"))
+  }
+
+  val partValueShareSql: String =
+    s"""WITH per_part AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS p_partkey, sum($revenueSql) AS value
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT p_partkey, CAST(value AS DOUBLE) AS value
+       |FROM per_part
+       |WHERE value * 1000 > (SELECT sum(value) FROM per_part)
+       |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** Q12 (adapted — no l_shipmode/commit/receipt dates): shipping-
+    * priority check. "Late" = shipped more than 60 days after the
+    * order date; groups by l_linestatus (the categorical that exists);
+    * counts split into urgent (1-URGENT/2-HIGH) vs other priorities —
+    * the same conditional-count-after-join shape as the original. */
+  def priorityShipping(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  val priorityShippingSql: String =
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Q16 (adapted — supplier↔part pairs from lineitem, no comment
+    * filter): supplier variety per part profile — how many distinct
+    * suppliers have shipped each (brand, type, size) bucket, excluding
+    * one brand. The shape kept: an excluded-dim filter, then
+    * count(DISTINCT supplier) grouped by part attributes (two-shuffle
+    * distinct-aggregate), ordered by variety. */
+  def supplierVariety(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(10, 20, 30, 40, 50))
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+
+  val supplierVarietySql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (10, 20, 30, 40, 50)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q17: small-quantity-order revenue — lines whose quantity is below
+    * 20% of their part's average quantity, for one brand. The
+    * correlated per-part average is computed once (grouped agg) and
+    * joined back; the threshold compare is EXACT integer math:
+    * qty < 0.2·avg  ⇔  5·qs·n < sum_qs  with qs = 100·quantity in
+    * BIGINT — no double rounding at the boundary on either engine. */
+  def smallQtyRevenue(spark: SparkSession, dir: String, brand: String = "Brand#3"): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_brand") === brand)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey").as("pk"),
+        (dec2(col("l_quantity")) * 100).cast("long").as("qs"),
+        dec2(col("l_extendedprice")).as("price"))
+    val perPart = li.groupBy(col("pk").as("apk"))
+      .agg(sum(col("qs")).as("sum_qs"), count(lit(1)).as("n_lines"))
+    li.join(perPart, col("pk") === col("apk"))
+      .filter(col("qs") * 5 * col("n_lines") < col("sum_qs"))
+      .agg((sum(col("price")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  def smallQtyRevenueSql(brand: String = "Brand#3"): String =
+    s"""WITH li AS (
+       |  SELECT p_partkey AS pk,
+       |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qs,
+       |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = '$brand'
+       |), per_part AS (
+       |  SELECT pk AS apk, CAST(sum(qs) AS BIGINT) AS sum_qs, count(*) AS n_lines
+       |  FROM li GROUP BY 1
+       |)
+       |SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly,
+       |       count(*) AS n_small_lines
+       |FROM li JOIN per_part ON pk = apk
+       |WHERE qs * 5 * n_lines < sum_qs""".stripMargin
+
+  /** Q19 (adapted — p_size stands in for p_container): discounted
+    * revenue under an OR of three conjunctive brand/size/quantity
+    * bands — the disjunctive-predicate exercise. The part dim filter
+    * (its OR arms reference only part columns) broadcasts; the
+    * residual OR over (brand, size, quantity) evaluates post-join in
+    * one codegen stage. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val qty = dec2(col("l_quantity"))
+    val arm1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+      qty.between(1, 20)
+    val arm2 = col("p_brand") === "Brand#2" && col("p_size").between(11, 20) &&
+      qty.between(10, 30)
+    val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(21, 30) &&
+      qty.between(20, 40)
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    s"""SELECT CAST(sum($revenueSql) AS DOUBLE) AS revenue, count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 20)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+       |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+       |       AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 40)""".stripMargin
+
+  /** Q20 (adapted — shipped quantities from lineitem instead of
+    * partsupp availability): suppliers who moved serious volume of one
+    * part family. Inner aggregate per supplier over name-filtered
+    * parts, HAVING a volume threshold, semi-joined to the supplier
+    * dim. Shape kept: filtered-fact aggregate → semi-join → dim
+    * projection. */
+  def volumeSuppliers(spark: SparkSession, dir: String,
+                      namePart: String = "red", minQty: Int = 100): DataFrame = {
+    val shipped = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter(col("p_name").contains(namePart))
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec2(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    t(spark, dir, "supplier")
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        dec2(col("s_acctbal")).cast("double").as("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  def volumeSuppliersSql(namePart: String = "red", minQty: Int = 100): String =
+    s"""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       |       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+       |FROM supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE '%$namePart%'
+       |  GROUP BY l_suppkey
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > $minQty)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q21 (adapted — returnflag stands in for the receipt-after-commit
+    * failure): suppliers solely responsible for a returned line on
+    * multi-supplier orders. Per (order, supplier): did THIS supplier
+    * have an 'R' line; qualifying orders have ≥2 suppliers and exactly
+    * one with returns — attributed to that supplier. Shape kept: the
+    * exists/not-exists pair over sibling lineitems becomes one grouped
+    * pass over (order, supplier) then one over order — two bounded
+    * shuffles on the fact table, no self-join explosion. */
+  def soleReturnSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val perOrderSupp = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
+      .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
+    perOrderSupp.filter(col("has_r") === 1)
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+  }
+
+  val soleReturnSuppliersSql: String =
+    """WITH per_os AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      |  FROM lineitem GROUP BY 1, 2
+      |), qual AS (
+      |  SELECT l_orderkey AS ok
+      |  FROM per_os GROUP BY 1
+      |  HAVING count(*) >= 2 AND CAST(sum(has_r) AS BIGINT) = 1
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM per_os JOIN qual ON l_orderkey = ok
+      |            JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE has_r = 1
+      |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  /** Q22 (adapted — nation key stands in for the phone country code):
+    * global sales opportunity — customers with above-average positive
+    * balances and no orders at all, summarized per nation. The scalar
+    * average is compared in EXACT decimal-integer form
+    * (acctbal·n_pos > sum_pos), the no-orders test is a left-anti
+    * join. */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), dec2(col("c_acctbal")).as("bal"))
+    val posStats = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(posStats))
+      .filter(col("bal") * col("n_pos") > col("sum_pos"))
+      .join(t(spark, dir, "orders").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("nationkey")
+  }
+
+  val idleCustomersSql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer
+      |), pos AS (
+      |  SELECT sum(bal) AS sum_pos, count(*) AS n_pos FROM cust WHERE bal > 0
+      |)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |       count(*) AS numcust,
+      |       CAST(sum(bal) AS DOUBLE) AS totacctbal
+      |FROM cust, pos
+      |WHERE bal * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1 ORDER BY nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_supplier" -> minSupplier,
+    "q4_order_priority" -> orderPriority,
+    "q7_volume_shipping" -> ((s, d) => volumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => marketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => productProfit(s, d)),
+    "q11_part_value_share" -> ((s, d) => partValueShare(s, d)),
+    "q12_priority_shipping" -> priorityShipping,
+    "q16_supplier_variety" -> supplierVariety,
+    "q17_small_qty_revenue" -> ((s, d) => smallQtyRevenue(s, d)),
+    "q19_disjunctive_revenue" -> disjunctiveRevenue,
+    "q20_volume_suppliers" -> ((s, d) => volumeSuppliers(s, d)),
+    "q21_sole_return_supplier" -> soleReturnSuppliers,
+    "q22_idle_customers" -> idleCustomers)
+
+  val oracles: Map[String, String] = Map(
+    "q2_min_supplier" -> minSupplierSql,
+    "q4_order_priority" -> orderPrioritySql,
+    "q7_volume_shipping" -> volumeShippingSql(),
+    "q8_market_share" -> marketShareSql(),
+    "q9_product_profit" -> productProfitSql(),
+    "q11_part_value_share" -> partValueShareSql,
+    "q12_priority_shipping" -> priorityShippingSql,
+    "q16_supplier_variety" -> supplierVarietySql,
+    "q17_small_qty_revenue" -> smallQtyRevenueSql(),
+    "q19_disjunctive_revenue" -> disjunctiveRevenueSql,
+    "q20_volume_suppliers" -> volumeSuppliersSql(),
+    "q21_sole_return_supplier" -> soleReturnSuppliersSql,
+    "q22_idle_customers" -> idleCustomersSql)
+}
