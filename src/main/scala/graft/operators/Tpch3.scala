@@ -249,14 +249,16 @@ object Tpch3 {
     * data (planned as a 1-row broadcast cross join, not a recompute per
     * group). The compare is done on exact DECIMALs — no double
     * threshold wobble. */
-  def partValueShare(spark: SparkSession, dir: String, fraction: Double = 0.001): DataFrame = {
+  def partValueShare(spark: SparkSession, dir: String): DataFrame = {
     val perPart = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey").cast("long").as("p_partkey"))
       .agg(sum(revenue).as("value"))
     val total = perPart.agg(sum(col("value")).as("grand_total"))
     perPart.crossJoin(broadcast(total))
-      // fraction chosen so the DECIMAL scale is exact: 0.001 = 1/1000
-      .filter(col("value") * 1000 > col("grand_total"))
+      // threshold = 1/1600 of the global total, i.e. 1.25× the mean
+      // share of the 2000-part catalog; an integer multiplier keeps
+      // the DECIMAL compare exact (no double threshold wobble)
+      .filter(col("value") * 1600 > col("grand_total"))
       .select(col("p_partkey"), col("value").cast("double").as("value"))
       .orderBy(desc("value"), col("p_partkey"))
   }
@@ -268,7 +270,7 @@ object Tpch3 {
        |)
        |SELECT p_partkey, CAST(value AS DOUBLE) AS value
        |FROM per_part
-       |WHERE value * 1000 > (SELECT sum(value) FROM per_part)
+       |WHERE value * 1600 > (SELECT sum(value) FROM per_part)
        |ORDER BY value DESC, p_partkey""".stripMargin
 
   /** Q12 (adapted — no l_shipmode/commit/receipt dates): shipping-
@@ -462,12 +464,14 @@ object Tpch3 {
       |WHERE has_r = 1
       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
 
-  /** Q22 (adapted — nation key stands in for the phone country code):
-    * global sales opportunity — customers with above-average positive
-    * balances and no orders at all, summarized per nation. The scalar
+  /** Q22 (adapted — nation key stands in for the phone country code,
+    * and "dormant" means no order since 2000 rather than ever, because
+    * this dataset's customers nearly all have SOME order): global
+    * sales opportunity — customers with above-average positive
+    * balances and no recent orders, summarized per nation. The scalar
     * average is compared in EXACT decimal-integer form
-    * (acctbal·n_pos > sum_pos), the no-orders test is a left-anti
-    * join. */
+    * (acctbal·n_pos > sum_pos), the dormancy test is a left-anti join
+    * against the date-pruned orders scan. */
   def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"), dec2(col("c_acctbal")).as("bal"))
@@ -475,7 +479,9 @@ object Tpch3 {
       .agg(sum(col("bal")).as("sum_pos"), count(lit(1)).as("n_pos"))
     cust.crossJoin(broadcast(posStats))
       .filter(col("bal") * col("n_pos") > col("sum_pos"))
-      .join(t(spark, dir, "orders").select("o_custkey"),
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("numcust"),
@@ -495,7 +501,9 @@ object Tpch3 {
       |       CAST(sum(bal) AS DOUBLE) AS totacctbal
       |FROM cust, pos
       |WHERE bal * n_pos > sum_pos
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -504,7 +512,7 @@ object Tpch3 {
     "q7_volume_shipping" -> ((s, d) => volumeShipping(s, d)),
     "q8_market_share" -> ((s, d) => marketShare(s, d)),
     "q9_product_profit" -> ((s, d) => productProfit(s, d)),
-    "q11_part_value_share" -> ((s, d) => partValueShare(s, d)),
+    "q11_part_value_share" -> partValueShare,
     "q12_priority_shipping" -> priorityShipping,
     "q16_supplier_variety" -> supplierVariety,
     "q17_small_qty_revenue" -> ((s, d) => smallQtyRevenue(s, d)),
