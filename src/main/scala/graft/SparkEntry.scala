@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Analytics.queries, operators.Analytics.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.Tpch3.queries, operators.Tpch3.oracles),
+    (operators.Temporal.queries, operators.Temporal.oracles),
     (operators.TimeSeries.queries, operators.TimeSeries.oracles),
     (operators.Relational4.queries, operators.Relational4.oracles),
     (operators.Relational5.queries, operators.Relational5.oracles),

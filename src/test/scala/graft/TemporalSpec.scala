@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Semantic invariants of the temporal operators — properties the
+  * hash oracle implies but which should fail loudly on their own. */
+class TemporalSpec extends SparkSpec {
+
+  test("funnel stages are monotonically non-increasing") {
+    val rows = Temporal.funnelConversion(spark, sf("sf0.001"))
+      .orderBy("stage").collect()
+    assert(rows.length === 3)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.mkString(","))
+    assert(rows.map(_.getAs[Double]("share_of_entry")).head === 1.0)
+  }
+
+  test("scd2 intervals tile each user's timeline: valid_to = next valid_from") {
+    val iv = Temporal.scd2Intervals(spark, sf("sf0.001"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val bad = iv
+      .withColumn("next_from", lead("valid_from_us", 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to_us") =!= col("next_from"))
+      .count()
+    assert(bad === 0L, s"$bad non-tiling intervals")
+  }
+
+  test("scd2 versions are dense from 1 and only the last is open-ended") {
+    val iv = Temporal.scd2Intervals(spark, sf("sf0.001")).cache()
+    try {
+      val perUser = iv.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max("version").as("maxv"),
+          sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("open"))
+      assert(perUser.filter(col("n") =!= col("maxv")).count() === 0L,
+        "versions must be dense 1..n")
+      assert(perUser.filter(col("open") =!= 1L).count() === 0L,
+        "exactly one open interval per user")
+    } finally iv.unpersist()
+  }
+
+  test("scd2 collapses consecutive duplicates: adjacent states differ") {
+    val iv = Temporal.scd2Intervals(spark, sf("sf0.001"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val dup = iv.withColumn("prev_state", lag("state", 1).over(w))
+      .filter(col("prev_state") === col("state")).count()
+    assert(dup === 0L, s"$dup un-collapsed consecutive states")
+  }
+}
