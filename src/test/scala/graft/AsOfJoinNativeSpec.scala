@@ -102,6 +102,31 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("native as-of matches a pure-Scala reference on random data (5 seeds)") {
+    import spark.implicits._
+    // adversarial shapes: hot keys (20-key space), many-to-many, unique
+    // (k,ts) on the right so the reference is deterministic, string
+    // payloads so the copy path is always exercised
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1 to 400).map(i =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val right = (1 to 300).map(_ => (rnd.nextInt(20), rnd.nextInt(1000)))
+        .distinct.map { case (k, t) => (k.toLong, t.toLong, s"p_${k}_$t") }
+      val expected = left.map { case (k, t, id) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (cands.isEmpty) null else cands.maxBy(_._2)._3)
+      }.toMap
+      val out = AsOfJoin.asof(
+          left.toDF("k", "t", "row_id"), right.toDF("k", "t", "label"),
+          "k", "t", "label", "asof_label")
+        .collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) null else r.getString(3)))
+        .toMap
+      assert(out === expected, s"seed=$seed")
+    }
+  }
+
   test("plan co-partitions and sorts both sides; scans stay pruned") {
     val df = graft.operators.TimeSeries.asofJoinNative(spark, sf("sf0.001"))
     val p = df.queryExecution.executedPlan.toString
