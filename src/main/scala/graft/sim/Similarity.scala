@@ -109,12 +109,12 @@ object Similarity {
     * arrays. Each projection is then a codegen'd integer dot product
     * against a constant-folded literal; the signature assembles in the
     * same map stage. Zero hashing in the hot path, zero shuffle. */
-  private[sim] def planeSign(p: Int, i: Int): Long = {
+  private[graft] def planeSign(p: Int, i: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"${p}_${i}".getBytes("UTF-8")).map("%02x".format(_)).mkString
     if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 1) 1L else -1L
   }
-  private[sim] val planeSigns: Array[Array[Long]] =
+  private[graft] val planeSigns: Array[Array[Long]] =
     Array.tabulate(nPlanes, dims)(planeSign)
 
   def lshSignatures(spark: SparkSession, dir: String): DataFrame =

@@ -86,4 +86,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean > 0.15, s"mean recall@5 = $mean")
     assert(recalls.exists(_ > 0.3), s"no query with decent recall: $recalls")
   }
+
+  test("driver-side hyperplane sign matrix equals the engine's hash60 rule") {
+    // Similarity.planeSigns is derived with java MessageDigest on the
+    // driver; the oracle contract says it IS Portable.hash60("p_i") mod 2
+    // mapped to ±1. Pin the two derivations together for every (p, i) so
+    // a refactor of either side can't silently skew the LSH family.
+    import org.apache.spark.sql.functions._
+    import graft.functions.Portable
+    val viaSpark = spark.range(16L * 64L)
+      .select((col("id") / 64).cast("long").as("p"), pmod(col("id"), lit(64L)).as("i"))
+      .select(col("p"), col("i"),
+        when(pmod(Portable.hash60(concat_ws("_", col("p"), col("i"))), lit(2L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)).as("s"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
+    for (p <- 0 until 16; i <- 0 until 64)
+      assert(Similarity.planeSigns(p)(i) === viaSpark((p, i)), s"($p,$i)")
+  }
 }
