@@ -433,9 +433,12 @@ object Tpch3 {
     * pass over (order, supplier) then one over order — two bounded
     * shuffles on the fact table, no self-join explosion. */
   def soleReturnSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    // feeds BOTH the qualifying-order aggregate and the attribution
+    // branch — materialize once instead of re-scanning the fact table
     val perOrderSupp = t(spark, dir, "lineitem")
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+      .localCheckpoint(false)
     val perOrder = perOrderSupp.groupBy(col("l_orderkey").as("ok"))
       .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
       .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
