@@ -155,10 +155,11 @@ object Similarity {
     * exact cosine re-ranks within the bucket. Recall trades off with
     * bucket width — the scale path when brute force is too big. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val qn = quantized(spark, dir)
-    val sig = lshSignatures(spark, dir)
-    // materialized once for both join sides (quantize + 16 projections)
-    val side = qn.join(sig, "vec_id").localCheckpoint(false)
+    val qn = quantized(spark, dir).localCheckpoint(false)
+    // signatures derive from the SAME materialized qn (no second
+    // quantize pass, no harness-output orderBy before the join);
+    // side is materialized once for both join sides
+    val side = qn.join(lshSignaturesFrom(qn), "vec_id").localCheckpoint(false)
     val l = side.select(col("vec_id").as("query_id"), col("q").as("qa"),
       col("nsq").as("na"), col("signature"))
     val r = side.select(col("vec_id").as("cand_id"), col("q").as("qb"),
