@@ -22,10 +22,13 @@ import graft.operators.Tables.t
   *
   * Scale notes per query in the scaladoc; the common frame: lineitem/
   * orders are the 100 TB fact sides and only ever equi-join on their
-  * keys; part (2k), supplier (100), nation (25), customer (1.5k) are
-  * broadcast dims at harness scale (at production scale customer joins
-  * by shuffle — the code says broadcast() only where the dim is
-  * bounded by the schema: nation, region, and filtered part subsets).
+  * keys. broadcast() is FORCED only for structurally-bounded frames —
+  * nation (25 rows), region (5), and 1-row scalar aggregates; part/
+  * supplier/customer-derived sides scale with SF, so their join
+  * strategy is left to the planner: at harness scale they auto-
+  * broadcast under the size threshold (same local plans), at 100 TB
+  * the planner/AQE picks the shuffled join a forced hint would have
+  * wrongly overridden.
   */
 object Tpch3 {
 
@@ -42,17 +45,17 @@ object Tpch3 {
     * shape kept: a per-part correlated minimum resolved against a
     * supplier dim, then the winner joined back for its attributes.
     * Plan: distinct (part, supp) pairs from the fact table (one
-    * shuffle), broadcast supplier attach, per-part min via a
-    * partitioned window (WindowGroupLimit → partial top-1). */
+    * shuffle), supplier attach (planner-sized join), per-part min via
+    * a partitioned window (WindowGroupLimit → partial top-1). */
   def minSupplier(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part")
+      .join(t(spark, dir, "part")
         .filter(col("p_size") === 25 && col("p_type") === "SMALL")
-        .select("p_partkey", "p_name")), col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "p_name"), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_suppkey")).distinct()
     pairs
-      .join(broadcast(t(spark, dir, "supplier")
-        .select("s_suppkey", "s_name", "s_acctbal")),
+      .join(t(spark, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal"),
         col("l_suppkey") === col("s_suppkey"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("p_partkey").orderBy(col("s_acctbal"), col("s_suppkey"))))
@@ -117,9 +120,9 @@ object Tpch3 {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer").select("c_custkey", "c_nationkey")),
+      .join(t(spark, dir, "customer").select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(n1, col("c_nationkey") === col("c_nkey"))
       .join(n2, col("s_nationkey") === col("s_nkey"))
@@ -154,22 +157,22 @@ object Tpch3 {
     * doubles on the final 1-row-per-year projection. */
   def marketShare(spark: SparkSession, dir: String,
                   nation: String = "NATION_2", region: String = "ASIA"): DataFrame = {
-    val custRegion = broadcast(
+    val custRegion = (
       t(spark, dir, "customer").select("c_custkey", "c_nationkey")
         .join(t(spark, dir, "nation").select("n_nationkey", "n_regionkey"),
           col("c_nationkey") === col("n_nationkey"))
         .join(t(spark, dir, "region").filter(col("r_name") === region)
           .select("r_regionkey"), col("n_regionkey") === col("r_regionkey"))
         .select("c_custkey"))
-    val suppNation = broadcast(
+    val suppNation = (
       t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
         .join(t(spark, dir, "nation")
           .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
           col("s_nationkey") === col("sn_key"))
         .select("s_suppkey", "supp_nation"))
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part").filter(col("p_type") === "ECONOMY")
-        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
       .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .join(custRegion, col("o_custkey") === col("c_custkey"))
@@ -213,12 +216,12 @@ object Tpch3 {
     val cost = dec2(col("l_quantity")) * dec2(col("p_retailprice")) *
       lit(0.1).cast(DecimalType(18, 2))
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part")
+      .join(t(spark, dir, "part")
         .filter(col("p_name").contains(namePart))
-        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "p_retailprice"), col("l_partkey") === col("p_partkey"))
       .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation").select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -307,9 +310,9 @@ object Tpch3 {
     * distinct-aggregate), ordered by variety. */
   def supplierVariety(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
-      .join(broadcast(t(spark, dir, "part")
+      .join(t(spark, dir, "part")
         .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(10, 20, 30, 40, 50))
-        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        .select("p_partkey", "p_brand", "p_type", "p_size"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -331,8 +334,8 @@ object Tpch3 {
     * BIGINT — no double rounding at the boundary on either engine. */
   def smallQtyRevenue(spark: SparkSession, dir: String, brand: String = "Brand#3"): DataFrame = {
     val li = t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part").filter(col("p_brand") === brand)
-        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "part").filter(col("p_brand") === brand)
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey").as("pk"),
         (dec2(col("l_quantity")) * 100).cast("long").as("qs"),
         dec2(col("l_extendedprice")).as("price"))
@@ -375,7 +378,7 @@ object Tpch3 {
     val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(21, 30) &&
       qty.between(20, 40)
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand", "p_size")),
+      .join(t(spark, dir, "part").select("p_partkey", "p_brand", "p_size"),
         col("l_partkey") === col("p_partkey"))
       .filter(arm1 || arm2 || arm3)
       .agg(sum(revenue).cast("double").as("revenue"),
@@ -401,8 +404,8 @@ object Tpch3 {
   def volumeSuppliers(spark: SparkSession, dir: String,
                       namePart: String = "red", minQty: Int = 100): DataFrame = {
     val shipped = t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part").filter(col("p_name").contains(namePart))
-        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "part").filter(col("p_name").contains(namePart))
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey")
       .agg(sum(dec2(col("l_quantity"))).as("total_qty"))
       .filter(col("total_qty") > minQty)
@@ -444,7 +447,7 @@ object Tpch3 {
       .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
     perOrderSupp.filter(col("has_r") === 1)
       .join(perOrder, col("l_orderkey") === col("ok"))
-      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_name")),
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
