@@ -83,7 +83,9 @@ object TpchMore {
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+      // part scales with SF — no forced broadcast; the planner sizes the
+      // join (auto-broadcast at harness scale, shuffled at 100 TB)
+      .join(t(spark, dir, "part").select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0).cast(DecimalType(18, 2))))
