@@ -104,15 +104,23 @@ object Relational2 {
     * by lineitem (left-anti join; the delete set side is an existence
     * probe, broadcast when small). */
   def deleteAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    // retention delete: parts with NO shipment since 2001 (the plain
+    // no-reference form is vacuous on this dataset — every part has
+    // some lineitem; the date-pruned probe keeps the anti-join
+    // non-degenerate at every sf and pushes the filter into the scan)
     t(spark, dir, "part")
-      .join(t(spark, dir, "lineitem").select(col("l_partkey")),
+      .join(t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("l_partkey")),
         col("p_partkey") === col("l_partkey"), "left_anti")
       .select("p_partkey", "p_name", "p_retailprice")
       .orderBy("p_partkey")
 
   val deleteAntiJoinSql: String =
     """SELECT p_partkey, p_name, p_retailprice FROM part
-      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey
+      |                    AND l_shipdate >= TIMESTAMP '2001-01-01')
       |ORDER BY p_partkey""".stripMargin
 
   /** S13 Update as join + merge: +10% retail price for parts with any

@@ -207,8 +207,25 @@ object Similarity {
     * real corpora sit near 1.0. The exact all-pairs form remains the
     * DuckDB oracle, which proves this bucketed path lossless on the test
     * corpus. */
-  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame =
-    nearDupPairsFrom(quantized(spark, dir), tau)
+  /** The harness corpus is random vectors (max pairwise cosine ≈ 0.51 at
+    * sf0.01), so at τ=0.9 the plain query is vacuous — both engines
+    * agree on empty, proving nothing. The harness entry therefore
+    * SELF-PLANTS: the first 8 vectors are re-appended under vec_id+10⁶
+    * with one quantized dimension nudged by +1 (cosine ≈ 0.9999), all
+    * derived deterministically from the parquet input so the DuckDB
+    * oracle plants identically. The query must recover exactly those 8
+    * pairs through the banded-LSH path — end-to-end detection evidence
+    * in the harness row itself (AnnRecallSpec covers it on synthetic
+    * data too). */
+  def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
+    val qn = quantized(spark, dir)
+    val planted = qn.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("q"), sequence(lit(0), lit(dims - 1)),
+          (x, i) => x + when(i === 0, 1L).otherwise(0L)).as("q"))
+      .withColumn("nsq", Portable.normSqQ(col("q")))
+    nearDupPairsFrom(qn.unionByName(planted), tau)
+  }
 
   private val nBands = 4
   private val bandBits = nPlanes / nBands
@@ -240,10 +257,25 @@ object Similarity {
   }
 
   def nearDupPairsSql(tau: Double = 0.9): String =
-    s"""WITH $quantizedSql
+    s"""WITH $quantizedSql,
+       |planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(generate_series(1, $dims),
+       |           i -> qv[i] + CASE WHEN i = 1 THEN 1 ELSE 0 END) AS qv
+       |  FROM qn WHERE vec_id < 8
+       |),
+       |plantedn AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+       |  FROM planted
+       |),
+       |corpus AS (
+       |  SELECT vec_id, qv, nsq FROM qn
+       |  UNION ALL SELECT vec_id, qv, nsq FROM plantedn
+       |)
        |SELECT a.vec_id AS a, b.vec_id AS b,
        |       CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
-       |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
        |WHERE CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $tau
        |ORDER BY a, b""".stripMargin
 
