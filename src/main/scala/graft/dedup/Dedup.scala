@@ -16,10 +16,13 @@ import graft.text.TextAnalysis
   *    pair problem into an equi-join on (band, bucket) — only docs sharing
   *    a band bucket ever meet. At 100 TB the bucket join is the only
   *    shuffle, and bucket sizes are bounded w.h.p.
-  *  - SimHash: per-row 32-bit signature; near-pair search equi-joins on
-  *    8-bit signature pieces — by pigeonhole any pair within Hamming ≤ 3
+  *  - SimHash: per-row 60-bit signature; near-pair search equi-joins on
+  *    15-bit signature pieces — by pigeonhole any pair within Hamming ≤ 3
   *    shares one of the 4 pieces — then verifies with bit_count. Never a
-  *    cross join.
+  *    cross join, and the (position, piece) candidate key has 4 × 2^15
+  *    values, so bucket population SHRINKS relative to corpus size as the
+  *    signature space is filled — unlike a fixed-cardinality 8-bit piece
+  *    key, which would make the candidate join quadratic at web scale.
   *  - n-gram Jaccard: inverted-index join on shared shingles (never the
   *    full cross product), then exact Jaccard from intersection counts.
   *
@@ -161,15 +164,26 @@ object Dedup {
        |WHERE l.doc_id < r.doc_id
        |GROUP BY a, b ORDER BY a, b""".stripMargin
 
-  /** SimHash 32-bit signatures: per bit j, the sum of ±1 contributions of
+  /** Signature width and pigeonhole-piece geometry. 60 bits is everything
+    * Portable.hash60 yields (15 hex chars of md5); 4 pieces of 15 bits
+    * give a 2^15-value piece key per position, so candidate-bucket
+    * population stays sub-linear in corpus size at 100 TB (the round-5
+    * 8-bit pieces had 256 fixed values — quadratic with a small
+    * constant). Pigeonhole: Hamming ≤ 3 flips cannot touch all 4 pieces,
+    * so every true near-pair shares at least one (position, piece). */
+  val simhashBits = 60
+  val simhashPieces = 4
+  val simhashPieceBits: Int = simhashBits / simhashPieces // 15
+
+  /** SimHash 60-bit signatures: per bit j, the sum of ±1 contributions of
     * each distinct token's hash bit; signature bit j set iff the sum is
-    * positive. The 32 bit-sums are 32 parallel aggregate columns over
+    * positive. The 60 bit-sums are 60 parallel aggregate columns over
     * ONE exploded token row per (doc, token) — not a (doc × token × bit)
-    * explosion, which is 32× the shuffle for the same answer. */
+    * explosion, which is 60× the shuffle for the same answer. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sums = (0 until 32).map(j =>
+    val sums = (0 until simhashBits).map(j =>
       sum(when(expr(s"shiftright(th, $j) % 2 = 1"), 1L).otherwise(-1L)).as(s"s$j"))
-    val sig = (0 until 32).map(j =>
+    val sig = (0 until simhashBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
     t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -183,10 +197,10 @@ object Dedup {
   }
 
   val simhashSql: String = {
-    val sums = (0 until 32).map(j =>
+    val sums = (0 until simhashBits).map(j =>
       s"sum(CASE WHEN (th >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n|         ")
-    val sig = (0 until 32).map(j =>
+    val sig = (0 until simhashBits).map(j =>
       s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tk),
@@ -201,13 +215,16 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within Hamming ≤ 3, found by equi-joining on
-    * the 4 8-bit signature pieces (pigeonhole-complete for ≤ 3 flips),
-    * then verifying with bit_count — no cross join anywhere. */
+    * the 4 15-bit signature pieces (pigeonhole-complete for ≤ 3 flips),
+    * then verifying with bit_count — no cross join anywhere. The
+    * (position, piece) key has 4 × 32,768 values, so bucket sizes stay
+    * bounded as the corpus grows. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhash(spark, dir)
     val pieces = sig.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("p"))
-      .withColumn("piece", expr("shiftright(simhash, p * 8) % 256"))
+      explode(sequence(lit(0), lit(simhashPieces - 1))).as("p"))
+      .withColumn("piece",
+        expr(s"shiftright(simhash, p * $simhashPieceBits) % ${1 << simhashPieceBits}"))
       .localCheckpoint(false) // read twice (both join sides)
     val l = pieces.select(col("doc_id").as("a"), col("simhash").as("sig_a"),
       col("p"), col("piece"))
@@ -227,8 +244,9 @@ object Dedup {
   val simhashPairsSql: String =
     s"""WITH sig AS (${simhashSql.replace("ORDER BY doc_id", "")}),
        |pieces AS (
-       |  SELECT doc_id, simhash, ps.p AS p, (simhash >> (ps.p * 8)) % 256 AS piece
-       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS p) ps
+       |  SELECT doc_id, simhash, ps.p AS p,
+       |         (simhash >> (ps.p * $simhashPieceBits)) % ${1 << simhashPieceBits} AS piece
+       |  FROM sig, (SELECT unnest(generate_series(0, ${simhashPieces - 1})) AS p) ps
        |),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
@@ -334,8 +352,13 @@ object Dedup {
         .localCheckpoint(false)
       // fixpoint early-exit: a round that lowers no label ends the
       // propagation (remaining rounds would be identity — the bounded
-      // ROUNDS contract and the fixed-round oracle are unchanged)
-      converged = step.filter(col("label") < col("old_label")).isEmpty
+      // ROUNDS contract and the fixed-round oracle are unchanged).
+      // One full-scan aggregate per round: the same action that answers
+      // convergence also materializes the lazy checkpoint, instead of a
+      // short-circuiting probe followed by a second materializing pass.
+      converged = step
+        .agg(max(when(col("label") < col("old_label"), 1).otherwise(0)).as("lowered"))
+        .first().getInt(0) == 0
       labels = step.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("cluster_rep"),

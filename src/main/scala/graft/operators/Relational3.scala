@@ -66,19 +66,92 @@ object Relational3 {
       |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** Exact interpolated percentiles (not sketches): Spark `percentile`
-    * and DuckDB `quantile_cont` share the linear-interpolation
-    * definition over identical input doubles. */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(t(spark, dir, "lineitem")
+  /** Exact interpolated percentiles WITHOUT reducer-state concentration.
+    *
+    * Spark's exact `percentile()` is a TypedImperativeAggregate whose
+    * buffer maps every distinct value to its count; grouped by the
+    * 3-value `l_returnflag` the final aggregation lands the whole value
+    * domain on 3 tasks — at 100× scale that is a multi-million-entry map
+    * per reducer on a 3-task stage. This two-pass plan shards instead:
+    *
+    *  1. extent pass: per-group (count, min, max) — partial+final agg.
+    *  2. histogram pass: rows bucketed into B fixed-width slots of the
+    *     group's [min, max] extent, counted by (group, bucket) — one
+    *     shuffle over B×G keys. Cumulative offsets over the ≤ B×G
+    *     aggregated rows locate, for each needed rank ⌊q·(n−1)⌋ /
+    *     ⌈q·(n−1)⌉, the bucket holding it and the rank within it.
+    *  3. selection pass: a broadcast semi-join keeps only rows of the
+    *     ≤ G×4 located buckets; a per-(group, rank) sort finds the
+    *     local-rank-th value. Per-task state is ONE bucket's population,
+    *     O(n/B) — grow B with the data and every stage stays sharded
+    *     (degenerate only if a group's values are all identical, when
+    *     the answer short-circuits to that value anyway).
+    *
+    * Interpolation mirrors DuckDB's quantile_cont exactly:
+    * (⌈r⌉−r)·x⌊r⌋ + (r−⌊r⌋)·x⌈r⌉, with r = q·(n−1). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    val base = Tables.fanOut(t(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice"))
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        min("l_extendedprice").as("pmin"),
-        max("l_extendedprice").as("pmax"))
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+    // pass 1: per-group extent (G rows; reused for pmin/pmax output)
+    val stats = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("vmin"), max("v").as("vmax"))
+      .localCheckpoint(false)
+    // needed ranks: floor/ceil of q·(n−1) per (group, q) — ≤ G×4 rows
+    val ranks = stats
+      .select(col("g"), col("n"), explode(array(qs.map(q => lit(q._1)): _*)).as("q"))
+      .withColumn("r", col("q") * (col("n") - 1).cast("double"))
+      .select(col("g"), col("q"), col("r"),
+        explode(array(floor(col("r")).cast("long"), ceil(col("r")).cast("long"))).as("rank"))
+      .distinct()
+    // pass 2: fixed-width histogram, ONE shuffle on (g, bucket)
+    val bucketed = base.join(broadcast(stats.select("g", "vmin", "vmax")), Seq("g"))
+      .withColumn("bucket",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * B).cast("long"),
+            lit(B - 1L))))
+      .select("g", "bucket", "v")
+    val cum = bucketed.groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before",
+        coalesce(sum("cnt").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("bucket")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    // locate each rank's bucket + offset within it (tiny aggregated frames)
+    val needed = ranks.as("rk")
+      .join(broadcast(cum).as("cm"),
+        col("rk.g") === col("cm.g") &&
+          col("rk.rank") >= col("cm.cum_before") &&
+          col("rk.rank") < col("cm.cum_before") + col("cm.cnt"))
+      .select(col("rk.g").as("g"), col("rk.rank").as("rank"),
+        col("cm.bucket").as("bucket"),
+        (col("rk.rank") - col("cm.cum_before")).as("local_rank"))
+      .localCheckpoint(false)
+    // pass 3: rows of located buckets only; per-(g, rank) state = one bucket
+    val kth = bucketed
+      .join(broadcast(needed), Seq("g", "bucket"))
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g", "rank").orderBy("v")) - 1)
+      .filter(col("pos") === col("local_rank"))
+      .select(col("g"), col("rank"), col("v"))
+    val interpolated = ranks.join(kth, Seq("g", "rank"))
+      .groupBy("g", "q", "r")
+      .agg(min(when(col("rank") === floor(col("r")).cast("long"), col("v"))).as("vf"),
+        min(when(col("rank") === ceil(col("r")).cast("long"), col("v"))).as("vc"))
+      .withColumn("value",
+        when(floor(col("r")) === ceil(col("r")), col("vf"))
+          .otherwise((ceil(col("r")) - col("r")) * col("vf") +
+            (col("r") - floor(col("r"))) * col("vc")))
+    val qCols = qs.map { case (q, name) =>
+      min(when(col("q") === q, col("value"))).as(name) }
+    interpolated.groupBy("g")
+      .agg(qCols.head, qCols.tail: _*)
+      .join(stats.select(col("g"), col("vmin").as("pmin"), col("vmax").as("pmax")), Seq("g"))
+      .select(col("g").as("l_returnflag"), col("p50"), col("p90"), col("pmin"), col("pmax"))
       .orderBy("l_returnflag")
+  }
 
   val percentilesSql: String =
     """SELECT l_returnflag,
