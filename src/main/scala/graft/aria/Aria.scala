@@ -106,18 +106,22 @@ object Aria {
     *
     * The aborted-Tid set is already on the driver (the loop needs the
     * count anyway, and it is bounded by the batch size — 150 in the
-    * reference, never the table size), so renumbering is a driver-built
-    * broadcast mapping joined back to the distributed ops — no global
-    * window, no extra job.
+    * reference, never the table size), so renumbering is a literal-map
+    * lookup folded into the projection — no join, no broadcast exchange,
+    * no global window: one map-side stage per epoch on the latency-bound
+    * drain chain.
     */
   def collect(ops: DataFrame, abortedTids: Array[Int]): DataFrame = {
-    val spark = ops.sparkSession
-    import spark.implicits._
-    val mapping = abortedTids.sorted.zipWithIndex
-      .map { case (t, i) => (t, i + 1) }.toSeq.toDF("tid", "newTid")
-    ops.join(broadcast(mapping), Seq("tid"))
-      .select(col("newTid").as("tid"), (col("epoch") + 1).as("epoch"),
-        col("opIdx"), col("key"), col("isUpdate"))
+    val shape = ops.select(col("tid"), (col("epoch") + 1).as("epoch"),
+      col("opIdx"), col("key"), col("isUpdate"))
+    if (abortedTids.isEmpty) shape.filter(lit(false))
+    else {
+      val renumber = map(abortedTids.sorted.zipWithIndex.flatMap {
+        case (t, i) => Seq(lit(t), lit(i + 1)) }: _*)
+      ops.filter(col("tid").isInCollection(abortedTids))
+        .select(element_at(renumber, col("tid")).as("tid"),
+          (col("epoch") + 1).as("epoch"), col("opIdx"), col("key"), col("isUpdate"))
+    }
   }
 
   final case class EpochResult(table: DataFrame, retryOps: DataFrame,
@@ -173,14 +177,17 @@ object Aria {
     // Size the engine's shuffles to its (small-batch) workload: the
     // reference batch is ≤200 txns over ≤200k keys — dozens of shuffle
     // partitions only add scheduling latency per epoch, and AQE's
-    // per-stage re-optimization is pure overhead at this size. Restored
-    // after the loop; results are partitioning-independent (asserted in
-    // AriaSpec), so this is a latency knob, not a semantics knob. On a
-    // real cluster with large batches, keep AQE on and partitions high.
+    // per-stage re-optimization is pure overhead at this size. Two
+    // tasks per stage covers a ≤6k-op batch; the drain is a latency-
+    // bound chain of ~7 tiny jobs, so every task saved is wall time.
+    // Restored after the loop; results are partitioning-independent
+    // (asserted in AriaSpec), so this is a latency knob, not a
+    // semantics knob. On a real cluster with large batches, keep AQE
+    // on and partitions high.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevParts.toInt, 8).toString)
+      math.min(prevParts.toInt, 2).toString)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try runLoop(spark, cfg)
     finally {

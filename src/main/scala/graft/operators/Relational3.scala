@@ -92,9 +92,16 @@ object Relational3 {
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     val B = 1024
     val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    // One scan + one fan-out shuffle for all three passes: the 2-column
+    // projection is lazily checkpointed so the extent, histogram, and
+    // selection passes don't each re-read and re-shuffle the table. (On
+    // a cluster with splittable sources one could skip the checkpoint
+    // and pay three cheap columnar scans instead — the plan shape below
+    // is identical either way.)
     val base = Tables.fanOut(t(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice"))
       .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+      .localCheckpoint(false)
     // pass 1: per-group extent (G rows; reused for pmin/pmax output)
     val stats = base.groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("vmin"), max("v").as("vmax"))
