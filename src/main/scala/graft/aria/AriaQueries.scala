@@ -47,6 +47,11 @@ object AriaQueries {
     scala.concurrent.ExecutionContext.fromExecutor(drainPool)
   private val cache =
     new java.util.HashMap[SparkSession, Map[Boolean, scala.concurrent.Future[Aria.RunResult]]]
+  /** Drop this session's memoized drains — Bench calls it between timing
+    * passes so every pass re-measures the real epoch loop. */
+  private[graft] def evictDrains(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark); () }
+
   private def cachedRun(spark: SparkSession, reorder: Boolean): Aria.RunResult = {
     val fut = cache.synchronized {
       cache.keySet.removeIf(s => s.sparkContext.isStopped)

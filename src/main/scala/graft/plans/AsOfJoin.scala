@@ -208,6 +208,15 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
     val rTs = Option(rightTsName).getOrElse(ts)
     val payloadAttr = attr(rp, payload)
+    // fail fast on cross-type key/ts pairs: the merge compares raw long
+    // encodings, and e.g. a TIMESTAMP (micros) left ts against a DATE
+    // (days) right ts would silently compare incompatible units
+    def sameType(role: String, l: Attribute, r: Attribute): Unit =
+      require(l.dataType == r.dataType,
+        s"as-of $role types must match: left ${l.name} is ${l.dataType.simpleString}, " +
+          s"right ${r.name} is ${r.dataType.simpleString}")
+    sameType("key", attr(lp, key), attr(rp, key))
+    sameType("timestamp", attr(lp, ts), attr(rp, rTs))
     val node = AsOfJoin(lp, rp,
       attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, rTs), payloadAttr,
       AttributeReference(outName, payloadAttr.dataType, nullable = true)())

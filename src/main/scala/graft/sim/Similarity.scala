@@ -219,8 +219,12 @@ object Similarity {
     * data too). */
   def nearDupPairs(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
     val qn = quantized(spark, dir)
+    // plant ids start past the corpus maximum (1-row broadcast scalar,
+    // mirrored in the SQL oracle) — a fixed offset would collide with
+    // real ids once the corpus reaches it
     val planted = qn.filter(col("vec_id") < 8)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .crossJoin(broadcast(qn.agg((max("vec_id") + 1L).as("plant_base"))))
+      .select((col("vec_id") + col("plant_base")).as("vec_id"),
         zip_with(col("q"), sequence(lit(0), lit(dims - 1)),
           (x, i) => x + when(i === 0, 1L).otherwise(0L)).as("q"))
       .withColumn("nsq", Portable.normSqQ(col("q")))
@@ -259,7 +263,7 @@ object Similarity {
   def nearDupPairsSql(tau: Double = 0.9): String =
     s"""WITH $quantizedSql,
        |planted AS (
-       |  SELECT vec_id + 1000000 AS vec_id,
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM qn) AS vec_id,
        |         list_transform(generate_series(1, $dims),
        |           i -> qv[i] + CASE WHEN i = 1 THEN 1 ELSE 0 END) AS qv
        |  FROM qn WHERE vec_id < 8

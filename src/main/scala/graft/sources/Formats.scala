@@ -20,8 +20,23 @@ object Formats {
     * FormatsSpec and by the first Verify execution). */
   private val writtenFixtures =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def writeOnce(key: String)(write: => Unit): Unit =
-    if (writtenFixtures.add(key)) write
+    if (!writtenFixtures.contains(key)) {
+      // the key is recorded only AFTER the write succeeds: a throwing
+      // first write (Bench warmup swallows Throwable) must not make
+      // later executions read a missing or partial fixture, and a
+      // concurrent first caller waits for the in-flight write instead
+      // of racing past it
+      val lock = inFlight.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        if (!writtenFixtures.contains(key)) {
+          write
+          writtenFixtures.add(key)
+        }
+      }
+    }
 
   /** Write df in the given format and read it back (schema preserved via
     * explicit schema on text formats). */
@@ -97,11 +112,7 @@ object Formats {
     * would broadcast at toy scale. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val wh = scratch("bucketed", dir)
-    // memo must also see the catalog entries (a different SparkContext in
-    // the same JVM would have an empty catalog)
-    val firstCall = writtenFixtures.add(s"bucketed|$wh")
-    if (firstCall || !(spark.catalog.tableExists("graft_orders_b") &&
-          spark.catalog.tableExists("graft_lineitem_b"))) {
+    def writeTables(): Unit = {
       t(spark, dir, "orders").select("o_orderkey", "o_orderstatus")
         .write.mode(SaveMode.Overwrite).bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/orders_b").saveAsTable("graft_orders_b")
@@ -109,6 +120,12 @@ object Formats {
         .write.mode(SaveMode.Overwrite).bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/lineitem_b").saveAsTable("graft_lineitem_b")
     }
+    writeOnce(s"bucketed|$wh")(writeTables())
+    // the memo can't see the catalog: a different SparkContext in the
+    // same JVM has an empty catalog even when the files exist
+    if (!(spark.catalog.tableExists("graft_orders_b") &&
+          spark.catalog.tableExists("graft_lineitem_b")))
+      writeTables()
     spark.table("graft_orders_b").hint("merge")
       .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderstatus")

@@ -31,7 +31,7 @@ class EntrySpec extends SparkSpec {
     // The driver's pandas comparator sorts every output column; nested
     // types are unhashable there and red-row the query even when values
     // match. Scalarize (array_join / to_json) before returning.
-    val sfDir = "/root/testdata/sf0.001"
+    val sfDir = sf("sf0.001")
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       fn(spark, sfDir).schema.fields.collect {
