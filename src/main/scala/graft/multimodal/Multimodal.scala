@@ -205,15 +205,125 @@ object Multimodal {
        |       checksum * 31 + fi AS frame_checksum
        |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ——— Perceptual near-duplicate detection over media content ————————
+  //
+  // A difference-hash (dHash): the decoded media reduces to a 61-cell
+  // grid summary; bit j of the signature is the gradient cell(j) >
+  // cell(j+1). Local content edits perturb few cells, and each cell
+  // feeds only 2 gradient bits — so a near-identical pair lands within
+  // a small Hamming radius, found by the same 4×15-bit pigeonhole
+  // equi-join as Dedup.simhashPairs (Hamming ≤ 3 ⇒ some piece equal;
+  // 2^15-value piece keys keep buckets bounded as the corpus grows).
+  //
+  // The grid here is the content-addressed FakeCodec convention (cell =
+  // md5-derived value of a content chunk, exactly reproducible in
+  // DuckDB); a real build swaps in mean-pooled pixels from the decoder
+  // via the same mapPartitions shape, and only the rows-only check
+  // remains. As with sim_neardup_pairs, the harness corpus has no true
+  // near-dup media, so the query SELF-PLANTS: the first 8 media are
+  // re-appended past max(media_id) with one mid-content character
+  // edited — exactly one grid chunk changes, ≤ 2 dHash bits flip, and
+  // the banded path must recover exactly those pairs. The oracle is the
+  // exact all-pairs form, proving the bucketed path lossless.
+
+  private val gridCells = 61
+  private val dhashPieces = 4
+  private val dhashPieceBits = (gridCells - 1) / dhashPieces // 15
+  private val maxHamming = 3
+
+  private def cellCol(j: Int): org.apache.spark.sql.Column =
+    pmod(Portable.hash60(concat(lit("px"), lit(j), lit("|"),
+      expr(s"substring(text, ($j * length(text)) div $gridCells + 1, " +
+        s"greatest(1, length(text) div $gridCells))"))), lit(256L))
+
+  /** media_id → 4 signature pieces (one map stage; the 61 cell hashes
+    * are shared subexpressions inside one codegen'd projection). */
+  private[multimodal] def mediaSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+    // plant ids start past the corpus maximum (1-row broadcast scalar,
+    // mirrored in the SQL oracle)
+    val edited = expr(
+      "concat(substring(text, 1, greatest(1, length(text) div 2) - 1), '~', " +
+        "substring(text, greatest(1, length(text) div 2) + 1, length(text)))")
+    val planted = docs.filter(col("media_id") < 8)
+      .crossJoin(broadcast(docs.agg((max("media_id") + lit(1L)).as("plant_base"))))
+      .select((col("media_id") + col("plant_base")).as("media_id"), edited.as("text"))
+    val corpus = docs.unionByName(planted)
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
+    val cells = (0 until gridCells).map(j => cellCol(j).as(s"c$j"))
+    val pieceCols = (0 until dhashPieces).map { k =>
+      (0 until dhashPieceBits).map { j =>
+        val b = k * dhashPieceBits + j
+        when(col(s"c$b") > col(s"c${b + 1}"), lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _).as(s"p$k")
+    }
+    corpus.select(col("media_id") +: cells: _*)
+      .select(col("media_id") +: pieceCols: _*)
+  }
+
+  /** Near-dup media pairs within Hamming ≤ 3 of the 60-bit dHash. */
+  def mediaNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = mediaSignatures(spark, dir).localCheckpoint(false) // both join sides
+    val pieceNames = (0 until dhashPieces).map(k => s"p$k")
+    val exploded = sig.select(col("media_id") +: pieceNames.map(col) :+
+      explode(array((0 until dhashPieces).map(k =>
+        struct(lit(k).as("k"), col(s"p$k").as("piece"))): _*)).as("kp"): _*)
+      .select(col("media_id") +: pieceNames.map(col) :+
+        col("kp.k").as("k") :+ col("kp.piece").as("piece"): _*)
+    def side(tag: String) = exploded.select(
+      col("media_id").as(tag) +:
+        pieceNames.map(p => col(p).as(s"$tag$p")) :+
+        col("k") :+ col("piece"): _*)
+    val hamming = pieceNames.map(p =>
+      bit_count(col(s"a$p").bitwiseXOR(col(s"b$p")))).reduce(_ + _)
+    side("a").join(side("b"), Seq("k", "piece"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming").distinct()
+      .orderBy("a", "b")
+  }
+
+  val mediaNearDupPairsSql: String =
+    s"""WITH docs AS (SELECT doc_id AS media_id, text FROM documents),
+       |planted AS (
+       |  SELECT media_id + (SELECT max(media_id) + 1 FROM docs) AS media_id,
+       |         concat(substr(text, 1, greatest(1, length(text) // 2) - 1), '~',
+       |                substr(text, greatest(1, length(text) // 2) + 1, length(text))) AS text
+       |  FROM docs WHERE media_id < 8),
+       |corpus AS (SELECT * FROM docs UNION ALL SELECT * FROM planted),
+       |cells AS (
+       |  SELECT media_id,
+       |         list_transform(generate_series(0, ${gridCells - 1}), j ->
+       |           ('0x' || substr(md5('px' || j || '|' ||
+       |              substr(text, (j * length(text)) // $gridCells + 1,
+       |                     greatest(1, length(text) // $gridCells))), 1, 15))::BIGINT % 256) AS c
+       |  FROM corpus),
+       |bits AS (
+       |  SELECT media_id,
+       |         list_transform(generate_series(1, ${gridCells - 1}),
+       |                        j -> CASE WHEN c[j] > c[j+1] THEN 1 ELSE 0 END) AS bv
+       |  FROM cells),
+       |scored AS (
+       |  SELECT l.media_id AS a, r.media_id AS b,
+       |         CAST(list_sum(list_transform(generate_series(1, ${gridCells - 1}), j ->
+       |           CASE WHEN l.bv[j] <> r.bv[j] THEN 1 ELSE 0 END)) AS INT) AS hamming
+       |  FROM bits l JOIN bits r ON l.media_id < r.media_id)
+       |SELECT a, b, hamming FROM scored WHERE hamming <= $maxHamming
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta,
     "mm_decode_summary" -> decodeSummary,
     "mm_resize_meta" -> resizeMeta,
-    "mm_frame_sample" -> frameSample)
+    "mm_frame_sample" -> frameSample,
+    "mm_neardup_pairs" -> mediaNearDupPairs)
 
   val oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
     "mm_decode_summary" -> decodeSummarySql,
     "mm_resize_meta" -> resizeMetaSql,
-    "mm_frame_sample" -> frameSampleSql)
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_neardup_pairs" -> mediaNearDupPairsSql)
 }

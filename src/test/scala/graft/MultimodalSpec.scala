@@ -42,4 +42,20 @@ class MultimodalSpec extends SparkSpec {
     val dec = Multimodal.decodeAll(spark, sf("sf0.001")).collect()
     assert(dec.forall(d => meta(d.media_id) == d.n_bytes.toLong))
   }
+
+  test("perceptual near-dup recovers every planted pair through the banded path") {
+    val df = Multimodal.mediaNearDupPairs(spark, sf("sf0.001"))
+    // candidate generation must be an equi-join, never a cross product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "near-dup plan fell back to a cross product")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the 8 planted edits (media 0..7 re-appended past max id) must all
+    // surface within the Hamming bound — one chunk edit flips ≤ 2 bits
+    val base = 500L
+    for (i <- 0L until 8L) {
+      val hit = rows.find(p => p._1 == i && p._2 == i + base)
+      assert(hit.nonEmpty, s"planted pair ($i, ${i + base}) not recovered: ${rows.mkString(",")}")
+      assert(hit.get._3 <= 2, s"planted pair flipped more than one chunk: $hit")
+    }
+  }
 }
