@@ -28,6 +28,7 @@ object SparkEntry {
     (operators.Relational4.queries, operators.Relational4.oracles),
     (operators.Relational5.queries, operators.Relational5.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (text.Bpe.queries, text.Bpe.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
     (text.Pipeline.queries, text.Pipeline.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
