@@ -238,15 +238,125 @@ object Retrieval {
        |GROUP BY te.doc_id ORDER BY test_doc""".stripMargin
   }
 
+  /** Document-frequency cap for the all-pairs similarity index, as a
+    * CORPUS FRACTION: terms (word bigrams) present in more than 1/100th
+    * of all documents are excluded. A term in f documents fans out
+    * O(f²) pair rows, so the cap is what bounds the inverted-index join
+    * — and it must scale with the corpus (an absolute cap silently
+    * empties the index once every term's df outgrows it; a fractional
+    * cap keeps exactly the discriminative tail at any scale). This is
+    * the standard stop-term/prefix filter of Bayardo et al.'s all-pairs
+    * similarity search; the excluded terms carry negligible idf weight
+    * anyway. */
+  val maxDfDivisor = 100
+
+  /** All-pairs document cosine similarity over TF-IDF unit vectors —
+    * the lexical analog of the embedding near-dup path: sparse vectors
+    * meet through an inverted-index equi-join on shared terms (never a
+    * cross product), and each shared term contributes one product to
+    * the pair's dot. Terms are word BIGRAMS: the harness vocabulary is
+    * ~31 words, so unigram df is always a large corpus fraction —
+    * bigrams give a ~900-term space with a discriminative rare tail
+    * (real corpora have that tail at the unigram level already).
+    *
+    * Exactness: weights w = tf · ((N·100) DIV df) stay integral
+    * (BIGINT-safe at harness N; at web scale the idf would be bucketed
+    * into integer classes instead), per-doc norms are exact integer
+    * sums, and the unit vectors are fixed-point quantized at 1e4 — the
+    * Portable.quantize convention — so dots and cosines are identical
+    * doubles in both engines.
+    *
+    * Scale: two shuffles ((doc, term) counts, then the pair groupBy);
+    * the fractional df cap bounds the inverted-index fanout. */
+  def cosinePairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = fanOut(docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+      // hard-materialize toks: an inlined tokenizer re-runs per
+      // element_at inside the bigram lambda (see Dedup.shingleTable)
+      .localCheckpoint(false)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds df-agg and the weight join
+    val n = docs.agg(count(lit(1)).as("n"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * maxDfDivisor <= col("n"))
+    val w = tf.join(df, "term")
+      .withColumn("w", col("tf") * expr("(n * 100) DIV df"))
+    val nsq = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+    val u = w.join(nsq, "doc_id")
+      .withColumn("u",
+        floor(col("w").cast("double") / sqrt(col("nsq").cast("double")) * 10000d + 0.5d)
+          .cast("long"))
+      .select("doc_id", "term", "u")
+      .localCheckpoint(false) // quantized index feeds norms and both join sides
+    val qn = u.groupBy("doc_id").agg(sum(col("u") * col("u")).as("qn"))
+    val pairs = u.select(col("doc_id").as("a"), col("term"), col("u").as("ua"))
+      .join(u.select(col("doc_id").as("b"), col("term"), col("u").as("ub")), Seq("term"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("ua") * col("ub")).as("dot"))
+    pairs
+      .join(qn.select(col("doc_id").as("a"), col("qn").as("qa")), Seq("a"))
+      .join(qn.select(col("doc_id").as("b"), col("qn").as("qb")), Seq("b"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))))
+      .filter(col("cosine") >= tau)
+      .select(col("a"), col("b"), col("cosine"))
+      .orderBy("a", "b")
+  }
+
+  def cosinePairsSql(tau: Double = 0.5): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokSql AS toks FROM documents
+       |), tf0 AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                               i -> toks[i] || ' ' || toks[i+1])) AS term
+       |  FROM tk WHERE len(toks) >= 2
+       |), tfc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY doc_id, term
+       |), n AS (SELECT count(*) AS n FROM documents),
+       |dfc AS (
+       |  SELECT term, count(*) AS df FROM tfc GROUP BY term
+       |  HAVING count(*) * $maxDfDivisor <= (SELECT n FROM n)
+       |),
+       |w AS (
+       |  SELECT doc_id, term, tf * ((n.n * 100) // df) AS w
+       |  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+       |), nsq AS (
+       |  SELECT doc_id, sum(w * w) AS nsq FROM w GROUP BY doc_id
+       |), u AS (
+       |  SELECT w.doc_id, term,
+       |         CAST(floor(CAST(w AS DOUBLE) / sqrt(CAST(nsq.nsq AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS u
+       |  FROM w JOIN nsq ON w.doc_id = nsq.doc_id
+       |), qn AS (
+       |  SELECT doc_id, sum(u * u) AS qn FROM u GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, sum(l.u * r.u) AS dot
+       |  FROM u l JOIN u r ON l.term = r.term AND l.doc_id < r.doc_id
+       |  GROUP BY a, b
+       |)
+       |SELECT a, b,
+       |       CAST(dot AS DOUBLE) / (sqrt(CAST(qa.qn AS DOUBLE)) * sqrt(CAST(qb.qn AS DOUBLE))) AS cosine
+       |FROM pairs JOIN qn qa ON pairs.a = qa.doc_id
+       |           JOIN qn qb ON pairs.b = qb.doc_id
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qa.qn AS DOUBLE)) * sqrt(CAST(qb.qn AS DOUBLE))) >= $tau
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_top" -> ((s, d) => tfidfTop(s, d)),
     "text_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "text_pii_redact" -> piiRedact,
+    "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "dedup_decontaminate" -> ((s, d) => decontaminate(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_tfidf_top" -> tfidfTopSql(),
     "text_bm25_rank" -> bm25RankSql(),
     "text_pii_redact" -> piiRedactSql,
+    "text_cosine_pairs" -> cosinePairsSql(),
     "dedup_decontaminate" -> decontaminateSql())
 }
