@@ -238,9 +238,48 @@ object TimeSeries {
       |GROUP BY c.user_id, c.event_id, c.click_us
       |ORDER BY c.user_id, c.event_id""".stripMargin
 
+  /** The native as-of join with a MAX-STALENESS tolerance (pandas
+    * merge_asof `tolerance`): the latest same-user error at or before
+    * the click, but only within the preceding 30 minutes — matches
+    * staler than that are nulled. The oracle is the windowed inequality
+    * form: the latest at-or-before match is also the latest inside
+    * [click − tol, click], so bounding the join range is equivalent. */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 1800L * 1000000L
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("click_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), expr("ts div 1000").as("err_us"),
+        expr("ts div 1000").as("err_us_payload"))
+    graft.plans.AsOfJoin.asof(clicks, errors,
+        key = "user_id", ts = "click_us", rightTsName = "err_us",
+        payload = "err_us_payload", outName = "recent_error_us",
+        tolerance = tolUs)
+      .select(col("user_id"), col("event_id"), col("click_us"), col("recent_error_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), clicks AS (
+      |  SELECT user_id, event_id, us AS click_us FROM ev WHERE event_type = 'click'
+      |), errors AS (
+      |  SELECT user_id, us AS err_us FROM ev WHERE event_type = 'error'
+      |)
+      |SELECT c.user_id, c.event_id, c.click_us, max(e.err_us) AS recent_error_us
+      |FROM clicks c LEFT JOIN errors e
+      |  ON c.user_id = e.user_id AND e.err_us <= c.click_us
+      | AND e.err_us >= c.click_us - 1800000000
+      |GROUP BY c.user_id, c.event_id, c.click_us
+      |ORDER BY c.user_id, c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
     "ts_asof_join_native" -> asofJoinNative,
+    "ts_asof_tolerance" -> asofJoinTolerance,
     "ts_range_join" -> rangeJoin,
     "ts_range_join_rule" -> rangeJoinViaRule,
     "agg_sliding_events" -> slidingAgg,
@@ -249,6 +288,7 @@ object TimeSeries {
   val oracles: Map[String, String] = Map(
     "ts_asof_join" -> asofJoinSql,
     "ts_asof_join_native" -> asofJoinNativeSql,
+    "ts_asof_tolerance" -> asofJoinToleranceSql,
     "ts_range_join" -> rangeJoinSql,
     "ts_range_join_rule" -> rangeJoinViaRuleSql,
     "agg_sliding_events" -> slidingAggSql,

@@ -49,7 +49,8 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTs: Attribute,
     rightKey: Attribute, rightTs: Attribute, rightPayload: Attribute,
-    payloadAttr: AttributeReference) extends BinaryNode {
+    payloadAttr: AttributeReference,
+    tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ payloadAttr
   override def producedAttributes: AttributeSet = AttributeSet(payloadAttr)
   override protected def withNewChildrenInternal(
@@ -69,7 +70,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
         ord(j.left.output, j.leftKey), ord(j.left.output, j.leftTs),
         ord(j.right.output, j.rightKey), ord(j.right.output, j.rightTs),
         ord(j.right.output, j.rightPayload),
-        j.payloadAttr, planLater(j.left), planLater(j.right)) :: Nil
+        j.payloadAttr, j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +78,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(
     leftKeyOrd: Int, leftTsOrd: Int,
     rightKeyOrd: Int, rightTsOrd: Int, rightPayloadOrd: Int,
-    payloadAttr: AttributeReference,
+    payloadAttr: AttributeReference, tolerance: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ payloadAttr
@@ -127,8 +128,9 @@ case class AsOfJoinExec(
       })
       val payloadRow = new GenericInternalRow(1)
       val joined = new JoinedRow
-      // O(1) merge state: the last right row folded in, and its key
+      // O(1) merge state: the last right row folded in, its key and ts
       var lastKey = 0L
+      var lastTs = 0L
       var lastValid = false
       var lastPayload: Any = null
       // one-row lookahead of the right side (values extracted before
@@ -156,11 +158,14 @@ case class AsOfJoinExec(
           val lk = getLk(l, lKey); val lt = getLt(l, lTs)
           // fold in every right row at or before (lk, lt)
           while (rHas && (rk < lk || (rk == lk && rt <= lt))) {
-            lastKey = rk; lastValid = true
+            lastKey = rk; lastTs = rt; lastValid = true
             lastPayload = rp
             advance()
           }
-          if (lastValid && lastKey == lk && lastPayload != null)
+          // tolerance: the latest at-or-before match is also the latest
+          // inside [lt - tolerance, lt], so one staleness test suffices
+          if (lastValid && lastKey == lk && lastPayload != null &&
+              (tolerance < 0L || lt - lastTs <= tolerance))
             payloadRow.update(0, lastPayload)
           else payloadRow.setNullAt(0)
         }
@@ -190,9 +195,15 @@ object AsOfJoin {
     * (the required child ordering is only (key, ts)). If such ties can
     * carry different payloads, disambiguate upstream (aggregate to one
     * row per (key, ts), or fold the tiebreak into the ts column). */
+  /** `tolerance` (optional, in the ts column's units): a match is only
+    * emitted while `leftTs - matchTs <= tolerance` — the standard
+    * max-staleness bound (pandas merge_asof `tolerance`). The latest
+    * at-or-before match is also the latest inside the window, so the
+    * merge needs one extra comparison, no extra state. Negative =
+    * unbounded (the default). */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
            key: String, ts: String, payload: String, outName: String,
-           rightTsName: String = null): DataFrame = {
+           rightTsName: String = null, tolerance: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = leftDf.sparkSession
     register(spark)
@@ -219,7 +230,8 @@ object AsOfJoin {
     sameType("timestamp", attr(lp, ts), attr(rp, rTs))
     val node = AsOfJoin(lp, rp,
       attr(lp, key), attr(lp, ts), attr(rp, key), attr(rp, rTs), payloadAttr,
-      AttributeReference(outName, payloadAttr.dataType, nullable = true)())
+      AttributeReference(outName, payloadAttr.dataType, nullable = true)(),
+      tolerance)
     GraftBridge.ofRows(spark, node)
   }
 

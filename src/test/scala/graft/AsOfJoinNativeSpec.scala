@@ -135,4 +135,27 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 2, p.take(2000))
     assert(!p.contains("!AsOfJoin"), "invalid plan marker:\n" + p.take(1200))
   }
+
+  test("tolerance nulls matches staler than the bound, keeps fresh ones") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L), (1L, 105L, 2L), (1L, 200L, 3L))
+      .toDF("k", "t", "row_id")
+    val right = Seq((1L, 95L, "e95")).toDF("k", "t", "label")
+    val out = AsOfJoin.asof(left, right, "k", "t", "label", "m", tolerance = 10L)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // t=100: staleness 5 <= 10 matches; t=105: staleness 10 (boundary)
+    // matches; t=200: staleness 105 nulled
+    assert(out === Map(1L -> "e95", 2L -> "e95", 3L -> null))
+  }
+
+  test("mismatched key/ts types fail fast instead of comparing raw units") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L)).toDF("k", "t", "row_id")
+    val right = Seq((1, 95, "x")).toDF("k", "t", "label") // INT sides
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, "k", "t", "label", "m")
+    }
+    assert(e.getMessage.contains("types must match"))
+  }
 }
