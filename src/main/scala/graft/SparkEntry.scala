@@ -27,6 +27,7 @@ object SparkEntry {
     (operators.TimeSeries.queries, operators.TimeSeries.oracles),
     (operators.Relational4.queries, operators.Relational4.oracles),
     (operators.Relational5.queries, operators.Relational5.oracles),
+    (operators.Layout.queries, operators.Layout.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (text.Bpe.queries, text.Bpe.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
