@@ -181,6 +181,62 @@ object StreamingQueries {
       | AND e.us >= c.us AND e.us <= c.us + 1800000000
       |ORDER BY c.user_id, click_id, error_id""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join: like `streamIntervalJoin`
+    * but clicks with NO same-user error in the following 30 minutes are
+    * emitted null-padded — and only once the watermark has passed their
+    * whole join window (the state-eviction semantics that bound outer-
+    * join state at scale; a click near the stream's end stays in state,
+    * un-emitted, exactly as a live pipeline would hold it). The oracle
+    * mirrors that cutoff: unmatched clicks appear iff their window end
+    * (ms-truncated, Spark's watermark unit) is below the final GLOBAL
+    * watermark — which, with two watermarked inputs, is the MIN of the
+    * two sides' maxima (`spark.sql.streaming.multipleWatermarkPolicy`
+    * defaults to `min`: state is only evicted once BOTH inputs have
+    * moved past it). */
+  def streamOuterJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val name = unique("stream_outer")
+    def src = Streaming.withEventTime(Streaming.readEventsStream(spark, dir))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("click_us"), col("event_time").as("c_time"))
+      .withWatermark("c_time", "0 seconds")
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        expr("ts div 1000").as("error_us"), col("event_time").as("e_time"))
+      .withWatermark("e_time", "0 seconds")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_time") >= col("c_time") &&
+        col("e_time") <= col("c_time") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"),
+        col("click_us"), col("error_us"))
+    Streaming.runToMemory(spark, joined, name, outputMode = "append")
+    spark.table(name).orderBy("user_id", "click_id", "error_id")
+  }
+
+  val streamOuterJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), clicks AS (SELECT user_id, event_id, us FROM ev WHERE event_type = 'click'),
+      |errors AS (SELECT user_id, event_id, us FROM ev WHERE event_type = 'error'),
+      |wm AS (SELECT least((SELECT max(us) FROM clicks),
+      |               (SELECT max(us) FROM errors)) // 1000 AS wm_ms),
+      |matched AS (
+      |  SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+      |         c.us AS click_us, e.us AS error_us
+      |  FROM clicks c JOIN errors e
+      |    ON c.user_id = e.user_id AND e.us >= c.us AND e.us <= c.us + 1800000000
+      |)
+      |SELECT user_id, click_id, error_id, click_us, error_us FROM matched
+      |UNION ALL
+      |SELECT c.user_id, c.event_id, NULL, c.us, NULL
+      |FROM clicks c, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+      |  AND (c.us + 1800000000) // 1000 < wm.wm_ms
+      |ORDER BY user_id, click_id, error_id""".stripMargin
+
   /** Stream-static enrichment join + aggregation: the events STREAM
     * joined to the static customer dimension (users are customers:
     * user_id = c_custkey; unmatched users drop out of the inner join),
@@ -213,9 +269,11 @@ object StreamingQueries {
     "stream_sessionize" -> streamSessionize,
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
+    "stream_outer_join" -> streamOuterJoin,
     "stream_static_join" -> streamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    "stream_outer_join" -> streamOuterJoinSql,
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_dedup" -> streamDedupSql,
