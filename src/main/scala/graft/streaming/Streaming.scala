@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: the reference's epoch loop is a
@@ -131,6 +131,45 @@ object Streaming {
         .withWatermark("event_time", s"$watermarkSec seconds")
         .dropDuplicatesWithinWatermark("content_hash")
     else withTime.dropDuplicates("content_hash")
+  }
+
+  final case class UserRunning(n_events: Long, n_errors: Long, max_value: Double)
+  final case class UserRunningOut(user_id: Long, n_events: Long,
+                                  n_errors: Long, max_value: Double)
+
+  /** transformWithState processor (the Spark 4 arbitrary-state API —
+    * successor of flatMapGroupsWithState, with typed state handles, TTL
+    * and timers): per-user running event statistics in one ValueState
+    * record. Emits the running totals for every user seen in a batch
+    * (Update mode). State is one fixed-size record per user — bounded
+    * by key cardinality; a TTLConfig bounds it for keyspaces that grow
+    * without bound. */
+  class RunningStatsProcessor extends StatefulProcessor[Long, EventIn, UserRunningOut] {
+    @transient private var state: ValueState[UserRunning] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("running",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+                                 timers: TimerValues): Iterator[UserRunningOut] = {
+      val prev = if (state.exists()) state.get()
+                 else UserRunning(0L, 0L, Double.NegativeInfinity)
+      val cur = rows.foldLeft(prev) { (s, e) =>
+        UserRunning(s.n_events + 1,
+          s.n_errors + (if (e.event_type == "error") 1L else 0L),
+          math.max(s.max_value, e.value))
+      }
+      state.update(cur)
+      Iterator.single(UserRunningOut(key, cur.n_events, cur.n_errors, cur.max_value))
+    }
+  }
+
+  /** Running per-user stats through transformWithState. Requires the
+    * RocksDB state store provider (the API's backing store). */
+  def runningStats(events: Dataset[EventIn]): Dataset[UserRunningOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Micro-batch sink driver (foreachBatch): the Spark idiom for the

@@ -237,6 +237,32 @@ object StreamingQueries {
       |  AND (c.us + 1800000000) // 1000 < wm.wm_ms
       |ORDER BY user_id, click_id, error_id""".stripMargin
 
+  /** Per-user running statistics through the transformWithState
+    * arbitrary-state API (Spark 4's typed state handles over RocksDB),
+    * run to completion: after the single-file batch the running totals
+    * equal the batch aggregate — the exact oracle. Multi-batch
+    * accumulation is exercised in StreamingSpec via MemoryStream. */
+  def streamRunningStats(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val name = unique("stream_running")
+    val events = Streaming.readEventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streaming.EventIn]
+    Streaming.runToMemory(spark,
+      Streaming.runningStats(events).toDF(), name, outputMode = "update")
+    spark.table(name).orderBy("user_id")
+  }
+
+  val streamRunningStatsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+      |       max(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Stream-static enrichment join + aggregation: the events STREAM
     * joined to the static customer dimension (users are customers:
     * user_id = c_custkey; unmatched users drop out of the inner join),
@@ -270,10 +296,12 @@ object StreamingQueries {
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_outer_join" -> streamOuterJoin,
+    "stream_running_stats" -> streamRunningStats,
     "stream_static_join" -> streamStaticJoin)
 
   val oracles: Map[String, String] = Map(
     "stream_outer_join" -> streamOuterJoinSql,
+    "stream_running_stats" -> streamRunningStatsSql,
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_dedup" -> streamDedupSql,
