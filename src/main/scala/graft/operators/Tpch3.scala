@@ -302,6 +302,46 @@ object Tpch3 {
       |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Q15: top supplier — the revenue "view" (per-supplier quarterly
+    * revenue) joined against its own maximum. The scalar max is a
+    * 1-row broadcast over the small agg output (not a per-row
+    * recompute), and the equality compare stays in exact DECIMAL so
+    * ties surface every winner identically on both engines, as the
+    * spec requires. Plan: one fact-table shuffle for the per-supplier
+    * aggregate (map-side partials after the shipdate pushdown), which
+    * is materialized once and feeds BOTH the max scalar and the winner
+    * filter; the supplier-dim attach is planner-sized. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenue).as("total_revenue"))
+      .localCheckpoint(false)
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey, sum($revenueSql) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       |       CAST(total_revenue AS DOUBLE) AS total_revenue
+       |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** Q16 (adapted — supplier↔part pairs from lineitem, no comment
     * filter): supplier variety per part profile — how many distinct
     * suppliers have shipped each (brand, type, size) bucket, excluding
@@ -520,6 +560,7 @@ object Tpch3 {
     "q9_product_profit" -> ((s, d) => productProfit(s, d)),
     "q11_part_value_share" -> partValueShare,
     "q12_priority_shipping" -> priorityShipping,
+    "q15_top_supplier" -> topSupplier,
     "q16_supplier_variety" -> supplierVariety,
     "q17_small_qty_revenue" -> ((s, d) => smallQtyRevenue(s, d)),
     "q19_disjunctive_revenue" -> disjunctiveRevenue,
@@ -535,6 +576,7 @@ object Tpch3 {
     "q9_product_profit" -> productProfitSql(),
     "q11_part_value_share" -> partValueShareSql,
     "q12_priority_shipping" -> priorityShippingSql,
+    "q15_top_supplier" -> topSupplierSql,
     "q16_supplier_variety" -> supplierVarietySql,
     "q17_small_qty_revenue" -> smallQtyRevenueSql(),
     "q19_disjunctive_revenue" -> disjunctiveRevenueSql,

@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     assert(kept.size === 3)
   }
 
+  test("transformWithState running stats accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[EventIn]
+    val q = Streaming.runningStats(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    ms.addData(Seq(
+      EventIn(1, 1L, 1L, "view", 2.0),
+      EventIn(2, 2L, 1L, "error", 5.0),
+      EventIn(3, 3L, 2L, "view", 1.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(
+      EventIn(4, 4L, 1L, "view", 9.0),
+      EventIn(5, 5L, 2L, "error", 7.0)))
+    q.processAllAvailable()
+    q.stop()
+    // update mode emits one row per key per batch; the row with the
+    // highest n_events is the final state.
+    val latest = spark.table("running_out").as[Streaming.UserRunningOut]
+      .collect().toSeq.groupBy(_.user_id)
+      .map { case (k, rows) => k -> rows.maxBy(_.n_events) }
+    assert(latest(1L) === Streaming.UserRunningOut(1L, 3L, 1L, 9.0))
+    assert(latest(2L) === Streaming.UserRunningOut(2L, 2L, 1L, 7.0))
+  }
+
   test("file-based events stream processes the real table incrementally") {
     val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     assert(stream.isStreaming)
