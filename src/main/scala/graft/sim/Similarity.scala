@@ -360,11 +360,45 @@ object Similarity {
        |SELECT query_id, cand_id, cosine, rank FROM final_rank
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** ANN quality measurement as a first-class query: recall@k of the
+    * LSH path against the exact brute-force top-k, per query. The
+    * approximate path is the production plan; the exact side runs only
+    * over the measurement panel (here the 8 fixed queries — at 100 TB
+    * recall is always measured on a sampled panel exactly like this,
+    * never the full corpus). The compare is a left join on
+    * (query, candidate) + per-query counts; recall = hits/k is a
+    * division of identical small integers → identical doubles. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = annLsh(spark, dir, k)
+      .filter(col("query_id") < 8)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  def annRecallSql(k: Int = 5): String =
+    s"""WITH exact AS (SELECT query_id, cand_id FROM (${cosineTopKSql(k)})),
+       |approx AS (SELECT query_id, cand_id FROM (${annLshSql(k)}) WHERE query_id < 8)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "sim_lsh_signatures" -> lshSignatures,
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +406,6 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopKSql(),
     "sim_lsh_signatures" -> lshSignaturesSql,
     "sim_ann_lsh" -> annLshSql(),
+    "sim_ann_recall" -> annRecallSql(),
     "sim_neardup_pairs" -> nearDupPairsSql())
 }

@@ -247,6 +247,56 @@ object TextAnalysis {
        |GROUP BY pc.tok, pc.exact_count
        |ORDER BY exact_count DESC, tok""".stripMargin
 
+  /** Per-document cross-entropy under the corpus unigram language
+    * model — the classic LM-based quality signal (a doc whose tokens
+    * are all corpus-rare reads as noise; one that is all stopwords as
+    * boilerplate). Exactness: surprisal is QUANTIZED to integer bits —
+    * s(term) = floor(log2((T·2^20) div c(term))) computed as
+    * length(bin(x))−1, which is exact integer arithmetic on both
+    * engines (no libm log whose last ulp could differ); the per-doc
+    * mean is the scaled integer (1000·Σ tf·s) div n. s ≈ 20 + log2(T/c)
+    * within 1 bit. Needs T < 2^43 total tokens before the shift
+    * overflows — at larger corpora raise the shift to a wider type or
+    * drop the 2^20 scale.
+    * Plan: one shuffle for per-(doc,term) tf, one for corpus term
+    * counts, an equi-join on term (both sides shuffle-partitioned by
+    * term; the corpus-count side is |vocabulary|, not |corpus|), and a
+    * final per-doc agg — every stage partial+final, nothing global but
+    * the 1-row broadcast total. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityFrom(t(spark, dir, "documents"))
+
+  /** Core on any (doc_id, text) frame — see [[perplexity]]. */
+  private[graft] def perplexityFrom(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds corpus counts AND the score join
+    val corpus = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val total = corpus.agg(sum(col("c")).as("t"))
+    val surprisal = length(bin(expr("(t * 1048576) DIV c"))).cast("long") - 1L
+    tf.join(corpus, "term").crossJoin(broadcast(total))
+      .withColumn("s", surprisal)
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("(1000 * sum(tf * s)) DIV sum(tf)").as("h_mbits"))
+      .orderBy("doc_id")
+  }
+
+  val perplexitySql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest($tokSql) AS term FROM documents
+       |), tfc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+       |), corpus AS (
+       |  SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tfc GROUP BY term
+       |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corpus)
+       |SELECT doc_id,
+       |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |       CAST((1000 * sum(tf * (length(bin((t * 1048576) // c)) - 1))) // sum(tf) AS BIGINT) AS h_mbits
+       |FROM tfc JOIN corpus USING (term) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** THE canonical split hash: hash60("split_" + doc_id) mod 100.
     * Every consumer of the train/val/test assignment (splitAssign,
     * Pipeline.curationFunnel, Retrieval.decontaminate) derives from
@@ -293,6 +343,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint,
     "text_trigram_stats" -> trigramStats,
     "text_countmin_est" -> ((s, d) => countMinEstimates(s, d)),
+    "text_perplexity" -> perplexity,
     "text_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +353,6 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprintSql,
     "text_trigram_stats" -> trigramStatsSql,
     "text_countmin_est" -> countMinEstimatesSql(),
+    "text_perplexity" -> perplexitySql,
     "text_split_assign" -> splitAssignSql)
 }

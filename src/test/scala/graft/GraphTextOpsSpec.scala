@@ -1,0 +1,46 @@
+package graft
+
+import graft.sim.GraphOps
+import graft.text.TextAnalysis
+
+/** Triangle counting and unigram-LM perplexity on hand-built inputs
+  * where the answers are computable by inspection. */
+class GraphTextOpsSpec extends SparkSpec {
+
+  test("triangle counting finds exactly the planted triangle and respects the degree cap") {
+    import spark.implicits._
+    // parts p1..p3 each shared by two suppliers → edges (1,2),(2,3),(1,3)
+    // = ONE triangle {1,2,3}; hub part p9 links suppliers 4..9 but its
+    // degree (6) exceeds the cap, so no edge (and no triangle) from it.
+    val pairs = (Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L), (3L, 3L)) ++
+      (4L to 9L).map(s => (9L, s))).toDF("part", "supp")
+    val got = GraphOps.trianglesFrom(pairs, maxPartDegree = 4, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.toSet === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("triangle counting without the hub cap includes hub triangles") {
+    import spark.implicits._
+    val pairs = (4L to 7L).map(s => (9L, s)).toDF("part", "supp")
+    // K4: every supplier sits in C(3,2)=3 triangles
+    val got = GraphOps.trianglesFrom(pairs, maxPartDegree = 10, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.toSet === (4L to 7L).map(s => (s, 3L)).toSet)
+  }
+
+  test("perplexity: a doc of corpus-common tokens scores below a doc of corpus-rare tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the the the the the"), // common: c=10 of T=20
+      (2L, "qq zz qq zz xx yy aa bb"), // rare: each c=1..2
+      (3L, "the the mixed bag of rare words xx")).toDF("doc_id", "text")
+    val rows = TextAnalysis.perplexityFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    assert(rows.map(_._1) === Seq(1L, 2L, 3L)) // ordered by doc_id
+    assert(byDoc(1L) < byDoc(3L) && byDoc(3L) < byDoc(2L),
+      s"expected common < mixed < rare surprisal, got $byDoc")
+    // T=24 tokens, c("the")=10: floor(log2(24·2^20 div 10)) = 21 bits
+    assert(byDoc(1L) === 21000L)
+  }
+}
