@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
 
@@ -23,12 +22,12 @@ import graft.operators.Tables.t
   *     from run-greedy BPE, which must arbitrate overlapping "aaa"
   *     matches).
   *
-  * Scale: symbols are (doc, word, pos) rows — rewrites are per-word
-  * windows (bounded partitions), pair counting is one partial+final
-  * aggregation, and each round's state is lazily checkpointed so the
-  * K-round loop doesn't snowball lineage (same pattern as PageRank's
-  * fixed-K rounds). Pair statistics at 100 TB concentrate on the
-  * (sym, nxt) key — vocabulary-sized, not corpus-sized.
+  * Scale: the state is one row per WORD holding its symbol array, so a
+  * round's rewrite is a shuffle-free per-row fold and the only per-round
+  * shuffle is the pair-count aggregation, whose key space is the
+  * vocabulary, not the corpus; each round's state is lazily
+  * checkpointed so the K-round loop doesn't snowball lineage (same
+  * pattern as PageRank's fixed-K rounds).
   */
 object Bpe {
 
@@ -36,49 +35,67 @@ object Bpe {
     * unroll the loop as CTEs. */
   val rounds = 6
 
-  private def symbolTable(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      // hard projection barrier — see Dedup.shingleTable (an inlined
-      // tokenizer re-runs per element_at inside the char lambda)
-      .localCheckpoint(false)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("wid", "w")))
-      .select(col("doc_id"), col("wid"),
-        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-          .as(Seq("pos", "sym")))
+  /** One row per WORD, symbols as an array — not one row per symbol.
+    * Words are short and rewrites never cross a word boundary, so the
+    * word is the natural unit of parallelism: a round's rewrite is a
+    * per-row fold (zero shuffle) instead of a windowed projection over
+    * a corpus-sized symbol table (a shuffle+sort per round — the shape
+    * this replaced, measured ~4× slower at sf0.1). */
+  private def wordTable(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
 
   /** Per-document token counts under `rounds` learned merges:
-    * (doc_id, n_words, n_chars, n_bpe_tokens). */
-  def bpeCounts(spark: SparkSession, dir: String): DataFrame = {
-    val perWord = Window.partitionBy("doc_id", "wid").orderBy("pos")
-    var syms = symbolTable(spark, dir).localCheckpoint(false)
-    val nChars = syms.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chars"),
-        (max("wid") + 1).cast("long").as("n_words"))
+    * (doc_id, n_words, n_chars, n_bpe_tokens).
+    *
+    * Each round: (1) adjacent-pair frequencies — explode each word's
+    * (sym, nxt) pairs, one partial+final groupBy whose key space is the
+    * VOCABULARY, not the corpus; (2) the argmax pair (count desc, then
+    * lexicographic — a total order, so both engines learn the same
+    * merge) as a 1-row broadcast; (3) the rewrite — a left-to-right
+    * fold over each word's symbol array that replaces [.., bx] + by
+    * with [.., bx·by]. Because bx ≠ by, matches can never overlap, so
+    * the sequential fold IS the simultaneous rewrite (the oracle's
+    * windowed form — lead/lag over symbol rows — is kept in SQL and
+    * the correctness gate proves the equivalence every round). */
+  def bpeCounts(spark: SparkSession, dir: String): DataFrame =
+    bpeCountsFrom(t(spark, dir, "documents"))
+
+  /** Core on any (doc_id, text) frame — see [[bpeCounts]]. */
+  private[graft] def bpeCountsFrom(docs: DataFrame): DataFrame = {
+    var words = wordTable(docs).localCheckpoint(false)
+    val base = words.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_chars"))
+    val rewrite = expr(
+      """aggregate(syms, cast(array() as array<string>),
+        |  (acc, s) -> case
+        |    when size(acc) = 0 then array(s)
+        |    when element_at(acc, -1) = bx and s = by
+        |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
+        |    else concat(acc, array(s)) end)""".stripMargin)
     for (_ <- 1 to rounds) {
-      // one checkpoint per round, on the WINDOWED frame: it feeds both
-      // the pair-statistics aggregate and the rewrite, which would
-      // otherwise each re-run the window (and its shuffle)
-      val pairs = syms
-        .withColumn("nxt", lead("sym", 1).over(perWord))
-        .withColumn("prv", lag("sym", 1).over(perWord))
-        .localCheckpoint(false)
-      val best = pairs
-        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+      // one checkpoint per round: the word table feeds both the pair
+      // statistics and the rewrite
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS sym, syms[i] AS nxt))")).as("p"))
+        .select(col("p.sym").as("sym"), col("p.nxt").as("nxt"))
+        .filter(col("sym") =!= col("nxt"))
         .groupBy("sym", "nxt").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("sym"), col("nxt")).limit(1)
         .select(col("sym").as("bx"), col("nxt").as("by"))
-      syms = pairs.crossJoin(broadcast(best))
-        // drop rows consumed by the merge starting one position left
-        .filter(not(coalesce(col("prv") === col("bx") && col("sym") === col("by"),
-          lit(false))))
-        .select(col("doc_id"), col("wid"), col("pos"),
-          when(col("sym") === col("bx") && coalesce(col("nxt") === col("by"), lit(false)),
-            concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+      words = words.crossJoin(broadcast(best))
+        .select(col("doc_id"), rewrite.as("syms"))
+        .localCheckpoint(false)
     }
-    syms.groupBy("doc_id").agg(count(lit(1)).as("n_bpe_tokens"))
-      .join(nChars, Seq("doc_id"))
+    words.groupBy("doc_id")
+      .agg(sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+      .join(base, Seq("doc_id"))
       .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"))
       .orderBy("doc_id")
   }

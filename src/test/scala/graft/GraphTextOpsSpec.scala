@@ -28,6 +28,23 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(got.toSet === (4L to 7L).map(s => (s, 3L)).toSet)
   }
 
+  test("BPE fold rewrite learns the hand-checkable merge sequence") {
+    import spark.implicits._
+    // 6 productive merges, simulated by hand: el, h+el, wo, hel+l,
+    // hell+o, l+d — leaving hello whole, world as wo|r|ld, held as
+    // hel|d. Counts below follow from those splits.
+    val docs = Seq(
+      (1L, "hello hello world"),
+      (2L, "hello world word"),
+      (3L, "held wold")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.bpeCountsFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 15L, 5L),
+      (2L, 3L, 14L, 7L),
+      (3L, 2L, 8L, 4L)))
+  }
+
   test("perplexity: a doc of corpus-common tokens scores below a doc of corpus-rare tokens") {
     import spark.implicits._
     val docs = Seq(
