@@ -74,38 +74,51 @@ object Relational3 {
     * domain on 3 tasks — at 100× scale that is a multi-million-entry map
     * per reducer on a 3-task stage. This two-pass plan shards instead:
     *
-    *  1. extent pass: per-group (count, min, max) — partial+final agg.
-    *  2. histogram pass: rows bucketed into B fixed-width slots of the
-    *     group's [min, max] extent, counted by (group, bucket) — one
-    *     shuffle over B×G keys. Cumulative offsets over the ≤ B×G
-    *     aggregated rows locate, for each needed rank ⌊q·(n−1)⌋ /
-    *     ⌈q·(n−1)⌉, the bucket holding it and the rank within it.
-    *  3. selection pass: a broadcast semi-join keeps only rows of the
+    *  1. histogram pass: rows bucketed into B fixed-width slots of a
+    *     DOCUMENTED domain — the bucket is a pure monotonic function of
+    *     the value (outliers clamp to the edge slots), so the domain
+    *     choice affects only bucket BALANCE, never correctness — counted
+    *     with per-bucket min/max by (group, bucket): one partial+final
+    *     shuffle over ≤ B×G keys. Group extents and counts roll up from
+    *     the cells; cumulative offsets over the same ≤ B×G rows locate,
+    *     for each needed rank ⌊q·(n−1)⌋ / ⌈q·(n−1)⌉, the bucket holding
+    *     it and the rank within it.
+    *  2. selection pass: a broadcast semi-join keeps only rows of the
     *     ≤ G×4 located buckets; a per-(group, rank) sort finds the
     *     local-rank-th value. Per-task state is ONE bucket's population,
-    *     O(n/B) — grow B with the data and every stage stays sharded
-    *     (degenerate only if a group's values are all identical, when
-    *     the answer short-circuits to that value anyway).
+    *     O(n/B) on balanced domains — grow B with the data and every
+    *     stage stays sharded. A badly mis-declared domain degrades
+    *     toward one hot bucket (still exact); a data-derived extent
+    *     pass (one more scan) is the fallback when no domain is known.
     *
     * Interpolation mirrors DuckDB's quantile_cont exactly:
     * (⌈r⌉−r)·x⌊r⌋ + (r−⌊r⌋)·x⌈r⌉, with r = q·(n−1). */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     val B = 1024
+    // l_extendedprice = quantity × retail price ∈ (0, ~110k] at every
+    // SF — the declared histogram domain (balance hint only, see above)
+    val (lo, hi) = (0d, 131072d)
     val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
-    // One scan + one fan-out shuffle for all three passes: the 2-column
-    // projection is lazily checkpointed so the extent, histogram, and
-    // selection passes don't each re-read and re-shuffle the table. (On
-    // a cluster with splittable sources one could skip the checkpoint
-    // and pay three cheap columnar scans instead — the plan shape below
-    // is identical either way.)
+    // One scan + one fan-out shuffle for both passes: the 3-column
+    // projection (bucket needs no statistics — computed inline) is
+    // lazily checkpointed so the histogram and selection passes don't
+    // each re-read and re-shuffle the table. (On a cluster with
+    // splittable sources one could skip the checkpoint and pay two
+    // cheap columnar scans instead — the plan shape is identical.)
     val base = Tables.fanOut(t(spark, dir, "lineitem")
       .select("l_returnflag", "l_extendedprice"))
       .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+      .withColumn("bucket",
+        least(greatest(floor((col("v") - lo) / (hi - lo) * B), lit(0d)), lit(B - 1d))
+          .cast("long"))
       .localCheckpoint(false)
-    // pass 1: per-group extent (G rows; reused for pmin/pmax output)
-    val stats = base.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("vmin"), max("v").as("vmax"))
+    // pass 1: (group, bucket) histogram cells with per-cell extent
+    val cells = base.groupBy("g", "bucket")
+      .agg(count(lit(1)).as("cnt"), min("v").as("bmin"), max("v").as("bmax"))
       .localCheckpoint(false)
+    // group stats roll up from the tiny cell frame (G rows)
+    val stats = cells.groupBy("g")
+      .agg(sum(col("cnt")).as("n"), min("bmin").as("vmin"), max("bmax").as("vmax"))
     // needed ranks: floor/ceil of q·(n−1) per (group, q) — ≤ G×4 rows
     val ranks = stats
       .select(col("g"), col("n"), explode(array(qs.map(q => lit(q._1)): _*)).as("q"))
@@ -113,15 +126,7 @@ object Relational3 {
       .select(col("g"), col("q"), col("r"),
         explode(array(floor(col("r")).cast("long"), ceil(col("r")).cast("long"))).as("rank"))
       .distinct()
-    // pass 2: fixed-width histogram, ONE shuffle on (g, bucket)
-    val bucketed = base.join(broadcast(stats.select("g", "vmin", "vmax")), Seq("g"))
-      .withColumn("bucket",
-        when(col("vmax") === col("vmin"), lit(0L))
-          .otherwise(least(
-            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) * B).cast("long"),
-            lit(B - 1L))))
-      .select("g", "bucket", "v")
-    val cum = bucketed.groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+    val cum = cells
       .withColumn("cum_before",
         coalesce(sum("cnt").over(org.apache.spark.sql.expressions.Window
           .partitionBy("g").orderBy("bucket")
@@ -136,8 +141,8 @@ object Relational3 {
         col("cm.bucket").as("bucket"),
         (col("rk.rank") - col("cm.cum_before")).as("local_rank"))
       .localCheckpoint(false)
-    // pass 3: rows of located buckets only; per-(g, rank) state = one bucket
-    val kth = bucketed
+    // pass 2: rows of located buckets only; per-(g, rank) state = one bucket
+    val kth = base
       .join(broadcast(needed), Seq("g", "bucket"))
       .withColumn("pos", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("g", "rank").orderBy("v")) - 1)
