@@ -56,6 +56,27 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, rk, o_orderkey""".stripMargin
 
+  /** The distribution-window family: percent_rank and cume_dist over
+    * the same partitioning as the ranking family (one shuffle). Both
+    * are ratios of identical integers — (rank−1)/(n−1) and
+    * rows≤current/n — so the doubles agree bit-for-bit cross-engine. */
+  def distributionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val distributionWindowsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cum_dist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** CUBE over (returnflag, linestatus) — all four grouping combinations
     * in one pass. fanOut: the 4× Expand + decimal partial agg is the
     * CPU-heavy part; see Tables.fanOut. */
@@ -187,6 +208,7 @@ object Relational2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_json_extract" -> jsonExtract,
     "window_ranking_family" -> rankingWindows,
+    "window_distribution_family" -> distributionWindows,
     "agg_cube_pricing" -> cubePricing,
     "fn_array_ops" -> arrayOps,
     "s12_delete_antijoin" -> deleteAntiJoin,
@@ -196,6 +218,7 @@ object Relational2 {
   val oracles: Map[String, String] = Map(
     "fn_json_extract" -> jsonExtractSql,
     "window_ranking_family" -> rankingWindowsSql,
+    "window_distribution_family" -> distributionWindowsSql,
     "agg_cube_pricing" -> cubePricingSql,
     "fn_array_ops" -> arrayOpsSql,
     "s12_delete_antijoin" -> deleteAntiJoinSql,
