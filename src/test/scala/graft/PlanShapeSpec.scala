@@ -195,6 +195,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CodegenFallback"), p)
   }
 
+  test("triangle enumeration is equi-joins + one semi probe (no all-pairs)") {
+    val p = planString(graft.sim.GraphOps.triangles(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("LeftSemi"), p.take(1500))
+  }
+
+  test("perplexity joins on term only; the sole nested loop is the 1-row total") {
+    // NB: the tf frame is lazily checkpointed, so the parquet scan
+    // (whose pruning is asserted on its un-checkpointed twin below)
+    // does not appear in this plan.
+    val p = planString(graft.text.TextAnalysis.perplexity(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("text pipelines prune the documents scan to (doc_id, text)") {
+    // the projection every checkpointed text operator reads through
+    import org.apache.spark.sql.functions._
+    val p = planString(graft.operators.Tables.t(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("term")))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("url"), read)
+  }
+
+  test("percentile plan has no cartesian join and a sharded (g,bucket) aggregation") {
+    val p = planString(graft.operators.Relational3.percentiles(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("bucket"), p.take(1500))
+  }
+
+  test("distribution windows stay partitioned by o_custkey") {
+    val p = planString(Relational2.distributionWindows(spark, sf("sf0.001")))
+    assert(p.linesIterator.exists(l => l.contains("Window")), p.take(1200))
+    assert(p.contains("o_custkey"), p.take(1200))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (unsalted twin)") {
     // join_salted_skew salts BY HAND; this is the evidence that the
     // UNSALTED form of the same hot-key join self-heals under AQE: one
