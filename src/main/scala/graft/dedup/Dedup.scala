@@ -99,27 +99,37 @@ object Dedup {
   private def uhA(i: Int): Long = 2L * i + 3L
   private def uhB(i: Int): Long = 104729L * i + 12345L
 
-  /** MinHash band buckets: k=16 min-hashes over word-3-gram shingles,
-    * folded into 4 bands of 4 (md5 of the band's minhash run). One
-    * shuffle (the per-doc groupBy); bands unpivot from columns. */
-  def minhashBands(spark: SparkSession, dir: String, k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = k / bands
+  /** Per-doc k-column minhash signatures: one shuffle (the per-doc
+    * groupBy of k parallel min-aggregates). Shared by the banding,
+    * candidate and estimator paths. */
+  private[graft] def minhashSignatures(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val mins = (0 until k).map(i =>
       min(pmod(lit(uhA(i)) * col("hp") + lit(uhB(i)), lit(P))).as(s"mh$i"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
-          .as("bucket"))
-    }
     shingleTable(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), pmod(Portable.hash60(col("shingle")), lit(P)).as("hp"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .orderBy("doc_id", "band")
   }
+
+  /** Band-fold of a signature frame: 4 bands of k/4 (md5 of the band's
+    * minhash run), unpivoted from columns — a pure map stage. */
+  private def bandFold(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+          .as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** MinHash band buckets: k=16 min-hashes over word-3-gram shingles,
+    * folded into 4 bands of 4. */
+  def minhashBands(spark: SparkSession, dir: String, k: Int = 16, bands: Int = 4): DataFrame =
+    bandFold(minhashSignatures(spark, dir, k), k, bands)
+      .orderBy("doc_id", "band")
 
   def minhashBandsSql(k: Int = 16, bands: Int = 4): String = {
     val rows = k / bands
@@ -163,6 +173,101 @@ object Dedup {
        |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
        |WHERE l.doc_id < r.doc_id
        |GROUP BY a, b ORDER BY a, b""".stripMargin
+
+  /** MinHash estimator quality as a first-class query (the sketch twin
+    * of `sim_ann_recall`): for every LSH candidate pair, the Jaccard
+    * ESTIMATE — the fraction of the k minhashes that agree — next to
+    * the exact shingle-set Jaccard. Both are divisions of identical
+    * integers, so the doubles agree bit-for-bit cross-engine.
+    * Plan: the signature frame is materialized ONCE and feeds the band
+    * candidate join and both estimate sides; the exact intersection is
+    * an (id, shingle) equi-join RESTRICTED to candidate pairs — never
+    * all pairs. At 100 TB every stage is an equi-join or partial+final
+    * agg on keys that grow with the data. */
+  def minhashEstimates(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val sig = minhashSignatures(spark, dir, k).localCheckpoint(false)
+    val cand = {
+      val b = bandFold(sig, k, 4)
+      b.select(col("doc_id").as("a"), col("band"), col("bucket"))
+        .join(b.select(col("doc_id").as("b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+    }
+    val agree = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigA = sig.select(col("doc_id").as("a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sigB = sig.select(col("doc_id").as("b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    val est = cand.join(sigA, "a").join(sigB, "b")
+      .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
+    val st = shingleTable(spark, dir).localCheckpoint(false)
+    val sizes = st.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val inter = cand
+      .join(st.select(col("doc_id").as("a"), explode(col("sh")).as("shingle")), Seq("a"))
+      .join(st.select(col("doc_id").as("b"), explode(col("sh")).as("shingle")),
+        Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("a", "b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("est_jaccard"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")).as("exact_jaccard"))
+      .orderBy("a", "b")
+  }
+
+  def minhashEstimatesSql(k: Int = 16): String = {
+    val minExprs = (0 until k).map(i =>
+      s"min((${uhA(i)} * hp + ${uhB(i)}) % $P) AS mh$i").mkString(",\n|         ")
+    val rows = k / 4
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until rows).map(r => s"mh${b * rows + r}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM mh"
+    }.mkString("\n|  UNION ALL ")
+    val agreeSql = (0 until k)
+      .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$shingleTableSql,
+       |shx AS (SELECT doc_id, unnest(st.sh) AS shingle FROM st),
+       |hpx AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P) AS hp FROM shx),
+       |mh AS (
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM hpx GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+       |  WHERE l.doc_id < r.doc_id
+       |),
+       |est AS (
+       |  SELECT c.a, c.b, CAST($agreeSql AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand c JOIN mh x ON c.a = x.doc_id JOIN mh y ON c.b = y.doc_id
+       |),
+       |sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM st),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS n_inter
+       |  FROM cand c
+       |    JOIN shx sa ON sa.doc_id = c.a
+       |    JOIN shx sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |  GROUP BY c.a, c.b
+       |)
+       |SELECT e.a, e.b, e.est_jaccard,
+       |       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |         / (za.n + zb.n - coalesce(i.n_inter, 0)) AS exact_jaccard
+       |FROM est e
+       |  LEFT JOIN inter i ON e.a = i.a AND e.b = i.b
+       |  JOIN sizes za ON e.a = za.doc_id
+       |  JOIN sizes zb ON e.b = zb.doc_id
+       |ORDER BY e.a, e.b""".stripMargin
+  }
 
   /** Signature width and pigeonhole-piece geometry. 60 bits is everything
     * Portable.hash60 yields (15 hex chars of md5); 4 pieces of 15 bits
@@ -430,6 +535,7 @@ object Dedup {
     "dedup_exact" -> exact,
     "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
     "dedup_minhash_candidates" -> minhashCandidates,
+    "dedup_minhash_est" -> ((s, d) => minhashEstimates(s, d)),
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
@@ -440,6 +546,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_minhash_bands" -> minhashBandsSql(),
     "dedup_minhash_candidates" -> minhashCandidatesSql,
+    "dedup_minhash_est" -> minhashEstimatesSql(),
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql(),
