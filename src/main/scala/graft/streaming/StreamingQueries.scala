@@ -116,6 +116,58 @@ object StreamingQueries {
        |   OR (session_end_ns + ${gapSec}000000000) // 1000000 < wm_ms
        |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** Native dynamic-gap session windows — the engine's own
+    * `session_window` operator (state merged inside the streaming
+    * aggregation), complementing the arbitrary-state
+    * flatMapGroupsWithState path above. Append mode: a session is
+    * emitted once the final watermark passes its end (last event +
+    * gap). Session windows merge events strictly closer than the gap
+    * (diff < gap joins, diff ≥ gap splits — NOT the same boundary as
+    * the flatMap path's `> gap` split), and the watermark is the
+    * ms-truncated max event time minus the delay; the oracle mirrors
+    * both rules exactly. */
+  def streamSessionWindow(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val name = unique("stream_session_window")
+    val events = Streaming.withEventTime(Streaming.readEventsStream(spark, dir))
+      .withWatermark("event_time", "600 seconds")
+    val agg = events
+      .groupBy(session_window(col("event_time"), s"$gapSec seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+    Streaming.runToMemory(spark, agg, name, outputMode = "append")
+    spark.table(name).orderBy("user_id", "session_start_us")
+  }
+
+  val streamSessionWindowSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events
+       |), gaps AS (
+       |  SELECT user_id, tus,
+       |         lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+       |  FROM ev
+       |), sess AS (
+       |  SELECT user_id, tus,
+       |         sum(CASE WHEN prev IS NULL OR tus - prev >= ${gapSec}000000
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY tus
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM gaps
+       |), agg AS (
+       |  SELECT user_id, min(tus) AS session_start_us,
+       |         max(tus) + ${gapSec}000000 AS session_end_us,
+       |         count(*) AS n_events
+       |  FROM sess GROUP BY user_id, sid
+       |), wm AS (
+       |  SELECT (max(epoch_ns(ts)) // 1000000 - 600000) * 1000 AS wm_us FROM events
+       |)
+       |SELECT user_id, session_start_us, session_end_us, n_events
+       |FROM agg, wm WHERE session_end_us <= wm_us
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   /** Streaming exact dedup (dropDuplicatesWithinWatermark), run to
     * completion; projected to the content hash so the output is the
     * deterministic distinct-hash set (which physical row survives a
@@ -293,6 +345,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_agg" -> streamTumblingAgg,
     "stream_sessionize" -> streamSessionize,
+    "stream_session_window" -> streamSessionWindow,
     "stream_dedup" -> streamDedup,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_outer_join" -> streamOuterJoin,
@@ -304,6 +357,7 @@ object StreamingQueries {
     "stream_running_stats" -> streamRunningStatsSql,
     "stream_tumbling_agg" -> streamTumblingAggSql,
     "stream_sessionize" -> streamSessionizeSql,
+    "stream_session_window" -> streamSessionWindowSql,
     "stream_dedup" -> streamDedupSql,
     "stream_interval_join" -> streamIntervalJoinSql,
     "stream_static_join" -> streamStaticJoinSql)
