@@ -182,8 +182,10 @@ object GraphOps {
       maxPartDegree, topN)
 
   /** Core on any (part, supp) membership frame — see [[triangles]]. */
-  private[graft] def trianglesFrom(pairs: DataFrame,
+  private[graft] def trianglesFrom(pairs0: DataFrame,
                                    maxPartDegree: Int, topN: Int): DataFrame = {
+    // feeds the degree filter AND the projection join — materialize once
+    val pairs = pairs0.localCheckpoint(false)
     val eligible = pairs.groupBy("part").agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxPartDegree).select("part")
     val p2 = pairs.join(eligible, "part")
