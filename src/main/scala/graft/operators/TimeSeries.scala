@@ -276,12 +276,74 @@ object TimeSeries {
       |GROUP BY c.user_id, c.event_id, c.click_us
       |ORDER BY c.user_id, c.event_id""".stripMargin
 
+  /** Hourly downsample with last-observation-carried-forward — the
+    * resample/gap-fill operator every time-series store offers. Each
+    * user's grid spans their [first, last] event hours; the grid rows
+    * (value-NULL) union with the raw events and one partitioned
+    * LOCF window (`last(value) ignoreNulls`) fills each grid point
+    * with the latest value at-or-before the hour start. Ties at the
+    * boundary: the event sorts before the grid row (is_grid breaks
+    * the tie), so an event exactly on the hour is carried into it.
+    * Scale: the grid explode is bounded by each user's time span over
+    * the grid step (explicitly a parameter to size), the union is
+    * map-side, and the single window is partitioned by user — nothing
+    * global. Values pass through unchanged (no arithmetic), so the
+    * doubles are trivially exact cross-engine. */
+  def downsampleLocf(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts").as("tns"), col("value"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(expr("tns div " + hourNs)).as("h0"),
+        max(expr("tns div " + hourNs)).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      .select(col("user_id"), (col("hour") * hourNs).as("ord_ns"),
+        lit(1).as("is_grid"), lit(null).cast("double").as("value"))
+    val pts = ev.select(col("user_id"), col("tns").as("ord_ns"),
+      lit(0).as("is_grid"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ord_ns", "is_grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.unionAll(grid)
+      .withColumn("locf_value", last("value", ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), expr("ord_ns div 1000").as("hour_start_us"),
+        col("locf_value"))
+      .orderBy("user_id", "hour_start_us")
+  }
+
+  val downsampleLocfSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) AS tns, value FROM events
+      |), bounds AS (
+      |  SELECT user_id, min(tns // 3600000000000) AS h0,
+      |         max(tns // 3600000000000) AS h1
+      |  FROM ev GROUP BY user_id
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1)) * 3600000000000 AS ord_ns,
+      |         1 AS is_grid, CAST(NULL AS DOUBLE) AS value
+      |  FROM bounds
+      |), pts AS (
+      |  SELECT user_id, tns AS ord_ns, 0 AS is_grid, value FROM ev
+      |), unioned AS (
+      |  SELECT * FROM pts UNION ALL SELECT * FROM grid
+      |), filled AS (
+      |  SELECT user_id, ord_ns, is_grid,
+      |         last_value(value IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ord_ns, is_grid
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+      |  FROM unioned
+      |)
+      |SELECT user_id, ord_ns // 1000 AS hour_start_us, locf_value
+      |FROM filled WHERE is_grid = 1
+      |ORDER BY user_id, hour_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
     "ts_asof_join_native" -> asofJoinNative,
     "ts_asof_tolerance" -> asofJoinTolerance,
     "ts_range_join" -> rangeJoin,
     "ts_range_join_rule" -> rangeJoinViaRule,
+    "ts_downsample_locf" -> downsampleLocf,
     "agg_sliding_events" -> slidingAgg,
     "agg_grouping_sets" -> groupingSets)
 
@@ -291,6 +353,7 @@ object TimeSeries {
     "ts_asof_tolerance" -> asofJoinToleranceSql,
     "ts_range_join" -> rangeJoinSql,
     "ts_range_join_rule" -> rangeJoinViaRuleSql,
+    "ts_downsample_locf" -> downsampleLocfSql,
     "agg_sliding_events" -> slidingAggSql,
     "agg_grouping_sets" -> groupingSetsSql)
 }

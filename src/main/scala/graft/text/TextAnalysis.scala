@@ -336,6 +336,41 @@ object TextAnalysis {
       |       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Corpus-mixture report: documents and tokens per (source, split) —
+    * the mixture dashboard a training pipeline runs before weighting
+    * domains. Token fractions are divisions of exact integers against
+    * the 1-row broadcast corpus total. One explode-free pass (token
+    * counts are per-row array sizes), one partial+final agg. */
+  def mixReport(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = t(spark, dir, "documents")
+      .select(col("source"), splitOf(col("doc_id")).as("split"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val cells = perDoc.groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("t").cast("double")).as("token_frac"))
+      .orderBy("source", "split")
+  }
+
+  val mixReportSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |         CASE WHEN $splitHashSql < 80 THEN 'train'
+       |              WHEN $splitHashSql < 90 THEN 'val' ELSE 'test' END AS split,
+       |         len($tokSql)::BIGINT AS n_toks
+       |  FROM documents
+       |), cells AS (
+       |  SELECT source, split, count(*) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |  FROM per_doc GROUP BY source, split
+       |), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM cells)
+       |SELECT source, split, n_docs, n_tokens,
+       |       CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS token_frac
+       |FROM cells CROSS JOIN tot
+       |ORDER BY source, split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> tokenCounts,
     "text_quality_score" -> qualityScore,
@@ -344,6 +379,7 @@ object TextAnalysis {
     "text_trigram_stats" -> trigramStats,
     "text_countmin_est" -> ((s, d) => countMinEstimates(s, d)),
     "text_perplexity" -> perplexity,
+    "text_mix_report" -> mixReport,
     "text_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
@@ -354,5 +390,6 @@ object TextAnalysis {
     "text_trigram_stats" -> trigramStatsSql,
     "text_countmin_est" -> countMinEstimatesSql(),
     "text_perplexity" -> perplexitySql,
+    "text_mix_report" -> mixReportSql,
     "text_split_assign" -> splitAssignSql)
 }
