@@ -92,11 +92,14 @@ object GraphOps {
   private val S = 1000000000000L // rank scale
 
   /** Undirected part↔supplier graph from distinct lineitem pairs.
-    * Node ids are prefixed strings (p123 / s45). */
+    * Node ids are INTEGER-encoded (part → 2k, supplier → 2k+1): every
+    * per-round join and shuffle keys on a BIGINT instead of a string —
+    * narrower exchanges and cheaper hashing, which is the whole cost of
+    * the iteration at scale. */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "lineitem")
-      .select(concat(lit("p"), col("l_partkey")).as("p"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
     pairs.select(col("p").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
@@ -104,7 +107,7 @@ object GraphOps {
 
   private val edgesSql: String =
     """pairs AS (
-      |  SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s FROM lineitem
+      |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem
       |), edges AS (
       |  SELECT p AS src, s AS dst FROM pairs
       |  UNION ALL
