@@ -76,9 +76,55 @@ object Layout {
        |       (max(ux) - min(ux) + 1) * (max(th) - min(th) + 1) AS bbox_area
        |FROM z GROUP BY zr ORDER BY zr""".stripMargin
 
+  /** Small-file compaction planning — the other half of table
+    * maintenance next to Z-order: assign the table's file inventory
+    * (modeled here as the per-(source, lang) cells of the documents
+    * table, sized by their character bytes) to target-sized compaction
+    * bins. The assignment is CUMULATIVE-FILL packing: files in a fixed
+    * total order, bin = floor(bytes-before / target) — deterministic,
+    * partitioning-independent, and what sorted-boundary OPTIMIZE
+    * implementations actually do (greedy first-fit is inherently
+    * serial and non-deterministic under reordering).
+    *
+    * The global window runs over the FILE INVENTORY — metadata whose
+    * cardinality is the file count, not the data size — which is the
+    * one place a global ordered window is the honest plan at 100 TB
+    * (a planner node would hold the same list). */
+  def compactionBins(spark: SparkSession, dir: String,
+                     targetBytes: Long = 65536): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = t(spark, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(sum(col("n_chars")).as("file_bytes"), count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("source", "lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum("file_bytes").over(w), lit(0L)))
+      .select(col("source"), col("lang"), col("n_docs"), col("file_bytes"),
+        expr(s"cum_before DIV $targetBytes").as("bin"))
+      .orderBy("source", "lang")
+  }
+
+  def compactionBinsSql(targetBytes: Long = 65536): String =
+    s"""WITH files AS (
+       |  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS file_bytes,
+       |         count(*) AS n_docs
+       |  FROM documents GROUP BY source, lang
+       |), packed AS (
+       |  SELECT source, lang, n_docs, file_bytes,
+       |         coalesce(sum(file_bytes) OVER (ORDER BY source, lang
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM files
+       |)
+       |SELECT source, lang, n_docs, file_bytes,
+       |       CAST(cum_before // $targetBytes AS BIGINT) AS bin
+       |FROM packed ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder_stats" -> ((s, d) => zorderStats(s, d)))
+    "layout_zorder_stats" -> ((s, d) => zorderStats(s, d)),
+    "layout_compaction_bins" -> ((s, d) => compactionBins(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "layout_zorder_stats" -> zorderStatsSql())
+    "layout_zorder_stats" -> zorderStatsSql(),
+    "layout_compaction_bins" -> compactionBinsSql())
 }
