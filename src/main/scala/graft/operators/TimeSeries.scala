@@ -289,10 +289,13 @@ object TimeSeries {
     * map-side, and the single window is partitioned by user — nothing
     * global. Values pass through unchanged (no arithmetic), so the
     * doubles are trivially exact cross-engine. */
-  def downsampleLocf(spark: SparkSession, dir: String): DataFrame = {
+  def downsampleLocf(spark: SparkSession, dir: String): DataFrame =
+    downsampleLocfFrom(t(spark, dir, "events")
+      .select(col("user_id"), expr("ts").as("tns"), col("value")))
+
+  /** Core on any (user_id, tns, value) frame — see [[downsampleLocf]]. */
+  private[graft] def downsampleLocfFrom(ev: DataFrame): DataFrame = {
     val hourNs = 3600L * 1000 * 1000 * 1000
-    val ev = t(spark, dir, "events")
-      .select(col("user_id"), expr("ts").as("tns"), col("value"))
     val grid = ev.groupBy("user_id")
       .agg(min(expr("tns div " + hourNs)).as("h0"),
         max(expr("tns div " + hourNs)).as("h1"))

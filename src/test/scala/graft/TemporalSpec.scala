@@ -41,6 +41,30 @@ class TemporalSpec extends SparkSpec {
     } finally iv.unpersist()
   }
 
+  test("LOCF downsample: boundary event carried in, pre-first-event grid is NULL") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // user 1: event exactly ON hour 2 (carried into that grid point),
+    // another at 2h30 (fills hour 3+), span forces grid hours 2..4.
+    // user 2: single mid-hour event → its only grid point (hour 5)
+    // precedes the event, so the fill is NULL.
+    val ev = Seq(
+      (1L, 2L * hourNs, 10.0),
+      (1L, 2L * hourNs + 1800L * 1000000000L, 20.0),
+      (1L, 4L * hourNs + 60L * 1000000000L, 30.0),
+      (2L, 5L * hourNs + 60L * 1000000000L, 99.0)
+    ).toDF("user_id", "tns", "value")
+    val got = graft.operators.TimeSeries.downsampleLocfFrom(ev)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got === Seq(
+      (1L, 2L * hourNs / 1000, Some(10.0)), // boundary event included
+      (1L, 3L * hourNs / 1000, Some(20.0)), // LOCF from 2h30
+      (1L, 4L * hourNs / 1000, Some(20.0)), // 4h04 event NOT yet visible
+      (2L, 5L * hourNs / 1000, None))) // grid precedes first event
+  }
+
   test("scd2 collapses consecutive duplicates: adjacent states differ") {
     val iv = Temporal.scd2Intervals(spark, sf("sf0.001"))
     import org.apache.spark.sql.expressions.Window
