@@ -236,6 +236,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("o_custkey"), p.take(1200))
   }
 
+  test("LOCF downsample window is partitioned by user (no global sort but presentation)") {
+    val p = planString(graft.operators.TimeSeries.downsampleLocf(spark, sf("sf0.001")))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty, p.take(1200))
+    assert(p.contains("user_id"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (unsalted twin)") {
     // join_salted_skew salts BY HAND; this is the evidence that the
     // UNSALTED form of the same hot-key join self-heals under AQE: one
