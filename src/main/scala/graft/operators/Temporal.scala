@@ -114,11 +114,54 @@ object Temporal {
       |WHERE prev_type IS NULL OR prev_type <> event_type
       |ORDER BY user_id, version""".stripMargin
 
+  /** SCD2 temporal lookup: resolve every event against the dimension
+    * version valid at its timestamp — the fact-to-SCD2 join every
+    * warehouse runs, expressed through the NATIVE as-of join (its
+    * second production use on the board). Because the intervals tile
+    * each user's timeline (valid_to = next valid_from), "latest
+    * valid_from ≤ ts" IS interval containment — the O(n·m) theta join
+    * the oracle runs never exists in the engine plan, only a
+    * co-partitioned single-pass merge. The dimension side is
+    * aggregated to one row per (user, valid_from) — max version wins,
+    * matching the half-open-interval rule at change-point ts
+    * collisions — per the as-of tie contract. */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val facts = ev(spark, dir).select(col("user_id"), col("event_id"), col("tus"))
+    val dim = scd2Intervals(spark, dir)
+      .groupBy(col("user_id"), col("valid_from_us").as("tus"))
+      .agg(max("version").as("version"))
+    graft.plans.AsOfJoin
+      .asof(facts, dim, key = "user_id", ts = "tus",
+        payload = "version", outName = "version")
+      .orderBy("user_id", "event_id")
+  }
+
+  val scd2LookupSql: String =
+    s"""WITH iv AS (${scd2IntervalsSql.replace("ORDER BY user_id, version", "")}),
+       |dim AS (
+       |  SELECT user_id, valid_from_us, max(version) AS version
+       |  FROM iv GROUP BY user_id, valid_from_us
+       |), dim2 AS (
+       |  SELECT user_id, valid_from_us, version,
+       |         lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us
+       |  FROM dim
+       |), e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+       |)
+       |SELECT e.user_id, e.event_id, e.tus, d.version
+       |FROM e JOIN dim2 d
+       |  ON e.user_id = d.user_id
+       | AND d.valid_from_us <= e.tus
+       | AND (d.valid_to_us IS NULL OR e.tus < d.valid_to_us)
+       |ORDER BY e.user_id, e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_funnel_conversion" -> funnelConversion,
-    "ts_scd2_intervals" -> scd2Intervals)
+    "ts_scd2_intervals" -> scd2Intervals,
+    "ts_scd2_lookup" -> scd2Lookup)
 
   val oracles: Map[String, String] = Map(
     "ts_funnel_conversion" -> funnelConversionSql,
-    "ts_scd2_intervals" -> scd2IntervalsSql)
+    "ts_scd2_intervals" -> scd2IntervalsSql,
+    "ts_scd2_lookup" -> scd2LookupSql)
 }
