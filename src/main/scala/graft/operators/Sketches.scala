@@ -92,6 +92,73 @@ object Sketches {
        |FROM est""".stripMargin
   }
 
+  /** Per-group HLL vs exact distinct — the grouped form of
+    * [[hllDistinct]] and the third estimator-quality query on the
+    * board (with `sim_ann_recall` and `dedup_minhash_est`): distinct
+    * customers per order priority, estimated from G×256 register rows.
+    * The register table is the MERGEABLE state a 100 TB rollup keeps:
+    * per-partition registers max-combine map-side, and coarser
+    * groupings merge the same registers without rescanning. rel_err is
+    * arithmetic on identical doubles — exact cross-engine. */
+  def hllGroups(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val toks = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("g"),
+        col("o_custkey").cast("string").as("tok"))
+      .localCheckpoint(false) // feeds registers + exact counts
+    val h = Portable.hash60(col("tok"))
+    val w = expr(s"h DIV $m")
+    val regs = toks
+      .select(col("g"), pmod(h, lit(m.toLong)).as("bucket"), h.as("h"))
+      .withColumn("rho", when(w === 0, lit(53L))
+        .otherwise(lit(53L) - length(bin(w)).cast("long")))
+      .groupBy("g", "bucket").agg(max("rho").as("mreg"))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val est = regs.groupBy("g").agg(
+        sum(expr("shiftleft(1L, cast(53 - mreg as int))")).as("sum_present"),
+        count(lit(1)).as("v"))
+      .withColumn("sum_int",
+        col("sum_present") + (lit(m.toLong) - col("v")) * lit(1L << 53))
+      .select(col("g"),
+        (lit(alpha * m * m) * lit((1L << 53).toDouble) / col("sum_int").cast("double"))
+          .as("hll_est"))
+    toks.groupBy("g").agg(countDistinct(col("tok")).as("n_exact"))
+      .join(est, Seq("g"))
+      .withColumn("rel_err",
+        (col("hll_est") - col("n_exact").cast("double")) / col("n_exact").cast("double"))
+      .orderBy("g")
+  }
+
+  def hllGroupsSql(p: Int = 8): String = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH toks AS (
+       |  SELECT o_orderpriority AS g, CAST(o_custkey AS VARCHAR) AS tok FROM orders
+       |), hashed AS (
+       |  SELECT g, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+       |), regs AS (
+       |  SELECT g, h % $m AS bucket,
+       |         max(CASE WHEN h // $m = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $m)) END) AS mreg
+       |  FROM hashed GROUP BY g, bucket
+       |), agg AS (
+       |  SELECT g, CAST(sum(1::BIGINT << (53 - mreg)) AS BIGINT) AS sum_present,
+       |         count(*) AS v
+       |  FROM regs GROUP BY g
+       |), est AS (
+       |  SELECT g,
+       |         ${alpha * m * m}::DOUBLE * ${(1L << 53).toDouble}::DOUBLE
+       |           / CAST(sum_present + ($m - v) * (1::BIGINT << 53) AS DOUBLE) AS hll_est
+       |  FROM agg
+       |), exact AS (
+       |  SELECT g, count(DISTINCT tok) AS n_exact FROM toks GROUP BY g
+       |)
+       |SELECT e.g, e.n_exact, s.hll_est,
+       |       (s.hll_est - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE) AS rel_err
+       |FROM exact e JOIN est s ON e.g = s.g
+       |ORDER BY e.g""".stripMargin
+  }
+
   /** Bloom-filter join pruning — the manual form of Spark's runtime
     * bloom filter: build an m=65536-bit, k=3 filter over the custkeys of
     * one market segment, pre-filter orders through it, then verify with
@@ -224,12 +291,14 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
+    "agg_hll_groups" -> ((s, d) => hllGroups(s, d)),
     "join_bloom_prune" -> ((s, d) => bloomPrune(s, d)),
     "sample_bottomk" -> ((s, d) => bottomK(s, d)),
     "sample_stratified" -> ((s, d) => stratifiedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "agg_hll_distinct" -> hllDistinctSql(),
+    "agg_hll_groups" -> hllGroupsSql(),
     "join_bloom_prune" -> bloomPruneSql(),
     "sample_bottomk" -> bottomKSql(),
     "sample_stratified" -> stratifiedSampleSql())
