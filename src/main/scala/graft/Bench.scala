@@ -57,7 +57,7 @@ object Bench {
                     "sim_lsh_signatures", // codegen-heaviest family
                     "src_csv_roundtrip", "src_orc_roundtrip",
                     "src_json_roundtrip", "src_partitioned_prune",
-                    "src_bucketed_join");
+                    "src_schema_evolution", "src_bucketed_join");
            fn <- SparkEntry.queries.get(n))
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

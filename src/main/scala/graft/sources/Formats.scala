@@ -160,11 +160,46 @@ object Formats {
   val jsonRoundTripSql: String =
     "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** Schema evolution: two parquet fixture generations — v1 without,
+    * v2 with an added column — read together under `mergeSchema`; v1
+    * rows surface the new column as NULL. The lake operation every
+    * long-lived table eventually needs (backfills add columns; readers
+    * must keep working over the mixed inventory). Oracle = DuckDB's
+    * `union_by_name` read of the same two fixture directories. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = scratch("evolve", dir)
+    // the evolved column is additive; the shared columns keep ONE type
+    // across generations (mergeSchema widens nothing — int32 vs int64
+    // on the same name is a CANNOT_MERGE_SCHEMAS error, by design)
+    val v1 = t(spark, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+    val v2 = t(spark, dir, "nation")
+      .select((col("n_nationkey").cast("long") + 100L).as("r_regionkey"),
+        col("n_name").as("r_name"), lit("v2").as("origin"))
+    writeOnce(s"evolve|$base") {
+      v1.write.mode(SaveMode.Overwrite).parquet(s"$base/gen=1")
+      v2.write.mode(SaveMode.Overwrite).parquet(s"$base/gen=2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$base/gen=1", s"$base/gen=2")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"),
+        col("r_name"), col("origin"))
+      .orderBy("r_regionkey")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |       CAST(NULL AS VARCHAR) AS origin
+      |FROM region
+      |UNION ALL
+      |SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'v2' FROM nation
+      |ORDER BY r_regionkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundTrip,
     "src_orc_roundtrip" -> orcRoundTrip,
     "src_json_roundtrip" -> jsonRoundTrip,
     "src_partitioned_prune" -> partitionedPrune,
+    "src_schema_evolution" -> schemaEvolution,
     "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +207,6 @@ object Formats {
     "src_orc_roundtrip" -> orcRoundTripSql,
     "src_json_roundtrip" -> jsonRoundTripSql,
     "src_partitioned_prune" -> partitionedPruneSql,
+    "src_schema_evolution" -> schemaEvolutionSql,
     "src_bucketed_join" -> bucketedJoinSql)
 }
