@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.Tables.t
@@ -119,11 +119,79 @@ object Relational5 {
       |         ORDER BY n_name LIMIT 2) t
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** Data-quality constraint report — the Deequ/dbt-test validation
+    * pass every production pipeline runs before publishing a table:
+    * uniqueness, not-null, referential integrity, range, and
+    * accepted-values checks, each one aggregate (or anti-join count),
+    * unioned into a (check_name, table, n_violations, n_checked) summary.
+    * Scale: each check is a partial+final count or a key anti-join —
+    * the checks share scans per table and nothing is driver-side; the
+    * report is as wide as the check list, not the data. */
+  def dqConstraintReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val orders = t(spark, dir, "orders")
+    def row(check: String, table: String, violations: Column, checked: Column,
+            src: DataFrame): DataFrame =
+      src.agg(violations.as("n_violations"), checked.as("n_checked"))
+        .select(lit(check).as("check_name"), lit(table).as("table_name"),
+          col("n_violations").cast("long").as("n_violations"),
+          col("n_checked").cast("long").as("n_checked"))
+    val unique = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c") - 1)).as("v"), count(lit(1)).as("n"))
+      .select(lit("unique_orderkey").as("check_name"), lit("orders").as("table_name"),
+        coalesce(col("v"), lit(0L)).cast("long").as("n_violations"),
+        col("n").cast("long").as("n_checked"))
+    val notNull = row("not_null_shipdate", "lineitem",
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)), count(lit(1)), li)
+    val refInt = row("ref_lineitem_orders", "lineitem",
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)), count(lit(1)),
+      li.select("l_orderkey")
+        .join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left"))
+    val range = row("range_discount_0_1", "lineitem",
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)),
+      count(lit(1)), li)
+    val accepted = row("accepted_returnflag", "lineitem",
+      sum(when(not(col("l_returnflag").isin("A", "N", "R")), 1L).otherwise(0L)),
+      count(lit(1)), li)
+    unique.unionAll(notNull).unionAll(refInt).unionAll(range).unionAll(accepted)
+      .orderBy("check_name")
+  }
+
+  val dqConstraintReportSql: String =
+    """SELECT * FROM (
+      |  SELECT 'unique_orderkey' AS check_name, 'orders' AS table_name,
+      |         CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS n_violations,
+      |         count(*) AS n_checked
+      |  FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)
+      |  UNION ALL
+      |  SELECT 'not_null_shipdate', 'lineitem',
+      |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(*)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'ref_lineitem_orders', 'lineitem',
+      |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(*)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'range_discount_0_1', 'lineitem',
+      |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(*)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'accepted_returnflag', 'lineitem',
+      |         CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT),
+      |         count(*)
+      |  FROM lineitem
+      |) ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sub_exists" -> existsSubquery,
     "set_ops_intersect" -> setIntersect,
     "agg_collect_sorted" -> collectSorted,
     "agg_unpivot" -> unpivotTotals,
+    "dq_constraint_report" -> dqConstraintReport,
     "join_lateral_topn" -> lateralTopN)
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +199,6 @@ object Relational5 {
     "set_ops_intersect" -> setIntersectSql,
     "agg_collect_sorted" -> collectSortedSql,
     "agg_unpivot" -> unpivotTotalsSql,
+    "dq_constraint_report" -> dqConstraintReportSql,
     "join_lateral_topn" -> lateralTopNSql)
 }
