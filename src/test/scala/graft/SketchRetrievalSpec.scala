@@ -36,6 +36,18 @@ class SketchRetrievalSpec extends SparkSpec {
       s"est $est vs exact $exact drifted past 3 sigma")
   }
 
+  test("grouped HLL keeps every group's relative error inside the raw-estimator band") {
+    // sf0.01, where n/m ≈ 5 per group: below that (sf0.001 has n < m)
+    // the raw estimator is in its documented small-range regime and
+    // only linear counting would rescue it — out of scope (hllDistinct
+    // scaladoc). 0.3 bounds bias + 3-sigma variance and still catches
+    // a broken register build (orders of magnitude off).
+    Sketches.hllGroups(spark, sf("sf0.01")).collect().foreach { r =>
+      val err = math.abs(r.getAs[Double]("rel_err"))
+      assert(err < 0.3, s"group ${r.getAs[String]("g")} rel_err $err")
+    }
+  }
+
   test("bottom-k returns exactly k rows per stratum, ranked by hash") {
     val rows = Sketches.bottomK(spark, dir, k = 5).collect()
     val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
