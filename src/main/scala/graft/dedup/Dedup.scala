@@ -174,6 +174,44 @@ object Dedup {
        |WHERE l.doc_id < r.doc_id
        |GROUP BY a, b ORDER BY a, b""".stripMargin
 
+  /** INCREMENTAL dedup candidates — the nightly-ingest shape: only the
+    * DELTA batch (docs whose split hash lands in [90,100), standing in
+    * for "arrived since the last run") probes the band-bucket index;
+    * pairs among the already-indexed base corpus are never recomputed.
+    * That asymmetry is the whole point at 100 TB: a full-corpus rerun
+    * is quadratic-ish work every night, the incremental probe is
+    * |delta| lookups against a persisted index. Emitted pairs are
+    * normalized (a < b) so delta↔delta pairs count once. */
+  def incrementalCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir).localCheckpoint(false)
+    val deltaSide = bands
+      .filter(TextAnalysis.splitHash(col("doc_id")) >= 90)
+      .select(col("doc_id").as("d"), col("band"), col("bucket"))
+    val indexSide = bands.select(col("doc_id").as("x"), col("band"), col("bucket"))
+    deltaSide.join(indexSide, Seq("band", "bucket"))
+      .filter(col("d") =!= col("x"))
+      .select(least(col("d"), col("x")).as("a"),
+        greatest(col("d"), col("x")).as("b"), col("band"))
+      .distinct()
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_bands"))
+      .orderBy("a", "b")
+  }
+
+  val incrementalCandidatesSql: String =
+    s"""WITH bands AS (${minhashBandsSql().replace("ORDER BY doc_id, band", "")}),
+       |delta AS (
+       |  SELECT doc_id AS d, band, bucket FROM bands
+       |  WHERE ${TextAnalysis.splitHashSql} >= 90
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT least(l.d, r.doc_id) AS a,
+       |         greatest(l.d, r.doc_id) AS b, l.band AS band
+       |  FROM delta l JOIN bands r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.d <> r.doc_id
+       |)
+       |SELECT a, b, count(*) AS shared_bands
+       |FROM pairs GROUP BY a, b ORDER BY a, b""".stripMargin
+
   /** MinHash estimator quality as a first-class query (the sketch twin
     * of `sim_ann_recall`): for every LSH candidate pair, the Jaccard
     * ESTIMATE — the fraction of the k minhashes that agree — next to
@@ -536,6 +574,7 @@ object Dedup {
     "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
     "dedup_minhash_candidates" -> minhashCandidates,
     "dedup_minhash_est" -> ((s, d) => minhashEstimates(s, d)),
+    "dedup_incremental" -> incrementalCandidates,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
@@ -547,6 +586,7 @@ object Dedup {
     "dedup_minhash_bands" -> minhashBandsSql(),
     "dedup_minhash_candidates" -> minhashCandidatesSql,
     "dedup_minhash_est" -> minhashEstimatesSql(),
+    "dedup_incremental" -> incrementalCandidatesSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql(),
