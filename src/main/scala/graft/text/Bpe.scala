@@ -22,12 +22,19 @@ import graft.operators.Tables.t
   *     from run-greedy BPE, which must arbitrate overlapping "aaa"
   *     matches).
   *
-  * Scale: the state is one row per WORD holding its symbol array, so a
-  * round's rewrite is a shuffle-free per-row fold and the only per-round
-  * shuffle is the pair-count aggregation, whose key space is the
-  * vocabulary, not the corpus; each round's state is lazily
-  * checkpointed so the K-round loop doesn't snowball lineage (same
-  * pattern as PageRank's fixed-K rounds).
+  * Scale: training state is the DISTINCT WORD-FORM table with corpus
+  * counts (the standard Sennrich formulation) — Zipf: orders of
+  * magnitude smaller than the corpus. Pair statistics are
+  * count-weighted aggregations over that form table (identical totals
+  * to occurrence-level counting, so the learned merges are the same —
+  * the DuckDB oracle deliberately stays occurrence-level, making the
+  * correctness gate a proof of that equivalence), each round's rewrite
+  * is a per-form-row fold, and the learned merges are applied to
+  * occurrences ONCE at the end via a single (doc_id, w) ⋈ form join.
+  * Per-round state and checkpoint cost are O(|word forms|), not
+  * O(corpus × rounds); each round's form table is lazily checkpointed
+  * so the K-round loop doesn't snowball lineage (same pattern as
+  * PageRank's fixed-K rounds).
   */
 object Bpe {
 
@@ -35,41 +42,49 @@ object Bpe {
     * unroll the loop as CTEs. */
   val rounds = 6
 
-  /** One row per WORD, symbols as an array — not one row per symbol.
-    * Words are short and rewrites never cross a word boundary, so the
-    * word is the natural unit of parallelism: a round's rewrite is a
-    * per-row fold (zero shuffle) instead of a windowed projection over
-    * a corpus-sized symbol table (a shuffle+sort per round — the shape
-    * this replaced, measured ~4× slower at sf0.1). */
-  private def wordTable(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-
   /** Per-document token counts under `rounds` learned merges:
     * (doc_id, n_words, n_chars, n_bpe_tokens).
     *
-    * Each round: (1) adjacent-pair frequencies — explode each word's
-    * (sym, nxt) pairs, one partial+final groupBy whose key space is the
-    * VOCABULARY, not the corpus; (2) the argmax pair (count desc, then
+    * Each round, over the DISTINCT form table (w, wcnt, syms):
+    * (1) adjacent-pair frequencies weighted by `wcnt` — explode each
+    * form's (sym, nxt) pairs, one partial+final groupBy whose key
+    * space is the vocabulary; weighting by corpus count makes the
+    * totals identical to occurrence-level counting, so the learned
+    * merges are the same; (2) the argmax pair (count desc, then
     * lexicographic — a total order, so both engines learn the same
-    * merge) as a 1-row broadcast; (3) the rewrite — a left-to-right
-    * fold over each word's symbol array that replaces [.., bx] + by
-    * with [.., bx·by]. Because bx ≠ by, matches can never overlap, so
-    * the sequential fold IS the simultaneous rewrite (the oracle's
-    * windowed form — lead/lag over symbol rows — is kept in SQL and
-    * the correctness gate proves the equivalence every round). */
+    * merge) as a 0-or-1-row broadcast LEFT-joined onto the forms (left,
+    * not cross: if NO pair qualifies — every form single-symbol or only
+    * sym==nxt pairs remain — bx/by come through null, every rewrite
+    * comparison with null falls to the keep-symbol branch, and the
+    * round is a no-op instead of annihilating the table — the
+    * degenerate-input guard, kept declarative so all 6 rounds share ONE
+    * generated-code shape: inlining bx/by as collected literals was
+    * measured to force a fresh whole-stage-codegen compile per round
+    * and per cache eviction, ~1-2 s each); (3) the rewrite — a
+    * left-to-right fold over each form's symbol array that replaces
+    * [.., bx] + by with [.., bx·by]. Because bx ≠ by, matches can never
+    * overlap, so the sequential fold IS the simultaneous rewrite (the
+    * oracle's windowed occurrence-level form — lead/lag over symbol
+    * rows — is kept in SQL and the correctness gate proves the
+    * equivalence every round). */
   def bpeCounts(spark: SparkSession, dir: String): DataFrame =
     bpeCountsFrom(t(spark, dir, "documents"))
 
   /** Core on any (doc_id, text) frame — see [[bpeCounts]]. */
   private[graft] def bpeCountsFrom(docs: DataFrame): DataFrame = {
-    var words = wordTable(docs).localCheckpoint(false)
-    val base = words.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(size(col("syms"))).cast("long").as("n_chars"))
+    // occurrences folded to (doc_id, w, occ): one corpus shuffle, read
+    // twice (form derivation + final application join)
+    val occ = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
+    // training state: distinct word forms with corpus counts (Zipf-small)
+    var forms = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
+      .select(col("w"), col("wcnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint(false)
+    // null-safe: with bx/by null (empty `best`), both `when` predicates
+    // are null → every symbol takes the keep branch → round is a no-op
     val rewrite = expr(
       """aggregate(syms, cast(array() as array<string>),
         |  (acc, s) -> case
@@ -78,25 +93,29 @@ object Bpe {
         |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
         |    else concat(acc, array(s)) end)""".stripMargin)
     for (_ <- 1 to rounds) {
-      // one checkpoint per round: the word table feeds both the pair
-      // statistics and the rewrite
-      val best = words
+      val best = forms
         .filter(size(col("syms")) >= 2)
-        .select(explode(expr(
+        .select(col("wcnt"), explode(expr(
           "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS sym, syms[i] AS nxt))")).as("p"))
-        .select(col("p.sym").as("sym"), col("p.nxt").as("nxt"))
+        .select(col("p.sym").as("sym"), col("p.nxt").as("nxt"), col("wcnt"))
         .filter(col("sym") =!= col("nxt"))
-        .groupBy("sym", "nxt").agg(count(lit(1)).as("cnt"))
+        .groupBy("sym", "nxt").agg(sum(col("wcnt")).as("cnt"))
         .orderBy(desc("cnt"), col("sym"), col("nxt")).limit(1)
         .select(col("sym").as("bx"), col("nxt").as("by"))
-      words = words.crossJoin(broadcast(best))
-        .select(col("doc_id"), rewrite.as("syms"))
+      forms = forms.join(broadcast(best), lit(true), "left")
+        .select(col("w"), col("wcnt"), rewrite.as("syms"))
         .localCheckpoint(false)
     }
-    words.groupBy("doc_id")
-      .agg(sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
-      .join(base, Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"))
+    // apply the learned vocabulary ONCE: occurrences ⋈ rewritten forms.
+    // Explicit broadcast: the checkpointed form table carries no stats
+    // (sizeInBytes defaults to huge), so the hint — not the optimizer —
+    // keeps the vocabulary on the small side of the join.
+    occ.join(broadcast(forms.select(col("w"), size(col("syms")).cast("long").as("w_tokens"),
+        length(col("w")).cast("long").as("w_chars"))), Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("w_chars")).cast("long").as("n_chars"),
+        sum(col("occ") * col("w_tokens")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
 

@@ -45,6 +45,19 @@ class GraphTextOpsSpec extends SparkSpec {
       (3L, 2L, 8L, 4L)))
   }
 
+  test("BPE training stops gracefully when no mergeable pair exists") {
+    import spark.implicits._
+    // every word is single-symbol or pure same-symbol runs ("aa" gives
+    // only a sym==nxt pair, excluded from learning) → round 1 finds no
+    // candidate; the loop must break and return per-doc counts with
+    // each word left at its character-level tokenization, not an
+    // annihilated empty frame.
+    val docs = Seq((1L, "a b aa"), (2L, "z aa")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.bpeCountsFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 3L, 4L, 4L), (2L, 2L, 3L, 3L)))
+  }
+
   test("perplexity: a doc of corpus-common tokens scores below a doc of corpus-rare tokens") {
     import spark.implicits._
     val docs = Seq(
