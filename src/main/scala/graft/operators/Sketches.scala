@@ -99,7 +99,17 @@ object Sketches {
     * The register table is the MERGEABLE state a 100 TB rollup keeps:
     * per-partition registers max-combine map-side, and coarser
     * groupings merge the same registers without rescanning. rel_err is
-    * arithmetic on identical doubles — exact cross-engine. */
+    * arithmetic on identical doubles — exact cross-engine.
+    *
+    * Small-range caveat (same as [[hllDistinct]], and MORE acute here
+    * because grouping divides the cardinality): at the verification
+    * scale factors the per-group distinct count sits near or below the
+    * raw estimator's ~3m biased regime, so the reported hll_est /
+    * rel_err reflect small-range bias, not sketch quality — production
+    * HLL applies linear counting below that threshold. Cross-engine
+    * exactness is unaffected (both engines compute the identical raw
+    * estimator); SketchRetrievalSpec's quality floor is calibrated to
+    * the biased regime it actually measures. */
   def hllGroups(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
     val m = 1 << p
     val toks = t(spark, dir, "orders")

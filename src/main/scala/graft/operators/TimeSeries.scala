@@ -288,10 +288,17 @@ object TimeSeries {
     * the grid step (explicitly a parameter to size), the union is
     * map-side, and the single window is partitioned by user — nothing
     * global. Values pass through unchanged (no arithmetic), so the
-    * doubles are trivially exact cross-engine. */
+    * doubles are trivially exact cross-engine.
+    *
+    * The engine-side `ts` is truncated to µs (div 1000, scaled back to
+    * ns) BEFORE ordering: DuckDB reads the parquet TIMESTAMP(NANOS)
+    * column at µs precision, so an event with a sub-µs component just
+    * past an hour boundary would otherwise be carried into the grid
+    * point by the oracle but not here. The harness generator only emits
+    * µs-aligned timestamps, but the tie rule must not depend on that. */
   def downsampleLocf(spark: SparkSession, dir: String): DataFrame =
     downsampleLocfFrom(t(spark, dir, "events")
-      .select(col("user_id"), expr("ts").as("tns"), col("value")))
+      .select(col("user_id"), expr("(ts div 1000) * 1000").as("tns"), col("value")))
 
   /** Core on any (user_id, tns, value) frame — see [[downsampleLocf]]. */
   private[graft] def downsampleLocfFrom(ev: DataFrame): DataFrame = {
