@@ -401,6 +401,61 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
        |ORDER BY a, b""".stripMargin
 
+  /** INCREMENTAL SimHash near-dup — the nightly-ingest twin of
+    * [[incrementalCandidates]]: only the DELTA batch (split hash in
+    * [90,100), standing in for "arrived since the last run") probes the
+    * (position, piece) index of the full corpus; base×base pairs are
+    * never recomputed. The probe is |delta| equi-join lookups against a
+    * persisted piece index — the shape that makes nightly near-dup
+    * affordable at 100 TB. Pairs are normalized (a < b) so delta↔delta
+    * pairs count once; hamming verification is identical to
+    * [[simhashPairs]]. */
+  def simhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(spark, dir)
+    val pieces = sig.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(simhashPieces - 1))).as("p"))
+      .withColumn("piece",
+        expr(s"shiftright(simhash, p * $simhashPieceBits) % ${1 << simhashPieceBits}"))
+      .localCheckpoint(false) // read twice (delta slice + index side)
+    val delta = pieces
+      .filter(TextAnalysis.splitHash(col("doc_id")) >= 90)
+      .select(col("doc_id").as("d"), col("simhash").as("sig_d"),
+        col("p"), col("piece"))
+    val index = pieces.select(col("doc_id").as("x"), col("simhash").as("sig_x"),
+      col("p"), col("piece"))
+    delta.join(index, Seq("p", "piece"))
+      .filter(col("d") =!= col("x"))
+      .withColumn("hamming", bit_count(col("sig_d").bitwiseXOR(col("sig_x"))))
+      .filter(col("hamming") <= 3)
+      .select(least(col("d"), col("x")).as("a"),
+        greatest(col("d"), col("x")).as("b"),
+        col("hamming").cast("int").as("hamming"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  val simhashIncrementalSql: String =
+    s"""WITH sig AS (${simhashSql.replace("ORDER BY doc_id", "")}),
+       |pieces AS (
+       |  SELECT doc_id, simhash, ps.p AS p,
+       |         (simhash >> (ps.p * $simhashPieceBits)) % ${1 << simhashPieceBits} AS piece
+       |  FROM sig, (SELECT unnest(generate_series(0, ${simhashPieces - 1})) AS p) ps
+       |),
+       |delta AS (
+       |  SELECT doc_id AS d, simhash AS sig_d, p, piece FROM pieces
+       |  WHERE ${TextAnalysis.splitHashSql} >= 90
+       |),
+       |cand AS (
+       |  SELECT DISTINCT least(l.d, r.doc_id) AS a, greatest(l.d, r.doc_id) AS b,
+       |         CASE WHEN l.d < r.doc_id THEN l.sig_d ELSE r.simhash END AS sig_a,
+       |         CASE WHEN l.d < r.doc_id THEN r.simhash ELSE l.sig_d END AS sig_b
+       |  FROM delta l JOIN pieces r ON l.p = r.p AND l.piece = r.piece
+       |  WHERE l.d <> r.doc_id
+       |)
+       |SELECT a, b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY a, b""".stripMargin
+
   /** n-gram Jaccard near-dup pairs via inverted-index join: each shared
     * distinct shingle contributes one joined row, so count(*) per pair IS
     * |A∩B|; |A∪B| from per-doc sizes. Exact integer ratio → double. */
@@ -577,6 +632,7 @@ object Dedup {
     "dedup_incremental" -> incrementalCandidates,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_simhash_incremental" -> simhashIncremental,
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
 
@@ -589,6 +645,7 @@ object Dedup {
     "dedup_incremental" -> incrementalCandidatesSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_simhash_incremental" -> simhashIncrementalSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql(),
     "dedup_repeated_spans" -> repeatedSpansSql())
 }

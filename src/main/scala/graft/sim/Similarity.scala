@@ -283,6 +283,88 @@ object Similarity {
        |WHERE CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $tau
        |ORDER BY a, b""".stripMargin
 
+  /** INCREMENTAL embedding near-dup — the nightly-ingest shape for the
+    * vector corpus (the embedding twin of Dedup.simhashIncremental):
+    * only the DELTA batch probes the banded-LSH bucket index of the
+    * full corpus; base×base pairs are never recomputed. The delta here
+    * IS the self-planted batch of [[nearDupPairs]] (8 near-copies of
+    * existing vectors appended past the corpus max id — exactly what a
+    * nightly ingest of near-duplicates looks like), so the query also
+    * proves end-to-end that a delta-only probe recovers every planted
+    * pair through the bucketed path: candidates are (band, bucket)
+    * equi-join rows with a delta side of |delta|, verification is exact
+    * cosine ≥ τ. Pairs normalized (a < b); delta↔delta pairs (random
+    * nudged vectors, cosine ≪ τ) fail verification. */
+  def nearDupIncremental(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
+    val qnBase = quantized(spark, dir)
+    val planted = qnBase.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(qnBase.agg((max("vec_id") + 1L).as("plant_base"))))
+      .select((col("vec_id") + col("plant_base")).as("vec_id"),
+        zip_with(col("q"), sequence(lit(0), lit(dims - 1)),
+          (x, i) => x + when(i === 0, 1L).otherwise(0L)).as("q"))
+      .withColumn("nsq", Portable.normSqQ(col("q")))
+    // the full corpus = base ∪ delta; only the delta side probes it
+    val qn = qnBase.unionByName(planted).localCheckpoint(false)
+    val sig = lshSignaturesFrom(qn).localCheckpoint(false)
+    val buckets = sig
+      .select(col("vec_id"), col("signature"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket",
+        expr(s"shiftright(signature, band * $bandBits) & ${(1 << bandBits) - 1}"))
+      .drop("signature")
+      .localCheckpoint(false) // read twice (delta slice + index side)
+    // plant_base as a 1-row broadcast: "tonight's batch" = ids past the
+    // base corpus maximum
+    val base = qnBase.agg((max("vec_id") + 1L).as("plant_base"))
+    val deltaB = buckets.crossJoin(broadcast(base))
+      .filter(col("vec_id") >= col("plant_base"))
+      .select(col("vec_id").as("d"), col("band"), col("bucket"))
+    val cand = deltaB
+      .join(buckets.select(col("band"), col("bucket"), col("vec_id").as("x")),
+        Seq("band", "bucket"))
+      .filter(col("d") =!= col("x"))
+      .select(least(col("d"), col("x")).as("a"),
+        greatest(col("d"), col("x")).as("b"))
+      .distinct()
+    cand
+      .join(qn.select(col("vec_id").as("a"), col("q").as("qa"), col("nsq").as("na")), Seq("a"))
+      .join(qn.select(col("vec_id").as("b"), col("q").as("qb"), col("nsq").as("nb")), Seq("b"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cosine") >= tau)
+      .select("a", "b", "cosine")
+      .orderBy("a", "b")
+  }
+
+  /** Oracle: exact all-pairs cosine over base ∪ planted, restricted to
+    * pairs with at least one side in the delta (vec_id ≥ plant base) —
+    * the incremental contract stated declaratively. */
+  def nearDupIncrementalSql(tau: Double = 0.9): String =
+    s"""WITH $quantizedSql,
+       |planted AS (
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM qn) AS vec_id,
+       |         list_transform(generate_series(1, $dims),
+       |           i -> qv[i] + CASE WHEN i = 1 THEN 1 ELSE 0 END) AS qv
+       |  FROM qn WHERE vec_id < 8
+       |),
+       |plantedn AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+       |  FROM planted
+       |),
+       |corpus AS (
+       |  SELECT vec_id, qv, nsq FROM qn
+       |  UNION ALL SELECT vec_id, qv, nsq FROM plantedn
+       |)
+       |SELECT a.vec_id AS a, b.vec_id AS b,
+       |       CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       |WHERE (a.vec_id >= (SELECT max(vec_id) + 1 FROM qn)
+       |       OR b.vec_id >= (SELECT max(vec_id) + 1 FROM qn))
+       |  AND CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $tau
+       |ORDER BY a, b""".stripMargin
+
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = the
     * first 16 vectors — a stand-in for trained k-means centroids; the
     * dataflow is identical), each vector assigned to its nearest
@@ -399,7 +481,8 @@ object Similarity {
     "sim_lsh_signatures" -> lshSignatures,
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
-    "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)))
+    "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+    "sim_neardup_incremental" -> ((s, d) => nearDupIncremental(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_topk" -> ivfTopKSql(),
@@ -407,5 +490,6 @@ object Similarity {
     "sim_lsh_signatures" -> lshSignaturesSql,
     "sim_ann_lsh" -> annLshSql(),
     "sim_ann_recall" -> annRecallSql(),
-    "sim_neardup_pairs" -> nearDupPairsSql())
+    "sim_neardup_pairs" -> nearDupPairsSql(),
+    "sim_neardup_incremental" -> nearDupIncrementalSql())
 }
