@@ -70,6 +70,19 @@ object Bpe {
   def bpeCounts(spark: SparkSession, dir: String): DataFrame =
     bpeCountsFrom(t(spark, dir, "documents"))
 
+  /** One round's count-weighted adjacent-pair statistics over a form
+    * table (w, wcnt, syms): the ONLY per-round shuffle, keyed on the
+    * (sym, nxt) VOCABULARY — never on doc_id or the corpus.
+    * Package-visible so PlanShapeSpec can pin that property. */
+  private[graft] def pairStats(forms: DataFrame): DataFrame =
+    forms
+      .filter(size(col("syms")) >= 2)
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS sym, syms[i] AS nxt))")).as("p"))
+      .select(col("p.sym").as("sym"), col("p.nxt").as("nxt"), col("wcnt"))
+      .filter(col("sym") =!= col("nxt"))
+      .groupBy("sym", "nxt").agg(sum(col("wcnt")).as("cnt"))
+
   /** Core on any (doc_id, text) frame — see [[bpeCounts]]. */
   private[graft] def bpeCountsFrom(docs: DataFrame): DataFrame = {
     // occurrences folded to (doc_id, w, occ): one corpus shuffle, read
@@ -93,13 +106,7 @@ object Bpe {
         |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
         |    else concat(acc, array(s)) end)""".stripMargin)
     for (_ <- 1 to rounds) {
-      val best = forms
-        .filter(size(col("syms")) >= 2)
-        .select(col("wcnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS sym, syms[i] AS nxt))")).as("p"))
-        .select(col("p.sym").as("sym"), col("p.nxt").as("nxt"), col("wcnt"))
-        .filter(col("sym") =!= col("nxt"))
-        .groupBy("sym", "nxt").agg(sum(col("wcnt")).as("cnt"))
+      val best = pairStats(forms)
         .orderBy(desc("cnt"), col("sym"), col("nxt")).limit(1)
         .select(col("sym").as("bx"), col("nxt").as("by"))
       forms = forms.join(broadcast(best), lit(true), "left")

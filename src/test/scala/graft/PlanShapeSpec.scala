@@ -244,6 +244,66 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("media near-dup candidates are a (piece) equi-join, never all-pairs") {
+    // the signature pipeline (with its 1-row plant broadcast) sits
+    // behind a checkpoint; the candidate plan proper must be a pure
+    // equi-join on (k, piece) with no nested-loop or cartesian node
+    val p = planString(graft.multimodal.Multimodal.mediaNearDupPairs(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("piece"), p.take(1500))
+  }
+
+  test("BPE round statistics shuffle on the vocabulary, never the corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val forms = Seq(("ab", 3L), ("abc", 2L)).toDF("w", "wcnt")
+      .select(col("w"), col("wcnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    val p = planString(graft.text.Bpe.pairStats(forms))
+    // formatted mode prints partitioning in the detail section
+    val ex = p.linesIterator.filter(_.contains("hashpartitioning(")).toSeq
+    assert(ex.nonEmpty, p.take(1500))
+    assert(ex.forall(l => l.contains("sym") && l.contains("nxt")), ex.mkString("\n"))
+    assert(!p.contains("doc_id"), p.take(1500))
+    // map-side combine: partial then final aggregate around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("per-group HLL registers aggregate map-side (partial+final)") {
+    val p = planString(graft.operators.Sketches.hllGroups(spark, sf("sf0.001")))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    // the register agg is keyed on (g, bucket) — the mergeable state
+    assert(p.contains("bucket"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("z-order stats is one map stage + one aggregation shuffle") {
+    val p = planString(graft.operators.Layout.zorderStats(spark, sf("sf0.001")))
+    // formatted mode prints partitioning in the detail section
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning("))
+    val rangeEx = p.linesIterator.count(_.contains("rangepartitioning("))
+    assert(hashEx == 1, s"expected exactly one aggregation shuffle, got $hashEx:\n${p.take(1500)}")
+    assert(rangeEx <= 1, s"only the presentation orderBy may range-partition:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("incremental simhash probe is a (p, piece) equi-join, never all-pairs") {
+    val p = planString(graft.dedup.Dedup.simhashIncremental(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(p.contains("piece"), p.take(1500))
+  }
+
+  test("incremental embedding near-dup: only 1-row broadcasts nest, candidates equi-join") {
+    val p = planString(graft.sim.Similarity.nearDupIncremental(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the only nested-loop join is the 1-row plant_base scalar combine
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (unsalted twin)") {
     // join_salted_skew salts BY HAND; this is the evidence that the
     // UNSALTED form of the same hot-key join self-heals under AQE: one
