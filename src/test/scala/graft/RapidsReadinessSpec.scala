@@ -1,0 +1,153 @@
+package graft
+
+import graft.plans.RapidsAudit
+
+/** Pins the RAPIDS-readiness classification of every harness query
+  * (COVERAGE.md §RAPIDS): which queries' optimized plans contain zero
+  * conservative CPU-fallback triggers ("gpu-clean"), which contain
+  * exactly the documented triggers, and which families are classified
+  * by documentation because constructing them executes work (streaming
+  * runs the micro-batch engine; the aria drain iterates). No GPU is
+  * needed: the audit reads plans against the public spark-rapids
+  * supported-ops categories, it never executes on one. The partition
+  * must stay total — adding a query without classifying it fails here.
+  */
+class RapidsReadinessSpec extends SparkSpec {
+
+  private val gpuClean = Set(
+    "agg_collect_sorted", "agg_count_distribution", "agg_cube_pricing",
+    "agg_distinct", "agg_grouping_sets", "agg_pivot_linestatus",
+    "agg_rollup_customers", "agg_salted_skew", "agg_session_stats",
+    "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
+    "dedup_exact", "dq_constraint_report", "fn_conditionals",
+    "fn_date_parts", "fn_json_extract", "fn_regexp",
+    "fn_scalar_string_math", "fn_string_extra", "join_full_outer",
+    "join_lateral_topn", "join_salted_skew", "join_semi_anti",
+    "layout_compaction_bins", "layout_zorder_stats", "mm_media_meta",
+    "q10_returned_items", "q11_part_value_share", "q12_priority_shipping",
+    "q14_promo_effect", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
+    "q20_volume_suppliers", "q22_idle_customers", "q2_min_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "s11_full_scan_count", "s12_delete_antijoin",
+    "s13_update_merge", "s14_table_sizes", "s2_point_lookup",
+    "s5_upsert_union", "sample_bottomk", "sample_stratified",
+    "set_ops_except", "set_ops_intersect", "src_bucketed_join",
+    "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+    "src_partitioned_prune", "src_schema_evolution", "stat_moments",
+    "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
+    "t10_op_chain_seq", "t2_batch_lookup_join", "t5_reserve_min_agg",
+    "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
+    "text_pii_redact", "text_split_assign", "ts_asof_join",
+    "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
+    "ts_funnel_conversion", "ts_range_join", "ts_range_join_rule",
+    "ts_scd2_intervals", "ts_scd2_lookup", "window_distribution_family",
+    "window_range_frame", "window_ranking_family", "window_running_sum",
+    "window_sessionize", "window_topk_per_group", "window_value_family")
+
+  /** Expected fallback triggers per flagged query (exact sets — a new
+    * trigger appearing, or one silently disappearing, both fail). */
+  private val flagged: Map[String, Set[String]] = Map(
+    "agg_hll_distinct" -> Set("rdd-segment", "bin"),
+    "agg_hll_groups" -> Set("rdd-segment", "bin"),
+    "agg_percentiles" -> Set("rdd-segment"),
+    "dedup_decontaminate" -> Set("rdd-segment"),
+    "dedup_incremental" -> Set("rdd-segment"),
+    "dedup_jaccard_pairs" -> Set("rdd-segment"),
+    "dedup_minhash_bands" -> Set("higher-order-function", "rdd-segment"),
+    "dedup_minhash_candidates" -> Set("rdd-segment"),
+    "dedup_minhash_est" -> Set("rdd-segment"),
+    "dedup_neardup_clusters" -> Set("rdd-segment"),
+    "dedup_repeated_spans" -> Set("higher-order-function", "rdd-segment"),
+    "dedup_simhash" -> Set("higher-order-function"),
+    "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
+    "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
+    "fn_array_ops" -> Set("higher-order-function"),
+    "graph_pagerank" -> Set("rdd-segment"),
+    "graph_triangles" -> Set("rdd-segment"),
+    "join_bloom_prune" -> Set("rdd-segment"),
+    "mm_decode_summary" -> Set("object-node"),
+    "mm_frame_sample" -> Set("object-node"),
+    "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
+    "mm_resize_meta" -> Set("object-node"),
+    "pipeline_curation" -> Set("rdd-segment"),
+    "q15_top_supplier" -> Set("rdd-segment"),
+    "q21_sole_return_supplier" -> Set("rdd-segment"),
+    "sim_ann_lsh" -> Set("custom-expression", "rdd-segment"),
+    "sim_ann_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
+    "sim_embed_quantize" -> Set("higher-order-function"),
+    "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
+    "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
+    "sim_neardup_incremental" -> Set("custom-expression", "rdd-segment"),
+    "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment"),
+    "sub_scalar_agg_max" -> Set("rdd-segment"),
+    "text_bm25_rank" -> Set("rdd-segment"),
+    "text_bpe_counts" -> Set("rdd-segment"),
+    "text_cosine_pairs" -> Set("rdd-segment"),
+    "text_countmin_est" -> Set("rdd-segment"),
+    "text_fingerprint" -> Set("higher-order-function"),
+    "text_lang_id" -> Set("higher-order-function"),
+    "text_mix_report" -> Set("higher-order-function"),
+    "text_perplexity" -> Set("bin", "rdd-segment"),
+    "text_quality_score" -> Set("higher-order-function"),
+    "text_tfidf_top" -> Set("rdd-segment"),
+    "text_token_counts" -> Set("higher-order-function"),
+    "text_trigram_stats" -> Set("higher-order-function"))
+
+  /** Classified by documentation (construction executes work):
+    * streaming (stateful operators are CPU per the docs) and the aria
+    * drain (checkpoint-segmented iterative controller by design). */
+  private def byDocumentation(n: String): Boolean =
+    n.startsWith("stream_") || n.startsWith("aria_")
+
+  test("the classification partitions the whole query board") {
+    val names = SparkEntry.queries.keySet
+    val classified = gpuClean ++ flagged.keySet ++ names.filter(byDocumentation)
+    assert((names -- classified).isEmpty,
+      s"unclassified queries: ${(names -- classified).toSeq.sorted}")
+    assert((gpuClean -- names).isEmpty, s"stale clean entries: ${gpuClean -- names}")
+    assert((flagged.keySet -- names).isEmpty, s"stale flagged entries: ${flagged.keySet -- names}")
+    assert(gpuClean.intersect(flagged.keySet).isEmpty)
+  }
+
+  test("gpu-clean queries have zero conservative fallback triggers") {
+    val dir = sf("sf0.001")
+    val bad = gpuClean.toSeq.sorted.flatMap { n =>
+      val f = RapidsAudit.flags(SparkEntry.queries(n)(spark, dir))
+      if (f.isEmpty) None else Some(s"$n -> ${f.mkString(",")}")
+    }
+    assert(bad.isEmpty, s"clean queries now flag:\n${bad.mkString("\n")}")
+  }
+
+  test("flagged queries carry exactly their documented triggers") {
+    val dir = sf("sf0.001")
+    val bad = flagged.toSeq.sortBy(_._1).flatMap { case (n, want) =>
+      val got = RapidsAudit.flags(SparkEntry.queries(n)(spark, dir)).toSet
+      if (got == want) None else Some(s"$n: want $want, got $got")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("the detector actually fires on each trigger class") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // spark.range base: a literal LocalRelation would be constant-folded
+    // by ConvertToLocalRelation and the expression under test vanishes
+    val df = spark.range(4).select(col("id"), array(col("id"), col("id") + 1).as("xs"))
+    assert(RapidsAudit.flags(df.select(transform(col("xs"), x => x + 1)))
+      .contains("higher-order-function"))
+    assert(RapidsAudit.flags(df.select(bin(col("id")))).contains("bin"))
+    assert(RapidsAudit.flags(df.select(bit_count(col("id")))).contains("bit-count"))
+    assert(RapidsAudit.flags(df.localCheckpoint(false).select(col("id")))
+      .contains("rdd-segment"))
+    assert(RapidsAudit.flags(df.as[(Long, Seq[Long])].map(_._1).toDF())
+      .contains("object-node"))
+    assert(RapidsAudit.flags(df.select(
+      graft.functions.Portable.dotQ(col("xs"), col("xs")).as("d")))
+      .contains("custom-expression"))
+    val f = udf((x: Long) => x + 1)
+    assert(RapidsAudit.flags(df.select(f(col("id")))).contains("scala-udf"))
+  }
+}
