@@ -22,7 +22,7 @@ object Formats {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val inFlight =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def writeOnce(key: String)(write: => Unit): Unit =
+  private[graft] def writeOnce(key: String)(write: => Unit): Unit =
     if (!writtenFixtures.contains(key)) {
       // the key is recorded only AFTER the write succeeds: a throwing
       // first write (Bench warmup swallows Throwable) must not make

@@ -188,4 +188,20 @@ object Streaming {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** As [[runToMemory]], returning the number of DATA-CARRYING
+    * micro-batches the run took (trailing empty finalize/no-new-file
+    * triggers excluded) — the observable a rate-limit/backpressure
+    * query asserts on. */
+  def runToMemoryCountingBatches(spark: SparkSession, streamed: DataFrame,
+                                 queryName: String, outputMode: String): Int = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q.recentProgress.count(_.numInputRows > 0)
+  }
 }

@@ -342,7 +342,53 @@ object StreamingQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Rate-limited ingestion — the backpressure/operability surface
+    * beyond exactly-once restart: the events table is split into
+    * `rateFiles` range-partitioned parquet files (written once per JVM,
+    * same memoization contract as the src_* fixtures) and streamed with
+    * `maxFilesPerTrigger = 1`, so the engine MUST take exactly
+    * `rateFiles` data-carrying micro-batches instead of swallowing the
+    * input in one. Evidence rides the correctness gate itself: the
+    * result carries an `n_triggers` column from the observed progress
+    * log, and the oracle pins it to the literal file count — if rate
+    * limiting ever stopped batching (or batched differently), the row
+    * hash mismatches. The aggregation runs in COMPLETE mode, whose
+    * final state is file-order-independent (no watermark dropping
+    * across triggers), so the remaining columns equal the batch
+    * tumbling aggregation regardless of trigger boundaries — which is
+    * precisely the invariant rate limiting must preserve: throttled
+    * ingestion changes WHEN work happens, never the answer. */
+  def streamRateLimited(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val rateFiles = 4
+    // per-SF fixture path: one JVM may verify several scale factors
+    val path = s"/tmp/graft_fixtures/events_rate_split_${new java.io.File(dir).getName}"
+    graft.sources.Formats.writeOnce(s"ratesplit|$path") {
+      graft.operators.Tables.t(spark, dir, "events")
+        .repartitionByRange(rateFiles, col("event_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val src = spark.readStream
+      .schema(Streaming.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+    val name = unique("stream_rate")
+    val n = Streaming.runToMemoryCountingBatches(spark,
+      Streaming.tumblingAgg(src), name, outputMode = "complete")
+    spark.table(name)
+      .withColumn("n_triggers", lit(n))
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamRateLimitedSql: String =
+    """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |       4 AS n_triggers
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_rate_limited" -> streamRateLimited,
     "stream_tumbling_agg" -> streamTumblingAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_session_window" -> streamSessionWindow,
@@ -353,6 +399,7 @@ object StreamingQueries {
     "stream_static_join" -> streamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    "stream_rate_limited" -> streamRateLimitedSql,
     "stream_outer_join" -> streamOuterJoinSql,
     "stream_running_stats" -> streamRunningStatsSql,
     "stream_tumbling_agg" -> streamTumblingAggSql,

@@ -139,6 +139,31 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
     ()
   }
+
+  test("maxFilesPerTrigger paces ingestion: batch count tracks the limit") {
+    import org.apache.spark.sql.functions.col
+    // 4-file fixture; limit 2 files/trigger → exactly 2 data batches,
+    // and the final state equals the unthrottled aggregation
+    val path = "/tmp/graft_fixtures/events_rate_spec"
+    graft.sources.Formats.writeOnce(s"ratespec|$path") {
+      graft.operators.Tables.t(spark, sf("sf0.001"), "events")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(path)
+    }
+    def throttled(filesPerTrigger: Int, name: String): (Int, Seq[org.apache.spark.sql.Row]) = {
+      val src = spark.readStream.schema(Streaming.eventsSchema)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(path)
+      val n = Streaming.runToMemoryCountingBatches(spark,
+        Streaming.tumblingAgg(src), name, outputMode = "complete")
+      (n, spark.table(name).orderBy("window_start", "event_type").collect().toSeq)
+    }
+    val (n2, rows2) = throttled(2, "rate_spec_2")
+    val (n4, rows4) = throttled(4, "rate_spec_4")
+    assert(n2 === 2, "2 files/trigger over 4 files must take 2 batches")
+    assert(n4 === 1, "4 files/trigger over 4 files must take 1 batch")
+    assert(rows2 === rows4, "throttling must change batching, never the answer")
+    assert(rows2.nonEmpty)
+  }
 }
 
 object StreamingSpec {
