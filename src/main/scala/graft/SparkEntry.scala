@@ -34,6 +34,7 @@ object SparkEntry {
     (text.Pipeline.queries, text.Pipeline.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Similarity.queries, sim.Similarity.oracles),
+    (sim.Clustering.queries, sim.Clustering.oracles),
     (sim.Embeddings.queries, sim.Embeddings.oracles),
     (sim.GraphOps.queries, sim.GraphOps.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),

@@ -1,0 +1,310 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+
+/** K-means clustering over the embedding column, and the curation
+  * operators built on it (SemDeDup-style semantic dedup, cluster-balanced
+  * representative sampling). The IVF index (Similarity.ivfTopK) uses
+  * stand-in centroids; this is the real trained-quantizer path.
+  *
+  * Numeric strategy: Lloyd's iterations run entirely in the fixed-point
+  * integer domain (Portable.quantize). Distances are exact BIGINTs
+  * (‖v‖² − 2·v·c + ‖c‖²), argmin ties break on the lowest cluster id via
+  * an explicit (dist, cid) window rank, and centroid means use exact
+  * integer floor division ((s − pmod(s, n)) div n) — so every iteration
+  * produces bit-identical centroids in Spark and the DuckDB oracle, and
+  * the unrolled-CTE oracle can replay the whole training run.
+  *
+  * Scale design (100 TB):
+  *  - Assignment is a broadcast of the K×d centroid model (O(K·d), never
+  *    data-scaled) against a single corpus map stage — the standard
+  *    distributed Lloyd's shape (cf. Spark MLlib KMeans).
+  *  - Centroid recompute is one map-side-combinable aggregation: d
+  *    per-component SUM columns + COUNT per cluster — partial aggregates
+  *    per partition, one K-row shuffle. No posexplode (which would
+  *    shuffle d× the corpus rows).
+  *  - The corpus is scanned once per iteration; iterations are fixed
+  *    (ITERS), so total cost is ITERS corpus scans + ITERS tiny shuffles.
+  *  - SemDeDup: the candidate join key is (cluster, band, bucket) — the
+  *    trained partition PLUS the OR-amplified hyperplane bands, strictly
+  *    tighter than either alone. K grows with the corpus (E[cluster size]
+  *    stays bounded), so within-cluster candidates never degenerate to
+  *    all-pairs. Exact cosine verifies every candidate — false positives
+  *    are impossible; the all-pairs DuckDB oracle proves the bucketed
+  *    path lossless on the test corpus.
+  *
+  * Reference context: the reference engine (hashTable.cuh, table.cuh) has
+  * no clustering surface; this family extends the engine for the
+  * training-data-curation workloads the survey targets (SemDeDup:
+  * Abbas et al. 2023, arXiv:2303.09540).
+  */
+object Clustering {
+
+  private val dims = 64
+  private val K = 8
+  private val iters = 3
+  private val nPlanes = 16
+  private val nBands = 4
+  private val bandBits = nPlanes / nBands
+
+  // ---------------------------------------------------------------------
+  // Spark side
+  // ---------------------------------------------------------------------
+
+  /** Quantized corpus (vec_id, q, nsq), repartitioned off the single-file
+    * scan (no-op at production scale). */
+  private def qn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedFrom(t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
+
+  /** Deterministic init: the first K vectors are the seed centroids. */
+  private def initCentroids(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("q").as("c"))
+      .withColumn("csq", Portable.normSqQ(col("c")))
+
+  /** One assignment pass: nearest centroid by exact integer distance,
+    * ties to the lowest cid. Output: vec_id, q, nsq, cid, dist. */
+  private def assign(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        col("nsq") - lit(2L) * Portable.dotQ(col("q"), col("c")) + col("csq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select("vec_id", "q", "nsq", "cid", "dist")
+
+  /** Centroid recompute: d map-side-combinable SUMs + COUNT per cluster,
+    * then exact integer floor-division means. Empty clusters drop (both
+    * engines agree: no rows → no centroid). */
+  private def recompute(assigned: DataFrame): DataFrame = {
+    val sums = (0 until dims).map(i =>
+      sum(element_at(col("q"), i + 1)).as(s"s$i"))
+    val comps: Seq[Column] = (0 until dims).map(i =>
+      expr(s"(s$i - pmod(s$i, cnt)) div cnt"))
+    val aggCols = count(lit(1)).as("cnt") +: sums
+    assigned.groupBy(col("cid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("cid"), array(comps: _*).as("c"))
+      .withColumn("csq", Portable.normSqQ(col("c")))
+  }
+
+  /** Train `iters` Lloyd's rounds; returns (corpus, finalCentroids). The
+    * corpus materializes once (read every iteration + final assignment);
+    * each centroid model is K rows — checkpointed so iteration N+1's plan
+    * doesn't re-nest iteration N's. */
+  private def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val corpus = qn(spark, dir).localCheckpoint(false)
+    var cent = initCentroids(corpus)
+    for (_ <- 1 to iters)
+      cent = recompute(assign(corpus, cent)).localCheckpoint(false)
+    (corpus, cent)
+  }
+
+  /** Per-cluster training report: size, exact integer inertia
+    * (Σ dist²), and the centroid component sum (pins the full trained
+    * model, not just the partition). */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, cent) = train(spark, dir)
+    val fin = assign(corpus, cent)
+    fin.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      .join(cent.select(col("cid").as("cluster_id"),
+        aggregate(col("c"), lit(0L), _ + _).as("centroid_sum")), Seq("cluster_id"))
+      .orderBy("cluster_id")
+  }
+
+  /** Cluster-balanced representative sampling: the `perCluster` vectors
+    * closest to their trained centroid — the "diverse coverage" sampling
+    * step of a curation pipeline (one representative slice per semantic
+    * region instead of a global top-k that collapses to the densest
+    * region). Window is partitioned by cluster → no global sort. */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+                            perCluster: Int = 3): DataFrame = {
+    val (corpus, cent) = train(spark, dir)
+    assign(corpus, cent)
+      .select(col("cid").as("cluster_id"), col("vec_id"), col("dist"),
+        row_number().over(
+          Window.partitionBy("cid").orderBy(col("dist"), col("vec_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= perCluster)
+      .orderBy("cluster_id", "rank")
+  }
+
+  /** SemDeDup: semantic near-duplicate pruning inside trained clusters.
+    * Candidates = pairs agreeing on (cluster, band, bucket); exact cosine
+    * ≥ τ verifies; the keep rule is "lowest vec_id wins". Like
+    * sim_neardup_pairs, the harness corpus has no natural near-dups (max
+    * pair cosine ≈ 0.51), so the entry SELF-PLANTS the first 8 vectors
+    * (vec_id + plant_base, dim-0 nudged +1, cosine ≈ 0.9999) AFTER
+    * training — the trained quantizer is planted-data-free, and the query
+    * must recover exactly the 8 planted pairs through the
+    * cluster+band-bucketed path. */
+  def semDedup(spark: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
+    val (corpus, cent) = train(spark, dir)
+    val planted = corpus.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(corpus.agg((max("vec_id") + 1L).as("plant_base"))))
+      .select((col("vec_id") + col("plant_base")).as("vec_id"),
+        zip_with(col("q"), sequence(lit(0), lit(dims - 1)),
+          (x, i) => x + when(i === 0, 1L).otherwise(0L)).as("q"))
+      .withColumn("nsq", Portable.normSqQ(col("q")))
+    // corpus + plants, assigned and signed once; feeds both join sides
+    val withPlants = corpus.unionByName(planted).localCheckpoint(false)
+    val all = assign(withPlants, cent)
+      .join(Similarity.lshSignaturesFrom(withPlants), "vec_id")
+      .localCheckpoint(false)
+    val buckets = all
+      .select(col("vec_id"), col("cid"), col("q"), col("nsq"), col("signature"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket",
+        expr(s"shiftright(signature, band * $bandBits) & ${(1 << bandBits) - 1}"))
+      .drop("signature")
+    val l = buckets.select(col("cid"), col("band"), col("bucket"),
+      col("vec_id").as("keep_id"), col("q").as("qa"), col("nsq").as("na"))
+    val r = buckets.select(col("cid"), col("band"), col("bucket"),
+      col("vec_id").as("drop_id"), col("q").as("qb"), col("nsq").as("nb"))
+    l.join(r, Seq("cid", "band", "bucket"))
+      .filter(col("keep_id") < col("drop_id"))
+      .select(col("cid").as("cluster_id"), col("keep_id"), col("drop_id"),
+        (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+      .distinct()
+      .orderBy("cluster_id", "keep_id", "drop_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle — the unrolled training replay
+  // ---------------------------------------------------------------------
+
+  private val quantizedSql: String =
+    """q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |),
+      |qn AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM q
+      |)""".stripMargin
+
+  /** dist² of row alias `v` against centroid alias `c` (exact BIGINT). */
+  private def distSql(v: String, c: String): String =
+    s"""$v.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $dims),
+       |      i -> $v.qv[i] * $c.c[i])) AS BIGINT)
+       |    + CAST(list_sum(list_transform($c.c, x -> x*x)) AS BIGINT)""".stripMargin
+
+  /** Assignment CTE body: every row of `src` to its nearest centroid in
+    * `cent`, ties to the lowest cid. */
+  private def assignSql(src: String, cent: String): String =
+    s"""SELECT vec_id, qv, nsq, cid, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT $src.vec_id, $src.qv, $src.nsq, $cent.cid,
+       |               ${distSql(src, cent)} AS dist
+       |        FROM $src CROSS JOIN $cent)
+       |) WHERE rn = 1""".stripMargin
+
+  /** Centroid recompute CTE body from assignment `a`: exact integer
+    * floor-division means, reassembled per cluster in dim order. */
+  private def recomputeSql(a: String): String =
+    s"""SELECT cid, list(v ORDER BY i) AS c FROM (
+       |  SELECT cid, i,
+       |         CAST((sum(qv[i]) - ((sum(qv[i]) % count(*)) + count(*)) % count(*)) / count(*) AS BIGINT) AS v
+       |  FROM $a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) t
+       |  GROUP BY cid, i)
+       |GROUP BY cid""".stripMargin
+
+  /** The full unrolled training chain: cent0, a1, cent1, …, cent$iters,
+    * fin (final assignment of `qn` against cent$iters). */
+  private def kmeansCtes: String = {
+    val rounds = (1 to iters).map { k =>
+      s"""a$k AS (${assignSql("qn", s"cent${k - 1}")}),
+         |cent$k AS (${recomputeSql(s"a$k")})""".stripMargin
+    }.mkString(",\n")
+    s"""$quantizedSql,
+       |cent0 AS (SELECT vec_id AS cid, qv AS c FROM qn WHERE vec_id < $K),
+       |$rounds,
+       |fin AS (${assignSql("qn", s"cent$iters")})""".stripMargin
+  }
+
+  def kmeansSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT f.cid AS cluster_id, count(*) AS n,
+       |       CAST(sum(f.dist) AS BIGINT) AS inertia, cs.centroid_sum
+       |FROM fin f
+       |JOIN (SELECT cid, CAST(list_sum(c) AS BIGINT) AS centroid_sum
+       |      FROM cent$iters) cs ON f.cid = cs.cid
+       |GROUP BY f.cid, cs.centroid_sum
+       |ORDER BY cluster_id""".stripMargin
+
+  def clusterBalancedSampleSql(perCluster: Int = 3): String =
+    s"""WITH $kmeansCtes
+       |SELECT cid AS cluster_id, vec_id, dist, rank FROM (
+       |  SELECT cid, vec_id, dist,
+       |         row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rank
+       |  FROM fin)
+       |WHERE rank <= $perCluster ORDER BY cluster_id, rank""".stripMargin
+
+  /** The 16×64 hyperplane matrix literal (same derivation as
+    * Similarity.planeSigns — shared constant). */
+  private val planeSignsSql: String =
+    Similarity.planeSigns.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  def semDedupSql(tau: Double = 0.9): String =
+    s"""WITH $kmeansCtes,
+       |plant_base AS (SELECT max(vec_id) + 1 AS pb FROM qn),
+       |planted AS (
+       |  SELECT qn.vec_id + pb.pb AS vec_id,
+       |         list_transform(generate_series(1, $dims),
+       |           i -> qv[i] + CASE WHEN i = 1 THEN 1 ELSE 0 END) AS qv
+       |  FROM qn, plant_base pb WHERE qn.vec_id < 8),
+       |qall AS (
+       |  SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+       |  FROM (SELECT vec_id, qv FROM qn UNION ALL SELECT vec_id, qv FROM planted)),
+       |afin AS (${assignSql("qall", s"cent$iters")}),
+       |smat AS (SELECT $planeSignsSql AS m),
+       |proj AS (
+       |  SELECT vec_id, ps.p AS p,
+       |         CAST(list_sum(list_transform(generate_series(1, $dims),
+       |           i -> qv[i] * m[ps.p + 1][i])) AS BIGINT) AS proj
+       |  FROM qall, smat, (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS p) ps
+       |),
+       |sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS signature
+       |  FROM proj GROUP BY vec_id),
+       |side AS (
+       |  SELECT a.vec_id, a.qv, a.nsq, a.cid, s.signature
+       |  FROM afin a JOIN sig s ON a.vec_id = s.vec_id),
+       |buckets AS (
+       |  SELECT vec_id, qv, nsq, cid, b.band,
+       |         (signature >> (b.band * $bandBits)) & ${(1 << bandBits) - 1} AS bucket
+       |  FROM side, (SELECT unnest(generate_series(0, ${nBands - 1})) AS band) b)
+       |SELECT DISTINCT a.cid AS cluster_id, a.vec_id AS keep_id, b.vec_id AS drop_id,
+       |       CAST(list_sum(list_transform(generate_series(1, $dims),
+       |         i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       |         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |FROM buckets a
+       |JOIN buckets b ON a.cid = b.cid AND a.band = b.band AND a.bucket = b.bucket
+       |             AND a.vec_id < b.vec_id
+       |WHERE CAST(list_sum(list_transform(generate_series(1, $dims),
+       |         i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+       |         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $tau
+       |ORDER BY cluster_id, keep_id, drop_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans" -> ((s, d) => kmeans(s, d)),
+    "sim_semdedup" -> ((s, d) => semDedup(s, d)),
+    "sample_cluster_balanced" -> ((s, d) => clusterBalancedSample(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "sim_kmeans" -> kmeansSql,
+    "sim_semdedup" -> semDedupSql(),
+    "sample_cluster_balanced" -> clusterBalancedSampleSql())
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Clustering
+
+/** K-means / SemDeDup / cluster-balanced sampling semantics on the
+  * harness data plus a synthetic well-separated corpus (the testdata
+  * vectors are uniform random, so cluster RECOVERY needs planted
+  * structure the same way near-dup detection does). */
+class ClusteringSpec extends SparkSpec {
+
+  test("kmeans partitions the corpus: sizes sum to n, inertia positive") {
+    val rows = Clustering.kmeans(spark, sf("sf0.001")).collect()
+    assert(rows.length <= 8 && rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ==
+      spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").count())
+    assert(rows.forall(_.getLong(2) > 0)) // inertia: random corpus, never 0
+  }
+
+  test("cluster-balanced sample: <= k per cluster, rank-1 is the argmin") {
+    val s = Clustering.clusterBalancedSample(spark, sf("sf0.001")).collect()
+    val perCluster = s.groupBy(_.getLong(0))
+    assert(perCluster.values.forall(_.length <= 3))
+    perCluster.foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(byRank.sameElements(byRank.sorted)) // dist ascending with rank
+    }
+  }
+
+  test("semdedup recovers exactly the planted pairs through the bucketed path") {
+    val got = Clustering.semDedup(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val n = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").count()
+    assert(got == (0L until 8L).map(i => (i, i + n)).toSet, got.toString)
+  }
+
+  test("semdedup candidate join is keyed on (cluster, band, bucket) — never all-pairs") {
+    val df = Clustering.semDedup(spark, sf("sf0.001"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the verify-stage equi-join carries all three key columns (formatted
+    // mode puts keys in the detail section's "Left keys" line)
+    val keysLine = p.linesIterator.find(_.startsWith("Left keys"))
+    assert(keysLine.nonEmpty, p.take(2000))
+    assert(keysLine.get.contains("cid") && keysLine.get.contains("band") &&
+      keysLine.get.contains("bucket"), keysLine.get)
+  }
+
+  test("kmeans clusters are pure on a separated synthetic corpus") {
+    // 4 tight blobs of 25 vectors. The first-8-vectors seeding puts TWO
+    // seeds inside each blob, so a blob may legitimately split between
+    // its two seed centroids — but no trained cluster may ever MIX blobs
+    // (inter-blob distance >> intra-blob spread).
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat * 5f))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val assigned = Clustering.kmeans(spark, dir).collect()
+    assert(assigned.map(_.getLong(1)).sum == 100)
+    val membership = Clustering.clusterBalancedSample(spark, dir, perCluster = 100)
+      .collect().map(r => (r.getLong(1), r.getLong(0))) // (vec_id, cid)
+    assert(membership.length == 100)
+    membership.groupBy(_._2).values.foreach { members =>
+      val blobs = members.map(_._1 % 4).distinct
+      assert(blobs.length == 1, s"cluster mixes blobs $blobs")
+    }
+  }
+}
