@@ -70,7 +70,8 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { p =>
       // every pass must re-pay the real drain, not a memo hit
-      if (p > 1) graft.aria.AriaQueries.evictDrains(spark)
+      if (p > 1) { graft.aria.AriaQueries.evictDrains(spark)
+        graft.sim.Clustering.evictTrained(spark) }
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

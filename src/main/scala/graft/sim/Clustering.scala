@@ -13,8 +13,8 @@ import graft.functions.Portable
   *
   * Numeric strategy: Lloyd's iterations run entirely in the fixed-point
   * integer domain (Portable.quantize). Distances are exact BIGINTs
-  * (‖v‖² − 2·v·c + ‖c‖²), argmin ties break on the lowest cluster id via
-  * an explicit (dist, cid) window rank, and centroid means use exact
+  * (‖v‖² − 2·v·c + ‖c‖²), argmin ties break on the lowest cluster id
+  * (lexicographic min over (dist, cid) structs), and centroid means use exact
   * integer floor division ((s − pmod(s, n)) div n) — so every iteration
   * produces bit-identical centroids in Spark and the DuckDB oracle, and
   * the unrolled-CTE oracle can replay the whole training run.
@@ -68,15 +68,23 @@ object Clustering {
       .withColumn("csq", Portable.normSqQ(col("c")))
 
   /** One assignment pass: nearest centroid by exact integer distance,
-    * ties to the lowest cid. Output: vec_id, q, nsq, cid, dist. */
-  private def assign(corpus: DataFrame, cent: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cent))
-      .withColumn("dist",
-        col("nsq") - lit(2L) * Portable.dotQ(col("q"), col("c")) + col("csq"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
-      .filter(col("rn") === 1)
-      .select("vec_id", "q", "nsq", "cid", "dist")
+    * ties to the lowest cid. The K centroids pack into ONE broadcast row
+    * (array of structs), so scoring + argmin run entirely map-side —
+    * array_min over struct(dist, cid) is the lexicographic argmin — with
+    * no K-way row fanout and NO per-vector window shuffle. Output:
+    * vec_id, q, nsq, cid, dist. */
+  private def assign(corpus: DataFrame, cent: DataFrame): DataFrame = {
+    val packed = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("best", array_min(transform(col("cents"), ct =>
+        struct(
+          (col("nsq") - lit(2L) * Portable.dotQ(col("q"), ct.getField("c"))
+            + ct.getField("csq")).as("dist"),
+          ct.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("q"), col("nsq"),
+        col("best").getField("cid").as("cid"),
+        col("best").getField("dist").as("dist"))
+  }
 
   /** Centroid recompute: d map-side-combinable SUMs + COUNT per cluster,
     * then exact integer floor-division means. Empty clusters drop (both
@@ -96,14 +104,34 @@ object Clustering {
   /** Train `iters` Lloyd's rounds; returns (corpus, finalCentroids). The
     * corpus materializes once (read every iteration + final assignment);
     * each centroid model is K rows — checkpointed so iteration N+1's plan
-    * doesn't re-nest iteration N's. */
-  private def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val corpus = qn(spark, dir).localCheckpoint(false)
-    var cent = initCentroids(corpus)
-    for (_ <- 1 to iters)
-      cent = recompute(assign(corpus, cent)).localCheckpoint(false)
-    (corpus, cent)
-  }
+    * doesn't re-nest iteration N's.
+    *
+    * The trained model is MEMOIZED per (session, dir): the three harness
+    * queries in this family share one training run (train once, apply
+    * many — the real pipeline shape), mirroring the aria drain memo.
+    * Bench evicts between timing passes so each pass re-pays training. */
+  private val cache =
+    new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]
+
+  /** Drop this session's memoized trainings (Bench, between passes). */
+  private[graft] def evictTrained(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark); () }
+
+  private def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    cache.synchronized {
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
+      val perSession = cache.getOrDefault(spark, Map.empty)
+      perSession.get(dir) match {
+        case Some(t) => t
+        case None =>
+          val corpus = qn(spark, dir).localCheckpoint(false)
+          var cent = initCentroids(corpus)
+          for (_ <- 1 to iters)
+            cent = recompute(assign(corpus, cent)).localCheckpoint(false)
+          cache.put(spark, perSession + (dir -> ((corpus, cent))))
+          (corpus, cent)
+      }
+    }
 
   /** Per-cluster training report: size, exact integer inertia
     * (Σ dist²), and the centroid component sum (pins the full trained
