@@ -518,6 +518,44 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
        |ORDER BY a, b""".stripMargin
 
+  /** Edit-distance verification of near-dup candidates — the last stage
+    * of a production dedup funnel: cheap sketch candidates (here the
+    * jaccard inverted-index pairs) get an EXACT character-level check
+    * before a doc is dropped. Levenshtein is O(L²) per pair, so it runs
+    * on a fixed PREFIX (both engines' substr/levenshtein are
+    * code-point-based → identical integers); the candidate set is already
+    * df-capped, so the quadratic cost is per-candidate-bounded, never
+    * corpus-shaped. edit_sim = 1 − dist/max(|pa|,|pb|) (exact-identical
+    * doubles: small-integer ratio). */
+  val editPrefix = 120
+
+  def editVerify(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val pre = t(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, editPrefix).as("pre"))
+    jaccardPairs(spark, dir, threshold)
+      .join(pre.select(col("doc_id").as("a"), col("pre").as("pa")), Seq("a"))
+      .join(pre.select(col("doc_id").as("b"), col("pre").as("pb")), Seq("b"))
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("pa")), length(col("pb"))).cast("double"))
+      .select(col("a"), col("b"), col("jaccard"), col("edit_dist"), col("edit_sim"))
+      .orderBy("a", "b")
+  }
+
+  def editVerifySql(threshold: Double = 0.2): String = {
+    val pairs = jaccardPairsSql(threshold).replace("ORDER BY a, b", "")
+    s"""WITH cand AS ($pairs),
+       |pre AS (SELECT doc_id, substr(text, 1, $editPrefix) AS pre FROM documents)
+       |SELECT c.a, c.b, c.jaccard,
+       |       CAST(levenshtein(la.pre, lb.pre) AS BIGINT) AS edit_dist,
+       |       1.0 - CAST(levenshtein(la.pre, lb.pre) AS DOUBLE)
+       |             / greatest(length(la.pre), length(lb.pre)) AS edit_sim
+       |FROM cand c JOIN pre la ON c.a = la.doc_id
+       |            JOIN pre lb ON c.b = lb.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Near-dup clustering: ROUNDS iterations of min-label propagation
     * over the (symmetric) LSH candidate graph — turns candidate pairs
     * into dedup groups with a canonical representative (min doc_id).
@@ -634,6 +672,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_incremental" -> simhashIncremental,
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "dedup_edit_verify" -> ((s, d) => editVerify(s, d)),
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -647,5 +686,6 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_incremental" -> simhashIncrementalSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql(),
+    "dedup_edit_verify" -> editVerifySql(),
     "dedup_repeated_spans" -> repeatedSpansSql())
 }

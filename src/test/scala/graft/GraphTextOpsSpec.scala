@@ -73,4 +73,20 @@ class GraphTextOpsSpec extends SparkSpec {
     // T=24 tokens, c("the")=10: floor(log2(24·2^20 div 10)) = 21 bits
     assert(byDoc(1L) === 21000L)
   }
+
+  test("edit-distance verify: candidates carry the exact prefix levenshtein") {
+    // sf0.001 has jaccard candidates (the corpus plants near-dup docs);
+    // every returned pair must carry dist ≤ prefix length and a sim in
+    // [0,1], and the stage must never ADD pairs beyond the candidates
+    val cand = graft.dedup.Dedup.jaccardPairs(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.dedup.Dedup.editVerify(spark, sf("sf0.001")).collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == cand)
+    got.foreach { r =>
+      val (d, s) = (r.getLong(3), r.getDouble(4))
+      assert(d >= 0 && d <= graft.dedup.Dedup.editPrefix)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
 }

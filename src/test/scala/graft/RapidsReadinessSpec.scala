@@ -57,6 +57,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_jaccard_pairs" -> Set("rdd-segment"),
     "dedup_minhash_bands" -> Set("higher-order-function", "rdd-segment"),
     "dedup_minhash_candidates" -> Set("rdd-segment"),
+    "dedup_edit_verify" -> Set("rdd-segment"),
     "dedup_minhash_est" -> Set("rdd-segment"),
     "dedup_neardup_clusters" -> Set("rdd-segment"),
     "dedup_repeated_spans" -> Set("higher-order-function", "rdd-segment"),
@@ -79,6 +80,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
+    "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_semdedup" -> Set("custom-expression", "rdd-segment"),
+    "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_incremental" -> Set("custom-expression", "rdd-segment"),
     "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment"),
