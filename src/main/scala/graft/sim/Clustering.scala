@@ -206,6 +206,44 @@ object Clustering {
       .orderBy("cluster_id", "keep_id", "drop_id")
   }
 
+  /** IVF search over the TRAINED quantizer — closes the loop
+    * Similarity.ivfTopK leaves open (its centroids are a stand-in; these
+    * are the Lloyd's-trained ones, same cells the curation operators
+    * use). Cells = the final L2 assignment; a query probes its `nprobe`
+    * L2-nearest cells (the trained quantizer's own metric) and ranks the
+    * members by exact cosine. Probe selection is map-side (packed
+    * centroid broadcast + array_sort argsort, no window); the search is
+    * an equi-join on cell id — never a cross product. */
+  def ivfTrainedTopK(spark: SparkSession, dir: String,
+                     k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val (corpus, cent) = train(spark, dir)
+    val cells = assign(corpus, cent)
+      .select(col("vec_id").as("cand_id"), col("q").as("qb"),
+        col("nsq").as("nb"), col("cid"))
+      .localCheckpoint(false)
+    val packed = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
+    val probes = corpus.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(packed))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"), ct =>
+        struct(
+          (col("nsq") - lit(2L) * Portable.dotQ(col("q"), ct.getField("c"))
+            + ct.getField("csq")).as("dist"),
+          ct.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("nsq").as("na"), col("probe").getField("cid").as("cid"))
+    probes.join(cells, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("cand_id"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle — the unrolled training replay
   // ---------------------------------------------------------------------
@@ -279,6 +317,32 @@ object Clustering {
        |  FROM fin)
        |WHERE rank <= $perCluster ORDER BY cluster_id, rank""".stripMargin
 
+  def ivfTrainedTopKSql(k: Int = 5, nprobe: Int = 2): String =
+    s"""WITH $kmeansCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, qv AS qa, nsq AS na, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT qn.vec_id, qn.qv, qn.nsq, c.cid,
+       |                 ${distSql("qn", "c")} AS dist
+       |          FROM qn CROSS JOIN cent$iters c
+       |          WHERE qn.vec_id < 8)
+       |  ) WHERE rn <= $nprobe),
+       |cells AS (SELECT vec_id AS cand_id, qv AS qb, nsq AS nb, cid FROM fin),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> p.qa[i] * s.qb[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(s.nb AS DOUBLE))) AS cosine
+       |  FROM probes p JOIN cells s USING (cid)
+       |  WHERE p.query_id <> s.cand_id
+       |),
+       |final_rank AS (
+       |  SELECT query_id, cand_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, cosine, rank FROM final_rank
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** The 16×64 hyperplane matrix literal (same derivation as
     * Similarity.planeSigns — shared constant). */
   private val planeSignsSql: String =
@@ -329,10 +393,12 @@ object Clustering {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans" -> ((s, d) => kmeans(s, d)),
     "sim_semdedup" -> ((s, d) => semDedup(s, d)),
+    "sim_ivf_trained" -> ((s, d) => ivfTrainedTopK(s, d)),
     "sample_cluster_balanced" -> ((s, d) => clusterBalancedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_kmeans" -> kmeansSql,
     "sim_semdedup" -> semDedupSql(),
+    "sim_ivf_trained" -> ivfTrainedTopKSql(),
     "sample_cluster_balanced" -> clusterBalancedSampleSql())
 }

@@ -247,6 +247,44 @@ object TextAnalysis {
        |GROUP BY pc.tok, pc.exact_count
        |ORDER BY exact_count DESC, tok""".stripMargin
 
+  /** Per-document CHARACTER entropy — the compression-proxy quality
+    * signal (gibberish / binary-paste / repeated-char spam scores far
+    * from natural-language entropy; cf. Gopher/C4-style symbol filters).
+    * Unlike [[perplexityFrom]] (cross-entropy under the CORPUS unigram
+    * LM), this is each document's self-entropy over its own character
+    * distribution — a pure per-doc map+agg with no corpus-wide model,
+    * so the whole operator is two partial-aggregable shuffles (doc×char
+    * histogram, then per-doc sum) regardless of corpus size.
+    * Exactness: surprisal quantized to whole bits via
+    * length(bin((L·2²⁰) div k))−1 (the perplexity trick) — exact
+    * integer arithmetic in both engines; h_mbits ≈ 1000·(H + 20). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyFrom(t(spark, dir, "documents"))
+
+  private[graft] def charEntropyFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "n_chars", "ch").agg(count(lit(1)).as("k"))
+      .groupBy("doc_id", "n_chars")
+      .agg(count(lit(1)).as("distinct_chars"),
+        expr("(1000 * sum(k * (length(bin((n_chars * 1048576) DIV k)) - 1))) DIV n_chars")
+          .as("h_mbits"))
+      .orderBy("doc_id")
+
+  val charEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |         unnest(string_split(text, '')) AS ch
+      |  FROM documents
+      |), hist AS (
+      |  SELECT doc_id, n_chars, ch, count(*) AS k
+      |  FROM chars GROUP BY doc_id, n_chars, ch
+      |)
+      |SELECT doc_id, n_chars, count(*) AS distinct_chars,
+      |       CAST((1000 * sum(k * (length(bin((n_chars * 1048576) // k)) - 1))) // n_chars AS BIGINT) AS h_mbits
+      |FROM hist GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin
+
   /** Per-document cross-entropy under the corpus unigram language
     * model — the classic LM-based quality signal (a doc whose tokens
     * are all corpus-rare reads as noise; one that is all stopwords as
@@ -380,6 +418,7 @@ object TextAnalysis {
     "text_countmin_est" -> ((s, d) => countMinEstimates(s, d)),
     "text_perplexity" -> perplexity,
     "text_mix_report" -> mixReport,
+    "text_char_entropy" -> charEntropy,
     "text_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
@@ -391,5 +430,6 @@ object TextAnalysis {
     "text_countmin_est" -> countMinEstimatesSql(),
     "text_perplexity" -> perplexitySql,
     "text_mix_report" -> mixReportSql,
+    "text_char_entropy" -> charEntropySql,
     "text_split_assign" -> splitAssignSql)
 }

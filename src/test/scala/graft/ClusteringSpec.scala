@@ -47,6 +47,23 @@ class ClusteringSpec extends SparkSpec {
       keysLine.get.contains("bucket"), keysLine.get)
   }
 
+  test("trained IVF never invents cosines and respects per-query rank order") {
+    val exact = graft.sim.Similarity.cosineTopK(spark, sf("sf0.001"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Clustering.ivfTrainedTopK(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(ivf.nonEmpty)
+    // scores are exact: any returned pair also in the exact top-50 agrees
+    val drift = ivf.collect {
+      case (q, c, cos, _) if exact.contains((q, c)) && exact((q, c)) != cos => (q, c)
+    }
+    assert(drift.isEmpty, s"cosine drift: $drift")
+    ivf.groupBy(_._1).values.foreach { rs =>
+      val byRank = rs.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("kmeans clusters are pure on a separated synthetic corpus") {
     // 4 tight blobs of 25 vectors. The first-8-vectors seeding puts TWO
     // seeds inside each blob, so a blob may legitimately split between

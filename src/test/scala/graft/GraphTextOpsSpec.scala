@@ -74,6 +74,19 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(byDoc(1L) === 21000L)
   }
 
+  test("char entropy: repeated-char spam scores far below diverse text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // H = 0
+      (2L, "the quick brown fox jumps over the lazy dog")) // diverse
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.charEntropyFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // h_mbits ≈ 1000·(H+20): zero-entropy doc pins at exactly 20000
+    assert(rows(1L) === 20000L, rows.toString)
+    assert(rows(2L) > 23000L, rows.toString)
+  }
+
   test("edit-distance verify: candidates carry the exact prefix levenshtein") {
     // sf0.001 has jaccard candidates (the corpus plants near-dup docs);
     // every returned pair must carry dist ≤ prefix length and a sim in

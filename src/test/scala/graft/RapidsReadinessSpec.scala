@@ -80,6 +80,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
+    "sim_ivf_trained" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "rdd-segment"),
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -94,6 +95,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_fingerprint" -> Set("higher-order-function"),
     "text_lang_id" -> Set("higher-order-function"),
     "text_mix_report" -> Set("higher-order-function"),
+    "text_char_entropy" -> Set("bin"),
     "text_perplexity" -> Set("bin", "rdd-segment"),
     "text_quality_score" -> Set("higher-order-function"),
     "text_tfidf_top" -> Set("rdd-segment"),
