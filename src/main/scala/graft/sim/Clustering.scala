@@ -206,6 +206,34 @@ object Clustering {
       .orderBy("cluster_id", "keep_id", "drop_id")
   }
 
+  /** Incremental assignment — the nightly-ingest shape for the trained
+    * quantizer, mirroring dedup_incremental / sim_neardup_incremental:
+    * only the DELTA batch (canonical split hash ≥ 90, standing in for
+    * "arrived since the last run") is scored against the EXISTING
+    * trained model; the base corpus is never rescored and the model is
+    * never retrained. Cost: |delta| map-side distance evaluations
+    * against the O(K·d) broadcast — the cheapest possible ingest path.
+    * Output: per-cluster delta counts + delta inertia (what a nightly
+    * drift monitor alerts on). */
+  def kmeansIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, cent) = train(spark, dir)
+    val delta = corpus.filter(
+      graft.text.TextAnalysis.splitHash(col("vec_id")) >= 90)
+    assign(delta, cent)
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("delta_n"), sum(col("dist")).as("delta_inertia"))
+      .orderBy("cluster_id")
+  }
+
+  def kmeansIncrementalSql: String =
+    s"""WITH $kmeansCtes,
+       |delta AS (SELECT vec_id, qv, nsq FROM qn
+       |          WHERE ${graft.text.TextAnalysis.splitHashSql.replace("doc_id", "vec_id")} >= 90),
+       |adelta AS (${assignSql("delta", s"cent$iters")})
+       |SELECT cid AS cluster_id, count(*) AS delta_n,
+       |       CAST(sum(dist) AS BIGINT) AS delta_inertia
+       |FROM adelta GROUP BY cid ORDER BY cluster_id""".stripMargin
+
   /** IVF search over the TRAINED quantizer — closes the loop
     * Similarity.ivfTopK leaves open (its centroids are a stand-in; these
     * are the Lloyd's-trained ones, same cells the curation operators
@@ -394,11 +422,13 @@ object Clustering {
     "sim_kmeans" -> ((s, d) => kmeans(s, d)),
     "sim_semdedup" -> ((s, d) => semDedup(s, d)),
     "sim_ivf_trained" -> ((s, d) => ivfTrainedTopK(s, d)),
+    "sim_kmeans_incremental" -> ((s, d) => kmeansIncremental(s, d)),
     "sample_cluster_balanced" -> ((s, d) => clusterBalancedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_kmeans" -> kmeansSql,
     "sim_semdedup" -> semDedupSql(),
     "sim_ivf_trained" -> ivfTrainedTopKSql(),
+    "sim_kmeans_incremental" -> kmeansIncrementalSql,
     "sample_cluster_balanced" -> clusterBalancedSampleSql())
 }

@@ -47,6 +47,18 @@ class ClusteringSpec extends SparkSpec {
       keysLine.get.contains("bucket"), keysLine.get)
   }
 
+  test("incremental assignment covers exactly the delta split, consistently with full assignment") {
+    import org.apache.spark.sql.functions._
+    val inc = Clustering.kmeansIncremental(spark, sf("sf0.001")).collect()
+    val deltaSize = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .filter(graft.text.TextAnalysis.splitHash(col("vec_id")) >= 90).count()
+    assert(deltaSize > 0 && inc.map(_.getLong(1)).sum == deltaSize)
+    // the delta's per-cluster counts can never exceed the full run's
+    val full = Clustering.kmeans(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inc.foreach(r => assert(r.getLong(1) <= full(r.getLong(0))))
+  }
+
   test("trained IVF never invents cosines and respects per-query rank order") {
     val exact = graft.sim.Similarity.cosineTopK(spark, sf("sf0.001"), k = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -82,6 +82,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
     "sim_ivf_trained" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_kmeans_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "rdd-segment"),
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
