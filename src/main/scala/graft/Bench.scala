@@ -71,7 +71,8 @@ object Bench {
     val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { p =>
       // every pass must re-pay the real drain, not a memo hit
       if (p > 1) { graft.aria.AriaQueries.evictDrains(spark)
-        graft.sim.Clustering.evictTrained(spark) }
+        graft.sim.Clustering.evictTrained(spark)
+        graft.dedup.Dedup.evictPairs(spark) }
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

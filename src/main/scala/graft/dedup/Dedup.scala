@@ -468,7 +468,32 @@ object Dedup {
     * consistently on both engines. */
   val maxShingleDf = 20
 
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+  /** jaccardPairs is MEMOIZED per (session, dir, threshold): both the
+    * pairs query and the edit-distance verify stage consume the same
+    * candidate set in one harness session, and re-deriving the
+    * tokenize→shingle→inverted-index pipeline is the dominant cost.
+    * Same pattern as the aria drain / k-means training memos; Bench
+    * evicts between passes so each pass re-pays the pipeline. */
+  private val pairsCache =
+    new java.util.HashMap[SparkSession, Map[(String, Double), DataFrame]]
+
+  private[graft] def evictPairs(spark: SparkSession): Unit =
+    pairsCache.synchronized { pairsCache.remove(spark); () }
+
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
+    pairsCache.synchronized {
+      pairsCache.keySet.removeIf(s => s.sparkContext.isStopped)
+      val perSession = pairsCache.getOrDefault(spark, Map.empty)
+      perSession.get((dir, threshold)) match {
+        case Some(df) => df
+        case None =>
+          val df = jaccardPairsUncached(spark, dir, threshold).localCheckpoint(false)
+          pairsCache.put(spark, perSession + ((dir, threshold) -> df))
+          df
+      }
+    }
+
+  private def jaccardPairsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val st = shingleTable(spark, dir)
     // materialize the exploded index once (lazy checkpoint): it is read
     // 4× below (df counts, sizes, both join sides) and re-deriving the
