@@ -206,6 +206,55 @@ object Clustering {
       .orderBy("cluster_id", "keep_id", "drop_id")
   }
 
+  /** Per-semantic-cluster corpus quality report — the curation decision
+    * surface the trained clusters exist FOR: which semantic regions are
+    * low-quality / repetitive (drop or down-weight the region, not
+    * individual docs — the SemDeDup-paper companion move). Embeddings
+    * align 1:1 with documents (vec_id = doc_id), so this joins the text
+    * table's integer quality signals to the trained assignment.
+    * Exactness: per-cluster aggregates are SUMs of per-doc integers
+    * (chars, tokens, distinct tokens) — no double summation anywhere
+    * (float sums are partial-order-dependent in Spark); the repetition
+    * ratio divides the exact integer totals once at the end. */
+  def clusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis.tokens
+    val (corpus, cent) = train(spark, dir)
+    val docs = t(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(col("toks")).cast("long").as("toks_n"),
+        size(array_distinct(col("toks"))).cast("long").as("toks_d"))
+    assign(corpus, cent)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("sum_chars"),
+        sum(col("toks_n")).as("sum_tokens"),
+        sum(col("toks_d")).as("sum_distinct"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("repetition",
+        lit(1.0) - col("sum_distinct").cast("double") / col("sum_tokens").cast("double"))
+      .orderBy("cluster_id")
+  }
+
+  def clusterQualitySql: String =
+    s"""WITH $kmeansCtes,
+       |docs AS (
+       |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS chars,
+       |         CAST(len(${graft.text.TextAnalysis.tokSql}) AS BIGINT) AS toks_n,
+       |         CAST(len(list_distinct(${graft.text.TextAnalysis.tokSql})) AS BIGINT) AS toks_d
+       |  FROM documents)
+       |SELECT f.cid AS cluster_id, count(*) AS n_docs,
+       |       CAST(sum(d.chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(d.toks_n) AS BIGINT) AS sum_tokens,
+       |       CAST(sum(d.toks_d) AS BIGINT) AS sum_distinct,
+       |       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       |       1.0 - CAST(sum(d.toks_d) AS DOUBLE) / CAST(sum(d.toks_n) AS DOUBLE) AS repetition
+       |FROM fin f JOIN docs d ON f.vec_id = d.doc_id
+       |GROUP BY f.cid ORDER BY cluster_id""".stripMargin
+
   /** Incremental assignment — the nightly-ingest shape for the trained
     * quantizer, mirroring dedup_incremental / sim_neardup_incremental:
     * only the DELTA batch (canonical split hash ≥ 90, standing in for
@@ -423,6 +472,7 @@ object Clustering {
     "sim_semdedup" -> ((s, d) => semDedup(s, d)),
     "sim_ivf_trained" -> ((s, d) => ivfTrainedTopK(s, d)),
     "sim_kmeans_incremental" -> ((s, d) => kmeansIncremental(s, d)),
+    "pipeline_cluster_quality" -> ((s, d) => clusterQuality(s, d)),
     "sample_cluster_balanced" -> ((s, d) => clusterBalancedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -430,5 +480,6 @@ object Clustering {
     "sim_semdedup" -> semDedupSql(),
     "sim_ivf_trained" -> ivfTrainedTopKSql(),
     "sim_kmeans_incremental" -> kmeansIncrementalSql,
+    "pipeline_cluster_quality" -> clusterQualitySql,
     "sample_cluster_balanced" -> clusterBalancedSampleSql())
 }

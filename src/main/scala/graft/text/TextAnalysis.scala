@@ -20,7 +20,7 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => length(x) > 0)
 
-  private val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+  private[graft] val tokSql = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
   /** Token counting: whitespace tokens, distinct tokens, chars, and a
     * BPE-ish sub-word count (tokens plus an extra unit per 4 chars over

@@ -72,6 +72,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_frame_sample" -> Set("object-node"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
     "mm_resize_meta" -> Set("object-node"),
+    "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
     "q15_top_supplier" -> Set("rdd-segment"),
     "q21_sole_return_supplier" -> Set("rdd-segment"),
