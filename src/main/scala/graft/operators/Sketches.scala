@@ -299,8 +299,50 @@ object Sketches {
        |       CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rate
        |FROM flagged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Deterministic WEIGHTED sampling (sequential Poisson / order
+    * sampling, Ohlsson 1998): priority = u/w with u the uniform hash of
+    * the key and w the weight; the k smallest priorities per stratum are
+    * a without-replacement sample with inclusion probability ≈∝ w. Here
+    * w = document length — the "sample long documents more" curation
+    * shape. Determinism/exactness: u is hash60 (integer), priority is
+    * ONE IEEE division u/w (identical doubles both engines, vec-id
+    * tie-break); per-stratum top-k is a WindowGroupLimit-bounded window,
+    * never a global sort. At 100 TB this is one map + one bounded
+    * partial top-k per stratum — the same shape as sample_bottomk. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val u = Portable.hash60(concat_ws("_", lit("wsamp"), col("doc_id")))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("w"),
+        (u.cast("double") / length(col("text")).cast("long").cast("double"))
+          .as("priority"))
+      .select(col("lang"), col("doc_id"), col("w"), col("priority"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(col("priority"), col("doc_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("lang", "rank")
+  }
+
+  def weightedSampleSql(k: Int = 5): String =
+    s"""WITH pri AS (
+       |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS w,
+       |         CAST(('0x' || substr(md5('wsamp_' || doc_id), 1, 15))::BIGINT AS DOUBLE)
+       |           / CAST(length(text) AS BIGINT) AS priority
+       |  FROM documents
+       |),
+       |ranked AS (
+       |  SELECT lang, doc_id, w, priority,
+       |         row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rank
+       |  FROM pri
+       |)
+       |SELECT lang, doc_id, w, priority, rank FROM ranked
+       |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
+    "sample_weighted" -> ((s, d) => weightedSample(s, d)),
     "agg_hll_groups" -> ((s, d) => hllGroups(s, d)),
     "join_bloom_prune" -> ((s, d) => bloomPrune(s, d)),
     "sample_bottomk" -> ((s, d) => bottomK(s, d)),
@@ -308,6 +350,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "agg_hll_distinct" -> hllDistinctSql(),
+    "sample_weighted" -> weightedSampleSql(),
     "agg_hll_groups" -> hllGroupsSql(),
     "join_bloom_prune" -> bloomPruneSql(),
     "sample_bottomk" -> bottomKSql(),

@@ -32,7 +32,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "s11_full_scan_count", "s12_delete_antijoin",
     "s13_update_merge", "s14_table_sizes", "s2_point_lookup",
-    "s5_upsert_union", "sample_bottomk", "sample_stratified",
+    "s5_upsert_union", "sample_bottomk", "sample_stratified", "sample_weighted",
     "set_ops_except", "set_ops_intersect", "src_bucketed_join",
     "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
     "src_partitioned_prune", "src_schema_evolution", "stat_moments",
