@@ -112,6 +112,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("weighted sample bounds per-stratum top-k before the shuffle") {
+    val p = planString(graft.operators.Sketches.weightedSample(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("near-dup pairs plan has no all-pairs join (equi-join candidates only)") {
     val p = planString(graft.sim.Similarity.nearDupPairs(spark, sf("sf0.001")))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
