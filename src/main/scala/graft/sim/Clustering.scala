@@ -106,9 +106,11 @@ object Clustering {
     * each centroid model is K rows — checkpointed so iteration N+1's plan
     * doesn't re-nest iteration N's.
     *
-    * The trained model is MEMOIZED per (session, dir): the three harness
-    * queries in this family share one training run (train once, apply
-    * many — the real pipeline shape), mirroring the aria drain memo.
+    * The trained model is MEMOIZED per (session, dir): the harness
+    * queries in this family (kmeans, semdedup, trained IVF, incremental
+    * assignment, cluster quality, balanced sampling) share one training
+    * run (train once, apply many — the real pipeline shape), mirroring
+    * the aria drain memo.
     * Bench evicts between timing passes so each pass re-pays training. */
   private val cache =
     new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]
@@ -134,8 +136,9 @@ object Clustering {
     }
 
   /** Per-cluster training report: size, exact integer inertia
-    * (Σ dist²), and the centroid component sum (pins the full trained
-    * model, not just the partition). */
+    * (Σ ‖v−c‖², the `dist` column is already the squared distance), and
+    * the centroid component sum (pins the full trained model, not just
+    * the partition). */
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, cent) = train(spark, dir)
     val fin = assign(corpus, cent)
