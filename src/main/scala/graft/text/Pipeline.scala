@@ -1,7 +1,9 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable
 import graft.operators.Tables.t
 
 /** The end-to-end corpus-curation pipeline, composed from the
@@ -104,9 +106,116 @@ object Pipeline {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Deterministic sequence packing: assign documents to fixed
+    * token-budget training chunks (the step that turns a curated corpus
+    * into context-window-sized examples). Distributed shape: documents
+    * are hash-assigned to one of [[PackShards]] independent packer
+    * shards (a pure function of doc_id — stable across runs and
+    * backfills), each shard packs its documents in doc_id order by
+    * cumulative token offset, and a chunk is `start_offset div budget`
+    * (documents may straddle a boundary; the chunk owns the doc whose
+    * first token falls inside it). One map + one window partitioned by
+    * shard + one aggregate on the SAME key — a single shuffle end to
+    * end, never a global sort/window. At cluster scale the shard count
+    * is sized to executors (it is the packing parallelism); 8 here
+    * keeps sf-fixture chunks non-trivial.
+    */
+  val PackShards = 8
+  val PackBudget = 512L
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        Portable.hashMod(concat(lit("pack_"), col("doc_id").cast("string")),
+          PackShards).as("shard"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .groupBy(col("shard"), expr(s"start_off div $PackBudget").as("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         len(${TextAnalysis.tokSql})::BIGINT AS n_tok,
+       |         ('0x' || substr(md5('pack_' || doc_id), 1, 15))::BIGINT % $PackShards AS shard
+       |  FROM documents
+       |), off AS (
+       |  -- DuckDB windowed sum(BIGINT) is HUGEINT; chunk_id must stay BIGINT
+       |  SELECT shard, n_tok,
+       |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM toks
+       |)
+       |SELECT shard, start_off // $PackBudget AS chunk_id,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM off GROUP BY 1, 2""".stripMargin
+
+  /** Deterministic language-mixture resampling: upsample every language
+    * to token parity with the largest one, capped at 4× (the
+    * temperature-style rebalancing run before multilingual training).
+    * The replication ratio is integer permille `min(4000,
+    * tmax*1000 div t_lang)`; each document is emitted `r div 1000`
+    * times plus one more when its hash-fraction falls below the
+    * fractional part — a pure function of doc_id, so the resample is
+    * reproducible and shard-independent. Dataflow: one tiny per-lang
+    * aggregate (5 rows) broadcast back onto the corpus, then one final
+    * per-lang aggregate — the corpus is touched by maps only.
+    * `greatest(t,1)` guards the all-empty-language degenerate case
+    * (divide-by-zero under ANSI) without changing any real ratio.
+    */
+  def mixResample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+    val tot = toks.groupBy("lang").agg(sum("n_tok").as("t"))
+    val mx = tot.agg(max("t").as("tmax"))
+    val rl = tot.crossJoin(broadcast(mx))
+      .select(col("lang"),
+        least(lit(4000L), expr("(tmax * 1000) div greatest(t, 1)")).as("r"))
+    toks.join(broadcast(rl), "lang")
+      .withColumn("k", expr("r div 1000") +
+        when(pmod(Portable.hash60(concat(lit("mix_"), col("doc_id").cast("string"))),
+          lit(1000L)) < pmod(col("r"), lit(1000L)), lit(1L)).otherwise(lit(0L)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs_in"), sum("n_tok").as("tokens_in"),
+        min("r").as("repl_permille"),
+        sum("k").as("docs_out"), sum(col("k") * col("n_tok")).as("tokens_out"))
+  }
+
+  val mixResampleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, len(${TextAnalysis.tokSql})::BIGINT AS n_tok
+       |  FROM documents
+       |), tot AS (
+       |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM toks GROUP BY 1
+       |), mx AS (
+       |  SELECT CAST(max(t) AS BIGINT) AS tmax FROM tot
+       |), rl AS (
+       |  SELECT lang, least(4000, (tmax * 1000) // greatest(t, 1)) AS r
+       |  FROM tot, mx
+       |), j AS (
+       |  SELECT d.lang, d.n_tok, rl.r,
+       |         rl.r // 1000 + CASE WHEN ('0x' || substr(md5('mix_' || d.doc_id), 1, 15))::BIGINT % 1000
+       |                                  < rl.r % 1000 THEN 1 ELSE 0 END AS k
+       |  FROM toks d JOIN rl USING (lang)
+       |)
+       |SELECT lang, count(*) AS docs_in, CAST(sum(n_tok) AS BIGINT) AS tokens_in,
+       |       CAST(min(r) AS BIGINT) AS repl_permille,
+       |       CAST(sum(k) AS BIGINT) AS docs_out,
+       |       CAST(sum(k * n_tok) AS BIGINT) AS tokens_out
+       |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curation" -> curationFunnel)
+    "pipeline_curation" -> curationFunnel,
+    "pipeline_pack_sequences" -> packSequences,
+    "pipeline_mix_resample" -> mixResample)
 
   val oracles: Map[String, String] = Map(
-    "pipeline_curation" -> curationFunnelSql)
+    "pipeline_curation" -> curationFunnelSql,
+    "pipeline_pack_sequences" -> packSequencesSql,
+    "pipeline_mix_resample" -> mixResampleSql)
 }

@@ -74,6 +74,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_resize_meta" -> Set("object-node"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
+    "pipeline_pack_sequences" -> Set("higher-order-function"),
+    "pipeline_mix_resample" -> Set("higher-order-function"),
     "q15_top_supplier" -> Set("rdd-segment"),
     "q21_sole_return_supplier" -> Set("rdd-segment"),
     "sim_ann_lsh" -> Set("custom-expression", "rdd-segment"),
