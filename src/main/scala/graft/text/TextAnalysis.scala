@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
 import graft.functions.Portable
@@ -409,12 +410,97 @@ object TextAnalysis {
        |FROM cells CROSS JOIN tot
        |ORDER BY source, split""".stripMargin
 
+  /** Gopher-style repetition filters (Rae et al. 2021, §A1.1): the
+    * fraction of characters inside the single most frequent word
+    * 2-gram, and the fraction of characters inside duplicated word
+    * 3-grams. Complements [[trigramStats]] (a per-row count ratio):
+    * these are character-weighted, and the top-bigram argmax is the
+    * distributed explode→count shape — grams shuffle on
+    * (doc_id, gram) with map-side partial counts, the argmax is a
+    * row_number window over each doc's distinct grams (bounded by doc
+    * length), and everything re-joins on doc_id equi-joins. That shape
+    * holds for docs of any length at 100 TB, unlike per-row
+    * array_distinct which is bounded by a single row's array.
+    *
+    * Char weight of a gram = length of its space-joined string (same
+    * formula both engines); denominator = Σ token lengths. Occurrences
+    * are count-weighted (overlapping grams each contribute), so a
+    * pathologically repetitive doc can score above 1 — the signal is a
+    * threshold, not a probability. Ties on the top bigram break to the
+    * lexicographically smallest gram, so the argmax is deterministic.
+    * Docs with < 3 tokens are excluded (no trigram exists; the corpus
+    * minimum is far above). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(transform(col("toks"), x => length(x).cast("long")),
+          lit(0L), (a, v) => a + v).as("total_chars"))
+
+    def grams(n: Int): DataFrame = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k)): _*)))
+        .as("gram"))
+
+    val bgTop = grams(2).groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_bigram"), col("cnt").as("top_bigram_count"),
+        (col("cnt") * length(col("gram")).cast("long")).as("top_chars"))
+
+    val tgDup = grams(3).groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")).cast("long"))
+          .otherwise(lit(0L))).as("dup_chars"))
+
+    base.select(col("doc_id"), col("n_tokens"), col("total_chars"))
+      .join(bgTop, Seq("doc_id")).join(tgDup, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("top_bigram"), col("top_bigram_count"),
+        (col("top_chars").cast("double") / col("total_chars")).as("top_bigram_char_frac"),
+        (col("dup_chars").cast("double") / col("total_chars")).as("dup_trigram_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+       |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars
+       |  FROM tk WHERE len(toks) >= 3),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1])) AS gram FROM base),
+       |bgc AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM bg GROUP BY doc_id, gram),
+       |bgtop AS (
+       |  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count,
+       |         cnt * length(gram) AS top_chars
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+       |        FROM bgc) WHERE rn = 1),
+       |tg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram FROM base),
+       |tgc AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM tg GROUP BY doc_id, gram),
+       |tgdup AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT) AS dup_chars
+       |  FROM tgc GROUP BY doc_id)
+       |SELECT base.doc_id, base.n_tokens, bgtop.top_bigram, bgtop.top_bigram_count,
+       |       CAST(bgtop.top_chars AS DOUBLE) / base.total_chars AS top_bigram_char_frac,
+       |       CAST(tgdup.dup_chars AS DOUBLE) / base.total_chars AS dup_trigram_char_frac
+       |FROM base JOIN bgtop USING (doc_id) JOIN tgdup USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> tokenCounts,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint,
     "text_trigram_stats" -> trigramStats,
+    "text_repetition_stats" -> repetitionStats,
     "text_countmin_est" -> ((s, d) => countMinEstimates(s, d)),
     "text_perplexity" -> perplexity,
     "text_mix_report" -> mixReport,
@@ -427,6 +513,7 @@ object TextAnalysis {
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_trigram_stats" -> trigramStatsSql,
+    "text_repetition_stats" -> repetitionStatsSql,
     "text_countmin_est" -> countMinEstimatesSql(),
     "text_perplexity" -> perplexitySql,
     "text_mix_report" -> mixReportSql,

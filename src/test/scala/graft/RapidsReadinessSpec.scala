@@ -104,7 +104,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_quality_score" -> Set("higher-order-function"),
     "text_tfidf_top" -> Set("rdd-segment"),
     "text_token_counts" -> Set("higher-order-function"),
-    "text_trigram_stats" -> Set("higher-order-function"))
+    "text_trigram_stats" -> Set("higher-order-function"),
+    "text_repetition_stats" -> Set("higher-order-function"))
 
   /** Classified by documentation (construction executes work):
     * streaming (stateful operators are CPU per the docs) and the aria

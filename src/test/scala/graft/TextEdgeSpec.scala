@@ -92,4 +92,33 @@ class TextEdgeSpec extends SparkSpec {
       .head().getSeq[Long](0).toList
     assert(out === again)
   }
+
+  test("repetition stats: hand-corpus values and lexicographic tie-break") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (0L, "a b c a b c", "en", "t", 11L), // bigram tie "a b"/"b c"; trigram "a b c" twice
+      (1L, "p q r s", "en", "t", 7L),      // no repeated grams
+      (2L, "z z", "en", "t", 3L))          // < 3 tokens: excluded
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.repetitionStats(spark, tmp).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val r0 = out(0)
+    assert(r0.getString(2) == "a b", "tie must break to the lexicographically smaller gram")
+    assert(r0.getLong(3) == 2L)
+    assert(r0.getDouble(4) == 1.0)                        // 2*3 over total_chars 6
+    assert(math.abs(r0.getDouble(5) - 10.0 / 6) < 1e-12)  // "a b c" x2: 2*5 over 6 (> 1 by design)
+    val r1 = out(1)
+    assert(r1.getLong(3) == 1L && r1.getDouble(5) == 0.0)
+  }
+
+  test("repetition stats agree with trigramStats on which docs repeat") {
+    val dir = sf("sf0.001")
+    val rep = TextAnalysis.repetitionStats(spark, dir)
+      .select(col("doc_id"), (col("dup_trigram_char_frac") > 0d).as("dup"))
+    val tri = TextAnalysis.trigramStats(spark, dir)
+      .select(col("doc_id"), (col("dup_trigram_ratio") > 0d).as("dup"))
+    assert(rep.exceptAll(tri).isEmpty && tri.exceptAll(rep).isEmpty)
+  }
 }
