@@ -475,6 +475,66 @@ object Similarity {
        |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k highest-cosine candidates whose `label` DIFFERS from
+    * the query's — the negatives a contrastive loss learns the most
+    * from. Same plan shape as [[cosineTopK]]: the tiny query panel
+    * broadcasts, the corpus streams through one scoring map stage, and
+    * `rank <= k` over the per-query row_number window plans as
+    * WindowGroupLimit (bounded partial+final top-k before the shuffle —
+    * never a global sort). The label inequality rides the broadcast
+    * join condition, so mismatched-label candidates are dropped before
+    * scoring; at 100 TB the corpus side is still a single pass. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val qn = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        Portable.quantize(col("embedding")).as("q"))
+      .withColumn("nsq", Portable.normSqQ(col("q")))
+    val queries = qn.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("q").as("qa"), col("nsq").as("na"))
+    val corpus = qn.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+      col("q").as("qb"), col("nsq").as("nb"))
+    corpus.join(broadcast(queries), col("cand_label") =!= col("query_label"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("query_label").cast("long").as("query_label"),
+        col("cand_id"), col("cand_label").cast("long").as("cand_label"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def hardNegativesSql(k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |qn AS (
+       |  SELECT vec_id, label, qv,
+       |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+       |  FROM q
+       |),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.label::BIGINT AS query_label,
+       |         b.vec_id AS cand_id, b.label::BIGINT AS cand_label,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM qn a JOIN qn b ON a.label <> b.label
+       |  WHERE a.vec_id < 8
+       |),
+       |ranked AS (
+       |  SELECT query_id, query_label, cand_id, cand_label, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, query_label, cand_id, cand_label, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
@@ -482,7 +542,8 @@ object Similarity {
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
-    "sim_neardup_incremental" -> ((s, d) => nearDupIncremental(s, d)))
+    "sim_neardup_incremental" -> ((s, d) => nearDupIncremental(s, d)),
+    "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_topk" -> ivfTopKSql(),
@@ -491,5 +552,6 @@ object Similarity {
     "sim_ann_lsh" -> annLshSql(),
     "sim_ann_recall" -> annRecallSql(),
     "sim_neardup_pairs" -> nearDupPairsSql(),
-    "sim_neardup_incremental" -> nearDupIncrementalSql())
+    "sim_neardup_incremental" -> nearDupIncrementalSql(),
+    "sim_hard_negatives" -> hardNegativesSql())
 }

@@ -346,11 +346,85 @@ object Retrieval {
        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qa.qn AS DOUBLE)) * sqrt(CAST(qb.qn AS DOUBLE))) >= $tau
        |ORDER BY a, b""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse the lexical arm ([[bm25Rank]] top-N for the fixed term query)
+    * with a vector arm (cosine of every embedding against the vec_id-0
+    * query vector, top-N) by summing 1/(k0+rank) over the arms a
+    * document appears in. The contribution is computed as the scaled
+    * integer 1e9 DIV (k0+rank) so the fused score is BIGINT-exact in
+    * both engines (no float rank reciprocals to diverge).
+    *
+    * Plan: each arm ends in a bounded global top-N
+    * (TakeOrderedAndProject — never a full sort of the corpus), the
+    * rank row_number windows run over those ≤N-row frames (bounded, so
+    * the unpartitioned window is safe at any corpus size), and the
+    * fusion is a full-outer join of two ≤N-row sets. At 100 TB the
+    * corpus cost is one BM25 scoring pass + one embedding scoring pass;
+    * everything after is O(N). */
+  def rrfFusion(spark: SparkSession, dir: String, topN: Int = 50, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Rank(spark, dir, topN)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+          .cast("long").as("lex_rank"))
+    val qn = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), Portable.quantize(col("embedding")).as("q"))
+      .withColumn("nsq", Portable.normSqQ(col("q")))
+    val q0 = qn.filter(col("vec_id") === 0)
+      .select(col("q").as("qa"), col("nsq").as("na"))
+    val vecTop = qn.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0)) // 1-row query vector
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("q")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nsq").cast("double"))))
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+      .orderBy(desc("cosine"), col("doc_id")).limit(topN)
+    val vec = vecTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("cosine"), col("doc_id")))
+        .cast("long").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(expr(s"1000000000 DIV ($k0 + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 DIV ($k0 + vec_rank)"), lit(0L))).as("rrf_score"))
+      .orderBy(desc("rrf_score"), col("doc_id"))
+  }
+
+  def rrfFusionSql(topN: Int = 50, k0: Int = 60): String =
+    s"""WITH lexbase AS (SELECT doc_id, score FROM (${bm25RankSql(topN)})),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |  FROM lexbase),
+       |q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+       |  FROM q),
+       |q0 AS (SELECT qv, nsq FROM qn WHERE vec_id = 0),
+       |vscore AS (
+       |  SELECT b.vec_id AS doc_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i])) AS BIGINT)::DOUBLE
+       |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM qn b, q0 a WHERE b.vec_id <> 0),
+       |vectop AS (SELECT doc_id, cosine FROM vscore ORDER BY cosine DESC, doc_id LIMIT $topN),
+       |vec AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+       |  FROM vectop)
+       |SELECT doc_id, lex_rank, vec_rank,
+       |       CAST(coalesce(1000000000 // ($k0 + lex_rank), 0)
+       |          + coalesce(1000000000 // ($k0 + vec_rank), 0) AS BIGINT) AS rrf_score
+       |FROM lex FULL JOIN vec USING (doc_id)
+       |ORDER BY rrf_score DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_top" -> ((s, d) => tfidfTop(s, d)),
     "text_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "text_pii_redact" -> piiRedact,
     "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
+    "retrieval_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "dedup_decontaminate" -> ((s, d) => decontaminate(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -358,5 +432,6 @@ object Retrieval {
     "text_bm25_rank" -> bm25RankSql(),
     "text_pii_redact" -> piiRedactSql,
     "text_cosine_pairs" -> cosinePairsSql(),
+    "retrieval_rrf_fusion" -> rrfFusionSql(),
     "dedup_decontaminate" -> decontaminateSql())
 }

@@ -103,4 +103,47 @@ class AnnRecallSpec extends SparkSpec {
     for (p <- 0 until 16; i <- 0 until 64)
       assert(Similarity.planeSigns(p)(i) === viaSpark((p, i)), s"($p,$i)")
   }
+
+  test("hard negatives never share the query's label and rank contiguously") {
+    val rows = Similarity.hardNegatives(spark, sf("sf0.001"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, ql, c, cl, _, _) =>
+      assert(ql != cl, s"query $q got same-label candidate $c")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._6).sorted.toSeq == (1L to rs.length).toSeq, s"ranks of $q")
+      // cosines non-increasing in rank order
+      val cos = rs.sortBy(_._6).map(_._5)
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"ordering of $q")
+    }
+    // the mined negative is never a better match than the unrestricted
+    // top-1 (restricting the candidate pool cannot improve the best score)
+    val best = Similarity.cosineTopK(spark, sf("sf0.001"), k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_._6 == 1L).foreach { case (q, _, _, _, cos, _) =>
+      assert(cos <= best(q), s"query $q: hard negative beats unrestricted top-1")
+    }
+  }
+
+  test("rrf fusion scores recompute from the emitted ranks") {
+    val rows = graft.text.Retrieval.rrfFusion(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    def contrib(rank: Option[Long]): Long = rank.map(r => 1000000000L / (60L + r)).getOrElse(0L)
+    rows.foreach { case (d, lr, vr, s) =>
+      assert(lr.nonEmpty || vr.nonEmpty, s"doc $d in neither arm")
+      assert(s == contrib(lr) + contrib(vr), s"doc $d score")
+    }
+    // each arm's ranks are 1..n with no gaps
+    for (arm <- Seq(rows.flatMap(_._2), rows.flatMap(_._3)))
+      assert(arm.sorted.toSeq == (1L to arm.length).toSeq)
+    // output is ordered by fused score desc
+    val scores = rows.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -174,6 +174,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("hard negatives broadcast the query panel and bound per-query top-k") {
+    val p = planString(graft.sim.Similarity.hardNegatives(spark, sf("sf0.001")))
+    // the corpus must stream (query side broadcast under the non-equi
+    // label condition) and rank<=k must be partial (WindowGroupLimit)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("rrf fusion's vector arm is a bounded TakeOrdered, never a corpus sort") {
+    val p = planString(graft.text.Retrieval.rrfFusion(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q6 pushes all three predicates into the parquet scan") {
     val p = planString(graft.operators.TpchMore.forecastRevenue(spark, sf("sf0.001")))
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")

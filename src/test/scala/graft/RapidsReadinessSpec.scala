@@ -105,7 +105,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_tfidf_top" -> Set("rdd-segment"),
     "text_token_counts" -> Set("higher-order-function"),
     "text_trigram_stats" -> Set("higher-order-function"),
-    "text_repetition_stats" -> Set("higher-order-function"))
+    "text_repetition_stats" -> Set("higher-order-function"),
+    "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
+    "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function", "rdd-segment"))
 
   /** Classified by documentation (construction executes work):
     * streaming (stateful operators are CPU per the docs) and the aria
