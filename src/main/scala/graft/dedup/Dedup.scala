@@ -477,8 +477,40 @@ object Dedup {
   private val pairsCache =
     new java.util.HashMap[SparkSession, Map[(String, Double), DataFrame]]
 
+  /** The df-capped rare-shingle inverted index, memoized per
+    * (session, dir): shared by [[jaccardPairs]] and
+    * [[containmentPairs]], which differ only in how they score the
+    * joined index against itself. */
+  private val rareCache =
+    new java.util.HashMap[SparkSession, Map[String, DataFrame]]
+
   private[graft] def evictPairs(spark: SparkSession): Unit =
-    pairsCache.synchronized { pairsCache.remove(spark); () }
+    pairsCache.synchronized {
+      pairsCache.remove(spark); rareCache.remove(spark); ()
+    }
+
+  private def rareIndex(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.synchronized {
+      rareCache.keySet.removeIf(s => s.sparkContext.isStopped)
+      val perSession = rareCache.getOrDefault(spark, Map.empty)
+      perSession.get(dir) match {
+        case Some(df) => df
+        case None =>
+          val st = shingleTable(spark, dir)
+          // materialize the exploded index once (lazy checkpoint): it is
+          // read for df counts and both join sides, and re-deriving the
+          // tokenize→shingle pipeline each time dominates otherwise
+          val inv = st.select(col("doc_id"), explode(col("sh")).as("shingle"))
+            .localCheckpoint(false)
+          val rare = inv.join(
+            inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+              .filter(col("df") <= maxShingleDf).select("shingle"),
+            Seq("shingle"))
+            .localCheckpoint(false)
+          rareCache.put(spark, perSession + (dir -> rare))
+          rare
+      }
+    }
 
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame =
     pairsCache.synchronized {
@@ -494,17 +526,7 @@ object Dedup {
     }
 
   private def jaccardPairsUncached(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val st = shingleTable(spark, dir)
-    // materialize the exploded index once (lazy checkpoint): it is read
-    // 4× below (df counts, sizes, both join sides) and re-deriving the
-    // tokenize→shingle pipeline each time dominates the query otherwise
-    val inv = st.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .localCheckpoint(false)
-    val rare = inv.join(
-      inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf).select("shingle"),
-      Seq("shingle"))
-      .localCheckpoint(false)
+    val rare = rareIndex(spark, dir)
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = rare.select(col("doc_id").as("a"), col("shingle"))
       .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
@@ -542,6 +564,52 @@ object Dedup {
        |           JOIN sizes sb ON pairs.b = sb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
        |ORDER BY a, b""".stripMargin
+
+  /** Directed n-gram CONTAINMENT pairs: containment(src→dst) =
+    * |sh(src) ∩ sh(dst)| / |sh(src)| over the df-capped rare-shingle
+    * sets. Asymmetric by design — a short document quoted or embedded
+    * inside a long one scores ~1 in the src→dst direction while its
+    * Jaccard (and the reverse direction) stays low, so this catches the
+    * subsumption/quotation duplicates [[jaccardPairs]]' symmetric ratio
+    * misses (Broder 1997's containment variant). Shares the memoized
+    * inverted index with the Jaccard family: same single equi-join on
+    * the shingle key, same df-cap bounding the fanout at 100 TB; only
+    * the scoring differs, and the `src <> dst` join emits both
+    * directions of each candidate pair. */
+  def containmentPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val rare = rareIndex(spark, dir)
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    rare.select(col("doc_id").as("src"), col("shingle"))
+      .join(rare.select(col("doc_id").as("dst"), col("shingle")), Seq("shingle"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("src"), col("n_sh").as("n_src")), Seq("src"))
+      .withColumn("containment", col("inter").cast("double") / col("n_src"))
+      .filter(col("containment") >= tau)
+      .select(col("src"), col("dst"), col("inter"), col("n_src"), col("containment"))
+      .orderBy("src", "dst")
+  }
+
+  def containmentPairsSql(tau: Double = 0.5): String =
+    s"""$shingleTableSql,
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM st),
+       |rare AS (
+       |  SELECT inv.doc_id, inv.shingle FROM inv
+       |  JOIN (SELECT shingle, count(*) AS df FROM inv GROUP BY shingle) d
+       |    ON inv.shingle = d.shingle
+       |  WHERE d.df <= $maxShingleDf
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT l.doc_id AS src, r.doc_id AS dst, count(*) AS inter
+       |  FROM rare l JOIN rare r ON l.shingle = r.shingle
+       |  WHERE l.doc_id <> r.doc_id GROUP BY src, dst
+       |)
+       |SELECT src, dst, inter, sa.n_sh AS n_src,
+       |       CAST(inter AS DOUBLE) / sa.n_sh AS containment
+       |FROM pairs JOIN sizes sa ON pairs.src = sa.doc_id
+       |WHERE CAST(inter AS DOUBLE) / sa.n_sh >= $tau
+       |ORDER BY src, dst""".stripMargin
 
   /** Edit-distance verification of near-dup candidates — the last stage
     * of a production dedup funnel: cheap sketch candidates (here the
@@ -697,6 +765,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_incremental" -> simhashIncremental,
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_edit_verify" -> ((s, d) => editVerify(s, d)),
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
 
@@ -711,6 +780,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_incremental" -> simhashIncrementalSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql(),
+    "dedup_containment" -> containmentPairsSql(),
     "dedup_edit_verify" -> editVerifySql(),
     "dedup_repeated_spans" -> repeatedSpansSql())
 }

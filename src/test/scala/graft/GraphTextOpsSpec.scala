@@ -102,4 +102,31 @@ class GraphTextOpsSpec extends SparkSpec {
       assert(s >= 0.0 && s <= 1.0)
     }
   }
+
+  test("containment is asymmetric: a planted quoted doc scores one-way only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    // doc 1 = a 12-word prefix of doc 0 (50 distinct-ish words): every
+    // shingle of 1 is in 0, so containment(1→0)=1.0, while 0's shingle
+    // set is ~5× larger → containment(0→1) and jaccard both stay low.
+    // doc 2 is unrelated filler so the df cap keeps all shingles rare.
+    val big = (0 until 50).map(i => s"w${i}a w${i}b").mkString(" ")
+    val small = (0 until 6).map(i => s"w${i}a w${i}b").mkString(" ")
+    val other = (0 until 20).map(i => s"z$i").mkString(" ")
+    Seq((0L, big, "en", "t", big.length.toLong),
+      (1L, small, "en", "t", small.length.toLong),
+      (2L, other, "en", "t", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.dedup.Dedup.evictPairs(spark) // fresh index for the temp dir
+    val rows = graft.dedup.Dedup.containmentPairs(spark, tmp, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toList
+    assert(rows.map(t => (t._1, t._2)) == List((1L, 0L)), rows.toString)
+    assert(rows.head._3 == 1.0)
+    // and the symmetric jaccard view does NOT pair them at its default τ
+    val jac = graft.dedup.Dedup.jaccardPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)), jac.toString)
+    graft.dedup.Dedup.evictPairs(spark) // don't leak the temp index
+  }
 }

@@ -55,6 +55,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_decontaminate" -> Set("rdd-segment"),
     "dedup_incremental" -> Set("rdd-segment"),
     "dedup_jaccard_pairs" -> Set("rdd-segment"),
+    "dedup_containment" -> Set("rdd-segment"),
     "dedup_minhash_bands" -> Set("higher-order-function", "rdd-segment"),
     "dedup_minhash_candidates" -> Set("rdd-segment"),
     "dedup_edit_verify" -> Set("rdd-segment"),
