@@ -347,6 +347,59 @@ object TimeSeries {
       |FROM filled WHERE is_grid = 1
       |ORDER BY user_id, hour_start_us""".stripMargin
 
+  /** Trailing-window anomaly detection: flag an event whose value sits
+    * more than 3 sample standard deviations from the mean of the SAME
+    * user's previous `n` events (full windows only). The monitoring/
+    * fraud-detection shape: one partitioned ordered window per user —
+    * one shuffle on user_id, per-row state bounded by the n-row frame,
+    * no self-join, which is exactly how it holds at 100 TB.
+    *
+    * Exactness: values quantize to 1e-4 fixed-point BIGINTs; with
+    * integer frame sums s1=Σx, s2=Σx², the population z-score is
+    * z = (n·x−s1)/sqrt(n·s2−s1²), so the outlier PREDICATE
+    * (n·x−s1)² > 9·(n·s2−s1²) is pure BIGINT arithmetic (no float
+    * compare can flip a flag), and the reported z is one integer
+    * division through correctly-rounded sqrt — the identical double in
+    * both engines. Bounds: |x| ≤ 6e6 (value ≤ 560.21), so every
+    * intermediate stays far below 2^63 with n=20. */
+  def zscoreOutliers(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(-n, -1)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        floor(col("value").cast("double") * 10000d + 0.5d).cast("long").as("x"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("x"),
+        count(lit(1)).over(w).as("n_prev"),
+        sum(col("x")).over(w).as("s1"),
+        sum(col("x") * col("x")).over(w).as("s2"))
+      .filter(col("n_prev") === n && (col("n_prev") * col("s2") - col("s1") * col("s1")) > 0)
+      .withColumn("num", col("n_prev") * col("x") - col("s1"))
+      .withColumn("den", col("n_prev") * col("s2") - col("s1") * col("s1"))
+      .filter(col("num") * col("num") > lit(9L) * col("den"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("x").as("value_q"),
+        (col("num").cast("double") / sqrt(col("den").cast("double"))).as("zscore"))
+      .orderBy("event_id")
+  }
+
+  def zscoreOutliersSql(n: Int = 20): String =
+    s"""WITH q AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |         CAST(floor(CAST(value AS DOUBLE)*10000 + 0.5) AS BIGINT) AS x
+       |  FROM events),
+       |w AS (
+       |  SELECT event_id, user_id, ts_us, x,
+       |         count(*) OVER win AS n_prev,
+       |         sum(x) OVER win AS s1,
+       |         sum(x*x) OVER win AS s2
+       |  FROM q WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                        ROWS BETWEEN $n PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, user_id, ts_us, x AS value_q,
+       |       CAST(n_prev*x - s1 AS DOUBLE) / sqrt(CAST(n_prev*s2 - s1*s1 AS DOUBLE)) AS zscore
+       |FROM w
+       |WHERE n_prev = $n AND (n_prev*s2 - s1*s1) > 0
+       |  AND (n_prev*x - s1)*(n_prev*x - s1) > 9*(n_prev*s2 - s1*s1)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_asof_join" -> asofJoin,
     "ts_asof_join_native" -> asofJoinNative,
@@ -354,6 +407,7 @@ object TimeSeries {
     "ts_range_join" -> rangeJoin,
     "ts_range_join_rule" -> rangeJoinViaRule,
     "ts_downsample_locf" -> downsampleLocf,
+    "ts_zscore_outliers" -> ((s, d) => zscoreOutliers(s, d)),
     "agg_sliding_events" -> slidingAgg,
     "agg_grouping_sets" -> groupingSets)
 
@@ -364,6 +418,7 @@ object TimeSeries {
     "ts_range_join" -> rangeJoinSql,
     "ts_range_join_rule" -> rangeJoinViaRuleSql,
     "ts_downsample_locf" -> downsampleLocfSql,
+    "ts_zscore_outliers" -> zscoreOutliersSql(),
     "agg_sliding_events" -> slidingAggSql,
     "agg_grouping_sets" -> groupingSetsSql)
 }

@@ -73,4 +73,23 @@ class TemporalSpec extends SparkSpec {
       .filter(col("prev_state") === col("state")).count()
     assert(dup === 0L, s"$dup un-collapsed consecutive states")
   }
+
+  test("z-score outliers: a planted spike flags, the flat tail does not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
+    // user 1: values alternate 10.0/12.0 (nonzero variance) except event
+    // 25 spikes to 500 → only the spike clears |z| > 3 with a full
+    // 20-event trailing window. µs-aligned ns timestamps per convention.
+    val rows = (0 until 40).map { i =>
+      val v = if (i == 25) 500.0 else if (i % 2 == 0) 10.0 else 12.0
+      (i.toLong, i.toLong * 1000000000L, 1L, "click", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.operators.TimeSeries.zscoreOutliers(spark, tmp).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(25L), got.mkString(","))
+    // z recomputes from the trailing 20 values: mean 11 (10 evens, 10
+    // odds), var = 1 → z = (500-11)/1 = 489
+    assert(math.abs(got.head.getDouble(4) - 489.0) < 1e-9, got.head.toString)
+  }
 }
