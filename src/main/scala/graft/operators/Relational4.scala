@@ -110,13 +110,68 @@ object Relational4 {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** NOT IN three-valued-logic semantics — the null-aware anti join, a
+    * different plan class from [[graft.operators.Relational]]'s
+    * NOT-EXISTS left-anti (`join_semi_anti`): one NULL in the subquery
+    * list makes every NOT IN predicate UNKNOWN, so the result is EMPTY
+    * rather than "everything". Three arms pin the full truth table:
+    * IN (semi), NOT IN over a null-free list (anti, nonempty), and
+    * NOT IN over a list containing NULLs (empty by SQL semantics —
+    * the case a naive anti-join rewrite gets wrong). Spark plans the
+    * NOT IN arms as null-aware anti joins (single-column NAAJ
+    * broadcasts the build side; the probe streams — scale-safe as long
+    * as the filtered subquery is dimension-sized, as here). */
+  def nullAwareAnti(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("v_naaj_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("v_naaj_orders")
+    spark.sql(
+      """SELECT tag, n_customers FROM (
+        |  SELECT 'has_big_order' AS tag, count(*) AS n_customers
+        |  FROM v_naaj_customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM v_naaj_orders
+        |                      WHERE o_totalprice > 300000.0)
+        |  UNION ALL
+        |  SELECT 'no_big_order' AS tag, count(*) AS n_customers
+        |  FROM v_naaj_customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM v_naaj_orders
+        |                          WHERE o_totalprice > 300000.0)
+        |  UNION ALL
+        |  SELECT 'null_poisoned' AS tag, count(*) AS n_customers
+        |  FROM v_naaj_customer
+        |  WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 1e9
+        |                                      THEN o_custkey END
+        |                          FROM v_naaj_orders)
+        |) ORDER BY tag""".stripMargin)
+  }
+
+  val nullAwareAntiSql: String =
+    """SELECT tag, n_customers FROM (
+      |  SELECT 'has_big_order' AS tag, count(*) AS n_customers
+      |  FROM customer
+      |  WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                      WHERE o_totalprice > 300000.0)
+      |  UNION ALL
+      |  SELECT 'no_big_order' AS tag, count(*) AS n_customers
+      |  FROM customer
+      |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                          WHERE o_totalprice > 300000.0)
+      |  UNION ALL
+      |  SELECT 'null_poisoned' AS tag, count(*) AS n_customers
+      |  FROM customer
+      |  WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 1e9
+      |                                      THEN o_custkey END
+      |                          FROM orders)
+      |) ORDER BY tag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_full_outer" -> fullOuterJoin,
     "join_salted_skew" -> saltedJoin,
+    "join_null_aware_anti" -> nullAwareAnti,
     "agg_session_stats" -> sessionAgg)
 
   val oracles: Map[String, String] = Map(
     "join_full_outer" -> fullOuterJoinSql,
     "join_salted_skew" -> saltedJoinSql,
+    "join_null_aware_anti" -> nullAwareAntiSql,
     "agg_session_stats" -> sessionAggSql)
 }

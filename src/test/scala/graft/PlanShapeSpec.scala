@@ -187,6 +187,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("NOT IN plans as a null-aware anti join, IN as a plain semi") {
+    val df = graft.operators.Relational4.nullAwareAnti(spark, sf("sf0.001"))
+    // the simple plan form prints BroadcastHashJoin's isNullAwareAntiJoin
+    // as the trailing boolean: both NOT IN arms must carry it, the IN
+    // arm must not
+    val p = df.queryExecution.executedPlan.toString
+    assert("LeftAnti, BuildRight, true".r.findAllIn(p).length == 2, p.take(3000))
+    assert(p.contains("LeftSemi, BuildRight, false"), p.take(3000))
+  }
+
   test("q6 pushes all three predicates into the parquet scan") {
     val p = planString(graft.operators.TpchMore.forecastRevenue(spark, sf("sf0.001")))
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")

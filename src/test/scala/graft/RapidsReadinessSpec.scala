@@ -22,6 +22,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_exact", "dq_constraint_report", "fn_conditionals",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
     "fn_scalar_string_math", "fn_string_extra", "join_full_outer",
+    "join_null_aware_anti",
     "join_lateral_topn", "join_salted_skew", "join_semi_anti",
     "layout_compaction_bins", "layout_zorder_stats", "mm_media_meta",
     "q10_returned_items", "q11_part_value_share", "q12_priority_shipping",
