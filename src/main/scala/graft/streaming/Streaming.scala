@@ -204,4 +204,20 @@ object Streaming {
     q.stop()
     q.recentProgress.count(_.numInputRows > 0)
   }
+
+  /** As [[runToMemory]], returning the total rows the stateful operator
+    * dropped as too late (`numRowsDroppedByWatermark` summed over the
+    * run's progress reports) — the observable a late-data-accounting
+    * query asserts on. */
+  def runToMemoryCountingDropped(spark: SparkSession, streamed: DataFrame,
+                                 queryName: String, outputMode: String): Long = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+  }
 }

@@ -387,8 +387,95 @@ object StreamingQueries {
       |       4 AS n_triggers
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Late-data accounting — the watermark's DROP side made observable
+    * and exact. The events table splits into three stream files by
+    * event_id mod 4: {0,2} then {1} (normal shards), then {3} — a
+    * REPLAYED OLD SHARD whose timestamps span the whole history. File
+    * order is forced by explicit modification times (the file source
+    * orders by modTime). Spark's late-event filter LAGS one batch
+    * (batch k filters against the watermark that was in force DURING
+    * batch k−1 — visible as the two watermark values on
+    * StateStoreSave), so the replay must arrive in batch 3 for the
+    * filter to be armed: its rows drop iff their hour window's end ≤
+    * wm₂ = ms-truncated max event time of batches 1–2 minus the 600 s
+    * delay. The output carries the engine's own
+    * `numRowsDroppedByWatermark` total as a column, and append mode
+    * emits a window iff its end ≤ the final watermark (global max
+    * minus delay — watermark stats observe even the rows the agg then
+    * drops). The oracle re-derives all three: the lagged drop rule,
+    * the drop count, and the emission frontier. One metric subtlety,
+    * pinned by the oracle: the drop filter sits ABOVE the batch's
+    * merge aggregation (at StateStoreSave, after the shuffle), so
+    * `numRowsDroppedByWatermark` counts dropped (window, event_type)
+    * CELLS — one merged row per cell per batch, independent of scan
+    * parallelism — not raw input rows. */
+  def streamLateData(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val path = s"/tmp/graft_fixtures/events_late_split_${new java.io.File(dir).getName}"
+    graft.sources.Formats.writeOnce(s"latesplit|$path") {
+      val ev = graft.operators.Tables.t(spark, dir, "events")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      def writeSplit(mods: Seq[Int], destName: String, modMs: Long): Unit = {
+        val stage = s"${path}_stage_${mods.mkString("_")}"
+        ev.filter(pmod(col("event_id"), lit(4L)).isin(mods.map(_.toLong): _*))
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(path, destName)
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(modMs))
+        val st = new java.io.File(stage)
+        st.listFiles().foreach(_.delete()); st.delete()
+      }
+      writeSplit(Seq(0, 2), "batch1.parquet", 1000000000000L)
+      writeSplit(Seq(1), "batch2.parquet", 1000000060000L)
+      writeSplit(Seq(3), "batch3_replay.parquet", 1000000120000L)
+    }
+    val src = spark.readStream
+      .schema(Streaming.eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+    val name = unique("stream_late")
+    val dropped = Streaming.runToMemoryCountingDropped(spark,
+      Streaming.tumblingAgg(src), name, outputMode = "append")
+    spark.table(name)
+      .withColumn("n_late_dropped", lit(dropped))
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamLateDataSql: String =
+    """WITH wm2 AS (
+      |  SELECT max(epoch_ns(ts) // 1000000) - 600000 AS ms
+      |  FROM events WHERE event_id % 4 <> 3),
+      |wmf AS (SELECT max(epoch_ns(ts) // 1000000) - 600000 AS ms FROM events),
+      |keep AS (
+      |  SELECT e.* FROM events e, wm2
+      |  WHERE e.event_id % 4 <> 3
+      |     OR ((epoch_ns(e.ts) // 3600000000000) + 1) * 3600000 > wm2.ms),
+      |agg AS (
+      |  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start, event_type,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  FROM keep GROUP BY 1, 2),
+      |drops AS (
+      |  -- dropped CELLS: the late filter runs above the merge agg, so
+      |  -- the engine metric counts one row per (window, type) per batch
+      |  SELECT count(*) AS n FROM (
+      |    SELECT DISTINCT (epoch_ns(e.ts) // 3600000000000) AS w, e.event_type
+      |    FROM events e, wm2
+      |    WHERE e.event_id % 4 = 3
+      |      AND ((epoch_ns(e.ts) // 3600000000000) + 1) * 3600000 <= wm2.ms))
+      |SELECT a.window_start, a.event_type, a.n_events, a.sum_value,
+      |       d.n::BIGINT AS n_late_dropped
+      |FROM agg a, drops d, wmf
+      |WHERE (a.window_start + 3600) * 1000 <= wmf.ms
+      |ORDER BY a.window_start, a.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rate_limited" -> streamRateLimited,
+    "stream_late_data" -> streamLateData,
     "stream_tumbling_agg" -> streamTumblingAgg,
     "stream_sessionize" -> streamSessionize,
     "stream_session_window" -> streamSessionWindow,
@@ -400,6 +487,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_rate_limited" -> streamRateLimitedSql,
+    "stream_late_data" -> streamLateDataSql,
     "stream_outer_join" -> streamOuterJoinSql,
     "stream_running_stats" -> streamRunningStatsSql,
     "stream_tumbling_agg" -> streamTumblingAggSql,

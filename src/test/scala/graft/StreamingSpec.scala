@@ -204,4 +204,20 @@ class StreamingBatchParitySpec extends SparkSpec {
     val batchTotal = batch.agg(sum("n_events")).head.getLong(0)
     assert(streamedTotal === batchTotal)
   }
+
+  test("late-data replay actually drops rows and shrinks the aggregates") {
+    val out = graft.streaming.StreamingQueries
+      .streamLateData(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    // the replayed shard must really be dropped: the engine-reported
+    // watermark drop count is positive...
+    assert(out.head.getLong(4) > 0L, s"no rows dropped: ${out.head}")
+    // ...and the surviving aggregation is pointwise ≤ the batch (no-drop)
+    // aggregation, strictly smaller somewhere
+    val batch = operators.Relational.tumblingAgg(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cmp = out.map(r => (batch((r.getLong(0), r.getString(1))), r.getLong(2)))
+    assert(cmp.forall { case (b, s) => s <= b })
+    assert(cmp.exists { case (b, s) => s < b }, "nothing was dropped anywhere")
+  }
 }
