@@ -475,6 +475,36 @@ object Similarity {
        |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** IVF recall@k vs the exact brute-force top-k — the same
+    * measurement surface as [[annRecall]] for the OTHER approximate
+    * path, so both production ANN variants carry a first-class quality
+    * query (nprobe tuning reads directly off this report). Same scale
+    * posture: the exact side runs only over the fixed query panel. */
+  def ivfRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"))
+    val approx = ivfTopK(spark, dir, k)
+      .filter(col("query_id") < 8)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  def ivfRecallSql(k: Int = 5): String =
+    s"""WITH exact AS (SELECT query_id, cand_id FROM (${cosineTopKSql(k)})),
+       |approx AS (SELECT query_id, cand_id FROM (${ivfTopKSql(k)}) WHERE query_id < 8)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k highest-cosine candidates whose `label` DIFFERS from
     * the query's — the negatives a contrastive loss learns the most
@@ -541,6 +571,7 @@ object Similarity {
     "sim_lsh_signatures" -> lshSignatures,
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
+    "sim_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     "sim_neardup_incremental" -> ((s, d) => nearDupIncremental(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)))
@@ -551,6 +582,7 @@ object Similarity {
     "sim_lsh_signatures" -> lshSignaturesSql,
     "sim_ann_lsh" -> annLshSql(),
     "sim_ann_recall" -> annRecallSql(),
+    "sim_ivf_recall" -> ivfRecallSql(),
     "sim_neardup_pairs" -> nearDupPairsSql(),
     "sim_neardup_incremental" -> nearDupIncrementalSql(),
     "sim_hard_negatives" -> hardNegativesSql())

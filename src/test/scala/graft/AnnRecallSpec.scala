@@ -104,6 +104,18 @@ class AnnRecallSpec extends SparkSpec {
       assert(Similarity.planeSigns(p)(i) === viaSpark((p, i)), s"($p,$i)")
   }
 
+  test("ivf recall query reports per-query recall in [0,1] over the full panel") {
+    val rows = Similarity.ivfRecall(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L to 7L), rows.map(_._1).mkString(","))
+    rows.foreach { case (q, nExact, nHits, rec) =>
+      assert(nExact == 5L, s"query $q panel size")
+      assert(nHits >= 0L && nHits <= nExact, s"query $q hits")
+      assert(rec == nHits.toDouble / nExact, s"query $q recall arithmetic")
+    }
+    assert(rows.exists(_._4 > 0.0), "IVF found nothing at all")
+  }
+
   test("hard negatives never share the query's label and rank contiguously") {
     val rows = Similarity.hardNegatives(spark, sf("sf0.001"), k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -86,6 +86,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
+    "sim_ivf_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivf_trained" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
