@@ -579,10 +579,16 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val rare = rareIndex(spark, dir)
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    rare.select(col("doc_id").as("src"), col("shingle"))
-      .join(rare.select(col("doc_id").as("dst"), col("shingle")), Seq("shingle"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("inter"))
+    // intersection counts are symmetric: join+count once on a < b (half
+    // the join output and shuffle of the naive src <> dst form), then
+    // mirror each undirected pair into its two directed rows
+    val und = rare.select(col("doc_id").as("a"), col("shingle"))
+      .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val dir2 = und.select(col("a").as("src"), col("b").as("dst"), col("inter"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("inter")))
+    dir2
       .join(sizes.select(col("doc_id").as("src"), col("n_sh").as("n_src")), Seq("src"))
       .withColumn("containment", col("inter").cast("double") / col("n_src"))
       .filter(col("containment") >= tau)
@@ -600,10 +606,15 @@ object Dedup {
        |  WHERE d.df <= $maxShingleDf
        |),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT l.doc_id AS src, r.doc_id AS dst, count(*) AS inter
+       |und AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
        |  FROM rare l JOIN rare r ON l.shingle = r.shingle
-       |  WHERE l.doc_id <> r.doc_id GROUP BY src, dst
+       |  WHERE l.doc_id < r.doc_id GROUP BY a, b
+       |),
+       |pairs AS (
+       |  SELECT a AS src, b AS dst, inter FROM und
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst, inter FROM und
        |)
        |SELECT src, dst, inter, sa.n_sh AS n_src,
        |       CAST(inter AS DOUBLE) / sa.n_sh AS containment
