@@ -186,12 +186,81 @@ object Relational5 {
       |  FROM lineitem
       |) ORDER BY check_name""".stripMargin
 
+  /** ANALYZE-style column profile of lineitem — the statistics a
+    * cost-based optimizer collects: exact NDV, null count, and min/max
+    * per column, a row per column. Timestamps profile as epoch-µs
+    * (exact integers below 2^53, so the DOUBLE min/max are identical
+    * in both engines); string columns carry min/max in the string
+    * slots.
+    *
+    * Plan: one independent single-COLUMN aggregate per profiled column,
+    * unioned — each branch's parquet scan prunes to just its column
+    * (ReadSchema is 1 field) and the branches run as parallel stages.
+    * This beats the tempting single-pass form (11 DISTINCT aggregates
+    * in one agg ⇒ Expand ×11 of the full-width row before the shuffle
+    * — measured 25 s vs 2 s at sf0.1). A production ANALYZE at 100 TB
+    * that wants one pass swaps exact NDV for the mergeable HLL
+    * registers already on the board (`agg_hll_*`); kept exact here so
+    * the oracle is exact. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    // lineitem's shipdate is µs TIMESTAMP_NTZ (unlike events.ts nanos);
+    // profile it as epoch-µs via the UTC session zone
+    val li = t(spark, dir, "lineitem")
+      .withColumn("l_shipdate_us", unix_micros(col("l_shipdate").cast("timestamp")))
+    def branch(c: String, isStr: Boolean): DataFrame = {
+      val base = li.select(col(c)).agg(
+        countDistinct(col(c)).as("ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("nn"),
+        min(col(c)).as("mn"), max(col(c)).as("mx"))
+      if (isStr)
+        base.select(lit(c).as("column_name"), col("ndv").cast("long").as("ndv"),
+          col("nn").cast("long").as("n_null"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col("mn").as("min_str"), col("mx").as("max_str"))
+      else
+        base.select(lit(c).as("column_name"), col("ndv").cast("long").as("ndv"),
+          col("nn").cast("long").as("n_null"),
+          col("mn").cast("double").as("min_num"), col("mx").cast("double").as("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    }
+    ((numCols :+ "l_shipdate_us").map(branch(_, isStr = false)) ++
+      strCols.map(branch(_, isStr = true)))
+      .reduce(_ unionAll _).orderBy("column_name")
+  }
+
+  val columnProfileSql: String = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val arms = numCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(DISTINCT $c)::BIGINT AS ndv,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem""".stripMargin
+    } ++ Seq(
+      """SELECT 'l_shipdate_us', count(DISTINCT l_shipdate)::BIGINT,
+        |       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(min(epoch_us(l_shipdate)) AS DOUBLE), CAST(max(epoch_us(l_shipdate)) AS DOUBLE),
+        |       NULL::VARCHAR, NULL::VARCHAR FROM lineitem""".stripMargin) ++
+      Seq("l_returnflag", "l_linestatus").map { c =>
+        s"""SELECT '$c', count(DISTINCT $c)::BIGINT,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |       NULL::DOUBLE, NULL::DOUBLE, min($c), max($c) FROM lineitem""".stripMargin
+      }
+    s"""SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |) ORDER BY column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sub_exists" -> existsSubquery,
     "set_ops_intersect" -> setIntersect,
     "agg_collect_sorted" -> collectSorted,
     "agg_unpivot" -> unpivotTotals,
     "dq_constraint_report" -> dqConstraintReport,
+    "stat_column_profile" -> columnProfile,
     "join_lateral_topn" -> lateralTopN)
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +269,6 @@ object Relational5 {
     "agg_collect_sorted" -> collectSortedSql,
     "agg_unpivot" -> unpivotTotalsSql,
     "dq_constraint_report" -> dqConstraintReportSql,
+    "stat_column_profile" -> columnProfileSql,
     "join_lateral_topn" -> lateralTopNSql)
 }

@@ -36,7 +36,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "s5_upsert_union", "sample_bottomk", "sample_stratified", "sample_weighted",
     "set_ops_except", "set_ops_intersect", "src_bucketed_join",
     "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
-    "src_partitioned_prune", "src_schema_evolution", "stat_moments",
+    "src_partitioned_prune", "src_schema_evolution", "stat_column_profile",
+    "stat_moments",
     "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
     "t10_op_chain_seq", "t2_batch_lookup_join", "t5_reserve_min_agg",
     "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
