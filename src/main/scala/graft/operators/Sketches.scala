@@ -313,8 +313,11 @@ object Sketches {
     val u = Portable.hash60(concat_ws("_", lit("wsamp"), col("doc_id")))
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        length(col("text")).cast("long").as("w"),
-        (u.cast("double") / length(col("text")).cast("long").cast("double"))
+        // greatest(len, 1): a zero-length doc has weight 0, whose priority
+        // u/0 errors under ANSI mode — clamp so it samples as weight-1.
+        greatest(length(col("text")).cast("long"), lit(1L)).as("w"),
+        (u.cast("double") /
+          greatest(length(col("text")).cast("long"), lit(1L)).cast("double"))
           .as("priority"))
       .select(col("lang"), col("doc_id"), col("w"), col("priority"),
         row_number().over(
@@ -327,9 +330,9 @@ object Sketches {
 
   def weightedSampleSql(k: Int = 5): String =
     s"""WITH pri AS (
-       |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS w,
+       |  SELECT lang, doc_id, greatest(CAST(length(text) AS BIGINT), 1) AS w,
        |         CAST(('0x' || substr(md5('wsamp_' || doc_id), 1, 15))::BIGINT AS DOUBLE)
-       |           / CAST(length(text) AS BIGINT) AS priority
+       |           / CAST(greatest(CAST(length(text) AS BIGINT), 1) AS DOUBLE) AS priority
        |  FROM documents
        |),
        |ranked AS (

@@ -264,6 +264,9 @@ object TextAnalysis {
 
   private[graft] def charEntropyFrom(docs: DataFrame): DataFrame =
     docs
+      // Zero-length docs have no character distribution and would divide
+      // by n_chars = 0 (an error under ANSI mode); exclude them up front.
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "n_chars", "ch").agg(count(lit(1)).as("k"))
@@ -277,7 +280,7 @@ object TextAnalysis {
     """WITH chars AS (
       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
       |         unnest(string_split(text, '')) AS ch
-      |  FROM documents
+      |  FROM documents WHERE length(text) > 0
       |), hist AS (
       |  SELECT doc_id, n_chars, ch, count(*) AS k
       |  FROM chars GROUP BY doc_id, n_chars, ch
