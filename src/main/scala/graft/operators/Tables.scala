@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access for the harness testdata (TESTDATA.md): one parquet file
   * per table under the given scale-factor directory. The Spark analog of
@@ -14,14 +16,36 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read as a
-      // timestamp; read it as a Long of epoch-nanos instead. Integer ns
-      // math is also exactly reproducible in the DuckDB oracle (epoch_ns),
-      // unlike double-valued epoch().
+    if (name == "events") {
+      // events.ts's parquet physical type varies across testdata
+      // generations: TIMESTAMP(NANOS) (readable only as an epoch-ns
+      // BIGINT via nanosAsLong) or timestamp[us] (arrives as a timestamp;
+      // nanosAsLong is a no-op there). Normalize BOTH to epoch-ns BIGINT:
+      // every downstream query does integer ns arithmetic, which is also
+      // exactly reproducible in the DuckDB oracle (epoch_ns is
+      // precision-agnostic), unlike double-valued epoch().
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Rewrite `ts` to epoch-ns BIGINT whatever the file stored. For
+    * timestamp-typed files the conversion is one expression above the
+    * scan, so raw-ts range predicates evaluate post-scan there (the
+    * event-time queries aggregate/window over ts rather than filter it,
+    * so the board's plans are unaffected). NTZ wall-clock == epoch only
+    * under a UTC session — `t` forces it, matching every entrypoint. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // nanos-era file: already epoch-ns
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet type $other; expected " +
+          "INT64 epoch-ns or a timestamp")
+    }
 
   /** Round-robin repartition iff the source scan has fewer input files
     * than the session parallelism. The harness files are single-row-group

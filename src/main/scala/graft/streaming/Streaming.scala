@@ -20,8 +20,12 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema as stored (ts kept as epoch-nanos LongType — see
-    * Tables.t: Spark cannot read parquet NANOS timestamps natively). */
+  /** NORMALIZED events schema (ts as epoch-nanos LongType) — what
+    * `Tables.t`/`readEventsStream` deliver, and the schema of every
+    * fixture rewritten from their output. The PHYSICAL file schema may
+    * differ (testdata generations store ts as TIMESTAMP(NANOS) or
+    * timestamp[us]); streams over raw harness files must probe it with
+    * [[eventsFileSchema]] instead of pinning this one. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -30,17 +34,31 @@ object Streaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based stream over an events directory (one-file-per-trigger
-    * keeps micro-batches bounded). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Schema of an events parquet file AS STORED (driver-side footer
+    * probe via a batch read — no data scan). With nanosAsLong set, a
+    * nanos-era file yields ts: LongType; a micros-era file yields a
+    * timestamp type. Pinning the wrong schema on readStream doesn't
+    * error — parquet's vectorized reader hands back the raw int64, so
+    * event times land 1000× off; probing makes the stream
+    * generation-proof. */
+  def eventsFileSchema(spark: SparkSession, eventsPath: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(eventsPath).schema
+  }
+
+  /** File-based stream over an events directory (one-file-per-trigger
+    * keeps micro-batches bounded), normalized so `ts` is epoch-ns
+    * BIGINT regardless of the file's physical timestamp type. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = eventsFileSchema(spark, s"$dir/events.parquet")
     // FileStreamSource needs a directory; the harness lays one file per
     // table in the sf dir, so glob-filter to the events file.
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    graft.operators.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Normalize epoch-nanos to a TimestampType column for event-time ops. */

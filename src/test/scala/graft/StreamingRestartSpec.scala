@@ -17,13 +17,16 @@ class StreamingRestartSpec extends SparkSpec {
     val outDir = s"$base/out"
     Files.createDirectories(Paths.get(srcDir))
     val eventsFile = Paths.get(sf("sf0.001"), "events.parquet")
+    // raw harness file: probe the stored schema (ts physical type varies
+    // across testdata generations) instead of pinning the normalized one
+    val fileSchema = Streaming.eventsFileSchema(spark, eventsFile.toString)
 
     // A raw projection, not an aggregation (append-mode file sinks
     // reject aggregations): exactly-once is a property of source
     // offsets + the sink transaction log, not of the transform.
     def startProjection() = {
       val stream = spark.readStream
-        .schema(Streaming.eventsSchema)
+        .schema(fileSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir)
         .select(col("event_id"), col("event_type"))
@@ -42,7 +45,7 @@ class StreamingRestartSpec extends SparkSpec {
     val q1 = startProjection()
     q1.awaitTermination()
     val n1 = spark.read.parquet(outDir).count()
-    val expected = spark.read.schema(Streaming.eventsSchema)
+    val expected = spark.read.schema(fileSchema)
       .parquet(srcDir + "/f1.parquet").count()
     assert(n1 === expected, s"leg 1 wrote $n1, source has $expected")
 
