@@ -36,12 +36,15 @@ object Bench {
     * without pulling in a JSON library (values here are flat name:number
     * maps with no nested braces or brace-bearing strings). */
   private[graft] def extractObject(txt: String, key: String): Option[String] = {
-    val i = txt.indexOf("\"" + key + "\"")
-    if (i < 0) None
-    else {
-      val start = txt.indexOf('{', i)
-      if (start < 0) None
-      else {
+    // anchor on the full `"key" : {` pattern — a bare quoted-key indexOf
+    // would also match the key appearing inside a string VALUE (e.g. a
+    // note field mentioning '"queries"') and brace-match from whatever
+    // '{' follows it
+    val anchor = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\{").r
+    anchor.findFirstMatchIn(txt) match {
+      case None => None
+      case Some(m) =>
+        val start = m.end - 1
         var depth = 0
         var j = start
         var end = -1
@@ -52,7 +55,6 @@ object Bench {
           j += 1
         }
         if (end < 0) None else Some(txt.substring(start, end + 1))
-      }
     }
   }
 
@@ -166,26 +168,52 @@ object Bench {
     // Contention guard: a contended run (median ratio > 1.3) must not
     // clobber a cleaner detail file of the same board — by the repo's
     // own round-7 evidence an inflated full-board re-run is host noise,
-    // not signal. Comparable = same sf AND same query count.
+    // not signal. Comparable = same sf AND same query-NAME SET (a count
+    // match would let an add-one-drop-one board compare totals across
+    // different queries) AND both runs failure-free (a failing query
+    // contributes a tiny fail-fast timing, so a run with failures has a
+    // deceptively low total — never a valid comparison point). The
+    // suppressed run is NEVER discarded: it goes to
+    // bench_detail_contended.json and the kept file records the
+    // suppression, so a genuine uniform code regression stays visible.
     println(fullLine)
-    val keepExisting = try {
-      val p = java.nio.file.Paths.get("bench_detail.json")
-      java.nio.file.Files.exists(p) && contentionIdx > 1.3 && {
-        val old = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    val oldDetail: Option[String] =
+      try {
+        if (java.nio.file.Files.exists(detailPath))
+          Some(new String(java.nio.file.Files.readAllBytes(detailPath), "UTF-8"))
+        else None
+      } catch { case _: Throwable => None }
+    def nameSet(txt: String): Option[Set[String]] =
+      extractObject(txt, "queries").map(q =>
+        """"([a-z0-9_]+)"\s*:""".r.findAllMatchIn(q).map(_.group(1)).toSet)
+    val keepExisting = contentionIdx > 1.3 && failures.isEmpty &&
+      oldDetail.exists { old =>
         val oldSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(old).map(_.group(1))
         val oldTotal = """"value"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(old).map(_.group(1).toDouble)
-        val oldN = extractObject(old, "queries")
-          .map(q => """"[a-z0-9_]+"\s*:""".r.findAllMatchIn(q).size)
-        oldSf.contains(sfDir) && oldN.contains(best.size) &&
+        oldSf.contains(sfDir) && old.contains(""""failed":[]""") &&
+          nameSet(old).contains(best.map(_._1).toSet) &&
           oldTotal.exists(_ < total)
       }
-    } catch { case _: Throwable => false }
-    if (keepExisting)
-      System.err.println(f"[bench] contended run (contention_index=$contentionIdx%.2f > 1.3) slower than existing bench_detail.json — keeping the cleaner file")
-    else
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_detail.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+    if (keepExisting) {
+      System.err.println(f"[bench] contended run (contention_index=$contentionIdx%.2f > 1.3) slower than existing bench_detail.json — keeping the cleaner file; new run preserved in bench_detail_contended.json")
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_detail_contended.json"),
+          (fullLine + "\n").getBytes("UTF-8"))
+        // stamp the kept file so a reader knows a newer run exists
+        // (replacing any stamp from a previous suppression — the
+        // suppressed object is flat, so the non-greedy brace regex holds)
+        val base = oldDetail.get.trim
+          .replaceAll(""","suppressed_contended_run":\{[^}]*\}""", "")
+        if (base.endsWith("}"))
+          java.nio.file.Files.write(detailPath,
+            (base.dropRight(1) +
+              f""","suppressed_contended_run":{"value":$total%.3f,"contention_index":$contentionIdx%.3f,"detail":"bench_detail_contended.json"}}""" +
+              "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    } else
+      try java.nio.file.Files.write(detailPath, (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     // Final line: slowest queries first (by best-of time), greedily
     // packed into a byte budget that keeps the whole line inside the

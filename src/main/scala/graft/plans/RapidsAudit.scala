@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Expression, ScalaUDF, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** RAPIDS-readiness classification (north-star alignment: the driver
@@ -80,7 +80,6 @@ object RapidsAudit {
         case s: SubqueryExpression => walkPlan(s.plan)
         case _ => ()
       }
-      if (e.isInstanceOf[ScalaUDF]) out += "scala-udf"
       e.children.foreach(walkExpr)
     }
     walkPlan(df.queryExecution.optimizedPlan)

@@ -258,7 +258,12 @@ object TextAnalysis {
     * histogram, then per-doc sum) regardless of corpus size.
     * Exactness: surprisal quantized to whole bits via
     * length(bin((L·2²⁰) div k))−1 (the perplexity trick) — exact
-    * integer arithmetic in both engines; h_mbits ≈ 1000·(H + 20). */
+    * integer arithmetic in both engines; h_mbits ≈ 1000·(H + 20).
+    *
+    * API contract: ZERO-LENGTH documents are EXCLUDED from the output
+    * (they have no character distribution; emitting entropy 0 would be
+    * indistinguishable from a genuine one-symbol document). Callers
+    * joining on doc_id must treat absence as "empty doc". */
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropyFrom(t(spark, dir, "documents"))
 
