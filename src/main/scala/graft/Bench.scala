@@ -212,7 +212,9 @@ object Bench {
               f""","suppressed_contended_run":{"value":$total%.3f,"contention_index":$contentionIdx%.3f,"detail":"bench_detail_contended.json"}}""" +
               "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
-    } else
+    } else if (only.isEmpty)
+      // ONLY-mode is an iteration aid — a partial board must never
+      // clobber the committed full-board detail record
       try java.nio.file.Files.write(detailPath, (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     // Final line: slowest queries first (by best-of time), greedily
