@@ -209,13 +209,189 @@ object Pipeline {
        |       CAST(sum(k * n_tok) AS BIGINT) AS tokens_out
        |FROM j GROUP BY 1""".stripMargin
 
+  private val SourceCap = 15
+
+  /** Per-source frequency capping — the anti-domination filter every
+    * web-scale corpus runs (one crawl-heavy domain must not become 30%
+    * of the training set). Keep at most [[SourceCap]] documents per
+    * source, preferring longer documents (n_chars DESC, doc_id
+    * tiebreak — deterministic, not rand()).
+    *
+    * Scale shape: the kept side is a rank-filter the optimizer rewrites
+    * to WindowGroupLimit — each input partition retains only its local
+    * top-cap BEFORE the per-source shuffle+sort, so a 10M-doc domain
+    * moves cap rows per partition, not 10M. The input-stats side is a
+    * plain partial+final aggregate (no sort at all), and the two
+    * source-cardinality-sized results join broadcast. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val kept = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    val stats = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_in"), sum("n_chars").as("chars_in"))
+    stats.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_in"), col("chars_in"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  val sourceCapSql: String =
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents
+       |), kept AS (
+       |  SELECT source, count(*) AS n_kept,
+       |         CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |  FROM ranked WHERE rk <= $SourceCap GROUP BY 1
+       |), stats AS (
+       |  SELECT source, count(*) AS n_in,
+       |         CAST(sum(n_chars) AS BIGINT) AS chars_in
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT s.source, s.n_in, s.chars_in,
+       |       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       |       coalesce(k.chars_kept, 0)::BIGINT AS chars_kept
+       |FROM stats s LEFT JOIN kept k USING (source)
+       |ORDER BY s.source""".stripMargin
+
+  // 4096: measured at sf0.001 — 256 buckets blur the language
+  // distributions inside each bucket (top-50 en-fraction 0.48, i.e. no
+  // discrimination over the 44% corpus share); 4096 reaches 0.84 and
+  // 16384 plateaus. A 4096-row model is still a trivially broadcast
+  // table at any corpus size.
+  private val DsirBuckets = 4096
+  private val DsirTopK = 50
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much its hashed-bigram distribution looks like a TARGET
+    * corpus (here: the lang='en' slice) versus the raw pool, and take
+    * the top-k. Features are bigrams hashed into [[DsirBuckets]]
+    * buckets; the per-bucket importance weight is the QUANTIZED
+    * log-ratio floor(log2(1+c_target)) − floor(log2(1+c_raw)) via the
+    * length(bin(x))−1 trick — exact integer arithmetic in both engines
+    * (no libm log), same quantization as the perplexity/entropy ops.
+    *
+    * The per-doc score is the PER-GRAM average (millis), not the raw
+    * sum: every bucket delta is ≤ 0 (target counts are a subset of raw
+    * counts), so a raw sum would just select the shortest documents —
+    * the classic length bias importance weights must normalize away.
+    * The average is computed shifted by +40 per gram
+    * (`(1000·Σ(40+δ)) div n_grams`) so the integer division never sees
+    * a negative dividend — Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and they only agree on non-negatives. The
+    * shift is monotone (rank-preserving); 40 bounds |δ| while corpus
+    * gram counts stay < 2⁴⁰ (same documented bound as the perplexity
+    * op). Docs with <2 tokens have no features and are excluded — a
+    * selector cannot rank what it cannot featurize.
+    *
+    * Scale shape: one explode→(bucket) partial+final count builds the
+    * 256-row bucket model; it broadcasts back onto the gram stream
+    * (equi-join on bucket, no shuffle of the corpus side beyond the
+    * per-doc score agg); the global top-k is TakeOrderedAndProject
+    * (per-partition heads, never a full sort). */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+    val bigrams = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit("_"),
+          element_at(col("toks"), i + 1))))
+    val grams = docs
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        Portable.hashMod(concat(lit("dsir_"), col("gram")), DsirBuckets).as("b"))
+    val model = grams.groupBy("b").agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L))).as("c_t"))
+      .select(col("b"),
+        (lit(40L) + (length(bin(col("c_t") + 1)) - 1) -
+          (length(bin(col("c_all") + 1)) - 1)).cast("long").as("delta40"))
+    grams.join(broadcast(model), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_grams"),
+        expr("(1000 * sum(delta40)) div count(1)").as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, ${TextAnalysis.tokSql} AS toks FROM documents
+       |), grams AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5('dsir_' || toks[i] || '_' || toks[i + 1]), 1, 15))::BIGINT
+       |           % $DsirBuckets AS b
+       |  FROM tk, unnest(range(1, len(toks))) AS u(i)
+       |), model AS (
+       |  SELECT b, count(*) AS c_all,
+       |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |  FROM grams GROUP BY 1
+       |), delta AS (
+       |  SELECT b, 40 + (length(bin(c_t + 1)) - 1) - (length(bin(c_all + 1)) - 1) AS delta40
+       |  FROM model
+       |)
+       |SELECT g.doc_id, g.lang, count(*) AS n_grams,
+       |       CAST((1000 * sum(d.delta40)) // count(*) AS BIGINT) AS dsir_score
+       |FROM grams g JOIN delta d USING (b)
+       |GROUP BY g.doc_id, g.lang
+       |ORDER BY dsir_score DESC, doc_id LIMIT $DsirTopK""".stripMargin
+
+  /** Leakage-safe corpus split: assign train/val/test by hashing the
+    * SOURCE, not the document — near-duplicates concentrate within a
+    * source (same site templating, same crawl), so a doc-level split
+    * leaks eval content into training; a group-level split keeps every
+    * source wholly inside one split (the `text_split_assign` twin at
+    * the granularity real eval-decontamination demands). 80/10/10 on
+    * hash60("gsplit_"+source) mod 100; a split absent from the output
+    * simply drew no source. Pure map + one partial+final aggregate. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(Portable.hash60(concat(lit("gsplit_"), col("source"))), lit(100L))
+    t(spark, dir, "documents")
+      .select(col("source"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("split")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("split")
+  }
+
+  val leakageSplitSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |         CASE WHEN ('0x' || substr(md5('gsplit_' || source), 1, 15))::BIGINT % 100 < 80
+       |                THEN 'train'
+       |              WHEN ('0x' || substr(md5('gsplit_' || source), 1, 15))::BIGINT % 100 < 90
+       |                THEN 'val' ELSE 'test' END AS split,
+       |         len(${TextAnalysis.tokSql})::BIGINT AS n_toks
+       |  FROM documents
+       |)
+       |SELECT split, count(DISTINCT source) AS n_sources,
+       |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curation" -> curationFunnel,
     "pipeline_pack_sequences" -> packSequences,
-    "pipeline_mix_resample" -> mixResample)
+    "pipeline_mix_resample" -> mixResample,
+    "pipeline_source_cap" -> sourceCap,
+    "pipeline_dsir_select" -> dsirSelect,
+    "pipeline_leakage_split" -> leakageSplit)
 
   val oracles: Map[String, String] = Map(
     "pipeline_curation" -> curationFunnelSql,
     "pipeline_pack_sequences" -> packSequencesSql,
-    "pipeline_mix_resample" -> mixResampleSql)
+    "pipeline_mix_resample" -> mixResampleSql,
+    "pipeline_source_cap" -> sourceCapSql,
+    "pipeline_dsir_select" -> dsirSelectSql,
+    "pipeline_leakage_split" -> leakageSplitSql)
 }

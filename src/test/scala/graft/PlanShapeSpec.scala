@@ -369,4 +369,16 @@ class PlanShapeSpec extends SparkSpec {
         "AQE skew mitigation did not engage:\n" + p.take(3000))
     } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("source cap bounds per-partition rows before the per-source sort (WindowGroupLimit)") {
+    val p = planString(graft.text.Pipeline.sourceCap(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("dsir select broadcasts the bucket model and plans a partial top-k") {
+    val p = planString(graft.text.Pipeline.dsirSelect(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must be partial heads, not a full sort:\n" + p.take(2000))
+  }
 }

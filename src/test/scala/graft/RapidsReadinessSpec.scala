@@ -25,6 +25,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "join_null_aware_anti",
     "join_lateral_topn", "join_salted_skew", "join_semi_anti",
     "layout_compaction_bins", "layout_zorder_stats", "mm_media_meta",
+    "pipeline_source_cap",
     "q10_returned_items", "q11_part_value_share", "q12_priority_shipping",
     "q14_promo_effect", "q16_supplier_variety", "q17_small_qty_revenue",
     "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
@@ -78,6 +79,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_resize_meta" -> Set("object-node"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
+    "pipeline_dsir_select" -> Set("higher-order-function", "bin"),
+    "pipeline_leakage_split" -> Set("higher-order-function"),
     "pipeline_pack_sequences" -> Set("higher-order-function"),
     "pipeline_mix_resample" -> Set("higher-order-function"),
     "q15_top_supplier" -> Set("rdd-segment"),
