@@ -67,4 +67,48 @@ class TestdataContractSpec extends SparkSpec {
     val t = s("ts").dataType
     assert(t === LongType || t === TimestampType || t === TimestampNTZType)
   }
+
+  test("all table schemas match the contract every query is written against") {
+    // column name -> simpleString type, as LOADED through Tables.t (the
+    // only access path queries use). A regeneration that renames,
+    // retypes or drops a column fails here by name instead of
+    // scattering DATATYPE_MISMATCH across the board. events.ts is
+    // normalized by the loader, so bigint is the contract regardless of
+    // the file's physical generation.
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double",
+        "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz"),
+      "events" -> Seq("event_id" -> "bigint", "ts" -> "bigint",
+        "user_id" -> "bigint", "event_type" -> "string",
+        "value" -> "double", "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"))
+    val drift = Tables.names.flatMap { name =>
+      val got = Tables.t(spark, sf("sf0.001"), name).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toSeq
+      if (got == expected(name)) Nil
+      else Seq(s"$name:\n  expected ${expected(name)}\n  got      $got")
+    }
+    assert(drift.isEmpty, "testdata schema drift:\n" + drift.mkString("\n"))
+  }
 }
