@@ -170,13 +170,68 @@ object Analytics {
       |         AS rolling_5s
       |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** Cumulative distinct users per event type over hourly time — the
+    * "unique users to date" growth curve. A naive windowed
+    * COUNT(DISTINCT) is non-decomposable (per-row distinct state grows
+    * with history); the exact scalable identity is: distinct-to-hour-h
+    * = Σ over hours ≤ h of FIRST-SEEN counts, because each user
+    * contributes exactly once, at its min hour. That turns the query
+    * into two partial+final aggregates (first-seen per (type, user),
+    * new-user counts per (type, hour)) plus one cumulative-sum window
+    * over HOUR-GRAIN rows — window input is bounded by the time range,
+    * not the event count, no matter how large the corpus. */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr(s"ts div $hourNs").as("hour"))
+    val firsts = ev.groupBy("event_type", "user_id")
+      .agg(min("hour").as("first_hour"))
+    val newPerHour = firsts
+      .groupBy(col("event_type"), col("first_hour").as("hour"))
+      .agg(count(lit(1)).as("n_new"))
+    val hours = ev.select("event_type", "hour").distinct()
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hours.join(newPerHour, Seq("event_type", "hour"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum("n_new").over(w))
+      .select(col("event_type"), (col("hour") * 3600L).as("hour_start_s"),
+        col("n_new"), col("cum_users"))
+      .orderBy("event_type", "hour_start_s")
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, epoch_ns(ts) // 3600000000000 AS hour
+      |  FROM events
+      |), firsts AS (
+      |  SELECT event_type, user_id, min(hour) AS first_hour
+      |  FROM ev GROUP BY 1, 2
+      |), newph AS (
+      |  SELECT event_type, first_hour AS hour, count(*) AS n_new
+      |  FROM firsts GROUP BY 1, 2
+      |), hours AS (
+      |  SELECT DISTINCT event_type, hour FROM ev
+      |)
+      |SELECT h.event_type, h.hour * 3600 AS hour_start_s,
+      |       coalesce(n.n_new, 0)::BIGINT AS n_new,
+      |       CAST(sum(coalesce(n.n_new, 0)) OVER (
+      |              PARTITION BY h.event_type ORDER BY h.hour
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_users
+      |FROM hours h LEFT JOIN newph n USING (event_type, hour)
+      |ORDER BY event_type, hour_start_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_value_family" -> valueWindows,
     "window_range_frame" -> rangeFrameSum,
+    "window_cumulative_users" -> cumulativeUsers,
     "stat_moments" -> momentStats)
 
   val oracles: Map[String, String] = Map(
     "window_value_family" -> valueWindowsSql,
     "window_range_frame" -> rangeFrameSumSql,
+    "window_cumulative_users" -> cumulativeUsersSql,
     "stat_moments" -> momentStatsSql)
 }

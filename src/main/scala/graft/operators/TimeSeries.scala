@@ -347,6 +347,95 @@ object TimeSeries {
       |FROM filled WHERE is_grid = 1
       |ORDER BY user_id, hour_start_us""".stripMargin
 
+  /** Linear-interpolation gap fill on the same hourly grid as
+    * [[downsampleLocf]] — the other half of time-series resampling
+    * (LOCF for step signals, linear for continuous ones). Each grid
+    * point takes prev + (next − prev)·(g − t_prev)/(t_next − t_prev)
+    * between its neighboring samples; leading grid points (before the
+    * user's first sample) back-fill from the next sample, trailing ones
+    * carry the last sample forward.
+    *
+    * Same single-shuffle shape as LOCF: union the samples with the grid
+    * rows, one partitioned ordered window pass in each direction
+    * (`last ignoreNulls` over preceding, `first ignoreNulls` over
+    * following). A sample at exactly a grid instant sorts BEFORE the
+    * grid row ((ord_ns, is_grid) order), so it lands in the prev side
+    * with zero weight → the sample value verbatim, and t_next > g ≥
+    * t_prev keeps the denominator strictly positive. The interpolation
+    * itself is the identical IEEE double expression in both engines
+    * (integer ns deltas cast to double, one divide/multiply/add). */
+  def interpolateGrid(spark: SparkSession, dir: String): DataFrame =
+    interpolateGridFrom(t(spark, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) * 1000").as("tns"), col("value")))
+
+  /** Core on any (user_id, tns, value) frame — see [[interpolateGrid]]. */
+  private[graft] def interpolateGridFrom(ev: DataFrame): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val grid = ev.groupBy("user_id")
+      .agg(min(expr("tns div " + hourNs)).as("h0"),
+        max(expr("tns div " + hourNs)).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      .select(col("user_id"), (col("hour") * hourNs).as("ord_ns"),
+        lit(1).as("is_grid"), lit(null).cast("double").as("value"))
+    val pts = ev.select(col("user_id"), col("tns").as("ord_ns"),
+      lit(0).as("is_grid"), col("value"))
+    val ord = Window.partitionBy("user_id").orderBy("ord_ns", "is_grid")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pts.unionAll(grid)
+      .withColumn("pt_ns", when(col("is_grid") === 0, col("ord_ns")))
+      .withColumn("pv", last("value", ignoreNulls = true).over(wPrev))
+      .withColumn("pt", last("pt_ns", ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first("value", ignoreNulls = true).over(wNext))
+      .withColumn("nt", first("pt_ns", ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), expr("ord_ns div 1000").as("hour_start_us"),
+        when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("ord_ns") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")))
+          .as("interp_value"))
+      .orderBy("user_id", "hour_start_us")
+  }
+
+  val interpolateGridSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) AS tns, value FROM events
+      |), bounds AS (
+      |  SELECT user_id, min(tns // 3600000000000) AS h0,
+      |         max(tns // 3600000000000) AS h1
+      |  FROM ev GROUP BY user_id
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1)) * 3600000000000 AS ord_ns,
+      |         1 AS is_grid, CAST(NULL AS DOUBLE) AS value
+      |  FROM bounds
+      |), pts AS (
+      |  SELECT user_id, tns AS ord_ns, 0 AS is_grid, value FROM ev
+      |), unioned AS (
+      |  SELECT *, CASE WHEN is_grid = 0 THEN ord_ns END AS pt_ns
+      |  FROM (SELECT * FROM pts UNION ALL SELECT * FROM grid)
+      |), filled AS (
+      |  SELECT user_id, ord_ns, is_grid,
+      |         last_value(value IGNORE NULLS) OVER wp AS pv,
+      |         last_value(pt_ns IGNORE NULLS) OVER wp AS pt,
+      |         first_value(value IGNORE NULLS) OVER wn AS nv,
+      |         first_value(pt_ns IGNORE NULLS) OVER wn AS nt
+      |  FROM unioned
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ord_ns, is_grid
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY user_id ORDER BY ord_ns, is_grid
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, ord_ns // 1000 AS hour_start_us,
+      |       CASE WHEN pv IS NULL THEN nv
+      |            WHEN nv IS NULL THEN pv
+      |            ELSE pv + (nv - pv) *
+      |                 (CAST(ord_ns - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |       END AS interp_value
+      |FROM filled WHERE is_grid = 1
+      |ORDER BY user_id, hour_start_us""".stripMargin
+
   /** Trailing-window anomaly detection: flag an event whose value sits
     * more than 3 sample standard deviations from the mean of the SAME
     * user's previous `n` events (full windows only). The monitoring/
@@ -407,6 +496,7 @@ object TimeSeries {
     "ts_range_join" -> rangeJoin,
     "ts_range_join_rule" -> rangeJoinViaRule,
     "ts_downsample_locf" -> downsampleLocf,
+    "ts_interpolate" -> interpolateGrid,
     "ts_zscore_outliers" -> ((s, d) => zscoreOutliers(s, d)),
     "agg_sliding_events" -> slidingAgg,
     "agg_grouping_sets" -> groupingSets)
@@ -418,6 +508,7 @@ object TimeSeries {
     "ts_range_join" -> rangeJoinSql,
     "ts_range_join_rule" -> rangeJoinViaRuleSql,
     "ts_downsample_locf" -> downsampleLocfSql,
+    "ts_interpolate" -> interpolateGridSql,
     "ts_zscore_outliers" -> zscoreOutliersSql(),
     "agg_sliding_events" -> slidingAggSql,
     "agg_grouping_sets" -> groupingSetsSql)

@@ -44,9 +44,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
     "text_pii_redact", "text_split_assign", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
-    "ts_funnel_conversion", "ts_range_join", "ts_range_join_rule",
+    "ts_funnel_conversion", "ts_interpolate", "ts_range_join",
+    "ts_range_join_rule",
     "ts_scd2_intervals", "ts_scd2_lookup", "ts_zscore_outliers",
-    "window_distribution_family",
+    "window_cumulative_users", "window_distribution_family",
     "window_range_frame", "window_ranking_family", "window_running_sum",
     "window_sessionize", "window_topk_per_group", "window_value_family")
 

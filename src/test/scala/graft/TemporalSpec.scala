@@ -65,6 +65,45 @@ class TemporalSpec extends SparkSpec {
       (2L, 5L * hourNs / 1000, None))) // grid precedes first event
   }
 
+  test("linear interpolation: midpoint halves, boundary exact, edges back/forward-fill") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // user 1: samples at exactly hour 2 (v=10) and hour 4 (v=30); grid
+    // hours 2..4, so hour 3 is the exact midpoint → 20.0. user 2: one
+    // mid-hour sample; its only grid point precedes it → back-fill.
+    val ev = Seq(
+      (1L, 2L * hourNs, 10.0),
+      (1L, 4L * hourNs, 30.0),
+      (2L, 5L * hourNs + 60L * 1000000000L, 99.0)
+    ).toDF("user_id", "tns", "value")
+    val got = graft.operators.TimeSeries.interpolateGridFrom(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      (1L, 2L * hourNs / 1000, 10.0), // sample exactly on the grid instant
+      (1L, 3L * hourNs / 1000, 20.0), // true midpoint of (10, 30)
+      (1L, 4L * hourNs / 1000, 30.0), // trailing boundary sample
+      (2L, 5L * hourNs / 1000, 99.0))) // leading grid point back-fills
+  }
+
+  test("cumulative users: final count equals countDistinct, curve is monotone") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir = sf("sf0.001")
+    val cum = graft.operators.Analytics.cumulativeUsers(spark, dir).collect()
+    assert(cum.nonEmpty)
+    val finalPerType = cum.groupBy(_.getString(0)).map { case (t, rows) =>
+      t -> rows.map(_.getAs[Long]("cum_users")).max }
+    val expected = graft.operators.Tables.t(spark, dir, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalPerType === expected,
+      "last cumulative value must equal the type's total distinct users")
+    cum.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val curve = rows.sortBy(_.getAs[Long]("hour_start_s")).map(_.getAs[Long]("cum_users"))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b }, s"$t not monotone")
+      assert(rows.map(_.getAs[Long]("n_new")).sum === curve.last)
+    }
+  }
+
   test("scd2 collapses consecutive duplicates: adjacent states differ") {
     val iv = Temporal.scd2Intervals(spark, sf("sf0.001"))
     import org.apache.spark.sql.expressions.Window
