@@ -254,7 +254,75 @@ object Relational5 {
        |) ORDER BY column_name""".stripMargin
   }
 
+  /** Distribution-drift report — the data-quality check a pipeline runs
+    * before trusting a new ingest batch: split events at the corpus
+    * mid-time into a reference half and a current half, histogram
+    * `value` per event type into 20 fixed bins, and report the total
+    * variation distance between the two normalized histograms in
+    * permille (0 = identical shape, 1000 = disjoint; defined as 1000
+    * when one half has no rows of the type).
+    *
+    * Exactness: values quantize to 1e-4 BIGINT (the z-score idiom) and
+    * bin by integer division; TV is computed on the EXACT rational
+    * Σ|r·C − c·R| before a single non-negative integer division —
+    * no float accumulates anywhere, so the oracle hash-matches.
+    * Bounds: r·C needs n_ref·n_cur < 2⁶³ — fine to ~3e9 rows per side;
+    * beyond that, pre-normalize per-bin counts (the documented scale
+    * path, same caveat style as the perplexity shift).
+    *
+    * Shape: one 1-row broadcast (mid-time), one (type, bin) partial+
+    * final count over a single scan, then type-cardinality joins —
+    * histogram state is 20·|types| cells regardless of corpus size. */
+  def dqDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("ts"),
+        floor(col("value").cast("double") * 10000d + 0.5d).cast("long").as("vq"))
+    val mid = ev.agg(expr("(min(ts) + max(ts)) div 2").as("mid_ts"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        (col("ts") <= col("mid_ts")).cast("long").as("is_ref"),
+        least(lit(19L), expr("vq div 300000")).as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(sum(col("is_ref")).as("r"), sum(lit(1L) - col("is_ref")).as("c"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum("r").as("n_ref"), sum("c").as("n_cur"))
+    cells.join(totals, "event_type")
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(sum(abs(col("r") * col("n_cur") - col("c") * col("n_ref"))).as("num"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") === 0L || col("n_cur") === 0L, lit(1000L))
+          .otherwise(expr("(500 * num) div (n_ref * n_cur)")).as("tv_permille"))
+      .orderBy("event_type")
+  }
+
+  val dqDriftReportSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS tns,
+      |         CAST(floor(CAST(value AS DOUBLE)*10000 + 0.5) AS BIGINT) AS vq
+      |  FROM events
+      |), mid AS (
+      |  SELECT (min(tns) + max(tns)) // 2 AS mid_ts FROM ev
+      |), cells AS (
+      |  SELECT event_type,
+      |         least(19, vq // 300000) AS bin,
+      |         CAST(sum(CASE WHEN tns <= mid_ts THEN 1 ELSE 0 END) AS BIGINT) AS r,
+      |         CAST(sum(CASE WHEN tns <= mid_ts THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM ev, mid GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT event_type, CAST(sum(r) AS BIGINT) AS n_ref,
+      |         CAST(sum(c) AS BIGINT) AS n_cur
+      |  FROM cells GROUP BY 1
+      |)
+      |SELECT t.event_type, t.n_ref, t.n_cur,
+      |       CAST(CASE WHEN t.n_ref = 0 OR t.n_cur = 0 THEN 1000
+      |            ELSE (500 * sum(abs(cl.r * t.n_cur - cl.c * t.n_ref))) // (t.n_ref * t.n_cur)
+      |       END AS BIGINT) AS tv_permille
+      |FROM cells cl JOIN totals t USING (event_type)
+      |GROUP BY t.event_type, t.n_ref, t.n_cur
+      |ORDER BY t.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift_report" -> dqDriftReport,
     "sub_exists" -> existsSubquery,
     "set_ops_intersect" -> setIntersect,
     "agg_collect_sorted" -> collectSorted,
@@ -264,6 +332,7 @@ object Relational5 {
     "join_lateral_topn" -> lateralTopN)
 
   val oracles: Map[String, String] = Map(
+    "dq_drift_report" -> dqDriftReportSql,
     "sub_exists" -> existsSubquerySql,
     "set_ops_intersect" -> setIntersectSql,
     "agg_collect_sorted" -> collectSortedSql,

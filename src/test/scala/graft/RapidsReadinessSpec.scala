@@ -19,7 +19,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_distinct", "agg_grouping_sets", "agg_pivot_linestatus",
     "agg_rollup_customers", "agg_salted_skew", "agg_session_stats",
     "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
-    "dedup_exact", "dq_constraint_report", "fn_conditionals",
+    "dedup_exact", "dq_constraint_report", "dq_drift_report",
+    "fn_conditionals",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
     "fn_scalar_string_math", "fn_string_extra", "join_full_outer",
     "join_null_aware_anti",

@@ -104,6 +104,25 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("drift report: totals partition the events, TV bounded, same-data drift is small") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dir = sf("sf0.001")
+    val r = graft.operators.Relational5.dqDriftReport(spark, dir).collect()
+    assert(r.nonEmpty)
+    val perType = graft.operators.Tables.t(spark, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { row =>
+      val (t, nr, nc, tv) = (row.getString(0), row.getAs[Long]("n_ref"),
+        row.getAs[Long]("n_cur"), row.getAs[Long]("tv_permille"))
+      assert(nr + nc === perType(t), s"$t halves don't partition the type")
+      assert(tv >= 0L && tv <= 1000L)
+      // the generator is stationary across time, so same-source halves
+      // must NOT read as drifted (the metric's false-positive guard)
+      assert(tv < 300L, s"$t drift $tv‰ on stationary data")
+    }
+  }
+
   test("scd2 collapses consecutive duplicates: adjacent states differ") {
     val iv = Temporal.scd2Intervals(spark, sf("sf0.001"))
     import org.apache.spark.sql.expressions.Window
