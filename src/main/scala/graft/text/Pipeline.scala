@@ -379,7 +379,62 @@ object Pipeline {
        |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Overlapping-window document chunking — the RAG/context-window
+    * preprocessing step (distinct from [[packSequences]], which packs
+    * WHOLE documents into budgeted training rows; chunking SPLITS one
+    * document into overlapping token windows). Chunk k covers tokens
+    * [k·stride, k·stride + size); the last chunk starts at the final
+    * stride position that still adds tokens, so every token is covered
+    * and consecutive chunks overlap by size − stride.
+    *
+    * Each chunk row carries a content hash of its token window (the
+    * downstream chunk-level dedup/embedding key). Work is a bounded
+    * ~size/stride× explode of the corpus — one map stage, no shuffle
+    * at all until a consumer aggregates. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = (ChunkSize, ChunkStride)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("k", expr(s"CASE WHEN n <= $c THEN 1 ELSE (n - $c + $s - 1) div $s + 1 END"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("k") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * s).as("tok_start"),
+        least(lit(c.toLong), col("n") - col("chunk_id") * s).as("n_chunk_tokens"),
+        Portable.hash60(concat(lit("chunk_"),
+          array_join(slice(col("toks"), (col("chunk_id") * s + 1).cast("int"), lit(c)), "_")))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOverlapSql: String = {
+    val (c, s) = (ChunkSize, ChunkStride)
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${TextAnalysis.tokSql} AS toks,
+       |         len(${TextAnalysis.tokSql})::BIGINT AS n
+       |  FROM documents
+       |), ks AS (
+       |  SELECT doc_id, toks, n,
+       |         CASE WHEN n <= $c THEN 1 ELSE (n - $c + $s - 1) // $s + 1 END AS k
+       |  FROM tk
+       |), chunks AS (
+       |  SELECT doc_id, toks, n, unnest(range(0, k)) AS chunk_id FROM ks
+       |)
+       |SELECT doc_id, chunk_id, chunk_id * $s AS tok_start,
+       |       least($c, n - chunk_id * $s) AS n_chunk_tokens,
+       |       ('0x' || substr(md5('chunk_' ||
+       |          array_to_string(list_slice(toks, (chunk_id * $s + 1)::INT,
+       |                                     (chunk_id * $s + $c)::INT), '_')), 1, 15))::BIGINT
+       |         AS chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_chunk_overlap" -> chunkOverlap,
     "pipeline_curation" -> curationFunnel,
     "pipeline_pack_sequences" -> packSequences,
     "pipeline_mix_resample" -> mixResample,
@@ -388,6 +443,7 @@ object Pipeline {
     "pipeline_leakage_split" -> leakageSplit)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_chunk_overlap" -> chunkOverlapSql,
     "pipeline_curation" -> curationFunnelSql,
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_mix_resample" -> mixResampleSql,

@@ -46,6 +46,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(enFrac > 0.6, f"en fraction $enFrac%.2f not dominant — weights inverted?")
   }
 
+  test("chunk overlap: full token coverage, stride layout, bounded sizes") {
+    import spark.implicits._
+    val chunks = Pipeline.chunkOverlap(spark, sf("sf0.001")).collect()
+    assert(chunks.nonEmpty)
+    val nToks = graft.operators.Tables.t(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val n = nToks(doc)
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong, "chunk ids dense from 0")
+        assert(r.getAs[Long]("tok_start") === i * 48L, "stride layout")
+        assert(r.getAs[Long]("n_chunk_tokens") ===
+          math.min(64L, n - i * 48L), "chunk size = min(size, remaining)")
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("tok_start") + last.getAs[Long]("n_chunk_tokens") === n,
+        s"doc $doc: last chunk must end exactly at the token count")
+      if (sorted.length > 1)
+        assert(sorted.length === ((n - 64 + 47) / 48 + 1),
+          s"doc $doc: chunk count formula")
+    }
+  }
+
   test("leakage split: every source lands wholly in one split and totals add up") {
     val docs = graft.operators.Tables.t(spark, sf("sf0.001"), "documents")
     val r = Pipeline.leakageSplit(spark, sf("sf0.001")).collect()

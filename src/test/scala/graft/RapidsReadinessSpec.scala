@@ -81,6 +81,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_resize_meta" -> Set("object-node"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
+    "pipeline_chunk_overlap" -> Set("higher-order-function"),
     "pipeline_dsir_select" -> Set("higher-order-function", "bin"),
     "pipeline_leakage_split" -> Set("higher-order-function"),
     "pipeline_pack_sequences" -> Set("higher-order-function"),
