@@ -64,4 +64,64 @@ class StreamingRestartSpec extends SparkSpec {
       .filter(col("c") =!= 2).count()
     assert(dupes === 0L, s"$dupes event ids with wrong multiplicity")
   }
+
+  test("transformWithState state survives a checkpoint restart (RocksDB)") {
+    import spark.implicits._
+    // STATEFUL durability, the stronger property beyond source/sink
+    // exactly-once: per-user running counts must CONTINUE from the
+    // RocksDB checkpoint on restart, not reset — replaying leg 1 or
+    // losing its state both break the arithmetic below.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_tws_restart").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(srcDir))
+    def writeBatch(name: String, rows: Seq[Streaming.EventIn]): Unit = {
+      val stage = s"$base/stage_$name"
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // foreachBatch, not the memory sink: memory-sink queries refuse
+    // checkpoint recovery; foreachBatch checkpoints batch ids and is
+    // the production micro-batch sink pattern anyway
+    def runLeg(): Map[Long, Streaming.UserRunningOut] = {
+      val buf = scala.collection.mutable.Map[Long, Streaming.UserRunningOut]()
+      val events = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Streaming.EventIn].schema)
+        .parquet(srcDir).as[Streaming.EventIn]
+      val q = Streaming.runningStats(events).writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[Streaming.UserRunningOut], _: Long) =>
+          val rows = ds.collect()
+          buf.synchronized { rows.foreach(r => buf(r.user_id) = r) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.toMap
+    }
+    // leg 1: user 7 sees 2 events (1 error), user 8 sees 1
+    writeBatch("b1.parquet", Seq(
+      Streaming.EventIn(1L, 1000L, 7L, "error", 5.0),
+      Streaming.EventIn(2L, 2000L, 7L, "view", 9.0),
+      Streaming.EventIn(3L, 3000L, 8L, "view", 1.0)))
+    val leg1 = runLeg()
+    assert(leg1(7L) === Streaming.UserRunningOut(7L, 2L, 1L, 9.0))
+    assert(leg1(8L) === Streaming.UserRunningOut(8L, 1L, 0L, 1.0))
+    // leg 2: NEW query from the SAME checkpoint; counts must continue
+    writeBatch("b2.parquet", Seq(
+      Streaming.EventIn(4L, 4000L, 7L, "error", 2.0),
+      Streaming.EventIn(5L, 5000L, 9L, "view", 4.0)))
+    val leg2 = runLeg()
+    assert(leg2(7L) === Streaming.UserRunningOut(7L, 3L, 2L, 9.0),
+      "user 7 must continue from (2 events, 1 error), not reset or replay")
+    assert(leg2(9L) === Streaming.UserRunningOut(9L, 1L, 0L, 4.0))
+    assert(!leg2.contains(8L), "user 8 had no leg-2 input; update mode must not re-emit it")
+  }
 }
