@@ -505,6 +505,79 @@ object Similarity {
        |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** Matryoshka (MRL) truncation quality as a first-class query:
+    * recall@k of brute-force search over the FIRST `prefixDims`
+    * dimensions against the exact full-dimension top-k. MRL-trained
+    * embeddings pack the most information into leading dims, so
+    * truncated storage/search (¼ the bytes and FLOPs here) is the
+    * standard embedding-cost lever — and this report is the number
+    * that decides how far to truncate, exactly like [[annRecall]]
+    * decides LSH parameters. Prefix vectors are `slice`s of the same
+    * quantized integers (norms recomputed over the prefix), so both
+    * engines compute the identical truncated cosine; same panel
+    * posture: exact side only over the 8 fixed queries.
+    *
+    * On the harness's ISOTROPIC random embeddings the measured recall
+    * sits near the k/N chance floor (prefix dims of a random vector
+    * carry no privileged information) — which is precisely the report
+    * working: it is the number that PROVES a given embedding family
+    * tolerates truncation before anyone ships quarter-width vectors,
+    * and random vectors don't. */
+  def mrlRecall(spark: SparkSession, dir: String, k: Int = 5,
+                prefixDims: Int = 16): DataFrame = {
+    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val pq = quantized(spark, dir)
+      .select(col("vec_id"), slice(col("q"), 1, prefixDims).as("pq"))
+      .withColumn("pnsq", Portable.normSqQ(col("pq")))
+    val queries = pq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("pq").as("qa"), col("pnsq").as("na"))
+    val corpus = pq.select(col("vec_id").as("cand_id"), col("pq").as("qb"), col("pnsq").as("nb"))
+    val approx = corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("cand_id"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  def mrlRecallSql(k: Int = 5, prefixDims: Int = 16): String = {
+    val pdot = s"CAST(list_sum(list_transform(generate_series(1, $prefixDims), i -> a.pq[i] * b.pq[i])) AS BIGINT)"
+    s"""WITH $quantizedSql,
+       |pq AS (
+       |  SELECT vec_id, list_slice(qv, 1, $prefixDims) AS pq,
+       |         CAST(list_sum(list_transform(list_slice(qv, 1, $prefixDims), x -> x*x)) AS BIGINT) AS pnsq
+       |  FROM qn
+       |),
+       |papprox AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST($pdot AS DOUBLE) / (sqrt(CAST(a.pnsq AS DOUBLE)) * sqrt(CAST(b.pnsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM pq a JOIN pq b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8)
+       |  WHERE rank <= $k
+       |),
+       |pexact AS (SELECT query_id, cand_id FROM (${cosineTopKSql(k)}))
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM pexact e LEFT JOIN papprox a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k highest-cosine candidates whose `label` DIFFERS from
     * the query's — the negatives a contrastive loss learns the most
@@ -572,6 +645,7 @@ object Similarity {
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "sim_ivf_recall" -> ((s, d) => ivfRecall(s, d)),
+    "sim_mrl_recall" -> ((s, d) => mrlRecall(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     "sim_neardup_incremental" -> ((s, d) => nearDupIncremental(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)))
@@ -583,6 +657,7 @@ object Similarity {
     "sim_ann_lsh" -> annLshSql(),
     "sim_ann_recall" -> annRecallSql(),
     "sim_ivf_recall" -> ivfRecallSql(),
+    "sim_mrl_recall" -> mrlRecallSql(),
     "sim_neardup_pairs" -> nearDupPairsSql(),
     "sim_neardup_incremental" -> nearDupIncrementalSql(),
     "sim_hard_negatives" -> hardNegativesSql())

@@ -30,6 +30,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(mismatches.isEmpty, s"cosine drift: $mismatches")
   }
 
+  test("MRL recall: report shape sound; truncation of isotropic vectors scores near chance") {
+    val r = Similarity.mrlRecall(spark, sf("sf0.001")).collect()
+    assert(r.map(_.getLong(0)).toSeq === (0L to 7L), "one row per panel query")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_exact") === 5L)
+      val recall = row.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall === row.getAs[Long]("n_hits").toDouble / 5.0)
+    }
+    // isotropic random embeddings have NO Matryoshka structure: a 16-dim
+    // prefix must NOT preserve the 64-dim ranking. High recall here would
+    // mean the truncated path is secretly reading full vectors.
+    val mean = r.map(_.getAs[Double]("recall")).sum / r.length
+    assert(mean < 0.5, f"mean prefix recall $mean%.2f too high for random vectors")
+  }
+
   test("bucketed near-dup pairs equal brute force on a corpus with planted dups") {
     // 120 random 64-d unit-ish vectors + 12 planted near-dups (tiny
     // perturbations, cosine ≈ 0.999) — exercises the non-empty case the

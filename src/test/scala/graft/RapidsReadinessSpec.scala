@@ -100,6 +100,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_semdedup" -> Set("custom-expression", "rdd-segment"),
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
+    "sim_mrl_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_incremental" -> Set("custom-expression", "rdd-segment"),
     "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
