@@ -263,12 +263,17 @@ object Relational5 {
     * when one half has no rows of the type).
     *
     * Exactness: values quantize to 1e-4 BIGINT (the z-score idiom) and
-    * bin by integer division; TV is computed on the EXACT rational
-    * Σ|r·C − c·R| before a single non-negative integer division —
-    * no float accumulates anywhere, so the oracle hash-matches.
-    * Bounds: r·C needs n_ref·n_cur < 2⁶³ — fine to ~3e9 rows per side;
-    * beyond that, pre-normalize per-bin counts (the documented scale
-    * path, same caveat style as the perplexity shift).
+    * bin by integer division, clamped to [0, 19] — the lower clamp also
+    * removes the negative-dividend case where Spark's truncating `div`
+    * and DuckDB's flooring `//` disagree (every negative value lands in
+    * bin 0 in both engines). TV is computed on the EXACT rational
+    * Σ|r·C − c·R| before a single non-negative integer division — no
+    * float accumulates anywhere, so the oracle hash-matches.
+    * Bounds: the binding term is 500·Σ|r·C − c·R| ≤ 1000·n_ref·n_cur,
+    * which needs n_ref·n_cur < 2⁶³/1000 — exact to ~1e8 rows per side;
+    * beyond that, pre-normalize per-bin counts to a fixed scale first
+    * (the documented scale path, same caveat style as the perplexity
+    * shift).
     *
     * Shape: one 1-row broadcast (mid-time), one (type, bin) partial+
     * final count over a single scan, then type-cardinality joins —
@@ -281,7 +286,7 @@ object Relational5 {
     val cells = ev.crossJoin(broadcast(mid))
       .select(col("event_type"),
         (col("ts") <= col("mid_ts")).cast("long").as("is_ref"),
-        least(lit(19L), expr("vq div 300000")).as("bin"))
+        greatest(lit(0L), least(lit(19L), expr("vq div 300000"))).as("bin"))
       .groupBy("event_type", "bin")
       .agg(sum(col("is_ref")).as("r"), sum(lit(1L) - col("is_ref")).as("c"))
     val totals = cells.groupBy("event_type")
@@ -304,7 +309,7 @@ object Relational5 {
       |  SELECT (min(tns) + max(tns)) // 2 AS mid_ts FROM ev
       |), cells AS (
       |  SELECT event_type,
-      |         least(19, vq // 300000) AS bin,
+      |         greatest(0, least(19, vq // 300000)) AS bin,
       |         CAST(sum(CASE WHEN tns <= mid_ts THEN 1 ELSE 0 END) AS BIGINT) AS r,
       |         CAST(sum(CASE WHEN tns <= mid_ts THEN 0 ELSE 1 END) AS BIGINT) AS c
       |  FROM ev, mid GROUP BY 1, 2

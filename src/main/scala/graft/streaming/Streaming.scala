@@ -43,6 +43,10 @@ object Streaming {
     * generation-proof. */
   def eventsFileSchema(spark: SparkSession, eventsPath: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // normalizeEventTs's NTZ→epoch cast is only correct under UTC; this
+    // is itself an entrypoint, so force it here exactly like Tables.t
+    // rather than trusting the caller's session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(eventsPath).schema
   }
 

@@ -294,7 +294,7 @@ object Pipeline {
     * selector cannot rank what it cannot featurize.
     *
     * Scale shape: one explode→(bucket) partial+final count builds the
-    * 256-row bucket model; it broadcasts back onto the gram stream
+    * [[DsirBuckets]]-row bucket model; it broadcasts back onto the gram stream
     * (equi-join on bucket, no shuffle of the corpus side beyond the
     * per-doc score agg); the global top-k is TakeOrderedAndProject
     * (per-partition heads, never a full sort). */

@@ -71,8 +71,13 @@ class StreamingRestartSpec extends SparkSpec {
     // exactly-once: per-user running counts must CONTINUE from the
     // RocksDB checkpoint on restart, not reset — replaying leg 1 or
     // losing its state both break the arithmetic below.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // The session is JVM-shared across suites: restore the provider
+    // afterwards so later streaming tests keep exercising the default.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
     val base = Files.createTempDirectory("graft_tws_restart").toString
     val srcDir = s"$base/src"
     val ckpt = s"$base/ckpt"
@@ -123,5 +128,7 @@ class StreamingRestartSpec extends SparkSpec {
       "user 7 must continue from (2 events, 1 error), not reset or replay")
     assert(leg2(9L) === Streaming.UserRunningOut(9L, 1L, 0L, 4.0))
     assert(!leg2.contains(8L), "user 8 had no leg-2 input; update mode must not re-emit it")
+    } finally savedProvider.fold(spark.conf.unset(providerKey))(
+      spark.conf.set(providerKey, _))
   }
 }
