@@ -67,6 +67,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // reuse-barrier mechanism (graft.Cache): checkpoint (default) or
+      // persist (the RAPIDS-ready columnar-cache form)
+      .config(graft.Cache.ConfKey,
+        sys.env.getOrElse("SPARK_GRAFT_CACHE", "checkpoint"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -99,7 +103,13 @@ object Bench {
       // every pass must re-pay the real drain, not a memo hit
       if (p > 1) { graft.aria.AriaQueries.evictDrains(spark)
         graft.sim.Clustering.evictTrained(spark)
-        graft.dedup.Dedup.evictPairs(spark) }
+        graft.dedup.Dedup.evictPairs(spark)
+        // persist mode: cached plans are keyed on the ANALYZED PLAN, so
+        // pass 2 rebuilding the same query would silently hit pass 1's
+        // cache — clear so every pass re-pays materialization, matching
+        // checkpoint-mode semantics (where blocks die with their DF)
+        if (graft.Cache.mode(spark) == "persist")
+          spark.sharedState.cacheManager.clearCache() }
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -170,9 +180,10 @@ object Bench {
     // own round-7 evidence an inflated full-board re-run is host noise,
     // not signal. Comparable = same sf AND same query-NAME SET (a count
     // match would let an add-one-drop-one board compare totals across
-    // different queries) AND both runs failure-free (a failing query
-    // contributes a tiny fail-fast timing, so a run with failures has a
-    // deceptively low total — never a valid comparison point). The
+    // different queries) AND the COMMITTED file failure-free. A NEW run
+    // with failures is diverted unconditionally when contended: its
+    // fail-fast timings give it a deceptively LOW total, so the total
+    // comparison is meaningless and must never let it clobber. The
     // suppressed run is NEVER discarded: it goes to
     // bench_detail_contended.json and the kept file records the
     // suppression, so a genuine uniform code regression stays visible.
@@ -187,13 +198,16 @@ object Bench {
     def nameSet(txt: String): Option[Set[String]] =
       extractObject(txt, "queries").map(q =>
         """"([a-z0-9_]+)"\s*:""".r.findAllMatchIn(q).map(_.group(1)).toSet)
-    val keepExisting = contentionIdx > 1.3 && failures.isEmpty &&
+    val keepExisting = contentionIdx > 1.3 &&
       oldDetail.exists { old =>
         val oldSf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(old).map(_.group(1))
         val oldTotal = """"value"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(old).map(_.group(1).toDouble)
         oldSf.contains(sfDir) && old.contains(""""failed":[]""") &&
           nameSet(old).contains(best.map(_._1).toSet) &&
-          oldTotal.exists(_ < total)
+          // a failing new run's total is deceptively LOW (fail-fast
+          // timings), so it can never beat the clean committed file on
+          // total — divert it regardless of the total comparison
+          (failures.nonEmpty || oldTotal.exists(_ < total))
       }
     if (keepExisting) {
       System.err.println(f"[bench] contended run (contention_index=$contentionIdx%.2f > 1.3) slower than existing bench_detail.json — keeping the cleaner file; new run preserved in bench_detail_contended.json")

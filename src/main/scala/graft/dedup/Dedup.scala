@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
 import graft.functions.Portable
 import graft.text.TextAnalysis
+import graft.Cache.CacheOps
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
@@ -66,7 +67,7 @@ object Dedup {
       // a projection barrier (the optimizer pushes the tokenize past it),
       // and an inlined tokenizer re-runs per element_at inside the
       // shingle lambda — measured 12s vs 1s on sf0.1
-      .localCheckpoint(false)
+      .staged
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
 
   private val shingleTableSql: String =
@@ -157,7 +158,7 @@ object Dedup {
     * comparison set — the 100 TB-safe near-dup path. */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     // one materialization of the signature pipeline for both join sides
-    val b = minhashBands(spark, dir).localCheckpoint(false)
+    val b = minhashBands(spark, dir).staged
     val l = b.select(col("doc_id").as("a"), col("band"), col("bucket"))
     val r = b.select(col("doc_id").as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -183,7 +184,7 @@ object Dedup {
     * |delta| lookups against a persisted index. Emitted pairs are
     * normalized (a < b) so delta↔delta pairs count once. */
   def incrementalCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir).localCheckpoint(false)
+    val bands = minhashBands(spark, dir).staged
     val deltaSide = bands
       .filter(TextAnalysis.splitHash(col("doc_id")) >= 90)
       .select(col("doc_id").as("d"), col("band"), col("bucket"))
@@ -223,7 +224,7 @@ object Dedup {
     * all pairs. At 100 TB every stage is an equi-join or partial+final
     * agg on keys that grow with the data. */
   def minhashEstimates(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    val sig = minhashSignatures(spark, dir, k).localCheckpoint(false)
+    val sig = minhashSignatures(spark, dir, k).staged
     val cand = {
       val b = bandFold(sig, k, 4)
       b.select(col("doc_id").as("a"), col("band"), col("bucket"))
@@ -241,7 +242,7 @@ object Dedup {
       (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
     val est = cand.join(sigA, "a").join(sigB, "b")
       .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
-    val st = shingleTable(spark, dir).localCheckpoint(false)
+    val st = shingleTable(spark, dir).staged
     val sizes = st.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val inter = cand
       .join(st.select(col("doc_id").as("a"), explode(col("sh")).as("shingle")), Seq("a"))
@@ -368,7 +369,7 @@ object Dedup {
       explode(sequence(lit(0), lit(simhashPieces - 1))).as("p"))
       .withColumn("piece",
         expr(s"shiftright(simhash, p * $simhashPieceBits) % ${1 << simhashPieceBits}"))
-      .localCheckpoint(false) // read twice (both join sides)
+      .staged // read twice (both join sides)
     val l = pieces.select(col("doc_id").as("a"), col("simhash").as("sig_a"),
       col("p"), col("piece"))
     val r = pieces.select(col("doc_id").as("b"), col("simhash").as("sig_b"),
@@ -416,7 +417,7 @@ object Dedup {
       explode(sequence(lit(0), lit(simhashPieces - 1))).as("p"))
       .withColumn("piece",
         expr(s"shiftright(simhash, p * $simhashPieceBits) % ${1 << simhashPieceBits}"))
-      .localCheckpoint(false) // read twice (delta slice + index side)
+      .staged // read twice (delta slice + index side)
     val delta = pieces
       .filter(TextAnalysis.splitHash(col("doc_id")) >= 90)
       .select(col("doc_id").as("d"), col("simhash").as("sig_d"),
@@ -501,12 +502,12 @@ object Dedup {
           // read for df counts and both join sides, and re-deriving the
           // tokenize→shingle pipeline each time dominates otherwise
           val inv = st.select(col("doc_id"), explode(col("sh")).as("shingle"))
-            .localCheckpoint(false)
+            .staged
           val rare = inv.join(
             inv.groupBy("shingle").agg(count(lit(1)).as("df"))
               .filter(col("df") <= maxShingleDf).select("shingle"),
             Seq("shingle"))
-            .localCheckpoint(false)
+            .staged
           rareCache.put(spark, perSession + (dir -> rare))
           rare
       }
@@ -519,7 +520,7 @@ object Dedup {
       perSession.get((dir, threshold)) match {
         case Some(df) => df
         case None =>
-          val df = jaccardPairsUncached(spark, dir, threshold).localCheckpoint(false)
+          val df = jaccardPairsUncached(spark, dir, threshold).staged
           pairsCache.put(spark, perSession + ((dir, threshold) -> df))
           df
       }
@@ -675,7 +676,7 @@ object Dedup {
     val pairs = minhashCandidates(spark, dir).select("a", "b")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(false)
+      .staged
     var labels = t(spark, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("label"))
     var converged = false
@@ -689,7 +690,7 @@ object Dedup {
         .select(col("doc_id"), col("old_label"),
           least(col("old_label"), coalesce(col("min_neighbor"), col("old_label")))
             .as("label"))
-        .localCheckpoint(false)
+        .staged
       // fixpoint early-exit: a round that lowers no label ends the
       // propagation (remaining rounds would be identity — the bounded
       // ROUNDS contract and the fixed-round oracle are unchanged).
@@ -742,7 +743,7 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       // hard projection barrier — see shingleTable (inlined tokenizer
       // would re-run per slice() call inside the lambda)
-      .localCheckpoint(false)
+      .staged
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - (k - 1)),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
 import graft.functions.Portable
+import graft.Cache.CacheOps
 
 /** Distributed sketches and sampling operators — the approximate-query
   * toolkit a 100 TB pipeline leans on when exact answers are too
@@ -44,7 +45,7 @@ object Sketches {
     val m = 1 << p // 256
     val toks = t(spark, dir, "lineitem")
       .select(col("l_orderkey").cast("string").as("tok"))
-      .localCheckpoint(false) // feeds registers + exact count
+      .staged // feeds registers + exact count
     val h = Portable.hash60(col("tok"))
     val w = expr(s"h DIV $m")
     val regs = toks
@@ -115,7 +116,7 @@ object Sketches {
     val toks = t(spark, dir, "orders")
       .select(col("o_orderpriority").as("g"),
         col("o_custkey").cast("string").as("tok"))
-      .localCheckpoint(false) // feeds registers + exact counts
+      .staged // feeds registers + exact counts
     val h = Portable.hash60(col("tok"))
     val w = expr(s"h DIV $m")
     val regs = toks
@@ -187,7 +188,7 @@ object Sketches {
         pmod(Portable.hash60(concat_ws("_", lit(s"bf$i"), key)), lit(m.toLong))): _*)
     val build = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === segment)
-      .select(col("c_custkey")).localCheckpoint(false) // build side reused 3×
+      .select(col("c_custkey")).staged // build side reused 3×
     val bits = build
       .select(explode(positions(col("c_custkey"))).as("pos")).distinct()
     val probe = t(spark, dir, "orders")
@@ -198,7 +199,7 @@ object Sketches {
       .join(broadcast(bits), "pos")
       .groupBy("o_orderkey", "o_custkey").agg(count(lit(1)).as("hits"))
       .filter(col("hits") === k)
-      .localCheckpoint(false) // reused by pass-count and true-match join
+      .staged // reused by pass-count and true-match join
     val trueMatch = passed.join(build, passed("o_custkey") === build("c_custkey"))
     val counts = Seq(
       build.agg(count(lit(1)).as("n_build")),

@@ -24,10 +24,27 @@ object Tables {
       // every downstream query does integer ns arithmetic, which is also
       // exactly reproducible in the DuckDB oracle (epoch_ns is
       // precision-agnostic), unlike double-valued epoch().
+      // nanosAsLong is read-ENABLING only (without it a nanos-era file
+      // errors outright; it changes no other table's semantics), so
+      // setting it here is safe. The session TIMEZONE is not: mutating it
+      // mid-session would silently change later timestamp formatting
+      // anywhere, so every entrypoint (Bench/Verify/AriaMain/SparkSpec)
+      // pins UTC at session construction and requireUtc only asserts.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      requireUtc(spark)
       normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The NTZ/timestamp→epoch-ns cast in [[normalizeEventTs]] is only
+    * correct under a UTC session. Sessions are pinned to UTC at
+    * construction by every entrypoint; this guard turns a mis-built
+    * session into a loud error instead of silently shifted event times. */
+  def requireUtc(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events reads need spark.sql.session.timeZone=UTC (got $tz); " +
+        "set it at SparkSession construction like Bench/Verify do")
   }
 
   /** Rewrite `ts` to epoch-ns BIGINT whatever the file stored. For

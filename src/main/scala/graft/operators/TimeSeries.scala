@@ -128,7 +128,19 @@ object TimeSeries {
     * extension path (custom Rule via SparkSessionExtensions) on the
     * driver board: platform-wide events in the 30 minutes after each
     * click. Runs in a child session so the rule registration cannot
-    * leak into sibling harness queries. */
+    * leak into sibling harness queries.
+    *
+    * SCALE GUIDANCE: prefer the KEYED shape ([[rangeJoin]],
+    * `ts_range_join`) whenever a partitioning key exists. The keyless
+    * form's OUTPUT is density-quadratic on any engine — the 8× fixture
+    * measured exactly 64× the pairs for 8× the data (1.38 M → 88.2 M,
+    * DuckDB-verified; BASELINE.md), because every click matches every
+    * in-window event platform-wide. The rule keeps the JOIN itself
+    * bucketed (never a nested loop) and per-pair throughput actually
+    * improved 2.7× at 8×, but no plan can make a quadratic result set
+    * linear: at 100 TB the keyed variant's (user, bucket) key is what
+    * bounds both output and shuffle. Keep this shape for genuinely
+    * global windows on filtered/low-density streams. */
   def rangeJoinViaRule(spark0: SparkSession, dir: String): DataFrame = {
     val spark = spark0.newSession()
     graft.plans.GraftExtensions.register(spark)
@@ -323,7 +335,10 @@ object TimeSeries {
 
   val downsampleLocfSql: String =
     """WITH ev AS (
-      |  SELECT user_id, epoch_ns(ts) AS tns, value FROM events
+      |  -- (// 1000) * 1000 mirrors the Spark side's (ts div 1000) * 1000
+      |  -- so both engines are pinned to microsecond grain even if a
+      |  -- nanos-precision events generation ships again
+      |  SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS tns, value FROM events
       |), bounds AS (
       |  SELECT user_id, min(tns // 3600000000000) AS h0,
       |         max(tns // 3600000000000) AS h1
@@ -409,7 +424,10 @@ object TimeSeries {
 
   val interpolateGridSql: String =
     """WITH ev AS (
-      |  SELECT user_id, epoch_ns(ts) AS tns, value FROM events
+      |  -- microsecond-grain pin mirroring the Spark side — see
+      |  -- downsampleLocfSql; keeps interpolation weights identical under
+      |  -- a nanos-precision events generation
+      |  SELECT user_id, (epoch_ns(ts) // 1000) * 1000 AS tns, value FROM events
       |), bounds AS (
       |  SELECT user_id, min(tns // 3600000000000) AS h0,
       |         max(tns // 3600000000000) AS h1

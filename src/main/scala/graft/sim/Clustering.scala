@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
 import graft.functions.Portable
+import graft.Cache.CacheOps
 
 /** K-means clustering over the embedding column, and the curation
   * operators built on it (SemDeDup-style semantic dedup, cluster-balanced
@@ -126,9 +127,12 @@ object Clustering {
       perSession.get(dir) match {
         case Some(t) => t
         case None =>
-          val corpus = qn(spark, dir).localCheckpoint(false)
+          val corpus = qn(spark, dir).staged
           var cent = initCentroids(corpus)
           for (_ <- 1 to iters)
+            // Lloyd loop state: the lineage CUT is the point (round k's
+            // plan must not nest all rounds < k), so this stays
+            // localCheckpoint under every Cache mode — see graft.Cache.
             cent = recompute(assign(corpus, cent)).localCheckpoint(false)
           cache.put(spark, perSession + (dir -> ((corpus, cent))))
           (corpus, cent)
@@ -184,10 +188,10 @@ object Clustering {
           (x, i) => x + when(i === 0, 1L).otherwise(0L)).as("q"))
       .withColumn("nsq", Portable.normSqQ(col("q")))
     // corpus + plants, assigned and signed once; feeds both join sides
-    val withPlants = corpus.unionByName(planted).localCheckpoint(false)
+    val withPlants = corpus.unionByName(planted).staged
     val all = assign(withPlants, cent)
       .join(Similarity.lshSignaturesFrom(withPlants), "vec_id")
-      .localCheckpoint(false)
+      .staged
     val buckets = all
       .select(col("vec_id"), col("cid"), col("q"), col("nsq"), col("signature"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
@@ -300,7 +304,7 @@ object Clustering {
     val cells = assign(corpus, cent)
       .select(col("vec_id").as("cand_id"), col("q").as("qb"),
         col("nsq").as("nb"), col("cid"))
-      .localCheckpoint(false)
+      .staged
     val packed = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
     val probes = corpus.filter(col("vec_id") < 8)
       .crossJoin(broadcast(packed))

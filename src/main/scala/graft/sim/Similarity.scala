@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
 import graft.functions.Portable
+import graft.Cache.CacheOps
 
 /** Similarity search over the embedding column (`Array[Float]`, 64-d).
   *
@@ -155,11 +156,11 @@ object Similarity {
     * exact cosine re-ranks within the bucket. Recall trades off with
     * bucket width — the scale path when brute force is too big. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val qn = quantized(spark, dir).localCheckpoint(false)
+    val qn = quantized(spark, dir).staged
     // signatures derive from the SAME materialized qn (no second
     // quantize pass, no harness-output orderBy before the join);
     // side is materialized once for both join sides
-    val side = qn.join(lshSignaturesFrom(qn), "vec_id").localCheckpoint(false)
+    val side = qn.join(lshSignaturesFrom(qn), "vec_id").staged
     val l = side.select(col("vec_id").as("query_id"), col("q").as("qa"),
       col("nsq").as("na"), col("signature"))
     val r = side.select(col("vec_id").as("cand_id"), col("q").as("qb"),
@@ -236,8 +237,8 @@ object Similarity {
 
   private[graft] def nearDupPairsFrom(qnIn: DataFrame, tau: Double): DataFrame = {
     // both frames feed multiple join sides — materialize once
-    val qn = qnIn.localCheckpoint(false)
-    val sig = lshSignaturesFrom(qn).localCheckpoint(false)
+    val qn = qnIn.staged
+    val sig = lshSignaturesFrom(qn).staged
     val buckets = sig
       .select(col("vec_id"), col("signature"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
@@ -304,15 +305,15 @@ object Similarity {
           (x, i) => x + when(i === 0, 1L).otherwise(0L)).as("q"))
       .withColumn("nsq", Portable.normSqQ(col("q")))
     // the full corpus = base ∪ delta; only the delta side probes it
-    val qn = qnBase.unionByName(planted).localCheckpoint(false)
-    val sig = lshSignaturesFrom(qn).localCheckpoint(false)
+    val qn = qnBase.unionByName(planted).staged
+    val sig = lshSignaturesFrom(qn).staged
     val buckets = sig
       .select(col("vec_id"), col("signature"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bucket",
         expr(s"shiftright(signature, band * $bandBits) & ${(1 << bandBits) - 1}"))
       .drop("signature")
-      .localCheckpoint(false) // read twice (delta slice + index side)
+      .staged // read twice (delta slice + index side)
     // plant_base as a 1-row broadcast: "tonight's batch" = ids past the
     // base corpus maximum
     val base = qnBase.agg((max("vec_id") + 1L).as("plant_base"))
@@ -377,7 +378,7 @@ object Similarity {
     * the standard IVF layout for billion-vector corpora. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 2,
               nCells: Int = 16): DataFrame = {
-    val qn = quantized(spark, dir).localCheckpoint(false)
+    val qn = quantized(spark, dir).staged
     val cents = qn.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("q").as("qc"), col("nsq").as("nc"))
     // nearest cell per vector (cosine desc, cid asc tie-break)
@@ -391,7 +392,7 @@ object Similarity {
     val cells = assign.filter(col("crn") === 1)
       .select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"),
         col("cid"))
-      .localCheckpoint(false)
+      .staged
     // query side: nprobe nearest cells
     val probes = assign.filter(col("vec_id") < 8 && col("crn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"),

@@ -43,10 +43,11 @@ object Streaming {
     * generation-proof. */
   def eventsFileSchema(spark: SparkSession, eventsPath: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // normalizeEventTs's NTZ→epoch cast is only correct under UTC; this
-    // is itself an entrypoint, so force it here exactly like Tables.t
-    // rather than trusting the caller's session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // normalizeEventTs's NTZ→epoch cast is only correct under UTC; every
+    // entrypoint pins it at session construction — assert, don't mutate
+    // (a mid-session timezone flip would silently change later
+    // timestamp-sensitive operations session-wide)
+    graft.operators.Tables.requireUtc(spark)
     spark.read.parquet(eventsPath).schema
   }
 

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
+import graft.Cache.CacheOps
 
 /** Byte-pair-encoding-style tokenization as pure distributed dataflow —
   * LEARNED merges, not a heuristic: the real BPE training loop
@@ -90,8 +91,11 @@ object Bpe {
     val occ = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
-      .localCheckpoint(false)
+      .staged
     // training state: distinct word forms with corpus counts (Zipf-small)
+    // merge-round loop state: lineage cut per round is the point (round
+    // k's plan must not nest all rounds < k), so `forms` stays
+    // localCheckpoint under every Cache mode — see graft.Cache
     var forms = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
       .select(col("w"), col("wcnt"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.{t, fanOut}
 import graft.functions.Portable
+import graft.Cache.CacheOps
 
 /** Retrieval-style scoring and corpus-hygiene operators for a training-
   * data pipeline: TF-IDF term extraction, BM25 document ranking, PII
@@ -38,7 +39,7 @@ object Retrieval {
     val tf = fanOut(docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // feeds both df-agg and the score join
+      .staged // feeds both df-agg and the score join
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     import org.apache.spark.sql.expressions.Window
@@ -91,7 +92,7 @@ object Retrieval {
     val docs = t(spark, dir, "documents")
     val tk = fanOut(docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-      .localCheckpoint(false) // feeds tf, N/avgdl, and the final join
+      .staged // feeds tf, N/avgdl, and the final join
     val stats = tk.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
     val tf = tk.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -194,14 +195,14 @@ object Retrieval {
     val grams = fanOut(t(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
       .filter(size(col("toks")) >= n)
-      .localCheckpoint(false) // barrier: keep the split() out of the per-index lambda
+      .staged // barrier: keep the split() out of the per-index lambda
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("toks")) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*))))
         .as("gram"))
       .withColumn("split",
         when(TextAnalysis.splitHash(col("doc_id")) < 80, "train").otherwise("other"))
-      .localCheckpoint(false) // feeds the df cap and both join sides
+      .staged // feeds the df cap and both join sides
     val rare = grams.groupBy("gram").agg(countDistinct("doc_id").as("gdf"))
       .filter(col("gdf") <= maxGramDf).select("gram")
     val capped = grams.join(rare, "gram")
@@ -273,13 +274,13 @@ object Retrieval {
     val tf = fanOut(docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
       // hard-materialize toks: an inlined tokenizer re-runs per
       // element_at inside the bigram lambda (see Dedup.shingleTable)
-      .localCheckpoint(false)
+      .staged
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, size(toks) - 1), " +
           "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // feeds df-agg and the weight join
+      .staged // feeds df-agg and the weight join
     val n = docs.agg(count(lit(1)).as("n"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
@@ -292,7 +293,7 @@ object Retrieval {
         floor(col("w").cast("double") / sqrt(col("nsq").cast("double")) * 10000d + 0.5d)
           .cast("long"))
       .select("doc_id", "term", "u")
-      .localCheckpoint(false) // quantized index feeds norms and both join sides
+      .staged // quantized index feeds norms and both join sides
     val qn = u.groupBy("doc_id").agg(sum(col("u") * col("u")).as("qn"))
     val pairs = u.select(col("doc_id").as("a"), col("term"), col("u").as("ua"))
       .join(u.select(col("doc_id").as("b"), col("term"), col("u").as("ub")), Seq("term"))

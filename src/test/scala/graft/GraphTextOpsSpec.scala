@@ -28,6 +28,48 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(got.toSet === (4L to 7L).map(s => (s, 3L)).toSet)
   }
 
+  test("degree orientation zeroes hub wedge fanout where by-ID explodes it") {
+    import spark.implicits._
+    // Planted hub with a MID-RANGE id — the by-ID worst case: 20
+    // lower-id neighbors orient INTO the hub and 40 higher-id neighbors
+    // OUT, so by-ID wedge fanout at the hub (indeg·outdeg) is 20·40 =
+    // 800 rows on one join key. Every spoke has degree 1 vs the hub's
+    // 60, so (deg, id) orientation points ALL hub edges inward:
+    // out-degree 0, wedge fanout 0 — the last-reducer hot spot is gone.
+    val und = ((1L to 20L).map(i => (i, 50L)) ++ (81L to 120L).map(j => (50L, j)))
+      .toDF("u", "v")
+    val oriented = GraphOps.orientByDegree(und)
+    import org.apache.spark.sql.functions._
+    val fan = oriented.select(col("u").as("n"), lit(1L).as("out"), lit(0L).as("in"))
+      .unionAll(oriented.select(col("v").as("n"), lit(0L).as("out"), lit(1L).as("in")))
+      .groupBy("n").agg(sum("out").as("outdeg"), sum("in").as("indeg"))
+      .select(col("n"), (col("indeg") * col("outdeg")).as("wedges"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fan(50L) === 0L, s"hub wedge fanout should be 0, got ${fan(50L)}")
+    assert(fan.values.max === 0L)
+    // by-ID on the same edges: the hub splits 20 in / 40 out
+    val idFan = und.select(col("u").as("n"), lit(1L).as("out"), lit(0L).as("in"))
+      .unionAll(und.select(col("v").as("n"), lit(0L).as("out"), lit(1L).as("in")))
+      .groupBy("n").agg((sum("in") * sum("out")).as("wedges"))
+      .filter(col("n") === 50L).collect().head.getLong(1)
+    assert(idFan === 800L)
+  }
+
+  test("triangle counts are invariant to the degree orientation (hub triangles)") {
+    import spark.implicits._
+    // hub supplier 50 shares parts with low-id and high-id suppliers;
+    // triangles {1,50,81} and {2,50,95} both STRADDLE the hub in id
+    // order, the shape where by-ID and by-degree orientations disagree
+    // edge-by-edge — the per-node counts must not.
+    val pairs = Seq(
+      (1L, 1L), (1L, 50L), (2L, 50L), (2L, 81L), (3L, 1L), (3L, 81L),
+      (4L, 2L), (4L, 50L), (5L, 50L), (5L, 95L), (6L, 2L), (6L, 95L))
+      .toDF("part", "supp")
+    val got = GraphOps.trianglesFrom(pairs, maxPartDegree = 10, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((50L, 2L), (1L, 1L), (81L, 1L), (2L, 1L), (95L, 1L)))
+  }
+
   test("BPE fold rewrite learns the hand-checkable merge sequence") {
     import spark.implicits._
     // 6 productive merges, simulated by hand: el, h+el, wo, hel+l,

@@ -121,6 +121,76 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function", "rdd-segment"))
 
+  /** Persist-mode classification (spark.graft.cache=persist — the
+    * RAPIDS-ready columnar-cache deploy form, graft.Cache): reuse
+    * barriers become InMemoryRelations, so (a) the rdd-segment class
+    * collapses to the SEVEN queries consuming an iterative drain's
+    * lineage cuts (k-means Lloyd rounds / BPE merge rounds — documented
+    * in graft.Cache as deliberately mode-independent), and (b) triggers
+    * UPSTREAM of a barrier, invisible behind checkpoint mode's opaque
+    * LogicalRDD, surface through the audited cached plan — which is why
+    * several sets here are supersets of their checkpoint-mode sets.
+    * Queries not listed are fully clean under persist mode. */
+  private val persistFlagged: Map[String, Set[String]] = Map(
+    "agg_hll_distinct" -> Set("bin"),
+    "agg_hll_groups" -> Set("bin"),
+    "dedup_containment" -> Set("higher-order-function"),
+    "dedup_decontaminate" -> Set("higher-order-function"),
+    "dedup_edit_verify" -> Set("higher-order-function"),
+    "dedup_incremental" -> Set("higher-order-function"),
+    "dedup_jaccard_pairs" -> Set("higher-order-function"),
+    "dedup_minhash_bands" -> Set("higher-order-function"),
+    "dedup_minhash_candidates" -> Set("higher-order-function"),
+    "dedup_minhash_est" -> Set("higher-order-function"),
+    "dedup_neardup_clusters" -> Set("higher-order-function"),
+    "dedup_repeated_spans" -> Set("higher-order-function"),
+    "dedup_simhash" -> Set("higher-order-function"),
+    "dedup_simhash_incremental" -> Set("bit-count", "higher-order-function"),
+    "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
+    "fn_array_ops" -> Set("higher-order-function"),
+    "mm_decode_summary" -> Set("object-node"),
+    "mm_frame_sample" -> Set("object-node"),
+    "mm_neardup_pairs" -> Set("bit-count"),
+    "mm_resize_meta" -> Set("object-node"),
+    "pipeline_chunk_overlap" -> Set("higher-order-function"),
+    "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "pipeline_curation" -> Set("higher-order-function"),
+    "pipeline_dsir_select" -> Set("bin", "higher-order-function"),
+    "pipeline_leakage_split" -> Set("higher-order-function"),
+    "pipeline_mix_resample" -> Set("higher-order-function"),
+    "pipeline_pack_sequences" -> Set("higher-order-function"),
+    "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function"),
+    "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ann_lsh" -> Set("custom-expression", "higher-order-function"),
+    "sim_ann_recall" -> Set("custom-expression", "higher-order-function"),
+    "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
+    "sim_embed_quantize" -> Set("higher-order-function"),
+    "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
+    "sim_ivf_recall" -> Set("custom-expression", "higher-order-function"),
+    "sim_ivf_topk" -> Set("custom-expression", "higher-order-function"),
+    "sim_ivf_trained" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_kmeans_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
+    "sim_mrl_recall" -> Set("custom-expression", "higher-order-function"),
+    "sim_neardup_incremental" -> Set("custom-expression", "higher-order-function"),
+    "sim_neardup_pairs" -> Set("custom-expression", "higher-order-function"),
+    "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "text_bm25_rank" -> Set("higher-order-function"),
+    "text_bpe_counts" -> Set("higher-order-function", "rdd-segment"),
+    "text_char_entropy" -> Set("bin"),
+    "text_cosine_pairs" -> Set("higher-order-function"),
+    "text_countmin_est" -> Set("higher-order-function"),
+    "text_fingerprint" -> Set("higher-order-function"),
+    "text_lang_id" -> Set("higher-order-function"),
+    "text_mix_report" -> Set("higher-order-function"),
+    "text_perplexity" -> Set("bin", "higher-order-function"),
+    "text_quality_score" -> Set("higher-order-function"),
+    "text_repetition_stats" -> Set("higher-order-function"),
+    "text_tfidf_top" -> Set("higher-order-function"),
+    "text_token_counts" -> Set("higher-order-function"),
+    "text_trigram_stats" -> Set("higher-order-function"))
+
   /** Classified by documentation (construction executes work):
     * streaming (stateful operators are CPU per the docs) and the aria
     * drain (checkpoint-segmented iterative controller by design). */
@@ -153,6 +223,47 @@ class RapidsReadinessSpec extends SparkSpec {
       if (got == want) None else Some(s"$n: want $want, got $got")
     }
     assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("persist mode: rdd-segment collapses to the documented drain cuts") {
+    val p = spark.newSession()
+    p.conf.set(graft.Cache.ConfKey, "persist")
+    try {
+      val dir = sf("sf0.001")
+      val names = SparkEntry.queries.keySet.toSeq.sorted.filterNot(byDocumentation)
+      assert((persistFlagged.keySet -- names).isEmpty,
+        s"stale persist entries: ${persistFlagged.keySet -- names.toSet}")
+      val bad = names.flatMap { n =>
+        val got = graft.plans.RapidsAudit.flags(SparkEntry.queries(n)(p, dir)).toSet
+        val want = persistFlagged.getOrElse(n, Set.empty)
+        if (got == want) None else Some(s"$n: want $want, got $got")
+      }
+      assert(bad.isEmpty, bad.mkString("\n"))
+      // the headline: the row-based segment class is gone except where an
+      // iterative drain's lineage cut is semantic (graft.Cache scaladoc)
+      val rddSeg = persistFlagged.filter(_._2.contains("rdd-segment")).keySet
+      assert(rddSeg == Set("pipeline_cluster_quality", "sample_cluster_balanced",
+        "sim_ivf_trained", "sim_kmeans", "sim_kmeans_incremental",
+        "sim_semdedup", "text_bpe_counts"))
+    } finally p.sharedState.cacheManager.clearCache()
+  }
+
+  test("the detector sees through a persist-mode barrier") {
+    import org.apache.spark.sql.functions._
+    val p = spark.newSession()
+    p.conf.set(graft.Cache.ConfKey, "persist")
+    try {
+      val df = p.range(4)
+        .select(col("id"), array(col("id"), col("id") + 1).as("xs"))
+        .select(col("id"), transform(col("xs"), x => x + 1).as("ys"))
+      val staged = graft.Cache.stage(df).select(sum(col("id")).as("s"))
+      val f = graft.plans.RapidsAudit.flags(staged)
+      // the barrier is an InMemoryRelation (no row-based segment)...
+      assert(!f.contains("rdd-segment"), f)
+      // ...and the trigger UPSTREAM of it stays visible, which a
+      // checkpoint-mode LogicalRDD hides by construction
+      assert(f.contains("higher-order-function"), f)
+    } finally p.sharedState.cacheManager.clearCache()
   }
 
   test("the detector actually fires on each trigger class") {

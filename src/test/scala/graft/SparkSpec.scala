@@ -17,6 +17,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // SPARK_GRAFT_CACHE=persist runs the whole suite in the
+      // RAPIDS-ready columnar-cache mode (graft.Cache)
+      .config(graft.Cache.ConfKey,
+        sys.env.getOrElse("SPARK_GRAFT_CACHE", "checkpoint"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
