@@ -269,11 +269,23 @@ object Relational5 {
     * bin 0 in both engines). TV is computed on the EXACT rational
     * Σ|r·C − c·R| before a single non-negative integer division — no
     * float accumulates anywhere, so the oracle hash-matches.
-    * Bounds: the binding term is 500·Σ|r·C − c·R| ≤ 1000·n_ref·n_cur,
-    * which needs n_ref·n_cur < 2⁶³/1000 — exact to ~1e8 rows per side;
-    * beyond that, pre-normalize per-bin counts to a fixed scale first
-    * (the documented scale path, same caveat style as the perplexity
-    * shift).
+    *
+    * Scale: the exact rational needs 500·Σ|r·C − c·R| ≤ 1000·n_ref·
+    * n_cur < 2⁶³, so it holds to 95 M rows PER SIDE PER TYPE. Beyond
+    * that threshold the report switches (per type, per row — CaseWhen
+    * branches evaluate lazily, so the exact products are never computed
+    * where they would overflow ANSI arithmetic) to the PRE-NORMALIZED
+    * path: each side's bin counts integer-rescale to a fixed 1e6 grid
+    * (k = max(1, total div 1e6); bins divide by their own side's k;
+    * totals recompute from the reduced bins so each side still sums to
+    * its own denominator), and the same rational form runs on the
+    * reduced numbers — products now bounded by (1e6)², safe to any
+    * corpus size. The rescale floors each bin to its side's 1e-6
+    * resolution, so the result can differ from true TV by at most
+    * 20 bins · 1e-6 ≈ 0.02 permille — at most ±1 on the reported
+    * integer. Both branches are pure integer ops mirrored verbatim in
+    * the oracle; DriftNormalizationSpec pins the >bound path on
+    * synthetic 2e8-row-per-side cells.
     *
     * Shape: one 1-row broadcast (mid-time), one (type, bin) partial+
     * final count over a single scan, then type-cardinality joins —
@@ -289,14 +301,40 @@ object Relational5 {
         greatest(lit(0L), least(lit(19L), expr("vq div 300000"))).as("bin"))
       .groupBy("event_type", "bin")
       .agg(sum(col("is_ref")).as("r"), sum(lit(1L) - col("is_ref")).as("c"))
+    dqDriftFromCells(cells)
+  }
+
+  /** Exact-below-bound / pre-normalized-above-bound TV report over a
+    * (event_type, bin, r, c) cell frame — see [[dqDriftReport]].
+    * Package-visible so DriftNormalizationSpec can feed synthetic cells
+    * whose totals exceed the exact path's 95 M-per-side bound. */
+  private[graft] def dqDriftFromCells(cells: DataFrame): DataFrame = {
+    // 95e6² · 1000 = 9.03e18 < 2⁶³−1 = 9.22e18: the largest per-side
+    // total where 500·Σ|r·C − c·R| provably fits a BIGINT
+    val exactMax = 95000000L
     val totals = cells.groupBy("event_type")
       .agg(sum("r").as("n_ref"), sum("c").as("n_cur"))
-    cells.join(totals, "event_type")
-      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
-      .agg(sum(abs(col("r") * col("n_cur") - col("c") * col("n_ref"))).as("num"))
+    val reduced = cells.join(totals, "event_type")
+      .withColumn("kr", greatest(lit(1L), expr("n_ref div 1000000")))
+      .withColumn("kc", greatest(lit(1L), expr("n_cur div 1000000")))
+      .withColumn("rs", expr("r div kr"))
+      .withColumn("cs", expr("c div kc"))
+    val reducedTotals = reduced.groupBy(col("event_type").as("event_type"))
+      .agg(sum("rs").as("ns_ref"), sum("cs").as("ns_cur"))
+    val within = col("n_ref") <= lit(exactMax) && col("n_cur") <= lit(exactMax)
+    reduced.join(reducedTotals, "event_type")
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"),
+        col("ns_ref"), col("ns_cur"))
+      .agg(
+        sum(when(within, abs(col("r") * col("n_cur") - col("c") * col("n_ref"))))
+          .as("num"),
+        sum(abs(col("rs") * col("ns_cur") - col("cs") * col("ns_ref")))
+          .as("num_s"))
       .select(col("event_type"), col("n_ref"), col("n_cur"),
         when(col("n_ref") === 0L || col("n_cur") === 0L, lit(1000L))
-          .otherwise(expr("(500 * num) div (n_ref * n_cur)")).as("tv_permille"))
+          .when(within, expr("(500 * num) div (n_ref * n_cur)"))
+          .otherwise(expr("(500 * num_s) div (ns_ref * ns_cur)"))
+          .as("tv_permille"))
       .orderBy("event_type")
   }
 
@@ -317,14 +355,30 @@ object Relational5 {
       |  SELECT event_type, CAST(sum(r) AS BIGINT) AS n_ref,
       |         CAST(sum(c) AS BIGINT) AS n_cur
       |  FROM cells GROUP BY 1
+      |), reduced AS (
+      |  -- pre-normalized mirror (see dqDriftFromCells): each side's bins
+      |  -- rescaled to a fixed 1e6 grid; a no-op (k=1) below 1e6 rows
+      |  SELECT cl.event_type, cl.r, cl.c,
+      |         cl.r // greatest(1, t.n_ref // 1000000) AS rs,
+      |         cl.c // greatest(1, t.n_cur // 1000000) AS cs,
+      |         t.n_ref, t.n_cur
+      |  FROM cells cl JOIN totals t USING (event_type)
+      |), rtotals AS (
+      |  SELECT event_type, CAST(sum(rs) AS BIGINT) AS ns_ref,
+      |         CAST(sum(cs) AS BIGINT) AS ns_cur
+      |  FROM reduced GROUP BY 1
       |)
-      |SELECT t.event_type, t.n_ref, t.n_cur,
-      |       CAST(CASE WHEN t.n_ref = 0 OR t.n_cur = 0 THEN 1000
-      |            ELSE (500 * sum(abs(cl.r * t.n_cur - cl.c * t.n_ref))) // (t.n_ref * t.n_cur)
+      |SELECT rd.event_type, rd.n_ref, rd.n_cur,
+      |       CAST(CASE WHEN rd.n_ref = 0 OR rd.n_cur = 0 THEN 1000
+      |            WHEN rd.n_ref <= 95000000 AND rd.n_cur <= 95000000
+      |              THEN (500 * sum(abs(rd.r * rd.n_cur - rd.c * rd.n_ref)))
+      |                   // (rd.n_ref * rd.n_cur)
+      |            ELSE (500 * sum(abs(rd.rs * rt.ns_cur - rd.cs * rt.ns_ref)))
+      |                 // (rt.ns_ref * rt.ns_cur)
       |       END AS BIGINT) AS tv_permille
-      |FROM cells cl JOIN totals t USING (event_type)
-      |GROUP BY t.event_type, t.n_ref, t.n_cur
-      |ORDER BY t.event_type""".stripMargin
+      |FROM reduced rd JOIN rtotals rt USING (event_type)
+      |GROUP BY rd.event_type, rd.n_ref, rd.n_cur, rt.ns_ref, rt.ns_cur
+      |ORDER BY rd.event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_drift_report" -> dqDriftReport,
