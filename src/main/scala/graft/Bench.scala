@@ -82,13 +82,17 @@ object Bench {
     // window, text map) so the alphabetically-first timed query doesn't
     // absorb session-wide codegen/JIT cost (measured: ~6 s swing on the
     // first query). Skipped under SPARK_GRAFT_ONLY (single-query
-    // iteration must not run unrelated work). The 4 warmup queries are
+    // iteration must not run unrelated work), unless SPARK_GRAFT_WARMUP=1
+    // opts the subset in: floor ADJUDICATION compares a subset against
+    // FULL-BOARD floors, so the subset must carry the same session
+    // warmth or small-query flags never clear (BASELINE.md, round-10
+    // adjudications needed 8 passes without it). The 4 warmup queries are
     // themselves re-timed warm — a small conservative bias on 4
     // sub-second queries. Methodology documented in BASELINE.md.
     // The src_* entries also pre-write their disk fixtures here (writes
     // are memoized per JVM — see Formats.writeOnce), so the timed passes
     // measure the read path, not tmp-disk write contention.
-    if (only.isEmpty)
+    if (only.isEmpty || sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
       for (n <- Seq("s11_full_scan_count", "q1_pricing_summary",
                     "window_topk_per_group", "text_token_counts",
                     "sim_lsh_signatures", // codegen-heaviest family

@@ -1,21 +1,25 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Builds the deliberately-skewed scale fixture for the salted-skew
-  * stress measurement (BASELINE.md "skewed 8× fixture" section).
+  * stress measurement (BASELINE.md "Skewed 8× fixture" section).
   *
   * The driver testdata's `l_returnflag` is near-uniform (~33% per
   * value), so the hot-key scenario the salting operators
   * (`operators/Skew.saltedAgg`, `operators/Relational4.saltedJoin`)
   * exist for never actually occurs in the stock tables. This tool
-  * rewrites the flag DETERMINISTICALLY (hash of the line's unique key,
-  * never `rand()`) to a 50/30/20 split — one key ('N') holding half of
-  * all rows — and replicates the table `factor`× with `l_orderkey`
-  * offset per replica so every replicated line stays unique (the salt
-  * hash in both salted operators keys on (l_orderkey, l_linenumber);
-  * colliding duplicates would collapse the salt spread being measured).
+  * rewrites the flag DETERMINISTICALLY (hash of (l_orderkey,
+  * l_linenumber), never `rand()`) to a 50/30/20 split — one key ('N')
+  * holding half of all rows — and replicates the table `factor`× with
+  * `l_orderkey` offset per replica so replica key ranges never collide:
+  * the salt hash in both salted operators keys on (l_orderkey,
+  * l_linenumber), and its spread domain (the distinct-pair count) must
+  * scale ×factor, not fold replicas onto the same cells. (The stock
+  * testdata itself reuses ~24% of pairs — a generator artifact the
+  * fixture inherits within each replica; SkewFixtureSpec pins the
+  * ×factor scaling.)
   *
   * Usage: runMain graft.tools.SkewFixture <srcSfDir> <outDir> <factor>
   * Writes <outDir>/lineitem.parquet; ONLY-mode bench runs then point
@@ -25,7 +29,19 @@ import org.apache.spark.sql.functions._
 object SkewFixture {
   /** Replica key offset — beyond any stock l_orderkey (max 149,999 at
     * sf0.1), so replica key ranges never overlap. */
-  private val ReplicaOffset = 1000000L
+  private[graft] val ReplicaOffset = 1000000L
+
+  /** The skewed, replicated frame (pure; main writes it to parquet). */
+  private[graft] def skewedLineitem(spark: SparkSession, src: String,
+                                    factor: Int): DataFrame = {
+    val bucket = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10L))
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .withColumn("l_returnflag",
+        when(bucket < 5, "N").when(bucket < 8, "A").otherwise("R"))
+      .crossJoin(spark.range(factor).select(col("id").as("replica")))
+      .withColumn("l_orderkey", col("l_orderkey") + col("replica") * ReplicaOffset)
+      .drop("replica")
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: SkewFixture <srcSfDir> <outDir> <factor>")
@@ -40,15 +56,8 @@ object SkewFixture {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val bucket = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10L))
-    val skewed = spark.read.parquet(s"$src/lineitem.parquet")
-      .withColumn("l_returnflag",
-        when(bucket < 5, "N").when(bucket < 8, "A").otherwise("R"))
-    val replicated = skewed
-      .crossJoin(spark.range(factor).select(col("id").as("replica")))
-      .withColumn("l_orderkey", col("l_orderkey") + col("replica") * ReplicaOffset)
-      .drop("replica")
-    replicated.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    skewedLineitem(spark, src, factor)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     val dist = spark.read.parquet(s"$out/lineitem.parquet")
       .groupBy("l_returnflag").count().orderBy("l_returnflag").collect()
