@@ -175,8 +175,15 @@ object Bench {
     val total = best.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val note = "src_* time the read path (fixtures pre-written, writes memoized per JVM)"
+    val cacheMode = graft.Cache.mode(spark)
+    // The canonical detail record is the CHECKPOINT-mode board (the CPU
+    // deploy default, and what bench_floor.json's floors were set
+    // under); a persist-mode board is a different measurement and gets
+    // its own file rather than clobbering the committed record.
+    val detailName =
+      if (cacheMode == "persist") "bench_detail_persist.json" else "bench_detail.json"
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"cold_total":$coldTotal%.3f,"contention_index":$contentionIdx%.3f,"queries":${entriesJson(best)},"queries_cold":${entriesJson(cold)},"failed":$failedJson,"regressions":$regJson,"note":"$note","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","passes":$passes,"cold_total":$coldTotal%.3f,"contention_index":$contentionIdx%.3f,"cache":"$cacheMode","queries":${entriesJson(best)},"queries_cold":${entriesJson(cold)},"failed":$failedJson,"regressions":$regJson,"note":"$note","sf":"$sfDir"}"""
     // Full detail: one stdout line (may be truncated by the tail
     // capture — that's fine) plus a file the judge can read whole.
     // Contention guard: a contended run (median ratio > 1.3) must not
@@ -192,7 +199,7 @@ object Bench {
     // bench_detail_contended.json and the kept file records the
     // suppression, so a genuine uniform code regression stays visible.
     println(fullLine)
-    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    val detailPath = java.nio.file.Paths.get(detailName)
     val oldDetail: Option[String] =
       try {
         if (java.nio.file.Files.exists(detailPath))
@@ -245,7 +252,7 @@ object Bench {
       used += k.length + 10; used <= budget
     }
     val omitted = best.size - kept.size
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${best.size},"passes":$passes,"cold_total":$coldTotal%.3f,"contention_index":$contentionIdx%.3f,"queries":${entriesJson(kept.sortBy(_._1))},"omitted":$omitted,"failed":$failedJson,"regressions":$regJson,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${best.size},"passes":$passes,"cold_total":$coldTotal%.3f,"contention_index":$contentionIdx%.3f,"queries":${entriesJson(kept.sortBy(_._1))},"omitted":$omitted,"failed":$failedJson,"regressions":$regJson,"cache":"$cacheMode","detail":"$detailName","sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
