@@ -21,6 +21,7 @@ object SparkEntry {
     (operators.Skew.queries, operators.Skew.oracles),
     (operators.Sketches.queries, operators.Sketches.oracles),
     (operators.Analytics.queries, operators.Analytics.oracles),
+    (operators.Behavior.queries, operators.Behavior.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.Tpch3.queries, operators.Tpch3.oracles),
     (operators.Temporal.queries, operators.Temporal.oracles),

@@ -420,11 +420,71 @@ object Retrieval {
        |FROM lex FULL JOIN vec USING (doc_id)
        |ORDER BY rrf_score DESC, doc_id""".stripMargin
 
+  /** Per-document n-gram novelty: the share of a document's DISTINCT
+    * bigrams that occur in no other document — the inverse of the
+    * repetition/boilerplate signals (a high score marks genuinely novel
+    * content worth keeping; a near-zero score marks template text even
+    * when no single near-duplicate partner exists, which is exactly the
+    * case pairwise dedup misses).
+    *
+    * Grams are carried as their portable 60-bit hash, not the string —
+    * the shuffle key is fixed 8 bytes regardless of token length, and
+    * any hash collision merges the same grams in BOTH engines, so the
+    * oracle stays exact. Shapes: distinct (doc, gram-hash) one shuffle;
+    * gram-frequency partial+final count on the hash; the join back is
+    * on the same key (exchange-aligned); final per-doc agg. The classic
+    * inverted-index chain — never all-pairs, never a corpus-wide
+    * array. Docs with < 2 tokens have no bigrams and are excluded
+    * (same rule as the DSIR featurizer). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyFrom(fanOut(t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))))
+
+  /** Core on any (doc_id, toks) frame — see [[ngramNovelty]]. */
+  private[graft] def ngramNoveltyFrom(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .filter(size(col("toks")) >= 2)
+      .staged // barrier: keep split() out of the per-index lambda
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => Portable.hash60(concat(lit("nov_"), element_at(col("toks"), i),
+            lit("_"), element_at(col("toks"), i + 1))))))
+        .as("g"))
+      .staged // feeds the df agg and the join side
+    val gdf = pairs.groupBy("g").agg(count(lit(1)).as("gdf"))
+    pairs.join(gdf, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_permille", expr("(1000 * n_unique) div n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokSql AS toks FROM documents
+       |), pairs AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> ('0x' || substr(md5('nov_' || toks[i] || '_' || toks[i+1]), 1, 15))::BIGINT)))
+       |           AS g
+       |  FROM tk WHERE len(toks) >= 2
+       |), gdf AS (
+       |  SELECT g, count(*) AS gdf FROM pairs GROUP BY 1
+       |)
+       |SELECT doc_id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |       CAST((1000 * sum(CASE WHEN gdf = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+       |         AS novelty_permille
+       |FROM pairs JOIN gdf USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf_top" -> ((s, d) => tfidfTop(s, d)),
     "text_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "text_pii_redact" -> piiRedact,
     "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
+    "text_ngram_novelty" -> ngramNovelty,
     "retrieval_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "dedup_decontaminate" -> ((s, d) => decontaminate(s, d)))
 
@@ -433,6 +493,7 @@ object Retrieval {
     "text_bm25_rank" -> bm25RankSql(),
     "text_pii_redact" -> piiRedactSql,
     "text_cosine_pairs" -> cosinePairsSql(),
+    "text_ngram_novelty" -> ngramNoveltySql,
     "retrieval_rrf_fusion" -> rrfFusionSql(),
     "dedup_decontaminate" -> decontaminateSql())
 }

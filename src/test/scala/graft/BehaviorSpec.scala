@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Behavior
+
+/** Semantic invariants of the behavioral-analytics operators and the
+  * n-gram novelty score — properties the hash oracle implies but which
+  * should fail loudly on their own. */
+class BehaviorSpec extends SparkSpec {
+
+  test("retention cohorts: offset 0 is the full cohort, later offsets never exceed it") {
+    val rows = Behavior.retentionCohorts(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, nAct, nCoh, pm) = (r.getAs[Long]("offset_days"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"),
+        r.getAs[Long]("retention_permille"))
+      assert(off >= 0L, s"negative offset $off")
+      assert(nAct <= nCoh, s"active $nAct > cohort $nCoh")
+      assert(pm >= 0L && pm <= 1000L, s"permille $pm out of range")
+      if (off == 0L) assert(pm === 1000L && nAct === nCoh,
+        "offset 0 must be the cohort itself")
+    }
+  }
+
+  test("retention cohorts: cohort sizes partition the distinct-user universe") {
+    val df = Behavior.retentionCohorts(spark, sf("sf0.001"))
+    val cohortTotal = df.filter(col("offset_days") === 0L)
+      .agg(sum("n_cohort")).collect()(0).getLong(0)
+    val users = graft.operators.Tables.t(spark, sf("sf0.001"), "events")
+      .select("user_id").distinct().count()
+    assert(cohortTotal === users,
+      s"cohort sizes sum to $cohortTotal, distinct users $users")
+  }
+
+  test("event transitions: per-source step counts equal events minus last events") {
+    val dir = sf("sf0.001")
+    val tr = Behavior.eventTransitions(spark, dir)
+    val totalSteps = tr.agg(sum("n")).collect()(0).getLong(0)
+    val ev = graft.operators.Tables.t(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(totalSteps === expected,
+      s"steps $totalSteps != events - users = $expected")
+    // permille rows are consistent with their own counts
+    val bad = tr.filter(col("p_permille") =!=
+      expr("(1000 * n) div n_src")).count()
+    assert(bad === 0L)
+    // each src row-total is self-consistent
+    val mismatch = tr.groupBy("src")
+      .agg(sum("n").as("s"), min("n_src").as("t"), max("n_src").as("t2"))
+      .filter(col("s") =!= col("t") || col("t") =!= col("t2")).count()
+    assert(mismatch === 0L, "n_src must equal the per-src sum of n")
+  }
+
+  test("ngram novelty: a cloned document zeroes both copies, unique text scores 1000") {
+    import spark.implicits._
+    import graft.text.TextAnalysis.tokens
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // clone of 2 → every bigram df=2
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"),   // all bigrams unique → 1000
+      (4L, "solo")                      // <2 tokens → excluded
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val got = graft.text.Retrieval.ngramNoveltyFrom(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("novelty_permille")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1000L))
+  }
+
+  test("ngram novelty: harness corpus scores stay in range and count grams consistently") {
+    val df = graft.text.Retrieval.ngramNovelty(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, u, pm) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique"),
+        r.getAs[Long]("novelty_permille"))
+      assert(u >= 0L && u <= n)
+      assert(pm === 1000L * u / n)
+    }
+  }
+}

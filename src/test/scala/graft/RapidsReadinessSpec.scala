@@ -49,8 +49,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "ts_range_join_rule",
     "ts_scd2_intervals", "ts_scd2_lookup", "ts_zscore_outliers",
     "window_cumulative_users", "window_distribution_family",
-    "window_range_frame", "window_ranking_family", "window_running_sum",
-    "window_sessionize", "window_topk_per_group", "window_value_family")
+    "window_event_transitions", "window_range_frame",
+    "window_ranking_family", "window_retention_cohorts",
+    "window_running_sum", "window_sessionize", "window_topk_per_group",
+    "window_value_family")
 
   /** Expected fallback triggers per flagged query (exact sets — a new
     * trigger appearing, or one silently disappearing, both fail). */
@@ -111,6 +113,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_fingerprint" -> Set("higher-order-function"),
     "text_lang_id" -> Set("higher-order-function"),
     "text_mix_report" -> Set("higher-order-function"),
+    "text_ngram_novelty" -> Set("rdd-segment"),
     "text_char_entropy" -> Set("bin"),
     "text_perplexity" -> Set("bin", "rdd-segment"),
     "text_quality_score" -> Set("higher-order-function"),
@@ -184,6 +187,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_fingerprint" -> Set("higher-order-function"),
     "text_lang_id" -> Set("higher-order-function"),
     "text_mix_report" -> Set("higher-order-function"),
+    "text_ngram_novelty" -> Set("higher-order-function"),
     "text_perplexity" -> Set("bin", "higher-order-function"),
     "text_quality_score" -> Set("higher-order-function"),
     "text_repetition_stats" -> Set("higher-order-function"),
