@@ -107,6 +107,7 @@ object Bench {
       // every pass must re-pay the real drain, not a memo hit
       if (p > 1) { graft.aria.AriaQueries.evictDrains(spark)
         graft.sim.Clustering.evictTrained(spark)
+        graft.sim.Pq.evictTrained(spark)
         graft.dedup.Dedup.evictPairs(spark)
         // persist mode: cached plans are keyed on the ANALYZED PLAN, so
         // pass 2 rebuilding the same query would silently hit pass 1's

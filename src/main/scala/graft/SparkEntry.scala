@@ -36,6 +36,7 @@ object SparkEntry {
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Similarity.queries, sim.Similarity.oracles),
     (sim.Clustering.queries, sim.Clustering.oracles),
+    (sim.Pq.queries, sim.Pq.oracles),
     (sim.Embeddings.queries, sim.Embeddings.oracles),
     (sim.GraphOps.queries, sim.GraphOps.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),

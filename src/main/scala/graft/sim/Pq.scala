@@ -1,0 +1,349 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+
+/** Product quantization (PQ) with asymmetric-distance search — the
+  * memory-side half of the IVF-PQ design every planet-scale ANN system
+  * runs (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+  * Search"). The 64-dim vector splits into [[M]] 16-dim subvectors; each
+  * subspace trains its own [[Ks]]-centroid codebook with the same exact
+  * integer Lloyd's machinery as [[Clustering]]; a corpus vector is then
+  * stored as [[M]] small codes (here 4×3 bits vs 64×64-bit quantized
+  * components — the compression that lets codes live in memory at 100 TB
+  * while raw vectors cannot). Search is ADC: per query, an M×Ks table of
+  * exact subspace distances is built ONCE (O(M·Ks·d/M) = O(Ks·d) work),
+  * broadcast, and every candidate's approximate distance is M table
+  * lookups — no per-candidate arithmetic in d at all.
+  *
+  * Numeric strategy: identical to [[Clustering]] — fixed-point integer
+  * vectors, exact BIGINT subspace distances (‖q_m−c‖² = n_m − 2·q_m·c +
+  * ‖c‖²), argmin ties to the lowest packed position, integer ADC sums —
+  * so training, encoding and search are all bit-identical in the DuckDB
+  * oracle, which replays the whole run as unrolled CTEs.
+  *
+  * Scale design (100 TB):
+  *  - Training cost is M subspace Lloyd's runs over d/M-wide slices —
+  *    the SAME total work as one full-dim run; models are M·Ks rows.
+  *  - Encoding is one corpus map against the broadcast codebooks (one
+  *    pass, no shuffle).
+  *  - Search touches only the code columns: the scored frame carries
+  *    M bytes per row, the ADC tables broadcast with the query panel,
+  *    and the top-k is the WindowGroupLimit partial form — the corpus
+  *    never shuffles.
+  *  - The quality gate is first-class ([[pqRecall]]), like every other
+  *    approximate path on this board: a code-budget change that drops
+  *    recall fails the correctness gate, not a dashboard.
+  *
+  * Reference context: /root/reference has no similarity surface; PQ
+  * extends the engine for the curation workloads the survey targets,
+  * completing the ANN family (brute force, LSH, IVF, MRL — and now the
+  * quantized-storage path).
+  */
+object Pq {
+
+  private val dims = 64
+  private val M = 4
+  private val sd = dims / M // subspace width
+  private val Ks = 8 // centroids per subspace codebook
+  private val iters = 2 // Lloyd's rounds per subspace
+  private val TopK = 5
+
+  // ---------------------------------------------------------------------
+  // Spark side
+  // ---------------------------------------------------------------------
+
+  private def qn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedFrom(t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
+
+  /** Subspace slice m of the full quantized vector (1-based slice). */
+  private def sliceM(q: Column, m: Int): Column = slice(q, m * sd + 1, sd)
+
+  /** One subspace's (vec_id, qm, nm) frame. */
+  private def sub(corpus: DataFrame, m: Int): DataFrame =
+    corpus.select(col("vec_id"), sliceM(col("q"), m).as("qm"))
+      .withColumn("nm", Portable.normSqQ(col("qm")))
+
+  /** One assignment pass inside subspace m — same broadcast-packed argmin
+    * as Clustering.assign, over sd-wide slices. */
+  private def assignSub(sc: DataFrame, cent: DataFrame): DataFrame = {
+    val packed = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
+    sc.crossJoin(broadcast(packed))
+      .withColumn("best", array_min(transform(col("cents"), ct =>
+        struct(
+          (col("nm") - lit(2L) * Portable.dotQ(col("qm"), ct.getField("c"))
+            + ct.getField("csq")).as("dist"),
+          ct.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("qm"), col("nm"),
+        col("best").getField("cid").as("cid"))
+  }
+
+  /** Centroid recompute in subspace m: sd map-side-combinable SUMs +
+    * COUNT, exact integer floor-division means; empty clusters drop. */
+  private def recomputeSub(assigned: DataFrame): DataFrame = {
+    val sums = (0 until sd).map(i =>
+      sum(element_at(col("qm"), i + 1)).as(s"s$i"))
+    val comps: Seq[Column] = (0 until sd).map(i =>
+      expr(s"(s$i - pmod(s$i, cnt)) div cnt"))
+    val aggCols = count(lit(1)).as("cnt") +: sums
+    assigned.groupBy(col("cid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("cid"), array(comps: _*).as("c"))
+      .withColumn("csq", Portable.normSqQ(col("c")))
+  }
+
+  /** Train the M codebooks; returns one broadcastable row with columns
+    * cents0..cents{M-1}, each an array<struct<cid,c,csq>> SORTED by cid —
+    * a struct's packed POSITION in that array is the stored code.
+    * Memoized per (session, dir) like Clustering.train (train once,
+    * encode/search many); Bench evicts between passes. */
+  private val cache =
+    new java.util.HashMap[SparkSession, Map[String, DataFrame]]
+
+  private[graft] def evictTrained(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark); () }
+
+  private[graft] def codebooks(spark: SparkSession, dir: String): DataFrame =
+    cache.synchronized {
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
+      val perSession = cache.getOrDefault(spark, Map.empty)
+      perSession.get(dir) match {
+        case Some(cb) => cb
+        case None =>
+          val corpus = qn(spark, dir)
+          val cbs = (0 until M).map { m =>
+            val sc = sub(corpus, m)
+            var cent = sc.filter(col("vec_id") < Ks)
+              .select(col("vec_id").as("cid"), col("qm").as("c"))
+              .withColumn("csq", Portable.normSqQ(col("c")))
+            for (_ <- 1 to iters)
+              // per-round lineage cut — semantic, like Clustering.train
+              cent = recomputeSub(assignSub(sc, cent)).localCheckpoint(false)
+            cent.agg(array_sort(collect_list(struct(col("cid"), col("c"), col("csq"))))
+              .as(s"cents$m"))
+          }
+          val packed = cbs.reduce(_ crossJoin _).localCheckpoint(false)
+          cache.put(spark, perSession + (dir -> packed))
+          packed
+      }
+    }
+
+  /** The exact subspace distance of slice m (as column `qm`/`nm`) to the
+    * packed codebook entry at position i (0-based). */
+  private def distToPos(cm: Column, qm: Column, nm: Column, i: Column): Column = {
+    val ct = element_at(cm, i + 1)
+    nm - lit(2L) * Portable.dotQ(qm, ct.getField("c")) + ct.getField("csq")
+  }
+
+  /** Encode the corpus: per subspace, the packed position of the nearest
+    * codebook centroid (ties to the lowest position — which is cid order,
+    * matching the training argmin). One map pass, codes are ints. */
+  private[graft] def encoded(spark: SparkSession, dir: String): DataFrame = {
+    val cb = codebooks(spark, dir)
+    (0 until M).foldLeft(qn(spark, dir).crossJoin(broadcast(cb))) { (df, m) =>
+      val qm = sliceM(col("q"), m)
+      val nm = Portable.normSqQ(qm)
+      val cm = col(s"cents$m")
+      df.withColumn(s"code$m",
+        array_min(transform(sequence(lit(0), size(cm) - 1), i =>
+          struct(distToPos(cm, qm, nm, i).as("dist"), i.cast("int").as("pos"))))
+          .getField("pos"))
+    }.select(col("vec_id") +: (0 until M).map(m => col(s"code$m")): _*)
+  }
+
+  /** PQ-ADC top-k: the query panel (vec_id < 8, the board's standard
+    * measurement panel) builds its M×Ks distance tables map-side from
+    * the broadcast codebooks; the encoded corpus is scored by M array
+    * lookups per candidate; per-query top-k is the WindowGroupLimit
+    * partial form. Output distances are exact BIGINTs. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val cb = codebooks(spark, dir)
+    val panel = qn(spark, dir).filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cb))
+    val tables = (0 until M).foldLeft(panel) { (df, m) =>
+      val qm = sliceM(col("q"), m)
+      val nm = Portable.normSqQ(qm)
+      val cm = col(s"cents$m")
+      df.withColumn(s"t$m", transform(sequence(lit(0), size(cm) - 1), i =>
+        distToPos(cm, qm, nm, i)))
+    }.select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
+    val scored = encoded(spark, dir).crossJoin(broadcast(tables))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist", (0 until M).map(m =>
+        element_at(col(s"t$m"), col(s"code$m") + 1)).reduce(_ + _))
+    scored
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("adist"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact full-dimension L2² top-k over the panel — the ground truth
+    * the ADC path approximates (PQ is an L2 method; the cosine family
+    * has its own exact baseline in Similarity.cosineTopK). */
+  private def exactL2TopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val c = qn(spark, dir)
+    val queries = c.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    c.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("dist",
+        col("na") - lit(2L) * Portable.dotQ(col("qa"), col("qb")) + col("nb"))
+      .select(col("query_id"), col("cand_id"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id")
+  }
+
+  /** PQ quality as a first-class query: recall@k of the ADC path against
+    * the exact L2 top-k, per panel query — the number that sizes the
+    * code budget (M, Ks) before anyone ships 4-byte vectors. Same
+    * measurement posture as sim_ann_recall/sim_ivf_recall: exact side
+    * only over the fixed panel. */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val exact = exactL2TopK(spark, dir, k)
+    val approx = pqTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle — the unrolled per-subspace training replay
+  // ---------------------------------------------------------------------
+
+  private val quantizedSql: String =
+    """q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |),
+      |qn AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+      |  FROM q
+      |)""".stripMargin
+
+  /** dist² of row alias `v` (cols qv, nsq) vs centroid alias `c` in a
+    * `w`-dim space. */
+  private def distSql(v: String, c: String, w: Int): String =
+    s"""$v.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $w),
+       |      i -> $v.qv[i] * $c.c[i])) AS BIGINT)
+       |    + CAST(list_sum(list_transform($c.c, x -> x*x)) AS BIGINT)""".stripMargin
+
+  private def assignSubSql(src: String, cent: String): String =
+    s"""SELECT vec_id, qv, nsq, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT $src.vec_id, $src.qv, $src.nsq, $cent.cid,
+       |               ${distSql(src, cent, sd)} AS dist
+       |        FROM $src CROSS JOIN $cent)
+       |) WHERE rn = 1""".stripMargin
+
+  private def recomputeSubSql(a: String): String =
+    s"""SELECT cid, list(v ORDER BY i) AS c FROM (
+       |  SELECT cid, i,
+       |         CAST((sum(qv[i]) - ((sum(qv[i]) % count(*)) + count(*)) % count(*)) / count(*) AS BIGINT) AS v
+       |  FROM $a CROSS JOIN (SELECT unnest(generate_series(1, $sd)) AS i) t
+       |  GROUP BY cid, i)
+       |GROUP BY cid""".stripMargin
+
+  /** All subspace CTEs: slices, unrolled training, packed positions,
+    * encoded codes, and the panel's ADC tables, in long (m, pos) form. */
+  private def pqCtes: String = {
+    val perM = (0 until M).map { m =>
+      val rounds = (1 to iters).map { r =>
+        s"""a${r}_$m AS (${assignSubSql(s"qn$m", s"cent${r - 1}_$m")}),
+           |cent${r}_$m AS (${recomputeSubSql(s"a${r}_$m")})""".stripMargin
+      }.mkString(",\n")
+      s"""qn$m AS (
+         |  SELECT vec_id, list_slice(qv, ${m * sd + 1}, ${(m + 1) * sd}) AS qv,
+         |         CAST(list_sum(list_transform(list_slice(qv, ${m * sd + 1}, ${(m + 1) * sd}),
+         |           x -> x*x)) AS BIGINT) AS nsq
+         |  FROM q),
+         |cent0_$m AS (SELECT vec_id AS cid, qv AS c FROM qn$m WHERE vec_id < $Ks),
+         |$rounds,
+         |pos$m AS (
+         |  SELECT cid, c, row_number() OVER (ORDER BY cid) - 1 AS pos
+         |  FROM cent${iters}_$m),
+         |codes$m AS (
+         |  SELECT vec_id, pos FROM (
+         |    SELECT s.vec_id, s.pos,
+         |           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.dist, s.pos) AS rn
+         |    FROM (SELECT qn$m.vec_id, p.pos,
+         |                 ${distSql(s"qn$m", "p", sd)} AS dist
+         |          FROM qn$m CROSS JOIN pos$m p) s
+         |  ) WHERE rn = 1),
+         |t$m AS (
+         |  SELECT qq.vec_id AS query_id, p.pos,
+         |         ${distSql("qq", "p", sd)} AS dist
+         |  FROM qn$m qq CROSS JOIN pos$m p WHERE qq.vec_id < 8)""".stripMargin
+    }.mkString(",\n")
+    val codesLong = (0 until M)
+      .map(m => s"SELECT vec_id, $m AS m, pos FROM codes$m").mkString("\n  UNION ALL ")
+    val tablesLong = (0 until M)
+      .map(m => s"SELECT query_id, $m AS m, pos, dist FROM t$m").mkString("\n  UNION ALL ")
+    s"""$quantizedSql,
+       |$perM,
+       |codes_long AS (
+       |  $codesLong),
+       |tables_long AS (
+       |  $tablesLong),
+       |scored AS (
+       |  SELECT t.query_id, c.vec_id AS cand_id, CAST(sum(t.dist) AS BIGINT) AS adist
+       |  FROM codes_long c JOIN tables_long t ON c.m = t.m AND c.pos = t.pos
+       |  WHERE t.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |pq_ranked AS (
+       |  SELECT query_id, cand_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+       |  FROM scored)""".stripMargin
+  }
+
+  def pqTopKSql(k: Int = TopK): String =
+    s"""WITH $pqCtes
+       |SELECT query_id, cand_id, adist, rank FROM pq_ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def pqRecallSql(k: Int = TopK): String =
+    s"""WITH $pqCtes,
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           a.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $dims),
+       |               i -> a.qv[i] * b.qv[i])) AS BIGINT) + b.nsq AS dist,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY a.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $dims),
+       |               i -> a.qv[i] * b.qv[i])) AS BIGINT) + b.nsq, b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8
+       |  ) WHERE rank <= $k),
+       |approx AS (
+       |  SELECT query_id, cand_id FROM pq_ranked WHERE rank <= $k)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk" -> ((s, d) => pqTopK(s, d)),
+    "sim_pq_recall" -> ((s, d) => pqRecall(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "sim_pq_topk" -> pqTopKSql(),
+    "sim_pq_recall" -> pqRecallSql())
+}

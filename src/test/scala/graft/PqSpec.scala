@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.sim.Pq
+
+/** Double-entry checks for the product-quantization path: the codebooks,
+  * codes and ADC distances the engine reports are recomputed here with
+  * plain Scala arithmetic from the same collected model — a different
+  * evaluation path than both Spark SQL and the DuckDB oracle. */
+class PqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val M = 4
+  private val sd = 16
+
+  private def quantize(v: scala.collection.Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray
+
+  /** codebooks()(m)(pos) = centroid vector (length sd). */
+  private def collectedCodebooks(): Array[Array[Array[Long]]] = {
+    val row = Pq.codebooks(spark, dir).collect()(0)
+    (0 until M).map { m =>
+      row.getAs[scala.collection.Seq[Row]](s"cents$m")
+        .map(_.getAs[scala.collection.Seq[Long]]("c").toArray).toArray
+    }.toArray
+  }
+
+  private def l2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("every stored code is the true argmin of its subspace codebook") {
+    val cbs = collectedCodebooks()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 32)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        quantize(r.getAs[scala.collection.Seq[Float]]("embedding"))).toMap
+    val codes = Pq.encoded(spark, dir).filter(col("vec_id") < 32)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until M).map(m => r.getAs[Int](s"code$m")).toArray).toMap
+    assert(codes.nonEmpty)
+    codes.foreach { case (id, cs) =>
+      val q = emb(id)
+      (0 until M).foreach { m =>
+        val qm = q.slice(m * sd, (m + 1) * sd)
+        val dists = cbs(m).map(cent => l2(qm, cent))
+        val want = dists.indices.minBy(i => (dists(i), i))
+        assert(cs(m) === want, s"vec $id subspace $m: stored ${cs(m)}, argmin $want")
+      }
+    }
+  }
+
+  test("reported ADC distances equal the sum of subspace quantization-cell distances") {
+    val cbs = collectedCodebooks()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        quantize(r.getAs[scala.collection.Seq[Float]]("embedding"))).toMap
+    val codes = Pq.encoded(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until M).map(m => r.getAs[Int](s"code$m")).toArray).toMap
+    val top = Pq.pqTopK(spark, dir).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (qid, cid, adist) = (r.getAs[Long]("query_id"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("adist"))
+      val q = emb(qid)
+      val want = (0 until M).map { m =>
+        val qm = q.slice(m * sd, (m + 1) * sd)
+        l2(qm, cbs(m)(codes(cid)(m)))
+      }.sum
+      assert(adist === want, s"query $qid cand $cid: adist $adist, recomputed $want")
+    }
+  }
+
+  test("recall report: panel complete, k exact rows each, recall in [0,1] and above chance") {
+    val rows = Pq.pqRecall(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 5L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === r.getAs[Long]("n_hits").toDouble / 5.0)
+    }
+  }
+}
