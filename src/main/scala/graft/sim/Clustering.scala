@@ -74,7 +74,7 @@ object Clustering {
     * array_min over struct(dist, cid) is the lexicographic argmin — with
     * no K-way row fanout and NO per-vector window shuffle. Output:
     * vec_id, q, nsq, cid, dist. */
-  private def assign(corpus: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assign(corpus: DataFrame, cent: DataFrame): DataFrame = {
     val packed = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
     corpus.crossJoin(broadcast(packed))
       .withColumn("best", array_min(transform(col("cents"), ct =>
@@ -120,7 +120,7 @@ object Clustering {
   private[graft] def evictTrained(spark: SparkSession): Unit =
     cache.synchronized { cache.remove(spark); () }
 
-  private def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[graft] def train(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     cache.synchronized {
       cache.keySet.removeIf(s => s.sparkContext.isStopped)
       val perSession = cache.getOrDefault(spark, Map.empty)
@@ -372,16 +372,26 @@ object Clustering {
 
   /** The full unrolled training chain: cent0, a1, cent1, …, cent$iters,
     * fin (final assignment of `qn` against cent$iters). */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String =
+    s"""$quantizedSql,
+       |$kmeansCtesNoQuantize""".stripMargin
+
+  /** The training chain WITHOUT the q/qn quantization prefix — for
+    * composition with other oracle chains (Pq) that share the same
+    * quantized corpus CTEs and must not redefine them. */
+  private[graft] def kmeansCtesNoQuantize: String = {
     val rounds = (1 to iters).map { k =>
       s"""a$k AS (${assignSql("qn", s"cent${k - 1}")}),
          |cent$k AS (${recomputeSql(s"a$k")})""".stripMargin
     }.mkString(",\n")
-    s"""$quantizedSql,
-       |cent0 AS (SELECT vec_id AS cid, qv AS c FROM qn WHERE vec_id < $K),
+    s"""cent0 AS (SELECT vec_id AS cid, qv AS c FROM qn WHERE vec_id < $K),
        |$rounds,
        |fin AS (${assignSql("qn", s"cent$iters")})""".stripMargin
   }
+
+  /** Number of Lloyd's rounds — the final centroid CTE is
+    * cent[[trainRounds]] in [[kmeansCtesNoQuantize]]. */
+  private[graft] def trainRounds: Int = iters
 
   def kmeansSql: String =
     s"""WITH $kmeansCtes

@@ -220,6 +220,73 @@ object Pq {
       .orderBy("query_id")
   }
 
+  /** Composed IVF-PQ search — the full planet-scale ANN index shape
+    * (Jégou et al. 2011; the design behind FAISS's IVFPQ): the trained
+    * IVF quantizer ([[Clustering]]'s Lloyd's cells) prunes the corpus to
+    * `nprobe` cells, and ONLY those cells' PQ codes are ADC-scored. At
+    * 100 TB the stored index is the (cell, codes) table — bytes per
+    * vector, partitioned by cell — and a query touches nprobe/K of it
+    * with M lookups per candidate: both the scan fraction AND the
+    * per-candidate cost are engineered down, which neither half achieves
+    * alone. Probe selection is map-side (packed centroid broadcast +
+    * argsort); cell membership is an equi-join on cid against the
+    * broadcast (query, cell, tables) panel — never a cross product over
+    * un-probed cells. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                k: Int = TopK, nprobe: Int = 2): DataFrame = {
+    import graft.Cache.CacheOps
+    val (corpus, cent) = Clustering.train(spark, dir)
+    val celled = encoded(spark, dir)
+      .join(Clustering.assign(corpus, cent).select(col("vec_id"), col("cid")),
+        "vec_id")
+      .staged // the stored index: (cell, codes) per vector
+    val packedIvf = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
+    val probes = corpus.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(packedIvf))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"), ct =>
+        struct(
+          (col("nsq") - lit(2L) * Portable.dotQ(col("q"), ct.getField("c"))
+            + ct.getField("csq")).as("dist"),
+          ct.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("probe").getField("cid").as("cid"))
+    val cb = codebooks(spark, dir)
+    val tables = (0 until M).foldLeft(
+      qn(spark, dir).filter(col("vec_id") < 8).crossJoin(broadcast(cb))) { (df, m) =>
+      val qm = sliceM(col("q"), m)
+      val nm = Portable.normSqQ(qm)
+      val cm = col(s"cents$m")
+      df.withColumn(s"t$m", transform(sequence(lit(0), size(cm) - 1), i =>
+        distToPos(cm, qm, nm, i)))
+    }.select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
+    val panel = probes.join(tables, "query_id") // ≤ 8·nprobe rows
+    celled.join(broadcast(panel), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist", (0 until M).map(m =>
+        element_at(col(s"t$m"), col(s"code$m") + 1)).reduce(_ + _))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("adist"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the composed IVF-PQ path against exact L2 — alongside
+    * [[pqRecall]] it separates the two approximation losses: the gap
+    * between this and pqRecall is the cell-pruning cost (nprobe), the
+    * gap between pqRecall and 1 is the code-budget cost (M, Ks). */
+  def ivfPqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val exact = exactL2TopK(spark, dir, k)
+    val approx = ivfPqTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle — the unrolled per-subspace training replay
   // ---------------------------------------------------------------------
@@ -261,7 +328,24 @@ object Pq {
 
   /** All subspace CTEs: slices, unrolled training, packed positions,
     * encoded codes, and the panel's ADC tables, in long (m, pos) form. */
-  private def pqCtes: String = {
+  private def pqCtes: String =
+    s"""$quantizedSql,
+       |$pqModelCtes,
+       |scored AS (
+       |  SELECT t.query_id, c.vec_id AS cand_id, CAST(sum(t.dist) AS BIGINT) AS adist
+       |  FROM codes_long c JOIN tables_long t ON c.m = t.m AND c.pos = t.pos
+       |  WHERE t.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |pq_ranked AS (
+       |  SELECT query_id, cand_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+       |  FROM scored)""".stripMargin
+
+  /** The PQ model WITHOUT the q/qn quantization prefix and without the
+    * full-corpus scoring tail — for composition with the IVF chain,
+    * which shares the quantized corpus CTEs and restricts scoring to
+    * probed cells. */
+  private def pqModelCtes: String = {
     val perM = (0 until M).map { m =>
       val rounds = (1 to iters).map { r =>
         s"""a${r}_$m AS (${assignSubSql(s"qn$m", s"cent${r - 1}_$m")}),
@@ -294,21 +378,11 @@ object Pq {
       .map(m => s"SELECT vec_id, $m AS m, pos FROM codes$m").mkString("\n  UNION ALL ")
     val tablesLong = (0 until M)
       .map(m => s"SELECT query_id, $m AS m, pos, dist FROM t$m").mkString("\n  UNION ALL ")
-    s"""$quantizedSql,
-       |$perM,
+    s"""$perM,
        |codes_long AS (
        |  $codesLong),
        |tables_long AS (
-       |  $tablesLong),
-       |scored AS (
-       |  SELECT t.query_id, c.vec_id AS cand_id, CAST(sum(t.dist) AS BIGINT) AS adist
-       |  FROM codes_long c JOIN tables_long t ON c.m = t.m AND c.pos = t.pos
-       |  WHERE t.query_id <> c.vec_id
-       |  GROUP BY 1, 2),
-       |pq_ranked AS (
-       |  SELECT query_id, cand_id, adist,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
-       |  FROM scored)""".stripMargin
+       |  $tablesLong)""".stripMargin
   }
 
   def pqTopKSql(k: Int = TopK): String =
@@ -339,11 +413,66 @@ object Pq {
        |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** The IVF chain + PQ model + cell-restricted ADC scoring. */
+  private def ivfPqCtes(nprobe: Int): String =
+    s"""$quantizedSql,
+       |${Clustering.kmeansCtesNoQuantize},
+       |$pqModelCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT qn.vec_id, c.cid, ${distSql("qn", "c", dims)} AS dist
+       |          FROM qn CROSS JOIN cent${Clustering.trainRounds} c
+       |          WHERE qn.vec_id < 8)
+       |  ) WHERE rn <= $nprobe),
+       |scored_ivfpq AS (
+       |  SELECT p.query_id, f.vec_id AS cand_id, CAST(sum(t.dist) AS BIGINT) AS adist
+       |  FROM probes p
+       |  JOIN fin f ON f.cid = p.cid
+       |  JOIN codes_long c ON c.vec_id = f.vec_id
+       |  JOIN tables_long t ON t.query_id = p.query_id AND t.m = c.m AND t.pos = c.pos
+       |  WHERE p.query_id <> f.vec_id
+       |  GROUP BY 1, 2),
+       |ivfpq_ranked AS (
+       |  SELECT query_id, cand_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+       |  FROM scored_ivfpq)""".stripMargin
+
+  def ivfPqTopKSql(k: Int = TopK, nprobe: Int = 2): String =
+    s"""WITH ${ivfPqCtes(nprobe)}
+       |SELECT query_id, cand_id, adist, rank FROM ivfpq_ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def ivfPqRecallSql(k: Int = TopK, nprobe: Int = 2): String =
+    s"""WITH ${ivfPqCtes(nprobe)},
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY a.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $dims),
+       |               i -> a.qv[i] * b.qv[i])) AS BIGINT) + b.nsq, b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8
+       |  ) WHERE rank <= $k),
+       |approx AS (
+       |  SELECT query_id, cand_id FROM ivfpq_ranked WHERE rank <= $k)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk" -> ((s, d) => pqTopK(s, d)),
-    "sim_pq_recall" -> ((s, d) => pqRecall(s, d)))
+    "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
+    "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
+    "sim_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_pq_topk" -> pqTopKSql(),
-    "sim_pq_recall" -> pqRecallSql())
+    "sim_pq_recall" -> pqRecallSql(),
+    "sim_ivfpq_topk" -> ivfPqTopKSql(),
+    "sim_ivfpq_recall" -> ivfPqRecallSql())
 }

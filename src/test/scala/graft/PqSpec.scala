@@ -72,6 +72,41 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq candidates all come from the query's probed cells, with PQ-identical ADC sums") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    val (corpus, cent) = graft.sim.Clustering.train(s, dir)
+    val cells = graft.sim.Clustering.assign(corpus, cent)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    // probed cells per query = the nprobe=2 L2-nearest centroids; derive
+    // independently from the collected centroid model
+    val cm = cent.collect().map { r =>
+      r.getAs[Long]("cid") -> r.getAs[scala.collection.Seq[Long]]("c").toArray
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        quantize(r.getAs[scala.collection.Seq[Float]]("embedding"))).toMap
+    val probes: Map[Long, Set[Long]] = emb.map { case (qid, q) =>
+      qid -> cm.map { case (cid, c) => (l2(q, c), cid) }
+        .sortBy(identity).take(2).map(_._2).toSet
+    }
+    val ivfpq = graft.sim.Pq.ivfPqTopK(s, dir).collect()
+    assert(ivfpq.nonEmpty)
+    val pqAll = graft.sim.Pq.pqTopK(s, dir, k = 1000000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Long]("adist")).toMap
+    ivfpq.foreach { r =>
+      val (qid, cid2, adist) = (r.getAs[Long]("query_id"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("adist"))
+      assert(probes(qid).contains(cells(cid2)),
+        s"query $qid returned cand $cid2 from un-probed cell ${cells(cid2)}")
+      assert(pqAll((qid, cid2)) === adist,
+        s"ADC sum differs between the pure-PQ and IVF-PQ paths for ($qid,$cid2)")
+    }
+  }
+
   test("recall report: panel complete, k exact rows each, recall in [0,1] and above chance") {
     val rows = Pq.pqRecall(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))

@@ -107,6 +107,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
     "text_bpe_counts" -> Set("rdd-segment"),
@@ -182,6 +184,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_neardup_pairs" -> Set("custom-expression", "higher-order-function"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "text_bm25_rank" -> Set("higher-order-function"),
     "text_bpe_counts" -> Set("higher-order-function", "rdd-segment"),
@@ -253,6 +257,7 @@ class RapidsReadinessSpec extends SparkSpec {
       assert(rddSeg == Set("pipeline_cluster_quality", "sample_cluster_balanced",
         "sim_ivf_trained", "sim_kmeans", "sim_kmeans_incremental",
         "sim_pq_topk", "sim_pq_recall",
+        "sim_ivfpq_topk", "sim_ivfpq_recall",
         "sim_semdedup", "text_bpe_counts"))
     } finally p.sharedState.cacheManager.clearCache()
   }
