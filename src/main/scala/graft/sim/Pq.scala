@@ -63,38 +63,39 @@ object Pq {
   /** Subspace slice m of the full quantized vector (1-based slice). */
   private def sliceM(q: Column, m: Int): Column = slice(q, m * sd + 1, sd)
 
-  /** One subspace's (vec_id, qm, nm) frame. */
-  private def sub(corpus: DataFrame, m: Int): DataFrame =
-    corpus.select(col("vec_id"), sliceM(col("q"), m).as("qm"))
-      .withColumn("nm", Portable.normSqQ(col("qm")))
-
-  /** One assignment pass inside subspace m — same broadcast-packed argmin
-    * as Clustering.assign, over sd-wide slices. */
-  private def assignSub(sc: DataFrame, cent: DataFrame): DataFrame = {
-    val packed = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
-    sc.crossJoin(broadcast(packed))
+  /** One lockstep assignment pass across ALL subspaces: the exploded
+    * (vec_id, m, qm) frame joins the broadcast per-m packed models on m
+    * and each row argmins within its own subspace — identical per-m math
+    * to a subspace-at-a-time pass, but one stage serves all M models. */
+  private def assignAll(subAll: DataFrame, packedByM: DataFrame): DataFrame =
+    subAll.join(broadcast(packedByM), "m")
       .withColumn("best", array_min(transform(col("cents"), ct =>
         struct(
           (col("nm") - lit(2L) * Portable.dotQ(col("qm"), ct.getField("c"))
             + ct.getField("csq")).as("dist"),
           ct.getField("cid").as("cid")))))
-      .select(col("vec_id"), col("qm"), col("nm"),
+      .select(col("m"), col("qm"),
         col("best").getField("cid").as("cid"))
-  }
 
-  /** Centroid recompute in subspace m: sd map-side-combinable SUMs +
-    * COUNT, exact integer floor-division means; empty clusters drop. */
-  private def recomputeSub(assigned: DataFrame): DataFrame = {
+  /** Lockstep centroid recompute: sd map-side-combinable SUMs + COUNT on
+    * the (m, cid) key — ONE shuffle updates all M models; exact integer
+    * floor-division means; empty clusters drop. */
+  private def recomputeAll(assigned: DataFrame): DataFrame = {
     val sums = (0 until sd).map(i =>
       sum(element_at(col("qm"), i + 1)).as(s"s$i"))
     val comps: Seq[Column] = (0 until sd).map(i =>
       expr(s"(s$i - pmod(s$i, cnt)) div cnt"))
     val aggCols = count(lit(1)).as("cnt") +: sums
-    assigned.groupBy(col("cid"))
+    assigned.groupBy(col("m"), col("cid"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .select(col("cid"), array(comps: _*).as("c"))
+      .select(col("m"), col("cid"), array(comps: _*).as("c"))
       .withColumn("csq", Portable.normSqQ(col("c")))
   }
+
+  private def packByM(model: DataFrame): DataFrame =
+    model.groupBy("m")
+      .agg(array_sort(collect_list(struct(col("cid"), col("c"), col("csq"))))
+        .as("cents"))
 
   /** Train the M codebooks; returns one broadcastable row with columns
     * cents0..cents{M-1}, each an array<struct<cid,c,csq>> SORTED by cid —
@@ -114,19 +115,31 @@ object Pq {
       perSession.get(dir) match {
         case Some(cb) => cb
         case None =>
+          import graft.Cache.CacheOps
           val corpus = qn(spark, dir)
-          val cbs = (0 until M).map { m =>
-            val sc = sub(corpus, m)
-            var cent = sc.filter(col("vec_id") < Ks)
-              .select(col("vec_id").as("cid"), col("qm").as("c"))
-              .withColumn("csq", Portable.normSqQ(col("c")))
-            for (_ <- 1 to iters)
-              // per-round lineage cut — semantic, like Clustering.train
-              cent = recomputeSub(assignSub(sc, cent)).localCheckpoint(false)
-            cent.agg(array_sort(collect_list(struct(col("cid"), col("c"), col("csq"))))
-              .as(s"cents$m"))
-          }
-          val packed = cbs.reduce(_ crossJoin _).localCheckpoint(false)
+          // exploded subspace frame: M rows per vector, each sd wide —
+          // the SAME total data volume as the corpus, scanned once per
+          // round for ALL subspaces (a subspace-at-a-time loop would run
+          // M× the rounds, M× the checkpoints)
+          val subAll = corpus.select(col("vec_id"),
+              explode(array((0 until M).map(m =>
+                struct(lit(m).as("m"), sliceM(col("q"), m).as("qm"))): _*)).as("s"))
+            .select(col("vec_id"), col("s.m").as("m"), col("s.qm").as("qm"))
+            .withColumn("nm", Portable.normSqQ(col("qm")))
+            .staged
+          var model = subAll.filter(col("vec_id") < Ks)
+            .select(col("m"), col("vec_id").as("cid"), col("qm").as("c"))
+            .withColumn("csq", Portable.normSqQ(col("c")))
+          for (_ <- 1 to iters)
+            // per-round lineage cut — semantic, like Clustering.train
+            model = recomputeAll(assignAll(subAll, packByM(model)))
+              .localCheckpoint(false)
+          // final shape: ONE broadcastable row with cents0..cents{M-1}
+          val packed = (0 until M).map(m =>
+              model.filter(col("m") === m)
+                .agg(array_sort(collect_list(struct(col("cid"), col("c"), col("csq"))))
+                  .as(s"cents$m")))
+            .reduce(_ crossJoin _).localCheckpoint(false)
           cache.put(spark, perSession + (dir -> packed))
           packed
       }
