@@ -344,7 +344,95 @@ object Sketches {
        |SELECT lang, doc_id, w, priority, rank FROM ranked
        |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
 
+  /** Mergeable equi-width quantile sketch with a first-class quality
+    * gate — the approximate-quantile path a 100 TB pipeline actually
+    * runs (exact selection is a two-pass drill-down; the sketch is ONE
+    * partial+final count over B fixed cells, mergeable across shards /
+    * days by plain addition, the same contract as the HLL registers).
+    * Per (group, q): the sketch answer (midpoint of the cell holding
+    * rank ⌊q·(n−1)⌋) next to the EXACT interpolated percentile from
+    * [[Relational3.percentiles]]'s sharded two-pass plan, with the
+    * absolute error — bounded by construction at one cell width
+    * ((hi−lo)/B = 512 here), which the spec pins. A sketch-resolution
+    * change that degrades answers beyond its guarantee fails the
+    * correctness gate, not a dashboard (the agg_hll_groups pattern).
+    * The domain is the documented percentile domain; like there, a
+    * mis-declared domain degrades balance (and here, error), never
+    * determinism. */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val (lo, hi) = (0d, 131072d)
+    val width = (hi - lo) / B
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    val cells = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+      .withColumn("bucket",
+        least(greatest(floor((col("v") - lo) / (hi - lo) * B), lit(0d)), lit(B - 1d))
+          .cast("long"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+      .staged // the sketch: ≤ B×G cells, feeds ranks and the cum scan
+    val ranks = cells.groupBy("g").agg(sum("cnt").as("n"))
+      .select(col("g"), col("n"), explode(array(qs.map(q => lit(q._1)): _*)).as("q"))
+      .withColumn("rank", floor(col("q") * (col("n") - 1).cast("double")).cast("long"))
+    val cum = cells.withColumn("cum_before",
+      coalesce(sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("bucket")
+        .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    val approx = ranks.as("rk")
+      .join(broadcast(cum).as("cm"),
+        col("rk.g") === col("cm.g") &&
+          col("rk.rank") >= col("cm.cum_before") &&
+          col("rk.rank") < col("cm.cum_before") + col("cm.cnt"))
+      .select(col("rk.g").as("g"), col("rk.q").as("q"),
+        (lit(lo) + (col("cm.bucket").cast("double") + 0.5d) * width).as("approx_value"))
+    val exact = Relational3.percentiles(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        explode(array(qs.map { case (q, name) =>
+          struct(lit(q).as("q"), col(name).as("exact_value")) }: _*)).as("e"))
+      .select(col("g"), col("e.q").as("q"), col("e.exact_value").as("exact_value"))
+    approx.join(exact, Seq("g", "q"))
+      .select(col("g").as("l_returnflag"), col("q"), col("approx_value"),
+        col("exact_value"),
+        abs(col("approx_value") - col("exact_value")).as("abs_err"))
+      .orderBy("l_returnflag", "q")
+  }
+
+  val quantileSketchSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+      |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 0) / 131072.0 * 256), 0), 255) AS BIGINT) AS bucket
+      |  FROM lineitem
+      |), cells AS (
+      |  SELECT g, bucket, count(*) AS cnt FROM base GROUP BY 1, 2
+      |), ranks AS (
+      |  SELECT g, n, q,
+      |         CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS rank
+      |  FROM (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1)
+      |       CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q)
+      |), cum AS (
+      |  SELECT g, bucket, cnt,
+      |         CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM cells
+      |), approx AS (
+      |  SELECT rk.g, rk.q,
+      |         0 + (CAST(cm.bucket AS DOUBLE) + 0.5) * 512.0 AS approx_value
+      |  FROM ranks rk JOIN cum cm
+      |    ON rk.g = cm.g AND rk.rank >= cm.cum_before AND rk.rank < cm.cum_before + cm.cnt
+      |), exact AS (
+      |  SELECT l_returnflag AS g, 0.5 AS q, quantile_cont(l_extendedprice, 0.5) AS exact_value
+      |  FROM lineitem GROUP BY l_returnflag
+      |  UNION ALL
+      |  SELECT l_returnflag, 0.9, quantile_cont(l_extendedprice, 0.9)
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT a.g AS l_returnflag, a.q AS q, a.approx_value, e.exact_value,
+      |       abs(a.approx_value - e.exact_value) AS abs_err
+      |FROM approx a JOIN exact e ON a.g = e.g AND a.q = e.q
+      |ORDER BY a.g, a.q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_quantile_sketch" -> quantileSketch,
     "agg_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "sample_weighted" -> ((s, d) => weightedSample(s, d)),
     "agg_hll_groups" -> ((s, d) => hllGroups(s, d)),
@@ -353,6 +441,7 @@ object Sketches {
     "sample_stratified" -> ((s, d) => stratifiedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "agg_quantile_sketch" -> quantileSketchSql,
     "agg_hll_distinct" -> hllDistinctSql(),
     "sample_weighted" -> weightedSampleSql(),
     "agg_hll_groups" -> hllGroupsSql(),

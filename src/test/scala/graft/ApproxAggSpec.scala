@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Tables
+import graft.operators.{Sketches, Tables}
 
 /** Approximate aggregates (HLL count-distinct, quantile sketches):
   * sketches are engine-specific so they get accuracy-bound specs, not
@@ -24,5 +24,35 @@ class ApproxAggSpec extends SparkSpec {
       expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50")).head()
     val (exact, approx) = (row.getDouble(0), row.getDouble(1))
     assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
+  }
+
+  test("quantile sketch: error within one cell width, every (group, q) present") {
+    val rows = Sketches.quantileSketch(spark, sf("sf0.01")).collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSet ===
+      (for (g <- Seq("A", "N", "R"); q <- Seq(0.5, 0.9)) yield (g, q)).toSet)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("abs_err")
+      assert(err <= 512.0, s"${r.getString(0)} q=${r.getDouble(1)}: err $err > cell width")
+    }
+  }
+
+  test("quantile sketch cells merge by addition: half-sketches sum to the full sketch") {
+    // the mergeability contract the scaladoc claims: a sketch built per
+    // shard/day and summed cell-wise equals the sketch of the union
+    val li = Tables.t(spark, sf("sf0.01"), "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"),
+        col("l_orderkey"))
+      .withColumn("bucket",
+        least(greatest(floor(col("v") / 131072d * 256), lit(0d)), lit(255d)).cast("long"))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+    val full = cellsOf(li)
+    val merged = cellsOf(li.filter(col("l_orderkey") % 2 === 0))
+      .unionByName(cellsOf(li.filter(col("l_orderkey") % 2 =!= 0)))
+      .groupBy("g", "bucket").agg(sum("cnt").as("cnt"))
+    assert(full.join(merged, Seq("g", "bucket"))
+      .filter(full("cnt") =!= merged("cnt")).count() === 0L)
+    assert(full.count() === merged.count())
   }
 }

@@ -60,6 +60,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_hll_distinct" -> Set("rdd-segment", "bin"),
     "agg_hll_groups" -> Set("rdd-segment", "bin"),
     "agg_percentiles" -> Set("rdd-segment"),
+    "agg_quantile_sketch" -> Set("rdd-segment"),
     "dedup_decontaminate" -> Set("rdd-segment"),
     "dedup_incremental" -> Set("rdd-segment"),
     "dedup_jaccard_pairs" -> Set("rdd-segment"),
