@@ -284,6 +284,46 @@ object Pq {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental PQ encoding — the nightly-ingest member of this family,
+    * mirroring sim_kmeans_incremental / dedup_incremental: only the
+    * DELTA batch (canonical split hash ≥ 90) is encoded against the
+    * EXISTING codebooks — the base corpus is never re-encoded and the
+    * codebooks never retrain. Output is the per-(subspace, code) delta
+    * histogram with exact integer quantization error — the
+    * code-distribution drift monitor that tells an index operator when
+    * the trained codebooks stopped fitting the incoming data (rising
+    * qerr / skewing code usage ⇒ retrain). Cost: |delta| map-side argmin
+    * evaluations against the O(M·Ks·d/M) broadcast + one M·Ks-key agg. */
+  def pqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val cb = codebooks(spark, dir)
+    val delta = qn(spark, dir)
+      .filter(graft.text.TextAnalysis.splitHash(col("vec_id")) >= 90)
+    val enc = (0 until M).foldLeft(delta.crossJoin(broadcast(cb))) { (df, m) =>
+      val qm = sliceM(col("q"), m)
+      val nm = Portable.normSqQ(qm)
+      val cm = col(s"cents$m")
+      df.withColumn(s"best$m",
+        array_min(transform(sequence(lit(0), size(cm) - 1), i =>
+          struct(distToPos(cm, qm, nm, i).as("dist"), i.cast("int").as("pos")))))
+    }
+    enc.select(col("vec_id"), explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"),
+          col(s"best$m").getField("pos").as("code"),
+          col(s"best$m").getField("dist").as("qerr"))): _*)).as("e"))
+      .groupBy(col("e.m").as("m"), col("e.code").as("code"))
+      .agg(count(lit(1)).as("delta_n"), sum(col("e.qerr")).as("delta_qerr"))
+      .orderBy("m", "code")
+  }
+
+  def pqIncrementalSql: String =
+    s"""WITH $quantizedSql,
+       |$pqModelCtes
+       |SELECT m, pos AS code, count(*) AS delta_n,
+       |       CAST(sum(dist) AS BIGINT) AS delta_qerr
+       |FROM codes_long
+       |WHERE ${graft.text.TextAnalysis.splitHashSql.replace("doc_id", "vec_id")} >= 90
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Recall@k of the composed IVF-PQ path against exact L2 — alongside
     * [[pqRecall]] it separates the two approximation losses: the gap
     * between this and pqRecall is the cell-pruning cost (nprobe), the
@@ -375,8 +415,8 @@ object Pq {
          |  SELECT cid, c, row_number() OVER (ORDER BY cid) - 1 AS pos
          |  FROM cent${iters}_$m),
          |codes$m AS (
-         |  SELECT vec_id, pos FROM (
-         |    SELECT s.vec_id, s.pos,
+         |  SELECT vec_id, pos, dist FROM (
+         |    SELECT s.vec_id, s.pos, s.dist,
          |           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.dist, s.pos) AS rn
          |    FROM (SELECT qn$m.vec_id, p.pos,
          |                 ${distSql(s"qn$m", "p", sd)} AS dist
@@ -388,7 +428,7 @@ object Pq {
          |  FROM qn$m qq CROSS JOIN pos$m p WHERE qq.vec_id < 8)""".stripMargin
     }.mkString(",\n")
     val codesLong = (0 until M)
-      .map(m => s"SELECT vec_id, $m AS m, pos FROM codes$m").mkString("\n  UNION ALL ")
+      .map(m => s"SELECT vec_id, $m AS m, pos, dist FROM codes$m").mkString("\n  UNION ALL ")
     val tablesLong = (0 until M)
       .map(m => s"SELECT query_id, $m AS m, pos, dist FROM t$m").mkString("\n  UNION ALL ")
     s"""$perM,
@@ -481,11 +521,13 @@ object Pq {
     "sim_pq_topk" -> ((s, d) => pqTopK(s, d)),
     "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
-    "sim_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)))
+    "sim_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
+    "sim_pq_incremental" -> pqIncremental)
 
   val oracles: Map[String, String] = Map(
     "sim_pq_topk" -> pqTopKSql(),
     "sim_pq_recall" -> pqRecallSql(),
     "sim_ivfpq_topk" -> ivfPqTopKSql(),
-    "sim_ivfpq_recall" -> ivfPqRecallSql())
+    "sim_ivfpq_recall" -> ivfPqRecallSql(),
+    "sim_pq_incremental" -> pqIncrementalSql)
 }

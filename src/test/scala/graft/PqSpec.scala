@@ -107,6 +107,24 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("incremental encoding covers exactly the delta split with per-cell totals consistent") {
+    import graft.text.TextAnalysis
+    val deltaN = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(TextAnalysis.splitHash(col("vec_id")) >= 90).count()
+    val rep = graft.sim.Pq.pqIncremental(spark, dir).collect()
+    assert(rep.nonEmpty)
+    // every subspace's histogram sums to the delta count (each delta
+    // vector contributes exactly one code per subspace)
+    val perM = rep.groupBy(_.getAs[Int]("m"))
+      .view.mapValues(_.map(_.getAs[Long]("delta_n")).sum).toMap
+    assert(perM.keySet === (0 until M).toSet)
+    perM.foreach { case (m, n) => assert(n === deltaN, s"subspace $m: $n != $deltaN") }
+    rep.foreach { r =>
+      assert(r.getAs[Int]("code") >= 0 && r.getAs[Int]("code") < 8)
+      assert(r.getAs[Long]("delta_qerr") >= 0L)
+    }
+  }
+
   test("recall report: panel complete, k exact rows each, recall in [0,1] and above chance") {
     val rows = Pq.pqRecall(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))

@@ -110,6 +110,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
     "text_bpe_counts" -> Set("rdd-segment"),
@@ -187,6 +188,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "text_bm25_rank" -> Set("higher-order-function"),
     "text_bpe_counts" -> Set("higher-order-function", "rdd-segment"),
@@ -257,7 +259,7 @@ class RapidsReadinessSpec extends SparkSpec {
       val rddSeg = persistFlagged.filter(_._2.contains("rdd-segment")).keySet
       assert(rddSeg == Set("pipeline_cluster_quality", "sample_cluster_balanced",
         "sim_ivf_trained", "sim_kmeans", "sim_kmeans_incremental",
-        "sim_pq_topk", "sim_pq_recall",
+        "sim_pq_topk", "sim_pq_recall", "sim_pq_incremental",
         "sim_ivfpq_topk", "sim_ivfpq_recall",
         "sim_semdedup", "text_bpe_counts"))
     } finally p.sharedState.cacheManager.clearCache()
