@@ -380,7 +380,44 @@ object Relational5 {
       |GROUP BY rd.event_type, rd.n_ref, rd.n_cur, rt.ns_ref, rt.ns_cur
       |ORDER BY rd.event_type""".stripMargin
 
+  /** Data-freshness report — the ingestion-health dashboard every
+    * multi-feed pipeline runs before trusting "latest" data: per feed
+    * (event_type stands in for the source feed), event count, last-seen
+    * event time, staleness against the globally freshest feed, and a
+    * thresholded status. Pure integer second arithmetic (identical in
+    * the oracle); shapes: one per-feed partial+final agg + a 1-row
+    * broadcast global max — feed cardinality output, never event-scaled. */
+  def dqFreshnessReport(spark: SparkSession, dir: String): DataFrame = {
+    val perFeed = graft.operators.Tables.t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(expr("ts div 1000000000")).as("last_seen_s"))
+    val global = perFeed.agg(max("last_seen_s").as("global_last_s"))
+    perFeed.crossJoin(broadcast(global))
+      .withColumn("staleness_s", col("global_last_s") - col("last_seen_s"))
+      .withColumn("status",
+        when(col("staleness_s") < 3600L, "fresh")
+          .when(col("staleness_s") < 86400L, "lagging")
+          .otherwise("stale"))
+      .select("event_type", "n_events", "last_seen_s", "staleness_s", "status")
+      .orderBy("event_type")
+  }
+
+  val dqFreshnessReportSql: String =
+    """WITH perfeed AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |         max(epoch_ns(ts) // 1000000000) AS last_seen_s
+      |  FROM events GROUP BY 1
+      |), g AS (SELECT max(last_seen_s) AS global_last_s FROM perfeed)
+      |SELECT event_type, n_events, last_seen_s,
+      |       g.global_last_s - last_seen_s AS staleness_s,
+      |       CASE WHEN g.global_last_s - last_seen_s < 3600 THEN 'fresh'
+      |            WHEN g.global_last_s - last_seen_s < 86400 THEN 'lagging'
+      |            ELSE 'stale' END AS status
+      |FROM perfeed, g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness_report" -> dqFreshnessReport,
     "dq_drift_report" -> dqDriftReport,
     "sub_exists" -> existsSubquery,
     "set_ops_intersect" -> setIntersect,
@@ -391,6 +428,7 @@ object Relational5 {
     "join_lateral_topn" -> lateralTopN)
 
   val oracles: Map[String, String] = Map(
+    "dq_freshness_report" -> dqFreshnessReportSql,
     "dq_drift_report" -> dqDriftReportSql,
     "sub_exists" -> existsSubquerySql,
     "set_ops_intersect" -> setIntersectSql,

@@ -359,32 +359,48 @@ object Sketches {
     * The domain is the documented percentile domain; like there, a
     * mis-declared domain degrades balance (and here, error), never
     * determinism. */
-  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val B = 256
-    val (lo, hi) = (0d, 131072d)
-    val width = (hi - lo) / B
-    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
-    val cells = t(spark, dir, "lineitem")
+  private val SketchB = 256
+  private val (sketchLo, sketchHi) = (0d, 131072d)
+  private val sketchWidth = (sketchHi - sketchLo) / SketchB
+
+  /** The shared price sketch: (group, bucket, cnt) cells over the
+    * documented l_extendedprice domain — one partial+final count. */
+  private def priceCells(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
       .withColumn("bucket",
-        least(greatest(floor((col("v") - lo) / (hi - lo) * B), lit(0d)), lit(B - 1d))
-          .cast("long"))
+        least(greatest(floor((col("v") - sketchLo) / (sketchHi - sketchLo) * SketchB),
+          lit(0d)), lit(SketchB - 1d)).cast("long"))
       .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
-      .staged // the sketch: ≤ B×G cells, feeds ranks and the cum scan
+
+  /** Locate, per (group, q), the sketch cell holding rank ⌊q·(n−1)⌋.
+    * Output: g, q, bucket. `cells` must be the staged cell frame. */
+  private def locate(cells: DataFrame, qs: Seq[Double]): DataFrame = {
     val ranks = cells.groupBy("g").agg(sum("cnt").as("n"))
-      .select(col("g"), col("n"), explode(array(qs.map(q => lit(q._1)): _*)).as("q"))
+      .select(col("g"), col("n"), explode(array(qs.map(lit(_)): _*)).as("q"))
       .withColumn("rank", floor(col("q") * (col("n") - 1).cast("double")).cast("long"))
     val cum = cells.withColumn("cum_before",
       coalesce(sum("cnt").over(org.apache.spark.sql.expressions.Window
         .partitionBy("g").orderBy("bucket")
         .rowsBetween(Long.MinValue, -1)), lit(0L)))
-    val approx = ranks.as("rk")
+    ranks.as("rk")
       .join(broadcast(cum).as("cm"),
         col("rk.g") === col("cm.g") &&
           col("rk.rank") >= col("cm.cum_before") &&
           col("rk.rank") < col("cm.cum_before") + col("cm.cnt"))
-      .select(col("rk.g").as("g"), col("rk.q").as("q"),
-        (lit(lo) + (col("cm.bucket").cast("double") + 0.5d) * width).as("approx_value"))
+      .select(col("rk.g").as("g"), col("rk.q").as("q"), col("cm.bucket").as("bucket"))
+  }
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val B = SketchB
+    val (lo, hi) = (sketchLo, sketchHi)
+    val width = sketchWidth
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    val cells = priceCells(spark, dir)
+      .staged // the sketch: ≤ B×G cells, feeds ranks and the cum scan
+    val approx = locate(cells, qs.map(_._1))
+      .select(col("g"), col("q"),
+        (lit(lo) + (col("bucket").cast("double") + 0.5d) * width).as("approx_value"))
     val exact = Relational3.percentiles(spark, dir)
       .select(col("l_returnflag").as("g"),
         explode(array(qs.map { case (q, name) =>
@@ -431,7 +447,104 @@ object Sketches {
       |FROM approx a JOIN exact e ON a.g = e.g AND a.q = e.q
       |ORDER BY a.g, a.q""".stripMargin
 
+  /** Winsorized robust statistics — the outlier-resistant mean/stddev a
+    * metrics pipeline reports when raw moments are poisoned by tail
+    * values: clip every price into the sketch-derived [p05 cell floor,
+    * p95 cell ceiling] band, then compute EXACT moments of the clipped
+    * column. The clip bounds come from the SAME mergeable B-cell sketch
+    * as [[quantileSketch]] (cell edges are exact integer multiples of
+    * the cell width, so the bounds — and therefore every clipped value —
+    * are bit-identical cross-engine; a rank-exact bound would need the
+    * two-pass drill-down for no robustness gain). Moments follow the
+    * [[Analytics.momentStats]] discipline: integer cent sums (Σx in
+    * BIGINT, Σx² in DECIMAL(28)), float math only on the final
+    * per-group row. Shapes: the cell build + one clipped-moment
+    * partial+final agg — two corpus passes, no sort, no value map. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = priceCells(spark, dir).staged
+    val bounds = locate(cells, Seq(0.05, 0.95))
+      .groupBy("g").agg(
+        min(when(col("q") === 0.05, col("bucket"))).as("b05"),
+        min(when(col("q") === 0.95, col("bucket"))).as("b95"))
+      // cent-domain bounds: cell floor of p05, cell ceiling of p95
+      .select(col("g"),
+        (col("b05") * (sketchWidth * 100).toLong).as("lb_cents"),
+        ((col("b95") + 1L) * (sketchWidth * 100).toLong).as("ub_cents"))
+    val cents = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("vc"))
+    cents.join(broadcast(bounds), "g")
+      .withColumn("w", least(greatest(col("vc"), col("lb_cents")), col("ub_cents")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vc") < col("lb_cents"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("vc") > col("ub_cents"), 1L).otherwise(0L)).as("n_clipped_high"),
+        min("lb_cents").as("lbc"), min("ub_cents").as("ubc"),
+        sum(col("w")).as("swl"),
+        sum((col("w") * col("w")).cast(DecimalType(28, 0))).as("swwd"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("n_clipped_low"), col("n_clipped_high"),
+        (col("lbc").cast("double") / 100).as("lower_bound"),
+        (col("ubc").cast("double") / 100).as("upper_bound"),
+        (col("swl").cast("double") / 100 / col("n")).as("mean_w"),
+        sqrt(((col("swwd").cast("double") / 10000) -
+          (col("swl").cast("double") / 100) * (col("swl").cast("double") / 100) / col("n"))
+          / (col("n") - 1)).as("stddev_w"))
+      .orderBy("l_returnflag")
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+      |         CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - 0) / 131072.0 * 256), 0), 255) AS BIGINT) AS bucket
+      |  FROM lineitem
+      |), cells AS (
+      |  SELECT g, bucket, count(*) AS cnt FROM base GROUP BY 1, 2
+      |), ranks AS (
+      |  SELECT g, n, q,
+      |         CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS rank
+      |  FROM (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY 1)
+      |       CROSS JOIN (SELECT unnest([0.05, 0.95]) AS q)
+      |), cum AS (
+      |  SELECT g, bucket, cnt,
+      |         CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM cells
+      |), located AS (
+      |  SELECT rk.g, rk.q, cm.bucket
+      |  FROM ranks rk JOIN cum cm
+      |    ON rk.g = cm.g AND rk.rank >= cm.cum_before AND rk.rank < cm.cum_before + cm.cnt
+      |), bounds AS (
+      |  SELECT g,
+      |         CAST(min(CASE WHEN q = 0.05 THEN bucket END) * 51200 AS BIGINT) AS lb_cents,
+      |         CAST((min(CASE WHEN q = 0.95 THEN bucket END) + 1) * 51200 AS BIGINT) AS ub_cents
+      |  FROM located GROUP BY 1
+      |), cents AS (
+      |  SELECT l_returnflag AS g,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM lineitem
+      |), agg AS (
+      |  SELECT c.g, count(*) AS n,
+      |         CAST(sum(CASE WHEN c.vc < b.lb_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |         CAST(sum(CASE WHEN c.vc > b.ub_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |         min(b.lb_cents) AS lbc, min(b.ub_cents) AS ubc,
+      |         CAST(sum(least(greatest(c.vc, b.lb_cents), b.ub_cents)) AS BIGINT) AS swl,
+      |         sum(CAST(least(greatest(c.vc, b.lb_cents), b.ub_cents)
+      |             * least(greatest(c.vc, b.lb_cents), b.ub_cents) AS DECIMAL(28,0))) AS swwd
+      |  FROM cents c JOIN bounds b USING (g) GROUP BY c.g
+      |)
+      |SELECT g AS l_returnflag, n, n_clipped_low, n_clipped_high,
+      |       CAST(lbc AS DOUBLE) / 100 AS lower_bound,
+      |       CAST(ubc AS DOUBLE) / 100 AS upper_bound,
+      |       CAST(swl AS DOUBLE) / 100 / n AS mean_w,
+      |       sqrt((CAST(swwd AS DOUBLE) / 10000
+      |             - (CAST(swl AS DOUBLE) / 100) * (CAST(swl AS DOUBLE) / 100) / n)
+      |            / (n - 1)) AS stddev_w
+      |FROM agg ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_winsorized" -> winsorizedStats,
     "agg_quantile_sketch" -> quantileSketch,
     "agg_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "sample_weighted" -> ((s, d) => weightedSample(s, d)),
@@ -441,6 +554,7 @@ object Sketches {
     "sample_stratified" -> ((s, d) => stratifiedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "stat_winsorized" -> winsorizedStatsSql,
     "agg_quantile_sketch" -> quantileSketchSql,
     "agg_hll_distinct" -> hllDistinctSql(),
     "sample_weighted" -> weightedSampleSql(),

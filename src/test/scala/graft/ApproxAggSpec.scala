@@ -36,6 +36,40 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
+  test("winsorized stats: clip fractions bounded by the target quantiles, variance shrinks") {
+    val rows = Sketches.winsorizedStats(spark, sf("sf0.01")).collect()
+    assert(rows.length === 3)
+    val raw = graft.operators.Analytics.momentStats(spark, sf("sf0.01"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Double]("stddev_qty")).toMap // different column; only sanity that raw exists
+    assert(raw.size === 3)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      // rows strictly below the p05 cell FLOOR can't exceed rank p05;
+      // rows strictly above the p95 cell CEILING can't exceed 1 - p95
+      assert(r.getAs[Long]("n_clipped_low") <= n / 20 + 1)
+      assert(r.getAs[Long]("n_clipped_high") <= n / 20 + 1)
+      assert(r.getAs[Double]("lower_bound") < r.getAs[Double]("upper_bound"))
+      assert(r.getAs[Double]("stddev_w") > 0.0)
+      // winsorizing can only shrink spread relative to the clip band
+      assert(r.getAs[Double]("stddev_w") <=
+        (r.getAs[Double]("upper_bound") - r.getAs[Double]("lower_bound")))
+    }
+  }
+
+  test("freshness report: one feed defines the frontier, statuses match thresholds") {
+    val rows = graft.operators.Relational5.dqFreshnessReport(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getAs[Long]("staleness_s") == 0L) >= 1,
+      "the globally freshest feed must have zero staleness")
+    rows.foreach { r =>
+      val s = r.getAs[Long]("staleness_s")
+      assert(s >= 0L)
+      val want = if (s < 3600L) "fresh" else if (s < 86400L) "lagging" else "stale"
+      assert(r.getAs[String]("status") === want)
+    }
+  }
+
   test("quantile sketch cells merge by addition: half-sketches sum to the full sketch") {
     // the mergeability contract the scaladoc claims: a sketch built per
     // shard/day and summed cell-wise equals the sketch of the union

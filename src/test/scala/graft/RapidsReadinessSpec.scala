@@ -20,6 +20,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_rollup_customers", "agg_salted_skew", "agg_session_stats",
     "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
     "dedup_exact", "dq_constraint_report", "dq_drift_report",
+    "dq_freshness_report",
     "fn_conditionals",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
     "fn_scalar_string_math", "fn_string_extra", "join_full_outer",
@@ -111,6 +112,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "stat_winsorized" -> Set("rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
     "text_bpe_counts" -> Set("rdd-segment"),
