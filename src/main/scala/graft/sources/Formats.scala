@@ -104,6 +104,39 @@ object Formats {
       |FROM events WHERE event_type = 'click'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Dynamic partition pruning (DPP): the fact side is the partitioned
+    * events layout; the partition KEY is joined to a dimension whose
+    * predicate (name length ≥ 6 → signup/purchase) is only known to the
+    * optimizer as a filter on the OTHER side — so no static partition
+    * filter exists on the fact scan, and the runtime inserts a
+    * dynamicpruning subquery (reusing the broadcast) that skips the
+    * non-qualifying partition directories before any fact I/O. THE
+    * star-schema scan-reduction move at 100 TB: a date-dim predicate
+    * prunes years of fact partitions the query never names literally.
+    * FormatsSpec asserts the dynamicpruningexpression reaches the fact
+    * scan's PartitionFilters. Oracle = the same join semantics on the
+    * original table. */
+  def dppPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("part_events", dir) // shares partitionedPrune's fixture
+    writeOnce(s"part|$path") {
+      partitionedWrite(spark, t(spark, dir, "events"), path, "event_type")
+    }
+    val fact = spark.read.parquet(path)
+    val dim = t(spark, dir, "events").select("event_type").distinct()
+      .filter(length(col("event_type")) >= 6)
+    fact.join(broadcast(dim), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val dppPruneSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE length(event_type) >= 6
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Bucketed-table co-located join: both sides written bucketed (and
     * bucket-sorted) on the join key → SortMergeJoin with NO shuffle
     * Exchange on either side — the layout that turns the biggest
@@ -199,6 +232,7 @@ object Formats {
     "src_orc_roundtrip" -> orcRoundTrip,
     "src_json_roundtrip" -> jsonRoundTrip,
     "src_partitioned_prune" -> partitionedPrune,
+    "src_dpp_prune" -> dppPrune,
     "src_schema_evolution" -> schemaEvolution,
     "src_bucketed_join" -> bucketedJoin)
 
@@ -207,6 +241,7 @@ object Formats {
     "src_orc_roundtrip" -> orcRoundTripSql,
     "src_json_roundtrip" -> jsonRoundTripSql,
     "src_partitioned_prune" -> partitionedPruneSql,
+    "src_dpp_prune" -> dppPruneSql,
     "src_schema_evolution" -> schemaEvolutionSql,
     "src_bucketed_join" -> bucketedJoinSql)
 }

@@ -48,4 +48,14 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.matches("(?s).*PartitionFilters: \\[.*c_mktsegment.*\\].*"), plan.take(1200))
   }
+
+  test("dim-side predicate reaches the fact scan as a dynamicpruning partition filter") {
+    val df = Formats.dppPrune(spark, sf("sf0.001"))
+    val rows = df.collect()
+    // only the length>=6 types survive, via the runtime-pruned fact scan
+    assert(rows.map(_.getString(0)).toSeq.sorted === Seq("purchase", "signup"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruningexpression"), plan.take(1500))
+  }
 }

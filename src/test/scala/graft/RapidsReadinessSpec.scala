@@ -38,7 +38,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "s13_update_merge", "s14_table_sizes", "s2_point_lookup",
     "s5_upsert_union", "sample_bottomk", "sample_stratified", "sample_weighted",
     "set_ops_except", "set_ops_intersect", "src_bucketed_join",
-    "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+    "src_csv_roundtrip", "src_dpp_prune", "src_json_roundtrip",
+    "src_orc_roundtrip",
     "src_partitioned_prune", "src_schema_evolution", "stat_column_profile",
     "stat_moments",
     "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
