@@ -766,7 +766,50 @@ object Dedup {
        |FROM grams GROUP BY span HAVING count(*) >= 2
        |ORDER BY n_docs DESC, span""".stripMargin
 
+  /** Golden-record survivorship — the master-data step AFTER duplicate
+    * detection: each multi-member near-dup cluster collapses to one
+    * canonical record (the cluster representative, i.e. the propagated
+    * min id) with the surviving metadata merged across members —
+    * member/source/language counts, total size, and the canonical-vs-
+    * longest-member sizes (surfacing the two standard survivor policies
+    * side by side). Composes the verified cluster kernel with one
+    * cluster-keyed partial+final aggregate; output is cluster-count
+    * sized. Singleton clusters are not records to merge and are
+    * excluded. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir).select("doc_id", "cluster_rep")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    clusters.join(docs, "doc_id")
+      .groupBy(col("cluster_rep").as("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        min(when(col("doc_id") === col("cluster_rep"), col("n_chars")))
+          .as("canonical_chars"),
+        max("n_chars").as("max_member_chars"))
+      .filter(col("n_members") >= 2)
+      .orderBy("canonical_id")
+  }
+
+  val goldenRecordSql: String = {
+    val cl = nearDupClustersSql.replace("ORDER BY doc_id", "")
+    s"""WITH cl AS ($cl)
+       |SELECT cl.cluster_rep AS canonical_id, count(*) AS n_members,
+       |       count(DISTINCT d.source) AS n_sources,
+       |       count(DISTINCT d.lang) AS n_langs,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+       |       min(CASE WHEN d.doc_id = cl.cluster_rep THEN d.n_chars END)
+       |         AS canonical_chars,
+       |       max(d.n_chars) AS max_member_chars
+       |FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+       |GROUP BY cl.cluster_rep HAVING count(*) >= 2
+       |ORDER BY canonical_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_golden_record" -> goldenRecord,
     "dedup_neardup_clusters" -> nearDupClusters,
     "dedup_exact" -> exact,
     "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
@@ -782,6 +825,7 @@ object Dedup {
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_golden_record" -> goldenRecordSql,
     "dedup_neardup_clusters" -> nearDupClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_minhash_bands" -> minhashBandsSql(),

@@ -310,7 +310,7 @@ object Pq {
         struct(lit(m).as("m"),
           col(s"best$m").getField("pos").as("code"),
           col(s"best$m").getField("dist").as("qerr"))): _*)).as("e"))
-      .groupBy(col("e.m").as("m"), col("e.code").as("code"))
+      .groupBy(col("e.m").as("m"), col("e.code").cast("long").as("code"))
       .agg(count(lit(1)).as("delta_n"), sum(col("e.qerr")).as("delta_qerr"))
       .orderBy("m", "code")
   }

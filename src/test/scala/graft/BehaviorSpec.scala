@@ -68,6 +68,19 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1000L))
   }
 
+  test("golden record: only multi-member clusters, canonical present, sizes consistent") {
+    val rows = graft.dedup.Dedup.goldenRecord(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty, "sf0.01 has near-dup clusters; survivorship must surface them")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2L)
+      // the canonical (min-id) member is in its own cluster by construction
+      assert(!r.isNullAt(r.fieldIndex("canonical_chars")))
+      assert(r.getAs[Long]("max_member_chars") >= r.getAs[Long]("canonical_chars"))
+      assert(r.getAs[Long]("total_chars") >= r.getAs[Long]("max_member_chars"))
+      assert(r.getAs[Long]("n_sources") >= 1L && r.getAs[Long]("n_langs") >= 1L)
+    }
+  }
+
   test("ngram novelty: harness corpus scores stay in range and count grams consistently") {
     val df = graft.text.Retrieval.ngramNovelty(spark, sf("sf0.001"))
     val rows = df.collect()

@@ -120,7 +120,7 @@ class PqSpec extends SparkSpec {
     assert(perM.keySet === (0 until M).toSet)
     perM.foreach { case (m, n) => assert(n === deltaN, s"subspace $m: $n != $deltaN") }
     rep.foreach { r =>
-      assert(r.getAs[Int]("code") >= 0 && r.getAs[Int]("code") < 8)
+      assert(r.getAs[Long]("code") >= 0L && r.getAs[Long]("code") < 8L)
       assert(r.getAs[Long]("delta_qerr") >= 0L)
     }
   }

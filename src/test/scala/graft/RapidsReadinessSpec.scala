@@ -70,6 +70,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_minhash_bands" -> Set("higher-order-function", "rdd-segment"),
     "dedup_minhash_candidates" -> Set("rdd-segment"),
     "dedup_edit_verify" -> Set("rdd-segment"),
+    "dedup_golden_record" -> Set("rdd-segment"),
     "dedup_minhash_est" -> Set("rdd-segment"),
     "dedup_neardup_clusters" -> Set("rdd-segment"),
     "dedup_repeated_spans" -> Set("higher-order-function", "rdd-segment"),
@@ -149,6 +150,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_containment" -> Set("higher-order-function"),
     "dedup_decontaminate" -> Set("higher-order-function"),
     "dedup_edit_verify" -> Set("higher-order-function"),
+    "dedup_golden_record" -> Set("higher-order-function"),
     "dedup_incremental" -> Set("higher-order-function"),
     "dedup_jaccard_pairs" -> Set("higher-order-function"),
     "dedup_minhash_bands" -> Set("higher-order-function"),
