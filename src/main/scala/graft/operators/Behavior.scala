@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
+import graft.Cache.CacheOps
 
 /** Behavioral analytics over the event stream: cohort retention and the
   * next-event transition matrix — the two standard product-analytics
@@ -114,11 +115,106 @@ object Behavior {
       |FROM counts c JOIN totals t USING (src)
       |ORDER BY src, dst""".stripMargin
 
+  /** RFM customer segmentation: per purchasing user, recency (days
+    * since last purchase vs the global frontier), frequency (purchase
+    * count) and monetary (sum in exact cents), each scored 1–3 by FIXED
+    * business thresholds — not ntile(): a global rank over users is a
+    * global sort of the user universe, while fixed thresholds are a map,
+    * and real RFM programs pin thresholds so segments stay comparable
+    * across runs. Output is the 27-cell segment grid with per-cell user
+    * counts and monetary totals. Shapes: one filtered per-user agg, a
+    * 1-row broadcast frontier, one ≤27-key aggregate. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(expr(s"ts div $dayNs")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("mon_cents"))
+    val frontier = perUser.agg(max("last_day").as("global_last"))
+    perUser.crossJoin(broadcast(frontier))
+      .withColumn("recency_days", col("global_last") - col("last_day"))
+      .withColumn("r_score",
+        when(col("recency_days") <= 2L, 3L).when(col("recency_days") <= 5L, 2L).otherwise(1L))
+      .withColumn("f_score",
+        when(col("freq") >= 16L, 3L).when(col("freq") >= 11L, 2L).otherwise(1L))
+      .withColumn("m_score",
+        when(col("mon_cents") >= 80000L, 3L).when(col("mon_cents") >= 45000L, 2L).otherwise(1L))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        (sum("mon_cents").cast("double") / 100).as("monetary_total"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, max(epoch_ns(ts) // 86400000000000) AS last_day,
+      |         count(*) AS freq,
+      |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS mon_cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), f AS (SELECT max(last_day) AS global_last FROM pu),
+      |scored AS (
+      |  SELECT CASE WHEN global_last - last_day <= 2 THEN 3
+      |              WHEN global_last - last_day <= 5 THEN 2 ELSE 1 END AS r_score,
+      |         CASE WHEN freq >= 16 THEN 3 WHEN freq >= 11 THEN 2 ELSE 1 END AS f_score,
+      |         CASE WHEN mon_cents >= 80000 THEN 3 WHEN mon_cents >= 45000 THEN 2 ELSE 1 END AS m_score,
+      |         mon_cents
+      |  FROM pu, f
+      |)
+      |SELECT r_score, f_score, m_score, count(*) AS n_users,
+      |       CAST(sum(mon_cents) AS DOUBLE) / 100 AS monetary_total
+      |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Rolling active users (DAU / 7-day WAU) — exactly, at scale. A
+    * trailing-window COUNT(DISTINCT) is non-decomposable (per-row
+    * distinct state grows with the window), so WAU uses the interval-
+    * coverage identity instead: a user active on day d is WAU-active on
+    * days d..d+6, so distinct (user, activity day) → a bounded 7×
+    * explode of COVERED days → distinct (user, covered day) → a plain
+    * partial+final count per day. Every stage is a bounded map or a
+    * hash aggregate; nothing carries per-row distinct state. Days past
+    * the data frontier are trimmed (their windows are incomplete). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .distinct()
+      .staged // feeds DAU, the coverage explode, and the frontier
+    val frontier = userDays.agg(max("day").as("last_day"))
+    val dau = userDays.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .distinct()
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .crossJoin(broadcast(frontier))
+      .filter(col("day") <= col("last_day"))
+      .select((col("day") * 86400L).as("day_start_s"), col("dau"), col("wau"))
+      .orderBy("day_start_s")
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+      |), f AS (SELECT max(day) AS last_day FROM ud),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+      |cov AS (
+      |  SELECT DISTINCT user_id, day + o AS day
+      |  FROM ud, (SELECT unnest(range(0, 7)) AS o)
+      |), wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM cov GROUP BY 1)
+      |SELECT d.day * 86400 AS day_start_s, d.dau, w.wau
+      |FROM dau d JOIN wau w USING (day), f
+      |WHERE d.day <= f.last_day
+      |ORDER BY day_start_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_retention_cohorts" -> retentionCohorts,
-    "window_event_transitions" -> eventTransitions)
+    "window_event_transitions" -> eventTransitions,
+    "window_rfm_segments" -> rfmSegments,
+    "window_active_users" -> activeUsers)
 
   val oracles: Map[String, String] = Map(
     "window_retention_cohorts" -> retentionCohortsSql,
-    "window_event_transitions" -> eventTransitionsSql)
+    "window_event_transitions" -> eventTransitionsSql,
+    "window_rfm_segments" -> rfmSegmentsSql,
+    "window_active_users" -> activeUsersSql)
 }

@@ -68,6 +68,44 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1000L))
   }
 
+  test("rfm segments: scores in 1..3, user total equals purchasing-user count") {
+    val dir = sf("sf0.001")
+    val rows = Behavior.rfmSegments(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1L && v <= 3L) }
+      assert(r.getAs[Long]("n_users") >= 1L)
+    }
+    val totalUsers = rows.map(_.getAs[Long]("n_users")).sum
+    val purchasers = graft.operators.Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(totalUsers === purchasers, "segments must partition purchasing users")
+  }
+
+  test("active users: wau >= dau, both bounded by the user universe, wau covers the window") {
+    val dir = sf("sf0.001")
+    val ev = graft.operators.Tables.t(spark, dir, "events")
+    val users = ev.select("user_id").distinct().count()
+    val rows = Behavior.activeUsers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(wau >= dau, s"wau $wau < dau $dau")
+      assert(wau <= users)
+    }
+    // double-entry on one interior day: WAU(d) = distinct users active in [d-6, d]
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val midS = rows(rows.length / 2).getAs[Long]("day_start_s")
+    val midDay = midS / 86400L
+    val manual = ev.select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      .filter(col("day") >= midDay - 6L && col("day") <= midDay)
+      .select("user_id").distinct().count()
+    val reported = rows.find(_.getAs[Long]("day_start_s") == midS).get.getAs[Long]("wau")
+    assert(reported === manual, s"wau($midDay): $reported != $manual")
+  }
+
   test("golden record: only multi-member clusters, canonical present, sizes consistent") {
     val rows = graft.dedup.Dedup.goldenRecord(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty, "sf0.01 has near-dup clusters; survivorship must surface them")

@@ -53,6 +53,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "window_cumulative_users", "window_distribution_family",
     "window_event_transitions", "window_range_frame",
     "window_ranking_family", "window_retention_cohorts",
+    "window_rfm_segments",
     "window_running_sum", "window_sessionize", "window_topk_per_group",
     "window_value_family")
 
@@ -131,6 +132,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_token_counts" -> Set("higher-order-function"),
     "text_trigram_stats" -> Set("higher-order-function"),
     "text_repetition_stats" -> Set("higher-order-function"),
+    "window_active_users" -> Set("rdd-segment"),
     "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function", "rdd-segment"))
 
