@@ -122,7 +122,15 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // persist mode: clear BETWEEN queries too (untimed) — cached
+        // plans are keyed on the analyzed plan, so a later query
+        // rebuilding an identical staged frame would silently skip the
+        // materialization checkpoint mode re-pays per query, making
+        // per-query times board-order-dependent
+        if (graft.Cache.mode(spark) == "persist")
+          spark.sharedState.cacheManager.clearCache()
+        name -> elapsed
       }
     }
     val cold = perPass.head
@@ -175,8 +183,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = best.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    val note = "src_* time the read path (fixtures pre-written, writes memoized per JVM)"
     val cacheMode = graft.Cache.mode(spark)
+    val note =
+      if (cacheMode == "persist")
+        "src_* time the read path; floors/contention are CHECKPOINT-mode references — persist-run regressions are cross-mode comparisons, not flags"
+      else "src_* time the read path (fixtures pre-written, writes memoized per JVM)"
     // The canonical detail record is the CHECKPOINT-mode board (the CPU
     // deploy default, and what bench_floor.json's floors were set
     // under); a persist-mode board is a different measurement and gets
@@ -221,11 +232,16 @@ object Bench {
           // total — divert it regardless of the total comparison
           (failures.nonEmpty || oldTotal.exists(_ < total))
       }
+    // per-mode contended file: a diverted persist run must not clobber
+    // a checkpoint run's preserved evidence (and vice versa)
+    val contendedName =
+      if (cacheMode == "persist") "bench_detail_persist_contended.json"
+      else "bench_detail_contended.json"
     if (keepExisting) {
-      System.err.println(f"[bench] contended run (contention_index=$contentionIdx%.2f > 1.3) slower than existing bench_detail.json — keeping the cleaner file; new run preserved in bench_detail_contended.json")
+      System.err.println(f"[bench] contended run (contention_index=$contentionIdx%.2f > 1.3) slower than existing $detailName — keeping the cleaner file; new run preserved in $contendedName")
       try {
         java.nio.file.Files.write(
-          java.nio.file.Paths.get("bench_detail_contended.json"),
+          java.nio.file.Paths.get(contendedName),
           (fullLine + "\n").getBytes("UTF-8"))
         // stamp the kept file so a reader knows a newer run exists
         // (replacing any stamp from a previous suppression — the
@@ -235,7 +251,7 @@ object Bench {
         if (base.endsWith("}"))
           java.nio.file.Files.write(detailPath,
             (base.dropRight(1) +
-              f""","suppressed_contended_run":{"value":$total%.3f,"contention_index":$contentionIdx%.3f,"detail":"bench_detail_contended.json"}}""" +
+              f""","suppressed_contended_run":{"value":$total%.3f,"contention_index":$contentionIdx%.3f,"detail":"$contendedName"}}""" +
               "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     } else if (only.isEmpty)

@@ -154,10 +154,10 @@ object Behavior {
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
       |), f AS (SELECT max(last_day) AS global_last FROM pu),
       |scored AS (
-      |  SELECT CASE WHEN global_last - last_day <= 2 THEN 3
-      |              WHEN global_last - last_day <= 5 THEN 2 ELSE 1 END AS r_score,
-      |         CASE WHEN freq >= 16 THEN 3 WHEN freq >= 11 THEN 2 ELSE 1 END AS f_score,
-      |         CASE WHEN mon_cents >= 80000 THEN 3 WHEN mon_cents >= 45000 THEN 2 ELSE 1 END AS m_score,
+      |  SELECT CAST(CASE WHEN global_last - last_day <= 2 THEN 3
+      |              WHEN global_last - last_day <= 5 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+      |         CAST(CASE WHEN freq >= 16 THEN 3 WHEN freq >= 11 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+      |         CAST(CASE WHEN mon_cents >= 80000 THEN 3 WHEN mon_cents >= 45000 THEN 2 ELSE 1 END AS BIGINT) AS m_score,
       |         mon_cents
       |  FROM pu, f
       |)

@@ -283,9 +283,14 @@ object Relational5 {
     * corpus size. The rescale floors each bin to its side's 1e-6
     * resolution, so the result can differ from true TV by at most
     * 20 bins · 1e-6 ≈ 0.02 permille — at most ±1 on the reported
-    * integer. Both branches are pure integer ops mirrored verbatim in
-    * the oracle; DriftNormalizationSpec pins the >bound path on
-    * synthetic 2e8-row-per-side cells.
+    * integer. Both branches are pure integer ops mirrored in the
+    * oracle; DriftNormalizationSpec pins the >bound path on synthetic
+    * 2e8-row-per-side cells. Oracle-side caveat: DuckDB's CASE sits
+    * OUTSIDE the aggregates (SQL evaluates both sum arms), so beyond
+    * ~3e9 rows/side the exact arm's r·n products overflow and the
+    * ORACLE errors even though the engine answers via the normalized
+    * arm — at such sizes validate against the normalized SQL form
+    * directly; the engine-side guard is lazy and unaffected.
     *
     * Shape: one 1-row broadcast (mid-time), one (type, bin) partial+
     * final count over a single scan, then type-cardinality joins —

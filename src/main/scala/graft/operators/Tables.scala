@@ -42,9 +42,16 @@ object Tables {
     * session into a loud error instead of silently shifted event times. */
   def requireUtc(spark: SparkSession): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
-      s"events reads need spark.sql.session.timeZone=UTC (got $tz); " +
-        "set it at SparkSession construction like Bench/Verify do")
+    // accept any zone that MEANS UTC ("UTC", "Etc/UTC", "GMT", "+00:00",
+    // "Z") — only the semantics matter; a literal string compare would
+    // reject correctly-pinned sessions
+    val isUtc =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
+      s"events reads need a UTC session timezone (got $tz); " +
+        "set spark.sql.session.timeZone=UTC at SparkSession construction " +
+        "like Bench/Verify do")
   }
 
   /** Rewrite `ts` to epoch-ns BIGINT whatever the file stored. For

@@ -152,19 +152,36 @@ object Pq {
     nm - lit(2L) * Portable.dotQ(qm, ct.getField("c")) + ct.getField("csq")
   }
 
+  /** struct(dist, pos) argmin of slice m of `q` against its packed
+    * codebook column cents{m} — ties to the lowest position (cid
+    * order), the ONE tie rule every consumer shares. */
+  private def bestOf(m: Int): Column = {
+    val qm = sliceM(col("q"), m)
+    val nm = Portable.normSqQ(qm)
+    val cm = col(s"cents$m")
+    array_min(transform(sequence(lit(0), size(cm) - 1), i =>
+      struct(distToPos(cm, qm, nm, i).as("dist"), i.cast("int").as("pos"))))
+  }
+
+  /** Adds the M ADC distance-table columns t0..t{M-1} to a frame of
+    * query vectors already crossJoined with the codebooks row — the ONE
+    * table-building form both search paths share. */
+  private def withAdcTables(panelWithCb: DataFrame): DataFrame =
+    (0 until M).foldLeft(panelWithCb) { (df, m) =>
+      val qm = sliceM(col("q"), m)
+      val nm = Portable.normSqQ(qm)
+      val cm = col(s"cents$m")
+      df.withColumn(s"t$m", transform(sequence(lit(0), size(cm) - 1), i =>
+        distToPos(cm, qm, nm, i)))
+    }
+
   /** Encode the corpus: per subspace, the packed position of the nearest
     * codebook centroid (ties to the lowest position — which is cid order,
     * matching the training argmin). One map pass, codes are ints. */
   private[graft] def encoded(spark: SparkSession, dir: String): DataFrame = {
     val cb = codebooks(spark, dir)
     (0 until M).foldLeft(qn(spark, dir).crossJoin(broadcast(cb))) { (df, m) =>
-      val qm = sliceM(col("q"), m)
-      val nm = Portable.normSqQ(qm)
-      val cm = col(s"cents$m")
-      df.withColumn(s"code$m",
-        array_min(transform(sequence(lit(0), size(cm) - 1), i =>
-          struct(distToPos(cm, qm, nm, i).as("dist"), i.cast("int").as("pos"))))
-          .getField("pos"))
+      df.withColumn(s"code$m", bestOf(m).getField("pos"))
     }.select(col("vec_id") +: (0 until M).map(m => col(s"code$m")): _*)
   }
 
@@ -175,15 +192,9 @@ object Pq {
     * partial form. Output distances are exact BIGINTs. */
   def pqTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val cb = codebooks(spark, dir)
-    val panel = qn(spark, dir).filter(col("vec_id") < 8)
-      .crossJoin(broadcast(cb))
-    val tables = (0 until M).foldLeft(panel) { (df, m) =>
-      val qm = sliceM(col("q"), m)
-      val nm = Portable.normSqQ(qm)
-      val cm = col(s"cents$m")
-      df.withColumn(s"t$m", transform(sequence(lit(0), size(cm) - 1), i =>
-        distToPos(cm, qm, nm, i)))
-    }.select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
+    val tables = withAdcTables(qn(spark, dir).filter(col("vec_id") < 8)
+        .crossJoin(broadcast(cb)))
+      .select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
     val scored = encoded(spark, dir).crossJoin(broadcast(tables))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adist", (0 until M).map(m =>
@@ -263,14 +274,9 @@ object Pq {
           ct.getField("cid").as("cid")))), 1, nprobe)))
       .select(col("vec_id").as("query_id"), col("probe").getField("cid").as("cid"))
     val cb = codebooks(spark, dir)
-    val tables = (0 until M).foldLeft(
-      qn(spark, dir).filter(col("vec_id") < 8).crossJoin(broadcast(cb))) { (df, m) =>
-      val qm = sliceM(col("q"), m)
-      val nm = Portable.normSqQ(qm)
-      val cm = col(s"cents$m")
-      df.withColumn(s"t$m", transform(sequence(lit(0), size(cm) - 1), i =>
-        distToPos(cm, qm, nm, i)))
-    }.select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
+    val tables = withAdcTables(qn(spark, dir).filter(col("vec_id") < 8)
+        .crossJoin(broadcast(cb)))
+      .select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
     val panel = probes.join(tables, "query_id") // ≤ 8·nprobe rows
     celled.join(broadcast(panel), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -299,12 +305,7 @@ object Pq {
     val delta = qn(spark, dir)
       .filter(graft.text.TextAnalysis.splitHash(col("vec_id")) >= 90)
     val enc = (0 until M).foldLeft(delta.crossJoin(broadcast(cb))) { (df, m) =>
-      val qm = sliceM(col("q"), m)
-      val nm = Portable.normSqQ(qm)
-      val cm = col(s"cents$m")
-      df.withColumn(s"best$m",
-        array_min(transform(sequence(lit(0), size(cm) - 1), i =>
-          struct(distToPos(cm, qm, nm, i).as("dist"), i.cast("int").as("pos")))))
+      df.withColumn(s"best$m", bestOf(m))
     }
     enc.select(col("vec_id"), explode(array((0 until M).map(m =>
         struct(lit(m).as("m"),

@@ -35,6 +35,14 @@ object SkewFixture {
   private[graft] def skewedLineitem(spark: SparkSession, src: String,
                                     factor: Int): DataFrame = {
     val bucket = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10L))
+    // a source whose keys reach the offset would fold replica ranges
+    // onto each other — the salt-spread guarantee the fixture exists for
+    // would silently break; refuse instead
+    val maxKey = spark.read.parquet(s"$src/lineitem.parquet")
+      .agg(max("l_orderkey")).head().getLong(0)
+    require(maxKey < ReplicaOffset,
+      s"source l_orderkey reaches $maxKey >= ReplicaOffset $ReplicaOffset; " +
+        "replica key ranges would collide — raise ReplicaOffset for this source")
     spark.read.parquet(s"$src/lineitem.parquet")
       .withColumn("l_returnflag",
         when(bucket < 5, "N").when(bucket < 8, "A").otherwise("R"))
