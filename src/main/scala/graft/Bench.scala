@@ -122,15 +122,16 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
         }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // persist mode: clear BETWEEN queries too (untimed) — cached
-        // plans are keyed on the analyzed plan, so a later query
-        // rebuilding an identical staged frame would silently skip the
-        // materialization checkpoint mode re-pays per query, making
-        // per-query times board-order-dependent
-        if (graft.Cache.mode(spark) == "persist")
-          spark.sharedState.cacheManager.clearCache()
-        name -> elapsed
+        // NOT cleared per query in persist mode: the memoized family
+        // state (dedup pairs index, trained quantizers) is INTENDED
+        // cross-query sharing — train once, apply many — and lives in
+        // the cache manager under persist mode; clearing per query was
+        // measured to make the sharing families re-pay their index per
+        // query (jaccard 2.9→16 s), which checkpoint mode's
+        // localCheckpoint memos never do. The residual effect — two
+        // queries with an IDENTICAL analyzed staged plan crossing hits —
+        // is the same sharing pattern and is documented in `note`.
+        name -> (System.nanoTime() - t0) / 1e9
       }
     }
     val cold = perPass.head
@@ -186,7 +187,7 @@ object Bench {
     val cacheMode = graft.Cache.mode(spark)
     val note =
       if (cacheMode == "persist")
-        "src_* time the read path; floors/contention are CHECKPOINT-mode references — persist-run regressions are cross-mode comparisons, not flags"
+        "src_* time the read path; floors/contention are CHECKPOINT-mode references (persist-run regressions are cross-mode comparisons, not flags); per-query times include cross-query cached-plan sharing, like the checkpoint memos"
       else "src_* time the read path (fixtures pre-written, writes memoized per JVM)"
     // The canonical detail record is the CHECKPOINT-mode board (the CPU
     // deploy default, and what bench_floor.json's floors were set
