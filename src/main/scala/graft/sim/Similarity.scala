@@ -639,7 +639,128 @@ object Similarity {
        |SELECT query_id, query_label, cand_id, cand_label, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Bit width of the multi-probe bucket key (the low bits of the
+    * 16-plane signature). The full 16-bit key is sim_ann_lsh's
+    * high-precision/low-recall operating point — on this corpus its
+    * buckets are so selective that BOTH probe strategies measure 0
+    * recall (sim_ann_recall documents that); the 8-bit key is the wider
+    * operating point where the single-vs-multi lift is actually
+    * measurable, which is the point of this report. */
+  private val probeBits = 8
+
+  /** Multi-probe LSH (Lv et al. 2007): a query probes its own bucket
+    * PLUS the [[probeBits]] single-bit-flip neighbor buckets — the
+    * standard recall lever that costs probe fan-out instead of extra
+    * index storage (more hash tables would multiply the 100 TB index
+    * size; multi-probe multiplies only the per-query lookups, here 9,
+    * all on the 8-row panel side — the corpus/index side is untouched).
+    * The report pairs single-probe and multi-probe recall@k against the
+    * exact top-k per query, so the probe budget is tuned off one gated
+    * number, exactly like nprobe off sim_ivf_recall. Dataflow: panel
+    * explodes 9×, equi-join on the probe bucket, DISTINCT collapses
+    * candidates reached via several probes, exact cosine re-ranks. */
+  def annMultiprobe(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn0 = quantized(spark, dir).staged
+    val mask = (1L << probeBits) - 1
+    val side = qn0.join(lshSignaturesFrom(qn0), "vec_id")
+      .withColumn("bucket", col("signature").bitwiseAND(lit(mask)))
+      .staged
+    val corpus = side.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+      col("nsq").as("nb"), col("bucket").as("probe"))
+    // both arms share the SAME 8-bit key so the report isolates the
+    // probing strategy, not a key-width change
+    def topOf(panel: DataFrame, hit: String): DataFrame =
+      panel.join(corpus, Seq("probe"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cosine"))
+        .distinct() // candidates reachable via several probes collapse
+        .select(col("query_id"), col("cand_id"),
+          row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+            .as("rank"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("cand_id"), lit(1L).as(hit))
+    val panelBase = side.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("nsq").as("na"), col("bucket"))
+    val multiTop = topOf(panelBase.select(col("query_id"), col("qa"), col("na"),
+      explode(array(col("bucket") +: (0 until probeBits).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("probe")), "h_multi")
+    val singleTop = topOf(panelBase.withColumnRenamed("bucket", "probe"), "h_single")
+    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    exact
+      .join(singleTop, Seq("query_id", "cand_id"), "left")
+      .join(multiTop, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("h_single"), lit(0L))).as("n_hits_single"),
+        sum(coalesce(col("h_multi"), lit(0L))).as("n_hits_multi"))
+      .withColumn("recall_single",
+        col("n_hits_single").cast("double") / col("n_exact").cast("double"))
+      .withColumn("recall_multi",
+        col("n_hits_multi").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  def annMultiprobeSql(k: Int = 5): String =
+    s"""WITH $quantizedSql,
+       |$signatureSqlCte,
+       |side AS (
+       |  SELECT qn.vec_id, qv, nsq, signature & ${(1L << probeBits) - 1} AS bucket
+       |  FROM qn JOIN sig ON qn.vec_id = sig.vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, qv, nsq,
+       |         CASE WHEN pp.p = -1 THEN bucket
+       |              ELSE xor(bucket, (1::BIGINT << pp.p)) END AS probe
+       |  FROM side, (SELECT unnest(generate_series(-1, ${probeBits - 1})) AS p) pp
+       |  WHERE vec_id < 8
+       |),
+       |multi AS (
+       |  SELECT DISTINCT a.query_id, b.vec_id AS cand_id,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM probes a JOIN side b ON b.bucket = a.probe AND b.vec_id <> a.query_id
+       |),
+       |multitop AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM multi) WHERE rank <= $k
+       |),
+       |singletop AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM side a JOIN side b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8) WHERE rank <= $k
+       |),
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8) WHERE rank <= $k
+       |)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN s.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_single,
+       |       CAST(sum(CASE WHEN m.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_multi,
+       |       CAST(sum(CASE WHEN s.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall_single,
+       |       CAST(sum(CASE WHEN m.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall_multi
+       |FROM exact e
+       |LEFT JOIN singletop s ON e.query_id = s.query_id AND e.cand_id = s.cand_id
+       |LEFT JOIN multitop m ON e.query_id = m.query_id AND e.cand_id = m.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_multiprobe" -> ((s, d) => annMultiprobe(s, d)),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "sim_lsh_signatures" -> lshSignatures,
@@ -652,6 +773,7 @@ object Similarity {
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sim_ann_multiprobe" -> annMultiprobeSql(),
     "sim_ivf_topk" -> ivfTopKSql(),
     "sim_cosine_topk" -> cosineTopKSql(),
     "sim_lsh_signatures" -> lshSignaturesSql,

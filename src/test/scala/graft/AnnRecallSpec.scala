@@ -9,6 +9,22 @@ import graft.sim.Similarity
   * above a floor that would catch a broken bucketing scheme. */
 class AnnRecallSpec extends SparkSpec {
 
+  test("multiprobe recall dominates single-probe per query and lifts overall") {
+    val rows = graft.sim.Similarity.annMultiprobe(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))
+    rows.foreach { r =>
+      // the multi-probe candidate set contains the single-probe set, so
+      // per-query hits can only grow
+      assert(r.getAs[Long]("n_hits_multi") >= r.getAs[Long]("n_hits_single"),
+        s"query ${r.getAs[Long]("query_id")}: multi < single")
+      assert(r.getAs[Double]("recall_multi") >= 0.0 &&
+        r.getAs[Double]("recall_multi") <= 1.0)
+    }
+    val liftS = rows.map(_.getAs[Long]("n_hits_single")).sum
+    val liftM = rows.map(_.getAs[Long]("n_hits_multi")).sum
+    assert(liftM > liftS, s"probing must lift total hits ($liftS -> $liftM)")
+  }
+
   private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
     df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))

@@ -96,6 +96,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "q15_top_supplier" -> Set("rdd-segment"),
     "q21_sole_return_supplier" -> Set("rdd-segment"),
     "sim_ann_lsh" -> Set("custom-expression", "rdd-segment"),
+    "sim_ann_multiprobe" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
@@ -178,6 +179,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function"),
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_lsh" -> Set("custom-expression", "higher-order-function"),
+    "sim_ann_multiprobe" -> Set("custom-expression", "higher-order-function"),
     "sim_ann_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
