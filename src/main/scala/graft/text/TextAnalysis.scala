@@ -503,7 +503,42 @@ object TextAnalysis {
        |FROM base JOIN bgtop USING (doc_id) JOIN tgdup USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact heavy hitters: every token whose corpus frequency exceeds
+    * 1/1000 of all token positions — the exact answer the count-min
+    * sketch approximates (paired the way agg_hll_groups pairs the HLL
+    * with exact distincts: the sketch is the stream/merge path, this is
+    * the ground truth that gates it). The threshold form is the
+    * Misra-Gries/SpaceSaving target — at most 1000 tokens can exceed
+    * it, so the OUTPUT is bounded by construction no matter the corpus.
+    * Shapes: one explode → (token) partial+final count, a 1-row
+    * broadcast total, a filter — one shuffle end to end. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") > expr("total div 1000"))
+      .select(col("tok"), col("cnt"), col("total"),
+        expr("(1000 * cnt) div total").as("permille"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH c AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> len(x) > 0)) AS tok
+      |  FROM documents
+      |), counts AS (
+      |  SELECT tok, count(*) AS cnt FROM c GROUP BY 1
+      |), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+      |SELECT tok, cnt, t.total, (1000 * cnt) // t.total AS permille
+      |FROM counts, t
+      |WHERE cnt > t.total // 1000
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> heavyHitters,
     "text_token_counts" -> tokenCounts,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
@@ -517,6 +552,7 @@ object TextAnalysis {
     "text_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> heavyHittersSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,
     "text_lang_id" -> langIdSql,

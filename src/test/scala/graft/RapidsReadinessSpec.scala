@@ -123,6 +123,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_cosine_pairs" -> Set("rdd-segment"),
     "text_countmin_est" -> Set("rdd-segment"),
     "text_fingerprint" -> Set("higher-order-function"),
+    "text_heavy_hitters" -> Set("higher-order-function"),
     "text_lang_id" -> Set("higher-order-function"),
     "text_mix_report" -> Set("higher-order-function"),
     "text_ngram_novelty" -> Set("rdd-segment"),
@@ -205,6 +206,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_cosine_pairs" -> Set("higher-order-function"),
     "text_countmin_est" -> Set("higher-order-function"),
     "text_fingerprint" -> Set("higher-order-function"),
+    "text_heavy_hitters" -> Set("higher-order-function"),
     "text_lang_id" -> Set("higher-order-function"),
     "text_mix_report" -> Set("higher-order-function"),
     "text_ngram_novelty" -> Set("higher-order-function"),

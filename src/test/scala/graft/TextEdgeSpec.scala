@@ -9,6 +9,19 @@ import graft.functions.Portable
   * coalesce on empty folds, greatest(size,1) — need direct coverage). */
 class TextEdgeSpec extends SparkSpec {
 
+  test("heavy hitters: every reported token clears the threshold, count bounded by 1000") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextAnalysis.heavyHitters(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty && rows.length <= 1000)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt") > r.getAs[Long]("total") / 1000L)
+      assert(r.getAs[Long]("permille") >= 1L)
+    }
+    // descending-count order with token tiebreak
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse)
+  }
+
   test("tokens of empty / whitespace / punct-only strings are empty") {
     import spark.implicits._
     val df = Seq("", "   ", "?!.,;", "a  b\tc", "ÜPPER Case").toDF("text")
