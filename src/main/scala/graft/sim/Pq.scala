@@ -108,42 +108,73 @@ object Pq {
   private[graft] def evictTrained(spark: SparkSession): Unit =
     cache.synchronized { cache.remove(spark); () }
 
-  private[graft] def codebooks(spark: SparkSession, dir: String): DataFrame =
+  private def memoCodebooks(spark: SparkSession, key: String)
+                           (build: => DataFrame): DataFrame =
     cache.synchronized {
       cache.keySet.removeIf(s => s.sparkContext.isStopped)
       val perSession = cache.getOrDefault(spark, Map.empty)
-      perSession.get(dir) match {
+      perSession.get(key) match {
         case Some(cb) => cb
         case None =>
-          import graft.Cache.CacheOps
-          val corpus = qn(spark, dir)
-          // exploded subspace frame: M rows per vector, each sd wide —
-          // the SAME total data volume as the corpus, scanned once per
-          // round for ALL subspaces (a subspace-at-a-time loop would run
-          // M× the rounds, M× the checkpoints)
-          val subAll = corpus.select(col("vec_id"),
-              explode(array((0 until M).map(m =>
-                struct(lit(m).as("m"), sliceM(col("q"), m).as("qm"))): _*)).as("s"))
-            .select(col("vec_id"), col("s.m").as("m"), col("s.qm").as("qm"))
-            .withColumn("nm", Portable.normSqQ(col("qm")))
-            .staged
-          var model = subAll.filter(col("vec_id") < Ks)
-            .select(col("m"), col("vec_id").as("cid"), col("qm").as("c"))
-            .withColumn("csq", Portable.normSqQ(col("c")))
-          for (_ <- 1 to iters)
-            // per-round lineage cut — semantic, like Clustering.train
-            model = recomputeAll(assignAll(subAll, packByM(model)))
-              .localCheckpoint(false)
-          // final shape: ONE broadcastable row with cents0..cents{M-1}
-          val packed = (0 until M).map(m =>
-              model.filter(col("m") === m)
-                .agg(array_sort(collect_list(struct(col("cid"), col("c"), col("csq"))))
-                  .as(s"cents$m")))
-            .reduce(_ crossJoin _).localCheckpoint(false)
-          cache.put(spark, perSession + (dir -> packed))
+          val packed = build
+          cache.put(spark, cache.getOrDefault(spark, Map.empty) + (key -> packed))
           packed
       }
     }
+
+  /** The shared training kernel over any (vec_id, q) corpus — the raw
+    * corpus for plain PQ, the cell-residual corpus for IVFADC. */
+  private def trainCodebooks(corpus: DataFrame): DataFrame = {
+    import graft.Cache.CacheOps
+    // exploded subspace frame: M rows per vector, each sd wide —
+    // the SAME total data volume as the corpus, scanned once per
+    // round for ALL subspaces (a subspace-at-a-time loop would run
+    // M× the rounds, M× the checkpoints)
+    val subAll = corpus.select(col("vec_id"),
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), sliceM(col("q"), m).as("qm"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.qm").as("qm"))
+      .withColumn("nm", Portable.normSqQ(col("qm")))
+      .staged
+    var model = subAll.filter(col("vec_id") < Ks)
+      .select(col("m"), col("vec_id").as("cid"), col("qm").as("c"))
+      .withColumn("csq", Portable.normSqQ(col("c")))
+    for (_ <- 1 to iters)
+      // per-round lineage cut — semantic, like Clustering.train
+      model = recomputeAll(assignAll(subAll, packByM(model)))
+        .localCheckpoint(false)
+    // final shape: ONE broadcastable row with cents0..cents{M-1}
+    (0 until M).map(m =>
+        model.filter(col("m") === m)
+          .agg(array_sort(collect_list(struct(col("cid"), col("c"), col("csq"))))
+            .as(s"cents$m")))
+      .reduce(_ crossJoin _).localCheckpoint(false)
+  }
+
+  private[graft] def codebooks(spark: SparkSession, dir: String): DataFrame =
+    memoCodebooks(spark, dir)(trainCodebooks(qn(spark, dir)))
+
+  /** Residual corpus for IVFADC: each vector re-expressed as its offset
+    * from its IVF cell centroid (Jégou et al. 2011 §IV: IVFADC encodes
+    * x − q_c(x) so the PQ budget models the WITHIN-cell distribution the
+    * coarse quantizer didn't already capture). Presented as
+    * (vec_id, cid, q, nsq) so the shared training/encoding machinery
+    * applies unchanged; residual components are exact BIGINT differences,
+    * replayable in the oracle. */
+  private def residualCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, cent) = Clustering.train(spark, dir)
+    Clustering.assign(corpus, cent)
+      .join(broadcast(cent.select(col("cid"), col("c"))), "cid")
+      .withColumn("r", zip_with(col("q"), col("c"), (x, y) => x - y))
+      .select(col("vec_id"), col("cid"), col("r").as("q"))
+      .withColumn("nsq", Portable.normSqQ(col("q")))
+  }
+
+  /** Codebooks trained on cell residuals — the IVFADC model. Memoized
+    * beside the raw model under a variant key; Bench's evict drops both. */
+  private[graft] def residCodebooks(spark: SparkSession, dir: String): DataFrame =
+    memoCodebooks(spark, dir + "#res")(
+      trainCodebooks(residualCorpus(spark, dir).select("vec_id", "q")))
 
   /** The exact subspace distance of slice m (as column `qm`/`nm`) to the
     * packed codebook entry at position i (0-based). */
@@ -175,15 +206,20 @@ object Pq {
         distToPos(cm, qm, nm, i)))
     }
 
-  /** Encode the corpus: per subspace, the packed position of the nearest
-    * codebook centroid (ties to the lowest position — which is cid order,
-    * matching the training argmin). One map pass, codes are ints. */
-  private[graft] def encoded(spark: SparkSession, dir: String): DataFrame = {
-    val cb = codebooks(spark, dir)
-    (0 until M).foldLeft(qn(spark, dir).crossJoin(broadcast(cb))) { (df, m) =>
+  /** Encode a (vec_id, q, …) corpus against packed codebooks: per
+    * subspace, the packed position of the nearest codebook centroid (ties
+    * to the lowest position — which is cid order, matching the training
+    * argmin). One map pass, codes are ints; `extra` columns (e.g. the
+    * IVFADC cell id) ride along. */
+  private def encodedFrom(corpus: DataFrame, cb: DataFrame,
+                          extra: Seq[String] = Nil): DataFrame =
+    (0 until M).foldLeft(corpus.crossJoin(broadcast(cb))) { (df, m) =>
       df.withColumn(s"code$m", bestOf(m).getField("pos"))
-    }.select(col("vec_id") +: (0 until M).map(m => col(s"code$m")): _*)
-  }
+    }.select(col("vec_id") +: (extra.map(col) ++ (0 until M).map(m => col(s"code$m"))): _*)
+
+  /** Encode the corpus with the raw-vector codebooks. */
+  private[graft] def encoded(spark: SparkSession, dir: String): DataFrame =
+    encodedFrom(qn(spark, dir), codebooks(spark, dir))
 
   /** PQ-ADC top-k: the query panel (vec_id < 8, the board's standard
     * measurement panel) builds its M×Ks distance tables map-side from
@@ -328,10 +364,79 @@ object Pq {
   /** Recall@k of the composed IVF-PQ path against exact L2 — alongside
     * [[pqRecall]] it separates the two approximation losses: the gap
     * between this and pqRecall is the cell-pruning cost (nprobe), the
-    * gap between pqRecall and 1 is the code-budget cost (M, Ks). */
+    * gap between pqRecall and 1 is the code-budget cost (M, Ks). A third
+    * gate, [[ivfAdcRecall]], isolates what residual encoding buys back
+    * at the SAME (M, Ks, nprobe) budget: its gap to THIS gate is the
+    * raw-vs-residual coding gain (PqSpec pins residual ≥ raw). */
   def ivfPqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val exact = exactL2TopK(spark, dir, k)
     val approx = ivfPqTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  /** IVFADC proper (Jégou et al. 2011 §IV — the form production FAISS
+    * ships as IVFPQ): the coarse quantizer prunes to `nprobe` cells, and
+    * candidates are scored by ADC over codes of the RESIDUAL x − q_c(x),
+    * with the query's own residual re-derived PER PROBED CELL. The
+    * distance identity makes the table-lookup form exact for the coded
+    * approximation: ‖q − (c + dec(codes))‖² = ‖(q − c) − dec(codes)‖², so
+    * the per-(query, cell) tables are built from q − c and scoring stays
+    * M array lookups per candidate.
+    *
+    * Scale shape vs [[ivfPqTopK]]: identical — the stored index is still
+    * (cell, M codes) per vector partitioned by cell, the panel is still
+    * ≤ 8·nprobe broadcast rows (now each carrying its cell's residual
+    * tables), the corpus never shuffles. The only extra cost is nprobe×
+    * table builds per query (map-side, O(Ks·d) each) — bought recall for
+    * free at the candidate-scoring level. */
+  def ivfAdcTopK(spark: SparkSession, dir: String,
+                 k: Int = TopK, nprobe: Int = 2): DataFrame = {
+    import graft.Cache.CacheOps
+    val (corpus, cent) = Clustering.train(spark, dir)
+    val rcb = residCodebooks(spark, dir)
+    // the stored index: (cell, residual codes) per vector
+    val celled = encodedFrom(residualCorpus(spark, dir), rcb, Seq("cid")).staged
+    val packedIvf = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
+    val probes = corpus.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(packedIvf))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"), ct =>
+        struct(
+          (col("nsq") - lit(2L) * Portable.dotQ(col("q"), ct.getField("c"))
+            + ct.getField("csq")).as("dist"),
+          ct.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("q"),
+        col("probe").getField("cid").as("cid"))
+    // per-(query, probed cell) residual query → its own ADC tables
+    val qres = probes.join(broadcast(cent.select(col("cid"), col("c"))), "cid")
+      .withColumn("q", zip_with(col("q"), col("c"), (x, y) => x - y))
+      .select(col("query_id"), col("cid"), col("q"))
+    val tables = withAdcTables(qres.crossJoin(broadcast(rcb)))
+      .select(col("query_id") +: col("cid") +:
+        (0 until M).map(m => col(s"t$m")): _*)
+    celled.join(broadcast(tables), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist", (0 until M).map(m =>
+        element_at(col(s"t$m"), col(s"code$m") + 1)).reduce(_ + _))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("adist"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the residual (IVFADC) path against exact L2 — the gate
+    * that prices residual encoding against [[ivfPqRecall]]'s raw-code
+    * composition at the identical (M, Ks, nprobe) budget. */
+  def ivfAdcRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val exact = exactL2TopK(spark, dir, k)
+    val approx = ivfAdcTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")
@@ -395,46 +500,57 @@ object Pq {
        |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
        |  FROM scored)""".stripMargin
 
-  /** The PQ model WITHOUT the q/qn quantization prefix and without the
-    * full-corpus scoring tail — for composition with the IVF chain,
-    * which shares the quantized corpus CTEs and restricts scoring to
-    * probed cells. */
-  private def pqModelCtes: String = {
+  /** PQ model CTEs trained on `src` (vec_id, qv): per-subspace slices,
+    * unrolled Lloyd's, packed positions, and the encoded corpus in long
+    * (vec_id, m, pos, dist) form as codes_long{sfx}. Shared by the raw
+    * corpus model (sfx = "") and the IVFADC residual model (sfx = "r"). */
+  private def pqModelCtesFrom(src: String, sfx: String): String = {
     val perM = (0 until M).map { m =>
       val rounds = (1 to iters).map { r =>
-        s"""a${r}_$m AS (${assignSubSql(s"qn$m", s"cent${r - 1}_$m")}),
-           |cent${r}_$m AS (${recomputeSubSql(s"a${r}_$m")})""".stripMargin
+        s"""a${r}_$sfx$m AS (${assignSubSql(s"qn$sfx$m", s"cent${r - 1}_$sfx$m")}),
+           |cent${r}_$sfx$m AS (${recomputeSubSql(s"a${r}_$sfx$m")})""".stripMargin
       }.mkString(",\n")
-      s"""qn$m AS (
+      s"""qn$sfx$m AS (
          |  SELECT vec_id, list_slice(qv, ${m * sd + 1}, ${(m + 1) * sd}) AS qv,
          |         CAST(list_sum(list_transform(list_slice(qv, ${m * sd + 1}, ${(m + 1) * sd}),
          |           x -> x*x)) AS BIGINT) AS nsq
-         |  FROM q),
-         |cent0_$m AS (SELECT vec_id AS cid, qv AS c FROM qn$m WHERE vec_id < $Ks),
+         |  FROM $src),
+         |cent0_$sfx$m AS (SELECT vec_id AS cid, qv AS c FROM qn$sfx$m WHERE vec_id < $Ks),
          |$rounds,
-         |pos$m AS (
+         |pos$sfx$m AS (
          |  SELECT cid, c, row_number() OVER (ORDER BY cid) - 1 AS pos
-         |  FROM cent${iters}_$m),
-         |codes$m AS (
+         |  FROM cent${iters}_$sfx$m),
+         |codes$sfx$m AS (
          |  SELECT vec_id, pos, dist FROM (
          |    SELECT s.vec_id, s.pos, s.dist,
          |           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.dist, s.pos) AS rn
-         |    FROM (SELECT qn$m.vec_id, p.pos,
-         |                 ${distSql(s"qn$m", "p", sd)} AS dist
-         |          FROM qn$m CROSS JOIN pos$m p) s
-         |  ) WHERE rn = 1),
-         |t$m AS (
+         |    FROM (SELECT qn$sfx$m.vec_id, p.pos,
+         |                 ${distSql(s"qn$sfx$m", "p", sd)} AS dist
+         |          FROM qn$sfx$m CROSS JOIN pos$sfx$m p) s
+         |  ) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codesLong = (0 until M)
+      .map(m => s"SELECT vec_id, $m AS m, pos, dist FROM codes$sfx$m").mkString("\n  UNION ALL ")
+    s"""$perM,
+       |codes_long$sfx AS (
+       |  $codesLong)""".stripMargin
+  }
+
+  /** The raw-corpus PQ model + the panel's ADC tables, WITHOUT the q/qn
+    * quantization prefix and without the full-corpus scoring tail — for
+    * composition with the IVF chain, which shares the quantized corpus
+    * CTEs and restricts scoring to probed cells. */
+  private def pqModelCtes: String = {
+    val tm = (0 until M).map { m =>
+      s"""t$m AS (
          |  SELECT qq.vec_id AS query_id, p.pos,
          |         ${distSql("qq", "p", sd)} AS dist
          |  FROM qn$m qq CROSS JOIN pos$m p WHERE qq.vec_id < 8)""".stripMargin
     }.mkString(",\n")
-    val codesLong = (0 until M)
-      .map(m => s"SELECT vec_id, $m AS m, pos, dist FROM codes$m").mkString("\n  UNION ALL ")
     val tablesLong = (0 until M)
       .map(m => s"SELECT query_id, $m AS m, pos, dist FROM t$m").mkString("\n  UNION ALL ")
-    s"""$perM,
-       |codes_long AS (
-       |  $codesLong),
+    s"""${pqModelCtesFrom("q", "")},
+       |$tm,
        |tables_long AS (
        |  $tablesLong)""".stripMargin
   }
@@ -492,6 +608,87 @@ object Pq {
        |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
        |  FROM scored_ivfpq)""".stripMargin
 
+  /** The IVFADC residual chain: residual corpus (x − centroid(cell)),
+    * the residual-trained PQ model, per-(query, probed-cell) residual ADC
+    * tables, and cell-restricted scoring — the oracle replay of
+    * [[ivfAdcTopK]]. */
+  private def ivfAdcCtes(nprobe: Int): String = {
+    val r = Clustering.trainRounds
+    val rtm = (0 until M).map { m =>
+      s"""qres$m AS (
+         |  SELECT query_id, cid, list_slice(qv, ${m * sd + 1}, ${(m + 1) * sd}) AS qv,
+         |         CAST(list_sum(list_transform(list_slice(qv, ${m * sd + 1}, ${(m + 1) * sd}),
+         |           x -> x*x)) AS BIGINT) AS nsq
+         |  FROM qresid),
+         |rt$m AS (
+         |  SELECT qq.query_id, qq.cid, p.pos,
+         |         ${distSql("qq", "p", sd)} AS dist
+         |  FROM qres$m qq CROSS JOIN posr$m p)""".stripMargin
+    }.mkString(",\n")
+    val rtLong = (0 until M)
+      .map(m => s"SELECT query_id, cid, $m AS m, pos, dist FROM rt$m")
+      .mkString("\n  UNION ALL ")
+    s"""$quantizedSql,
+       |${Clustering.kmeansCtesNoQuantize},
+       |resid AS (
+       |  SELECT f.vec_id, f.cid,
+       |         list_transform(generate_series(1, $dims), i -> f.qv[i] - c.c[i]) AS qv
+       |  FROM fin f JOIN cent$r c ON c.cid = f.cid),
+       |${pqModelCtesFrom("resid", "r")},
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT qn.vec_id, c.cid, ${distSql("qn", "c", dims)} AS dist
+       |          FROM qn CROSS JOIN cent$r c
+       |          WHERE qn.vec_id < 8)
+       |  ) WHERE rn <= $nprobe),
+       |qresid AS (
+       |  SELECT p.query_id, p.cid,
+       |         list_transform(generate_series(1, $dims), i -> qn.qv[i] - c.c[i]) AS qv
+       |  FROM probes p JOIN qn ON qn.vec_id = p.query_id
+       |  JOIN cent$r c ON c.cid = p.cid),
+       |$rtm,
+       |rtables_long AS (
+       |  $rtLong),
+       |scored_adc AS (
+       |  SELECT rt.query_id, cl.vec_id AS cand_id, CAST(sum(rt.dist) AS BIGINT) AS adist
+       |  FROM codes_longr cl
+       |  JOIN fin f ON f.vec_id = cl.vec_id
+       |  JOIN rtables_long rt ON rt.cid = f.cid AND rt.m = cl.m AND rt.pos = cl.pos
+       |  WHERE rt.query_id <> cl.vec_id
+       |  GROUP BY 1, 2),
+       |adc_ranked AS (
+       |  SELECT query_id, cand_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+       |  FROM scored_adc)""".stripMargin
+  }
+
+  def ivfAdcTopKSql(k: Int = TopK, nprobe: Int = 2): String =
+    s"""WITH ${ivfAdcCtes(nprobe)}
+       |SELECT query_id, cand_id, adist, rank FROM adc_ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def ivfAdcRecallSql(k: Int = TopK, nprobe: Int = 2): String =
+    s"""WITH ${ivfAdcCtes(nprobe)},
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY a.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $dims),
+       |               i -> a.qv[i] * b.qv[i])) AS BIGINT) + b.nsq, b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8
+       |  ) WHERE rank <= $k),
+       |approx AS (
+       |  SELECT query_id, cand_id FROM adc_ranked WHERE rank <= $k)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   def ivfPqTopKSql(k: Int = TopK, nprobe: Int = 2): String =
     s"""WITH ${ivfPqCtes(nprobe)}
        |SELECT query_id, cand_id, adist, rank FROM ivfpq_ranked
@@ -523,6 +720,8 @@ object Pq {
     "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
     "sim_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
+    "sim_ivfadc_topk" -> ((s, d) => ivfAdcTopK(s, d)),
+    "sim_ivfadc_recall" -> ((s, d) => ivfAdcRecall(s, d)),
     "sim_pq_incremental" -> pqIncremental)
 
   val oracles: Map[String, String] = Map(
@@ -530,5 +729,7 @@ object Pq {
     "sim_pq_recall" -> pqRecallSql(),
     "sim_ivfpq_topk" -> ivfPqTopKSql(),
     "sim_ivfpq_recall" -> ivfPqRecallSql(),
+    "sim_ivfadc_topk" -> ivfAdcTopKSql(),
+    "sim_ivfadc_recall" -> ivfAdcRecallSql(),
     "sim_pq_incremental" -> pqIncrementalSql)
 }

@@ -125,6 +125,43 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfadc: candidates come from probed cells; residual recall >= raw ivfpq recall") {
+    import org.apache.spark.sql.SparkSession
+    val s: SparkSession = spark
+    val (corpus, cent) = graft.sim.Clustering.train(s, dir)
+    val cells = graft.sim.Clustering.assign(corpus, cent)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val cm = cent.collect().map { r =>
+      r.getAs[Long]("cid") -> r.getAs[scala.collection.Seq[Long]]("c").toArray
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        quantize(r.getAs[scala.collection.Seq[Float]]("embedding"))).toMap
+    val probes: Map[Long, Set[Long]] = emb.map { case (qid, q) =>
+      qid -> cm.map { case (cid, c) => (l2(q, c), cid) }
+        .sortBy(identity).take(2).map(_._2).toSet
+    }
+    val adc = Pq.ivfAdcTopK(s, dir).collect()
+    assert(adc.nonEmpty)
+    adc.foreach { r =>
+      val (qid, cid2) = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(probes(qid).contains(cells(cid2)),
+        s"query $qid returned cand $cid2 from un-probed cell ${cells(cid2)}")
+    }
+    // the point of residual coding: at the identical (M, Ks, nprobe)
+    // budget, IVFADC must not lose recall vs raw-code IVF-PQ (measured
+    // 0.275 vs 0.250 at sf0.001, 0.325 vs 0.275 at sf0.01)
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.collect()
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    }
+    val res = meanRecall(Pq.ivfAdcRecall(s, dir))
+    val raw = meanRecall(Pq.ivfPqRecall(s, dir))
+    assert(res >= raw, s"residual recall $res < raw $raw at the same budget")
+  }
+
   test("recall report: panel complete, k exact rows each, recall in [0,1] and above chance") {
     val rows = Pq.pqRecall(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))
