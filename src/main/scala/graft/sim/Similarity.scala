@@ -759,8 +759,122 @@ object Similarity {
        |LEFT JOIN multitop m ON e.query_id = m.query_id AND e.cand_id = m.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** Budget-recall CURVE for multi-probe LSH: recall@k at probe budgets
+    * = all buckets within Hamming radius r of the query's own bucket,
+    * r ∈ {0, 1, 2} → 1 / 9 / 37 probes on the 8-bit key. One row per
+    * budget (micro recall over the whole panel), so the gate pins the
+    * curve an operator tunes against, not a single point —
+    * [[annMultiprobe]] keeps the per-query paired view at r ∈ {0, 1}.
+    * Probe cost stays panel-side: 8 queries × ≤37 probes explode before
+    * the bucket equi-join; the corpus/index side is untouched, exactly
+    * the 100 TB posture of the parent query. */
+  def annProbeCurve(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn0 = quantized(spark, dir).staged
+    val mask = (1L << probeBits) - 1
+    val side = qn0.join(lshSignaturesFrom(qn0), "vec_id")
+      .withColumn("bucket", col("signature").bitwiseAND(lit(mask)))
+      .staged
+    val corpus = side.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+      col("nsq").as("nb"), col("bucket").as("probe"))
+    // (budget, xor-mask) pairs: every mask of Hamming weight w serves all
+    // budgets >= w — 1 + 9 + 37 = 47 probe rows per panel query
+    val weighted: Seq[(Int, Long)] =
+      Seq((0, 0L)) ++ (0 until probeBits).map(i => (1, 1L << i)) ++
+        (for { i <- 0 until probeBits; j <- (i + 1) until probeBits }
+          yield (2, (1L << i) | (1L << j)))
+    val probeDefs = for { b <- Seq(0, 1, 2); (w, m) <- weighted if w <= b }
+      yield (b, m)
+    val nProbes: Map[Int, Int] = probeDefs.groupBy(_._1).map { case (b, s) => b -> s.size }
+    val panel = side.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("nsq").as("na"), col("bucket"))
+      .withColumn("bm", explode(array(probeDefs.map { case (b, m) =>
+        struct(lit(b).as("budget"), lit(m).as("mask")) }: _*)))
+      .select(col("query_id"), col("qa"), col("na"),
+        col("bm.budget").as("budget"),
+        col("bucket").bitwiseXOR(col("bm.mask")).as("probe"))
+    val top = panel.join(corpus, Seq("probe"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("budget"), col("query_id"), col("cand_id"),
+        (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .distinct() // candidates reachable via several probes collapse
+      .select(col("budget"), col("query_id"), col("cand_id"),
+        row_number().over(
+          Window.partitionBy("budget", "query_id")
+            .orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("budget"), col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val budgets = Seq(0, 1, 2).map(b =>
+        struct(lit(b).as("budget"), lit(nProbes(b).toLong).as("n_probes")))
+    exact.crossJoin(broadcast(
+        spark.range(1).select(explode(array(budgets: _*)).as("b"))
+          .select(col("b.budget").as("budget"), col("b.n_probes").as("n_probes"))))
+      .join(top, Seq("budget", "query_id", "cand_id"), "left")
+      .groupBy("budget", "n_probes")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("budget")
+  }
+
+  def annProbeCurveSql(k: Int = 5): String =
+    s"""WITH $quantizedSql,
+       |$signatureSqlCte,
+       |side AS (
+       |  SELECT qn.vec_id, qv, nsq, signature & ${(1L << probeBits) - 1} AS bucket
+       |  FROM qn JOIN sig ON qn.vec_id = sig.vec_id),
+       |masks AS (
+       |  SELECT 0 AS w, 0::BIGINT AS mask
+       |  UNION ALL
+       |  SELECT 1, (1::BIGINT << i.i)
+       |  FROM (SELECT unnest(generate_series(0, ${probeBits - 1})) AS i) i
+       |  UNION ALL
+       |  SELECT 2, (1::BIGINT << i.i) | (1::BIGINT << j.j)
+       |  FROM (SELECT unnest(generate_series(0, ${probeBits - 1})) AS i) i,
+       |       (SELECT unnest(generate_series(0, ${probeBits - 1})) AS j) j
+       |  WHERE i.i < j.j),
+       |budgets AS (
+       |  SELECT b.budget, (SELECT count(*) FROM masks m WHERE m.w <= b.budget) AS n_probes
+       |  FROM (SELECT unnest([0, 1, 2]) AS budget) b),
+       |probes AS (
+       |  SELECT b.budget, s.vec_id AS query_id, s.qv, s.nsq,
+       |         xor(s.bucket, m.mask) AS probe
+       |  FROM side s, budgets b, masks m
+       |  WHERE m.w <= b.budget AND s.vec_id < 8),
+       |cand AS (
+       |  SELECT DISTINCT a.budget, a.query_id, b.vec_id AS cand_id,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM probes a JOIN side b ON b.bucket = a.probe AND b.vec_id <> a.query_id),
+       |top AS (
+       |  SELECT budget, query_id, cand_id FROM (
+       |    SELECT budget, query_id, cand_id,
+       |           row_number() OVER (PARTITION BY budget, query_id
+       |             ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM cand) WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8) WHERE rank <= $k)
+       |SELECT b.budget, b.n_probes, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM budgets b CROSS JOIN exact e
+       |LEFT JOIN top t ON t.budget = b.budget AND t.query_id = e.query_id
+       |  AND t.cand_id = e.cand_id
+       |GROUP BY b.budget, b.n_probes ORDER BY b.budget""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_multiprobe" -> ((s, d) => annMultiprobe(s, d)),
+    "sim_ann_probe_curve" -> ((s, d) => annProbeCurve(s, d)),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "sim_lsh_signatures" -> lshSignatures,
@@ -774,6 +888,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_ann_multiprobe" -> annMultiprobeSql(),
+    "sim_ann_probe_curve" -> annProbeCurveSql(),
     "sim_ivf_topk" -> ivfTopKSql(),
     "sim_cosine_topk" -> cosineTopKSql(),
     "sim_lsh_signatures" -> lshSignaturesSql,

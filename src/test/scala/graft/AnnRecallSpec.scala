@@ -25,6 +25,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(liftM > liftS, s"probing must lift total hits ($liftS -> $liftM)")
   }
 
+  test("probe curve: budgets 1/9/37, monotone non-decreasing recall, endpoints match the paired report") {
+    val curve = graft.sim.Similarity.annProbeCurve(spark, sf("sf0.001")).collect()
+    assert(curve.map(_.getAs[Int]("budget")).toSeq === Seq(0, 1, 2))
+    assert(curve.map(_.getAs[Long]("n_probes")).toSeq === Seq(1L, 9L, 37L))
+    val recalls = curve.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls === recalls.sorted,
+      s"wider Hamming radius supersets the candidate pool, recall can't drop: $recalls")
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // radius 0 / radius 1 are exactly the paired report's two arms
+    val paired = graft.sim.Similarity.annMultiprobe(spark, sf("sf0.001")).collect()
+    val nExact = paired.map(_.getAs[Long]("n_exact")).sum.toDouble
+    assert(recalls(0) === paired.map(_.getAs[Long]("n_hits_single")).sum / nExact)
+    assert(recalls(1) === paired.map(_.getAs[Long]("n_hits_multi")).sum / nExact)
+  }
+
   private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
     df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))
