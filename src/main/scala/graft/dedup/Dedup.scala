@@ -775,7 +775,11 @@ object Dedup {
     * side by side). Composes the verified cluster kernel with one
     * cluster-keyed partial+final aggregate; output is cluster-count
     * sized. Singleton clusters are not records to merge and are
-    * excluded. */
+    * excluded. Note: canonical_chars can be NULL when a component's
+    * diameter exceeds the bounded propagation rounds — the rep id then
+    * carries a smaller label itself and its row lands in another
+    * cluster (both engines agree; BehaviorSpec asserts presence only
+    * when the rep row is a member of its own cluster). */
   def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
     val clusters = nearDupClusters(spark, dir).select("doc_id", "cluster_rep")
     val docs = t(spark, dir, "documents")
@@ -794,7 +798,12 @@ object Dedup {
   }
 
   val goldenRecordSql: String = {
-    val cl = nearDupClustersSql.replace("ORDER BY doc_id", "")
+    // strip ONLY the trailing ORDER BY — a global replace would corrupt
+    // the oracle if that substring ever appeared inside the CTE chain
+    // (e.g. a future window ORDER BY doc_id)
+    require(nearDupClustersSql.endsWith("ORDER BY doc_id"),
+      "nearDupClustersSql no longer ends with its ORDER BY — update goldenRecordSql's composition")
+    val cl = nearDupClustersSql.stripSuffix("ORDER BY doc_id")
     s"""WITH cl AS ($cl)
        |SELECT cl.cluster_rep AS canonical_id, count(*) AS n_members,
        |       count(DISTINCT d.source) AS n_sources,

@@ -352,8 +352,15 @@ object Sketches {
     * Per (group, q): the sketch answer (midpoint of the cell holding
     * rank ⌊q·(n−1)⌋) next to the EXACT interpolated percentile from
     * [[Relational3.percentiles]]'s sharded two-pass plan, with the
-    * absolute error — bounded by construction at one cell width
-    * ((hi−lo)/B = 512 here), which the spec pins. A sketch-resolution
+    * absolute error. The structural guarantee is against the
+    * NON-interpolated rank-⌊q·(n−1)⌋ value, which lies inside the
+    * located cell, so that error is < one cell width ((hi−lo)/B = 512
+    * here) by construction; the reported comparison is against the
+    * interpolated percentile, which sits between ranks r and r+1 and
+    * can leave the cell when rank r+1 falls in a later sparse cell —
+    * the ≤ 512 bound ApproxAggSpec pins is therefore empirical on this
+    * corpus for the interpolated form, structural only for the rank-r
+    * form. A sketch-resolution
     * change that degrades answers beyond its guarantee fails the
     * correctness gate, not a dashboard (the agg_hll_groups pattern).
     * The domain is the documented percentile domain; like there, a

@@ -35,15 +35,18 @@ object SkewFixture {
   private[graft] def skewedLineitem(spark: SparkSession, src: String,
                                     factor: Int): DataFrame = {
     val bucket = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10L))
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
     // a source whose keys reach the offset would fold replica ranges
     // onto each other — the salt-spread guarantee the fixture exists for
-    // would silently break; refuse instead
-    val maxKey = spark.read.parquet(s"$src/lineitem.parquet")
-      .agg(max("l_orderkey")).head().getLong(0)
-    require(maxKey < ReplicaOffset,
-      s"source l_orderkey reaches $maxKey >= ReplicaOffset $ReplicaOffset; " +
-        "replica key ranges would collide — raise ReplicaOffset for this source")
-    spark.read.parquet(s"$src/lineitem.parquet")
+    // would silently break; refuse instead (max() is NULL on an empty
+    // source — that's its own refusal, not an NPE)
+    val maxKey = Option(lineitem.agg(max("l_orderkey")).head().get(0))
+      .map(_.asInstanceOf[Long])
+    require(maxKey.exists(_ < ReplicaOffset),
+      maxKey.fold(s"source $src/lineitem.parquet is empty — nothing to skew")(k =>
+        s"source l_orderkey reaches $k >= ReplicaOffset $ReplicaOffset; " +
+          "replica key ranges would collide — raise ReplicaOffset for this source"))
+    lineitem
       .withColumn("l_returnflag",
         when(bucket < 5, "N").when(bucket < 8, "A").otherwise("R"))
       .crossJoin(spark.range(factor).select(col("id").as("replica")))
