@@ -115,6 +115,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfadc_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfadc_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
@@ -198,6 +201,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfadc_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivfadc_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "text_bm25_rank" -> Set("higher-order-function"),
@@ -272,6 +278,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_ivf_trained", "sim_kmeans", "sim_kmeans_incremental",
         "sim_pq_topk", "sim_pq_recall", "sim_pq_incremental",
         "sim_ivfpq_topk", "sim_ivfpq_recall",
+        "sim_ivfadc_topk", "sim_ivfadc_recall",
         "sim_semdedup", "text_bpe_counts"))
     } finally p.sharedState.cacheManager.clearCache()
   }
