@@ -258,11 +258,54 @@ object GraphOps {
        |FROM pernode GROUP BY supp
        |ORDER BY n_triangles DESC, supp LIMIT $topN""".stripMargin
 
+  /** Bounded k-core peeling (the fixpoint loop of k-core decomposition,
+    * Matula & Beck 1983; distributed form per Batagelj–Zaveršnik's
+    * degree-based peeling): `rounds` rounds of deleting every node whose
+    * surviving degree is < k from the part↔supplier graph, then the
+    * survivors with their core-subgraph degrees. The standard density
+    * screen a content/link-graph pipeline runs before community mining —
+    * and the same bounded-round posture as the near-dup label
+    * propagation: a fixed round count keeps the oracle replayable and
+    * the plan ONE job; an open-ended run would add per-round lineage
+    * cuts. Each round is one degree agg + two semi-joins, all on BIGINT
+    * keys — no shuffle grows beyond the (shrinking) edge list, so the
+    * round cost is monotonically decreasing at any scale. */
+  def kcore(spark: SparkSession, dir: String, k: Int = 4, rounds: Int = 4): DataFrame = {
+    var e = edges(spark, dir).staged
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      // the edge list is symmetric, so one degree table serves both
+      // endpoints: an edge survives iff both ends keep degree >= k
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  def kcoreSql(k: Int = 4, rounds: Int = 4): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  WHERE e.src IN (SELECT src FROM k$i) AND e.dst IN (SELECT src FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |e0 AS (SELECT src, dst FROM edges),
+       |$rs
+       |SELECT src AS node, count(*) AS deg FROM e$rounds
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
-    "graph_triangles" -> ((s, d) => triangles(s, d)))
+    "graph_triangles" -> ((s, d) => triangles(s, d)),
+    "graph_kcore" -> ((s, d) => kcore(s, d)))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(),
-    "graph_triangles" -> trianglesSql())
+    "graph_triangles" -> trianglesSql(),
+    "graph_kcore" -> kcoreSql())
 }

@@ -19,6 +19,31 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(got.toSet === Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("k-core: bounded peeling matches a plain-Scala replay of the same rounds") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    // rebuild the same part<->supplier graph the operator peels
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges: Set[(Long, Long)] =
+      pairs.map(e => (e._1, e._2)).toSet ++ pairs.map(e => (e._2, e._1)).toSet
+    val (k, rounds) = (4, 4)
+    for (_ <- 1 to rounds) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val want = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.kcore(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(got === want)
+    assert(got.nonEmpty, "sf0.001 must retain a non-trivial 4-core")
+    // the sf0.001 graph converges within the bounded rounds: one more
+    // peel changes nothing, so every survivor's core degree is >= k
+    got.values.foreach(d => assert(d >= k))
+  }
+
   test("triangle counting without the hub cap includes hub triangles") {
     import spark.implicits._
     val pairs = (4L to 7L).map(s => (9L, s)).toDF("part", "supp")

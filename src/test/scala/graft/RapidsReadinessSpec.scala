@@ -79,6 +79,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
     "fn_array_ops" -> Set("higher-order-function"),
+    "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
     "graph_triangles" -> Set("rdd-segment"),
     "join_bloom_prune" -> Set("rdd-segment"),
