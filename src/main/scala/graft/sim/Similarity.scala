@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
@@ -639,6 +639,148 @@ object Similarity {
        |SELECT query_id, query_label, cand_id, cand_label, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Binary quantization with asymmetric rerank — the 1-bit-per-dim
+    * compression point of the ANN family (the production pattern behind
+    * Cohere/Qdrant/Weaviate "BQ + rescore"): each vector stores only its
+    * 64 sign bits, packed into two 32-bit words (two BIGINT-safe halves —
+    * the top bit of a single 64-bit word would be sign-ambiguous across
+    * engines). Search is a Hamming scan (2× xor+popcount per candidate —
+    * the cheapest distance there is) for a shortlist of `s`, then an
+    * exact-cosine rerank of the shortlist only.
+    *
+    * Scale shape: codes are 8 BYTES per vector — 32× smaller than fp32,
+    * small enough to pin the whole index in memory at 100 TB corpus
+    * scale. The scan is a map over codes with the broadcast panel; the
+    * rerank fetches full vectors for ≤ s·|panel| candidates via one
+    * equi-join. The corpus never shuffles, and the full-precision
+    * vectors are touched only s/N of the time — the asymmetric part. */
+  private val bqShortlist = 32
+
+  /** The two packed sign words (dims lo+1..lo+32, bit b = dim lo+b+1>0) —
+    * statically unrolled so the whole pack stays codegen'd arithmetic. */
+  private def bqWord(q: Column, lo: Int): Column =
+    (0 until 32).map(b =>
+      when(element_at(q, lo + b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def bqCodes(qn0: DataFrame): DataFrame =
+    qn0.select(col("vec_id"), bqWord(col("q"), 0).as("w0"),
+      bqWord(col("q"), 32).as("w1"))
+
+  def bqTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qn0 = quantized(spark, dir).staged
+    val codes = bqCodes(qn0)
+    val panel = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("w0").as("p0"), col("w1").as("p1"))
+    val short = codes.crossJoin(broadcast(panel))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("hamming",
+        (bit_count(col("w0").bitwiseXOR(col("p0"))) +
+          bit_count(col("w1").bitwiseXOR(col("p1")))).cast("long"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("hamming"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id")))
+          .as("rn"))
+      .filter(col("rn") <= bqShortlist)
+    // asymmetric rerank: ONLY the shortlist pays a full-vector fetch
+    val qa = qn0.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    val qb = qn0.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
+    short.join(qb, "cand_id").join(broadcast(qa), "query_id")
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("cand_id"), col("hamming"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the BQ-shortlist+rerank path against exact cosine — the
+    * gate that prices the 32× memory saving, beside the LSH/IVF/PQ gates. */
+  def bqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val approx = bqTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  private def bqCodesSql: String = {
+    def word(lo: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series(1, 32),
+         |           i -> CASE WHEN qv[i + $lo] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""codes AS (
+       |  SELECT vec_id,
+       |         ${word(0)} AS w0,
+       |         ${word(32)} AS w1
+       |  FROM q)""".stripMargin
+  }
+
+  def bqTopKSql(k: Int = 5): String =
+    s"""WITH $quantizedSql,
+       |$bqCodesSql,
+       |ham AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+       |         CAST(bit_count(xor(p.w0, c.w0)) + bit_count(xor(p.w1, c.w1)) AS BIGINT) AS hamming
+       |  FROM codes c JOIN codes p ON p.vec_id < 8 AND p.vec_id <> c.vec_id),
+       |short AS (
+       |  SELECT query_id, cand_id, hamming FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, cand_id) AS rn
+       |    FROM ham) WHERE rn <= $bqShortlist),
+       |rerank AS (
+       |  SELECT s.query_id, s.cand_id, s.hamming,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM short s JOIN qn a ON a.vec_id = s.query_id
+       |  JOIN qn b ON b.vec_id = s.cand_id)
+       |SELECT query_id, cand_id, hamming, cosine, rank FROM (
+       |  SELECT query_id, cand_id, hamming, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM rerank)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def bqRecallSql(k: Int = 5): String =
+    s"""WITH $quantizedSql,
+       |$bqCodesSql,
+       |ham AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS cand_id,
+       |         CAST(bit_count(xor(p.w0, c.w0)) + bit_count(xor(p.w1, c.w1)) AS BIGINT) AS hamming
+       |  FROM codes c JOIN codes p ON p.vec_id < 8 AND p.vec_id <> c.vec_id),
+       |short AS (
+       |  SELECT query_id, cand_id, hamming FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, cand_id) AS rn
+       |    FROM ham) WHERE rn <= $bqShortlist),
+       |rerank AS (
+       |  SELECT s.query_id, s.cand_id,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM short s JOIN qn a ON a.vec_id = s.query_id
+       |  JOIN qn b ON b.vec_id = s.cand_id),
+       |approx AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM rerank) WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8) WHERE rank <= $k)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN x.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN x.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx x
+       |  ON e.query_id = x.query_id AND e.cand_id = x.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** Bit width of the multi-probe bucket key (the low bits of the
     * 16-plane signature). The full 16-bit key is sim_ann_lsh's
     * high-precision/low-recall operating point — on this corpus its
@@ -875,6 +1017,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_multiprobe" -> ((s, d) => annMultiprobe(s, d)),
     "sim_ann_probe_curve" -> ((s, d) => annProbeCurve(s, d)),
+    "sim_bq_topk" -> ((s, d) => bqTopK(s, d)),
+    "sim_bq_recall" -> ((s, d) => bqRecall(s, d)),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "sim_lsh_signatures" -> lshSignatures,
@@ -889,6 +1033,8 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_ann_multiprobe" -> annMultiprobeSql(),
     "sim_ann_probe_curve" -> annProbeCurveSql(),
+    "sim_bq_topk" -> bqTopKSql(),
+    "sim_bq_recall" -> bqRecallSql(),
     "sim_ivf_topk" -> ivfTopKSql(),
     "sim_cosine_topk" -> cosineTopKSql(),
     "sim_lsh_signatures" -> lshSignaturesSql,

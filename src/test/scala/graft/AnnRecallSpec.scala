@@ -40,6 +40,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(recalls(1) === paired.map(_.getAs[Long]("n_hits_multi")).sum / nExact)
   }
 
+  test("binary quantization: hammings re-derivable from sign bits; rerank beats raw-LSH recall") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    // recompute each reported pair's Hamming distance from raw sign bits
+    val signs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        r.getAs[Long]("vec_id") ->
+          v.map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong > 0L).toArray
+      }.toMap
+    val top = Similarity.bqTopK(spark, dir).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (q, c) = (signs(r.getAs[Long]("query_id")), signs(r.getAs[Long]("cand_id")))
+      val want = q.zip(c).count { case (a, b) => a != b }.toLong
+      assert(r.getAs[Long]("hamming") === want)
+      assert(r.getAs[Double]("cosine") >= -1.0 && r.getAs[Double]("cosine") <= 1.0)
+    }
+    // the asymmetric rerank is the point: BQ recall must clear the
+    // bucket-only LSH path by a wide margin (measured 0.600 vs 0.125)
+    val rows = Similarity.bqRecall(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.4, s"BQ+rerank mean recall $mean below floor")
+  }
+
   private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
     df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))

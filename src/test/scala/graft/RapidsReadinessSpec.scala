@@ -99,6 +99,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ann_lsh" -> Set("custom-expression", "rdd-segment"),
     "sim_ann_multiprobe" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_bq_topk" -> Set("custom-expression", "bit-count", "rdd-segment"),
+    "sim_bq_recall" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
@@ -186,6 +188,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ann_lsh" -> Set("custom-expression", "higher-order-function"),
     "sim_ann_multiprobe" -> Set("custom-expression", "higher-order-function"),
     "sim_ann_recall" -> Set("custom-expression", "higher-order-function"),
+    "sim_bq_topk" -> Set("custom-expression", "higher-order-function", "bit-count"),
+    "sim_bq_recall" -> Set("custom-expression", "higher-order-function", "bit-count"),
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
