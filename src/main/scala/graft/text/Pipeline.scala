@@ -434,7 +434,52 @@ object Pipeline {
        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** Length-bucketed batching report — the padding-waste audit run
+    * before choosing a batching strategy for training: documents bucket
+    * by power-of-two token length (bucket = ⌊log₂ len⌋, computed as
+    * binary-digit count so both engines stay in exact integer land —
+    * float log2 at exact powers is an engine-dependent coin flip), and
+    * each bucket reports its doc/token mass plus the padding cost of
+    * (a) padding to the bucket max vs (b) padding everything to the
+    * global max — the measured gap is the win length-bucketing buys.
+    * Cost: one map + one ~60-key agg + one broadcast scalar; the global
+    * max is the only cross-bucket fact. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+    val glob = toks.agg(max("n_tok").as("gmax"))
+    toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        max("n_tok").as("max_len"))
+      .crossJoin(broadcast(glob))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("max_len"),
+        (col("n_docs") * col("max_len") - col("n_tokens")).as("pad_bucketed"),
+        (col("n_docs") * col("gmax") - col("n_tokens")).as("pad_global"))
+      .orderBy("bucket")
+  }
+
+  val lengthBucketsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(${TextAnalysis.tokSql})::BIGINT AS n_tok FROM documents
+       |), b AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket
+       |  FROM toks WHERE n_tok >= 1
+       |), g AS (SELECT max(n_tok) AS gmax FROM b),
+       |agg AS (
+       |  SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |         max(n_tok) AS max_len
+       |  FROM b GROUP BY 1)
+       |SELECT bucket, n_docs, n_tokens, max_len,
+       |       n_docs * max_len - n_tokens AS pad_bucketed,
+       |       n_docs * gmax - n_tokens AS pad_global
+       |FROM agg, g ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_length_buckets" -> lengthBuckets,
     "pipeline_chunk_overlap" -> chunkOverlap,
     "pipeline_curation" -> curationFunnel,
     "pipeline_pack_sequences" -> packSequences,
@@ -444,6 +489,7 @@ object Pipeline {
     "pipeline_leakage_split" -> leakageSplit)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_length_buckets" -> lengthBucketsSql,
     "pipeline_chunk_overlap" -> chunkOverlapSql,
     "pipeline_curation" -> curationFunnelSql,
     "pipeline_pack_sequences" -> packSequencesSql,

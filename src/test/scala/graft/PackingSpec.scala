@@ -12,6 +12,26 @@ class PackingSpec extends SparkSpec {
 
   private lazy val dir = sf("sf0.001")
 
+  test("length buckets: power-of-two ranges, conservation, and bucketing strictly cuts padding") {
+    val rows = Pipeline.lengthBuckets(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, maxLen) = (r.getAs[Long]("bucket"), r.getAs[Long]("max_len"))
+      assert(maxLen >= (1L << b) && maxLen < (1L << (b + 1)),
+        s"bucket $b max_len $maxLen outside [2^$b, 2^${b + 1})")
+      assert(r.getAs[Long]("pad_bucketed") >= 0L)
+      assert(r.getAs[Long]("pad_global") >= r.getAs[Long]("pad_bucketed"))
+    }
+    // conservation: bucket token masses sum to the corpus token count
+    val total = t(spark, dir, "documents")
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") >= 1).agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === total)
+    // the report's reason to exist: bucketing beats global padding
+    assert(rows.map(_.getAs[Long]("pad_bucketed")).sum <
+      rows.map(_.getAs[Long]("pad_global")).sum)
+  }
+
   test("packing conserves documents and tokens exactly") {
     val docs = t(spark, dir, "documents")
       .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))

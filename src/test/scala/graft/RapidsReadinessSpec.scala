@@ -92,6 +92,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
     "pipeline_dsir_select" -> Set("higher-order-function", "bin"),
     "pipeline_leakage_split" -> Set("higher-order-function"),
+    "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
     "pipeline_pack_sequences" -> Set("higher-order-function"),
     "pipeline_mix_resample" -> Set("higher-order-function"),
     "q15_top_supplier" -> Set("rdd-segment"),
@@ -181,6 +182,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_curation" -> Set("higher-order-function"),
     "pipeline_dsir_select" -> Set("bin", "higher-order-function"),
     "pipeline_leakage_split" -> Set("higher-order-function"),
+    "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
     "pipeline_mix_resample" -> Set("higher-order-function"),
     "pipeline_pack_sequences" -> Set("higher-order-function"),
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function"),
