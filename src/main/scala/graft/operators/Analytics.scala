@@ -60,6 +60,84 @@ object Analytics {
       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** Median-absolute-deviation robust outliers per event_type — the
+    * breakdown-point-0.5 estimator beside the winsorized (trim-based)
+    * and z-score (moment-based) members of the robust-stats family. All
+    * decision arithmetic is exact BIGINT: values quantize to 1e-4
+    * fixed-point; the interpolated median is carried DOUBLED
+    * (med2 = x_lo + x_hi over the two middle ranks, equal ranks when n
+    * is odd), per-row deviations d = |2x − med2| = 2|x − med|, and the
+    * MAD is carried ×4 (mad4 = d_lo + d_hi = 4·MAD) — so the outlier
+    * predicate |x − med| > 3·MAD tests as 2·d > 3·mad4 with no float
+    * compare anywhere. Two ranking passes (one per median), each ONE
+    * shuffle on the group key with a within-group sort — the exact
+    * two-pass selection shape; at 100 TB the quantile sketch is the
+    * screening pass and this is its exact gate, the agg_quantile_sketch
+    * posture. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val q = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value").cast("double") * 10000d + 0.5d).cast("long").as("x"))
+    val nTab = q.groupBy("event_type").agg(count(lit(1)).as("n"))
+    def doubledMedian(src: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
+      src.withColumn("rn", row_number().over(w))
+        .join(broadcast(nTab), "event_type")
+        .groupBy("event_type")
+        .agg((sum(when(col("rn") === expr("(n + 1) div 2"), col(v)).otherwise(0L)) +
+          sum(when(col("rn") === expr("(n + 2) div 2"), col(v)).otherwise(0L))).as(out))
+    }
+    val med = doubledMedian(q, "x", "med2")
+    val dev = q.join(broadcast(med), "event_type")
+      .withColumn("d", abs(lit(2L) * col("x") - col("med2")))
+    val mad = doubledMedian(dev.select(col("event_type"), col("event_id"), col("d")),
+      "d", "mad4")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("med2").as("med2"), min("mad4").as("mad4"),
+        sum(when(lit(2L) * col("d") > lit(3L) * col("mad4"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med2"), col("mad4"), col("n_outliers"),
+        (col("med2").cast("double") / 2.0).as("median"),
+        (col("mad4").cast("double") / 4.0).as("mad"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String =
+    """WITH q AS (
+      |  SELECT event_type, event_id,
+      |         CAST(floor(CAST(value AS DOUBLE)*10000 + 0.5) AS BIGINT) AS x
+      |  FROM events),
+      |n_tab AS (SELECT event_type, count(*) AS n FROM q GROUP BY 1),
+      |r1 AS (
+      |  SELECT q.event_type, q.x, n.n,
+      |         row_number() OVER (PARTITION BY q.event_type ORDER BY q.x, q.event_id) AS rn
+      |  FROM q JOIN n_tab n USING (event_type)),
+      |med AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN rn = (n+1)//2 THEN x ELSE 0 END)
+      |            + sum(CASE WHEN rn = (n+2)//2 THEN x ELSE 0 END) AS BIGINT) AS med2
+      |  FROM r1 GROUP BY 1),
+      |dev AS (
+      |  SELECT q.event_type, q.event_id, q.x, abs(2*q.x - m.med2) AS d, m.med2
+      |  FROM q JOIN med m USING (event_type)),
+      |r2 AS (
+      |  SELECT dev.event_type, dev.d, n.n,
+      |         row_number() OVER (PARTITION BY dev.event_type ORDER BY dev.d, dev.event_id) AS rn
+      |  FROM dev JOIN n_tab n USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |         CAST(sum(CASE WHEN rn = (n+1)//2 THEN d ELSE 0 END)
+      |            + sum(CASE WHEN rn = (n+2)//2 THEN d ELSE 0 END) AS BIGINT) AS mad4
+      |  FROM r2 GROUP BY 1)
+      |SELECT dev.event_type, count(*) AS n, min(dev.med2) AS med2,
+      |       CAST(min(mad.mad4) AS BIGINT) AS mad4,
+      |       CAST(sum(CASE WHEN 2*dev.d > 3*mad.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(min(dev.med2) AS DOUBLE) / 2.0 AS median,
+      |       CAST(min(mad.mad4) AS DOUBLE) / 4.0 AS mad
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
+
   /** Per-returnflag moment statistics of (quantity, extendedprice):
     * count, means, sample variance/stddev of x, and corr(x,y) — exact
     * power sums, one aggregation pass (map-side combine), double math
@@ -227,11 +305,13 @@ object Analytics {
     "window_value_family" -> valueWindows,
     "window_range_frame" -> rangeFrameSum,
     "window_cumulative_users" -> cumulativeUsers,
-    "stat_moments" -> momentStats)
+    "stat_moments" -> momentStats,
+    "stat_mad_outliers" -> madOutliers)
 
   val oracles: Map[String, String] = Map(
     "window_value_family" -> valueWindowsSql,
     "window_range_frame" -> rangeFrameSumSql,
     "window_cumulative_users" -> cumulativeUsersSql,
-    "stat_moments" -> momentStatsSql)
+    "stat_moments" -> momentStatsSql,
+    "stat_mad_outliers" -> madOutliersSql)
 }

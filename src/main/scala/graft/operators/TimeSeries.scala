@@ -515,7 +515,55 @@ object TimeSeries {
        |  AND (n_prev*x - s1)*(n_prev*x - s1) > 9*(n_prev*s2 - s1*s1)
        |ORDER BY event_id""".stripMargin
 
+  /** Exponentially-weighted moving average with EXACT dyadic weights:
+    * over each user's trailing 8 events (current + 7 preceding), weight
+    * 2^(7−j) at lag j — a half-life of one step — so the weighted sum is
+    * pure BIGINT arithmetic (numerator Σ x·2^(7−j), denominator
+    * 2^8−1 = 255) and the reported smooth value is ONE double division,
+    * identical in both engines. The trailing-smoother member of the ts
+    * family beside LOCF/interpolate/z-score: per-user ordered window,
+    * one shuffle on user_id, no self-join, frame-bounded state — the
+    * 100 TB monitoring shape. A truncated-geometric window is the
+    * standard streaming approximation of the open-ended EWMA (the full
+    * recursion carries unbounded state; 8 dyadic taps ≍ α=1/2 with
+    * <0.4% truncated mass). Full frames only (rows with ≥7
+    * predecessors), so every output has the same weight profile. */
+  def ewmaSmooth(spark: SparkSession, dir: String, taps: Int = 8): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val num = (0 until taps).map(j =>
+      lag(col("x"), j).over(ord) * lit(1L << (taps - 1 - j))).reduce(_ + _)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        floor(col("value").cast("double") * 10000d + 0.5d).cast("long").as("x"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("x"),
+        row_number().over(ord).as("rn"), num.as("ewma_num"))
+      .filter(col("rn") >= taps)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("x").as("value_q"),
+        col("ewma_num"),
+        (col("ewma_num").cast("double") / lit(((1L << taps) - 1).toDouble)).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  def ewmaSmoothSql(taps: Int = 8): String = {
+    val num = (0 until taps).map(j =>
+      s"lag(x, $j) OVER win * ${1L << (taps - 1 - j)}").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |         CAST(floor(CAST(value AS DOUBLE)*10000 + 0.5) AS BIGINT) AS x
+       |  FROM events),
+       |w AS (
+       |  SELECT event_id, user_id, ts_us, x,
+       |         row_number() OVER win AS rn,
+       |         $num AS ewma_num
+       |  FROM q WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       |SELECT event_id, user_id, ts_us, x AS value_q, ewma_num,
+       |       CAST(ewma_num AS DOUBLE) / ${((1L << taps) - 1).toDouble} AS ewma
+       |FROM w WHERE rn >= $taps
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma_smooth" -> ((s, d) => ewmaSmooth(s, d)),
     "ts_asof_join" -> asofJoin,
     "ts_asof_join_native" -> asofJoinNative,
     "ts_asof_tolerance" -> asofJoinTolerance,
@@ -528,6 +576,7 @@ object TimeSeries {
     "agg_grouping_sets" -> groupingSets)
 
   val oracles: Map[String, String] = Map(
+    "ts_ewma_smooth" -> ewmaSmoothSql(),
     "ts_asof_join" -> asofJoinSql,
     "ts_asof_join_native" -> asofJoinNativeSql,
     "ts_asof_tolerance" -> asofJoinToleranceSql,

@@ -41,13 +41,13 @@ class RapidsReadinessSpec extends SparkSpec {
     "src_csv_roundtrip", "src_dpp_prune", "src_json_roundtrip",
     "src_orc_roundtrip",
     "src_partitioned_prune", "src_schema_evolution", "stat_column_profile",
-    "stat_moments",
+    "stat_mad_outliers", "stat_moments",
     "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
     "t10_op_chain_seq", "t2_batch_lookup_join", "t5_reserve_min_agg",
     "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
     "text_pii_redact", "text_split_assign", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
-    "ts_funnel_conversion", "ts_interpolate", "ts_range_join",
+    "ts_ewma_smooth", "ts_funnel_conversion", "ts_interpolate", "ts_range_join",
     "ts_range_join_rule",
     "ts_scd2_intervals", "ts_scd2_lookup", "ts_zscore_outliers",
     "window_cumulative_users", "window_distribution_family",
