@@ -226,23 +226,8 @@ object Pq {
     * the broadcast codebooks; the encoded corpus is scored by M array
     * lookups per candidate; per-query top-k is the WindowGroupLimit
     * partial form. Output distances are exact BIGINTs. */
-  def pqTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val cb = codebooks(spark, dir)
-    val tables = withAdcTables(qn(spark, dir).filter(col("vec_id") < 8)
-        .crossJoin(broadcast(cb)))
-      .select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
-    val scored = encoded(spark, dir).crossJoin(broadcast(tables))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("adist", (0 until M).map(m =>
-        element_at(col(s"t$m"), col(s"code$m") + 1)).reduce(_ + _))
-    scored
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("adist"),
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id")))
-          .cast("long").as("rank"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
-  }
+  def pqTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame =
+    pqTopKFrom(qn(spark, dir), codebooks(spark, dir), k)
 
   /** Exact full-dimension L2² top-k over the panel — the ground truth
     * the ADC path approximates (PQ is an L2 method; the cosine family
@@ -371,6 +356,89 @@ object Pq {
   def ivfPqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val exact = exactL2TopK(spark, dir, k)
     val approx = ivfPqTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  /** Variance-balanced dimension permutation — OPQ-lite (Ge et al. 2013
+    * optimize a rotation; the deterministic, oracle-replayable member of
+    * that family is a PERMUTATION chosen to balance per-dimension
+    * variance across subspaces, round-robin by variance rank, as in
+    * Jégou et al.'s structured-reordering baseline). Exact integer
+    * variance keys: rank dims by n·Σx²−(Σx)² (DECIMAL/HUGEINT — the
+    * product clears BIGINT at the 8× fixture), dims at variance rank r
+    * land in subspace r mod M — so no subspace hoards the high-variance
+    * coordinates and every codebook spends its Ks centroids on
+    * comparable mass. The model is ONE broadcastable 64-int row; the
+    * permuted corpus is a map (no shuffle); training/encoding/search
+    * reuse the PQ kernel unchanged. */
+  private[graft] def permRow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val aggs = (1 to dims).flatMap(i => Seq(
+      sum(element_at(col("q"), i)).as(s"s$i"),
+      sum(element_at(col("q"), i) * element_at(col("q"), i)).as(s"ss$i"))) :+
+      count(lit(1)).as("n")
+    val entries = (1 to dims).map(i =>
+      struct((lit(0).cast(dec) - (col("n").cast(dec) * col(s"ss$i").cast(dec)
+          - col(s"s$i").cast(dec) * col(s"s$i").cast(dec))).as("negv"),
+        lit(i).as("dim")))
+    qn(spark, dir).agg(aggs.head, aggs.tail: _*)
+      .select(array_sort(array(entries: _*)).as("sorted"))
+      // variance rank r sits at permuted position (r mod M)·sd + r div M;
+      // inverted: position p reads sorted rank (p mod sd)·M + p div sd
+      .select(transform(sequence(lit(0), lit(dims - 1)), p =>
+        element_at(col("sorted"),
+          ((p % sd) * M + (p / sd).cast("int") + 1).cast("int")).getField("dim"))
+        .as("perm"))
+  }
+
+  /** The corpus re-laid-out by the OPQ permutation, presented as
+    * (vec_id, q) so the shared PQ machinery applies unchanged. */
+  private def permutedCorpus(spark: SparkSession, dir: String): DataFrame =
+    qn(spark, dir).crossJoin(broadcast(permRow(spark, dir)))
+      .select(col("vec_id"),
+        transform(col("perm"), d => element_at(col("q"), d)).as("q"))
+
+  private[graft] def opqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    memoCodebooks(spark, dir + "#opq")(trainCodebooks(permutedCorpus(spark, dir)))
+
+  /** PQ-ADC top-k over any (vec_id, q) corpus with its codebooks — the
+    * kernel [[pqTopK]] and [[opqTopK]] share. */
+  private def pqTopKFrom(corpus: DataFrame, cb: DataFrame, k: Int): DataFrame = {
+    val tables = withAdcTables(corpus.filter(col("vec_id") < 8)
+        .crossJoin(broadcast(cb)))
+      .select(col("vec_id").as("query_id") +: (0 until M).map(m => col(s"t$m")): _*)
+    val scored = encodedFrom(corpus, cb).crossJoin(broadcast(tables))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist", (0 until M).map(m =>
+        element_at(col(s"t$m"), col(s"code$m") + 1)).reduce(_ + _))
+    scored
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("adist"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** ADC top-k in the permuted space (L2 is permutation-invariant, so
+    * the distances target the same geometry as [[pqTopK]] — only the
+    * subspace split changed). */
+  def opqTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame =
+    pqTopKFrom(permutedCorpus(spark, dir), opqCodebooks(spark, dir), k)
+
+  /** Recall@k of the permuted-space ADC path against exact L2 — prices
+    * the permutation against [[pqRecall]] at the identical (M, Ks)
+    * budget; the gap is pure subspace-layout effect. */
+  def opqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val exact = exactL2TopK(spark, dir, k)
+    val approx = opqTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")
@@ -608,6 +676,73 @@ object Pq {
        |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
        |  FROM scored_ivfpq)""".stripMargin
 
+  /** The OPQ-permutation chain: exact integer variance ranks, the
+    * round-robin permutation, the permuted corpus, and the PQ kernel
+    * retrained/searched in the permuted space. */
+  private def opqCtes: String = {
+    val tm = (0 until M).map { m =>
+      s"""to$m AS (
+         |  SELECT qq.vec_id AS query_id, p.pos,
+         |         ${distSql("qq", "p", sd)} AS dist
+         |  FROM qno$m qq CROSS JOIN poso$m p WHERE qq.vec_id < 8)""".stripMargin
+    }.mkString(",\n")
+    val tablesLong = (0 until M)
+      .map(m => s"SELECT query_id, $m AS m, pos, dist FROM to$m")
+      .mkString("\n  UNION ALL ")
+    s"""$quantizedSql,
+       |vars AS (
+       |  SELECT i.i AS dim,
+       |         CAST(count(*) AS HUGEINT) * CAST(sum(qv[i.i]*qv[i.i]) AS HUGEINT)
+       |           - CAST(sum(qv[i.i]) AS HUGEINT) * CAST(sum(qv[i.i]) AS HUGEINT) AS v
+       |  FROM q, (SELECT unnest(generate_series(1, $dims)) AS i) i
+       |  GROUP BY 1),
+       |ranked_dims AS (
+       |  SELECT dim, row_number() OVER (ORDER BY v DESC, dim) - 1 AS r FROM vars),
+       |permlist AS (
+       |  SELECT list(dim ORDER BY (r % $M) * $sd + (r // $M)) AS perm FROM ranked_dims),
+       |qp AS (
+       |  SELECT vec_id, list_transform(pl.perm, d -> qv[d]) AS qv FROM q, permlist pl),
+       |${pqModelCtesFrom("qp", "o")},
+       |$tm,
+       |tables_longo AS (
+       |  $tablesLong),
+       |scored_o AS (
+       |  SELECT t.query_id, c.vec_id AS cand_id, CAST(sum(t.dist) AS BIGINT) AS adist
+       |  FROM codes_longo c JOIN tables_longo t ON c.m = t.m AND c.pos = t.pos
+       |  WHERE t.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |opq_ranked AS (
+       |  SELECT query_id, cand_id, adist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+       |  FROM scored_o)""".stripMargin
+  }
+
+  def opqTopKSql(k: Int = TopK): String =
+    s"""WITH $opqCtes
+       |SELECT query_id, cand_id, adist, rank FROM opq_ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def opqRecallSql(k: Int = TopK): String =
+    s"""WITH $opqCtes,
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY a.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $dims),
+       |               i -> a.qv[i] * b.qv[i])) AS BIGINT) + b.nsq, b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8
+       |  ) WHERE rank <= $k),
+       |approx AS (
+       |  SELECT query_id, cand_id FROM opq_ranked WHERE rank <= $k)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** The IVFADC residual chain: residual corpus (x − centroid(cell)),
     * the residual-trained PQ model, per-(query, probed-cell) residual ADC
     * tables, and cell-restricted scoring — the oracle replay of
@@ -722,6 +857,8 @@ object Pq {
     "sim_ivfpq_recall" -> ((s, d) => ivfPqRecall(s, d)),
     "sim_ivfadc_topk" -> ((s, d) => ivfAdcTopK(s, d)),
     "sim_ivfadc_recall" -> ((s, d) => ivfAdcRecall(s, d)),
+    "sim_opq_topk" -> ((s, d) => opqTopK(s, d)),
+    "sim_opq_recall" -> ((s, d) => opqRecall(s, d)),
     "sim_pq_incremental" -> pqIncremental)
 
   val oracles: Map[String, String] = Map(
@@ -731,5 +868,7 @@ object Pq {
     "sim_ivfpq_recall" -> ivfPqRecallSql(),
     "sim_ivfadc_topk" -> ivfAdcTopKSql(),
     "sim_ivfadc_recall" -> ivfAdcRecallSql(),
+    "sim_opq_topk" -> opqTopKSql(),
+    "sim_opq_recall" -> opqRecallSql(),
     "sim_pq_incremental" -> pqIncrementalSql)
 }

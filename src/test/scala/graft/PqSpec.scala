@@ -162,6 +162,32 @@ class PqSpec extends SparkSpec {
     assert(res >= raw, s"residual recall $res < raw $raw at the same budget")
   }
 
+  test("opq: the permutation matches a plain-Scala variance round-robin; recall report is sane") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => quantize(r.getAs[scala.collection.Seq[Float]]("embedding")))
+    val n = emb.length.toLong
+    // exact integer variance key per dim, ranked desc with dim tiebreak
+    val ranked = (0 until 64).map { i =>
+      val s = emb.map(_(i)).sum
+      val ss = emb.map(x => x(i) * x(i)).sum
+      (BigInt(n) * BigInt(ss) - BigInt(s) * BigInt(s), i + 1)
+    }.zipWithIndex.map { case ((v, dim), _) => (v, dim) }
+      .sortBy { case (v, dim) => (-v, dim) }.map(_._2)
+    // variance rank r -> permuted position (r mod 4)*16 + r/4
+    val want = Array.ofDim[Int](64)
+    ranked.zipWithIndex.foreach { case (dim, r) => want((r % 4) * 16 + r / 4) = dim }
+    val got = Pq.permRow(spark, dir).collect()(0)
+      .getAs[scala.collection.Seq[Int]]("perm").toArray
+    assert(got.toSeq === want.toSeq)
+    assert(got.sorted.toSeq === (1 to 64), "must be a true permutation of 1..64")
+    val rows = Pq.opqRecall(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("recall report: panel complete, k exact rows each, recall in [0,1] and above chance") {
     val rows = Pq.pqRecall(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))

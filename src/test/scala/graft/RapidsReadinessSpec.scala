@@ -121,6 +121,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfadc_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfadc_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_opq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_opq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
@@ -210,6 +212,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ivfpq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfadc_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfadc_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_opq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_opq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -286,6 +290,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_pq_topk", "sim_pq_recall", "sim_pq_incremental",
         "sim_ivfpq_topk", "sim_ivfpq_recall",
         "sim_ivfadc_topk", "sim_ivfadc_recall",
+        "sim_opq_topk", "sim_opq_recall",
         "sim_semdedup", "text_bpe_counts"))
     } finally p.sharedState.cacheManager.clearCache()
   }
