@@ -381,4 +381,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "global top-k must be partial heads, not a full sort:\n" + p.take(2000))
   }
+
+  test("k-core peels via semi-joins only (no row-multiplying join in the loop)") {
+    val p = planString(graft.sim.GraphOps.kcore(spark, sf("sf0.001")))
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // survivors' degree agg is partial+final
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("BQ search broadcasts the panel and bounds the shortlist before the rerank joins") {
+    val p = planString(graft.sim.Similarity.bqTopK(spark, sf("sf0.001")))
+    // Hamming scan side: corpus codes stream past the broadcast panel
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    // shortlist top-32 per query is the partial WindowGroupLimit form
+    assert(p.contains("WindowGroupLimit"),
+      "shortlist must bound per-partition before the shuffle:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("length buckets is one agg over a map with a 1-row broadcast global max") {
+    val p = planString(graft.text.Pipeline.lengthBuckets(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    // the global max joins as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("EWMA plans one partitioned window, no self-join") {
+    val p = planString(graft.operators.TimeSeries.ewmaSmooth(spark, sf("sf0.001")))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), "the 8-tap convolution must come from lag(), not a join:\n" +
+      p.take(2000))
+  }
+
+  test("MAD outliers broadcast every model row (n / med2 / mad4) onto the corpus") {
+    val p = planString(graft.operators.Analytics.madOutliers(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "group-count/median frames are group-cardinality — they must broadcast:\n" + p.take(2000))
+  }
 }
