@@ -781,6 +781,143 @@ object Similarity {
        |  ON e.query_id = x.query_id AND e.cand_id = x.cand_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
+  /** Composed IVF + binary quantization — the third member of the
+    * composition matrix beside IVF×PQ-raw (sim_ivfpq) and IVF×PQ-residual
+    * (sim_ivfadc): the trained IVF quantizer prunes to `nprobe` cells,
+    * the 8-byte sign codes Hamming-shortlist WITHIN those cells, and the
+    * exact rerank touches full vectors only for the shortlist — the
+    * binary-IVF shape (FAISS's binary IVF / "BQ + rescore over an ANN
+    * index"). At 100 TB the stored index is (cell, 8-byte code) per
+    * vector partitioned by cell; a query scans nprobe/K of it at
+    * 2×xor+popcount per candidate, the cheapest composed scan on the
+    * board. */
+  def ivfBqTopK(spark: SparkSession, dir: String, k: Int = 5,
+                nprobe: Int = 2): DataFrame = {
+    import graft.Cache.CacheOps
+    val (corpus, cent) = Clustering.train(spark, dir)
+    val codes = bqCodes(corpus)
+    // the stored index: (cell, sign code) per vector
+    val celled = codes
+      .join(Clustering.assign(corpus, cent).select(col("vec_id"), col("cid")), "vec_id")
+      .staged
+    val packedIvf = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
+    val probes = corpus.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(packedIvf))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"), ct =>
+        struct(
+          (col("nsq") - lit(2L) * Portable.dotQ(col("q"), ct.getField("c"))
+            + ct.getField("csq")).as("dist"),
+          ct.getField("cid").as("cid")))), 1, nprobe)))
+      .select(col("vec_id").as("query_id"), col("probe").getField("cid").as("cid"))
+    val panel = probes.join(
+      codes.select(col("vec_id").as("query_id"), col("w0").as("p0"), col("w1").as("p1")),
+      "query_id") // ≤ 8·nprobe rows
+    val short = celled.join(broadcast(panel), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("hamming",
+        (bit_count(col("w0").bitwiseXOR(col("p0"))) +
+          bit_count(col("w1").bitwiseXOR(col("p1")))).cast("long"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("hamming"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id")))
+          .as("rn"))
+      .filter(col("rn") <= bqShortlist)
+    val qa = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    val qb = corpus.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
+    short.join(qb, "cand_id").join(broadcast(qa), "query_id")
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("cand_id"), col("hamming"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the IVF×BQ path against exact cosine — with
+    * [[bqRecall]] it separates the cell-pruning loss from the sign-code
+    * loss, the same two-gate decomposition as sim_ivfpq vs sim_pq. */
+  def ivfBqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val approx = ivfBqTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  private def ivfBqCtes(nprobe: Int): String = {
+    val r = Clustering.trainRounds
+    val centDist =
+      s"""qn.nsq - 2*CAST(list_sum(list_transform(generate_series(1, $dims),
+         |      i -> qn.qv[i] * c.c[i])) AS BIGINT)
+         |    + CAST(list_sum(list_transform(c.c, x -> x*x)) AS BIGINT)""".stripMargin
+    s"""$quantizedSql,
+       |${Clustering.kmeansCtesNoQuantize},
+       |$bqCodesSql,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT qn.vec_id, c.cid, $centDist AS dist
+       |          FROM qn CROSS JOIN cent$r c
+       |          WHERE qn.vec_id < 8)
+       |  ) WHERE rn <= $nprobe),
+       |panel AS (
+       |  SELECT p.query_id, p.cid, c.w0 AS p0, c.w1 AS p1
+       |  FROM probes p JOIN codes c ON c.vec_id = p.query_id),
+       |celled AS (
+       |  SELECT c.vec_id, f.cid, c.w0, c.w1
+       |  FROM codes c JOIN fin f ON f.vec_id = c.vec_id),
+       |ham AS (
+       |  SELECT pa.query_id, ce.vec_id AS cand_id,
+       |         CAST(bit_count(xor(pa.p0, ce.w0)) + bit_count(xor(pa.p1, ce.w1)) AS BIGINT) AS hamming
+       |  FROM celled ce JOIN panel pa ON pa.cid = ce.cid AND ce.vec_id <> pa.query_id),
+       |short AS (
+       |  SELECT query_id, cand_id, hamming FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, cand_id) AS rn
+       |    FROM ham) WHERE rn <= $bqShortlist),
+       |rerank AS (
+       |  SELECT s.query_id, s.cand_id, s.hamming,
+       |         CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |  FROM short s JOIN qn a ON a.vec_id = s.query_id
+       |  JOIN qn b ON b.vec_id = s.cand_id),
+       |ivfbq_ranked AS (
+       |  SELECT query_id, cand_id, hamming, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM rerank)""".stripMargin
+  }
+
+  def ivfBqTopKSql(k: Int = 5, nprobe: Int = 2): String =
+    s"""WITH ${ivfBqCtes(nprobe)}
+       |SELECT query_id, cand_id, hamming, cosine, rank FROM ivfbq_ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def ivfBqRecallSql(k: Int = 5, nprobe: Int = 2): String =
+    s"""WITH ${ivfBqCtes(nprobe)},
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST($dotSql AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8) WHERE rank <= $k),
+       |approx AS (
+       |  SELECT query_id, cand_id FROM ivfbq_ranked WHERE rank <= $k)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN x.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN x.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx x
+       |  ON e.query_id = x.query_id AND e.cand_id = x.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** Bit width of the multi-probe bucket key (the low bits of the
     * 16-plane signature). The full 16-bit key is sim_ann_lsh's
     * high-precision/low-recall operating point — on this corpus its
@@ -1019,6 +1156,8 @@ object Similarity {
     "sim_ann_probe_curve" -> ((s, d) => annProbeCurve(s, d)),
     "sim_bq_topk" -> ((s, d) => bqTopK(s, d)),
     "sim_bq_recall" -> ((s, d) => bqRecall(s, d)),
+    "sim_ivfbq_topk" -> ((s, d) => ivfBqTopK(s, d)),
+    "sim_ivfbq_recall" -> ((s, d) => ivfBqRecall(s, d)),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "sim_lsh_signatures" -> lshSignatures,
@@ -1035,6 +1174,8 @@ object Similarity {
     "sim_ann_probe_curve" -> annProbeCurveSql(),
     "sim_bq_topk" -> bqTopKSql(),
     "sim_bq_recall" -> bqRecallSql(),
+    "sim_ivfbq_topk" -> ivfBqTopKSql(),
+    "sim_ivfbq_recall" -> ivfBqRecallSql(),
     "sim_ivf_topk" -> ivfTopKSql(),
     "sim_cosine_topk" -> cosineTopKSql(),
     "sim_lsh_signatures" -> lshSignaturesSql,

@@ -66,6 +66,46 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.4, s"BQ+rerank mean recall $mean below floor")
   }
 
+  test("ivf-bq: every candidate comes from a probed cell; rerank cosines are exact") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val (corpus, cent) = graft.sim.Clustering.train(spark, dir)
+    val cells = graft.sim.Clustering.assign(corpus, cent)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    val cm = cent.collect().map { r =>
+      r.getAs[Long]("cid") -> r.getAs[scala.collection.Seq[Long]]("c").toArray
+    }
+    def quantize(v: scala.collection.Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        quantize(r.getAs[scala.collection.Seq[Float]]("embedding"))).toMap
+    val probes: Map[Long, Set[Long]] = emb.filter(_._1 < 8).map { case (qid, q) =>
+      qid -> cm.map { case (cid, c) => (l2(q, c), cid) }
+        .sortBy(identity).take(2).map(_._2).toSet
+    }
+    val rows = Similarity.ivfBqTopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, cid) = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(probes(qid).contains(cells(cid)),
+        s"query $qid returned cand $cid from un-probed cell ${cells(cid)}")
+      // the reported cosine is the exact full-precision one
+      val (a, b) = (emb(qid), emb(cid))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val want = dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+      assert(r.getAs[Double]("cosine") === want)
+    }
+    val rec = Similarity.ivfBqRecall(spark, dir).collect()
+    assert(rec.map(_.getAs[Long]("query_id")).toSeq === (0L to 7L))
+    rec.foreach(r => assert(r.getAs[Double]("recall") >= 0.0 &&
+      r.getAs[Double]("recall") <= 1.0))
+  }
+
   private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
     df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))

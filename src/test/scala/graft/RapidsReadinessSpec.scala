@@ -102,6 +102,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ann_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_bq_topk" -> Set("custom-expression", "bit-count", "rdd-segment"),
     "sim_bq_recall" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
+    "sim_ivfbq_topk" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
+    "sim_ivfbq_recall" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
@@ -194,6 +196,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ann_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_bq_topk" -> Set("custom-expression", "higher-order-function", "bit-count"),
     "sim_bq_recall" -> Set("custom-expression", "higher-order-function", "bit-count"),
+    "sim_ivfbq_topk" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
+    "sim_ivfbq_recall" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
@@ -291,6 +295,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_ivfpq_topk", "sim_ivfpq_recall",
         "sim_ivfadc_topk", "sim_ivfadc_recall",
         "sim_opq_topk", "sim_opq_recall",
+        "sim_ivfbq_topk", "sim_ivfbq_recall",
         "sim_semdedup", "text_bpe_counts"))
     } finally p.sharedState.cacheManager.clearCache()
   }
