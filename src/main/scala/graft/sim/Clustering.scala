@@ -328,6 +328,106 @@ object Clustering {
       .orderBy("query_id", "rank")
   }
 
+  /** nprobe budget-recall CURVE for the trained IVF — the cell-count
+    * analog of sim_ann_probe_curve: recall@k against exact cosine at
+    * nprobe ∈ {1, 2, 4}, one row per budget (micro recall over the
+    * panel), so the knob every IVF deployment tunes is pinned as a
+    * curve, not the single point sim_ivf_recall carries. Probe
+    * expansion is panel-side (≤ 8·Σbudgets rows before the cell
+    * equi-join); each corpus vector lives in exactly one cell, so no
+    * cross-budget dedup is needed. */
+  def ivfProbeCurve(spark: SparkSession, dir: String, k: Int = 5,
+                    budgets: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val (corpus, cent) = train(spark, dir)
+    val cells = assign(corpus, cent)
+      .select(col("vec_id").as("cand_id"), col("q").as("qb"),
+        col("nsq").as("nb"), col("cid"))
+      .staged
+    val packed = cent.agg(collect_list(struct(col("cid"), col("c"), col("csq"))).as("cents"))
+    val maxP = budgets.max
+    val probes = corpus.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"),
+        posexplode(slice(array_sort(transform(col("cents"), ct =>
+          struct(
+            (col("nsq") - lit(2L) * Portable.dotQ(col("q"), ct.getField("c"))
+              + ct.getField("csq")).as("dist"),
+            ct.getField("cid").as("cid")))), 1, maxP)))
+      .select(col("query_id"), col("qa"), col("na"),
+        col("pos"), col("col").getField("cid").as("cid"))
+    val budgetF = spark.range(1)
+      .select(explode(array(budgets.map(b => lit(b)): _*)).as("budget"))
+    val top = probes.join(broadcast(budgetF), col("pos") < col("budget"))
+      .join(cells, Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("budget"), col("query_id"), col("cand_id"),
+        (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .select(col("budget"), col("query_id"), col("cand_id"),
+        row_number().over(
+          Window.partitionBy("budget", "query_id")
+            .orderBy(desc("cosine"), col("cand_id"))).as("rank"))
+      .filter(col("rank") <= k)
+      .select(col("budget"), col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    val exact = Similarity.cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    exact.crossJoin(broadcast(budgetF))
+      .join(top, Seq("budget", "query_id", "cand_id"), "left")
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("budget")
+  }
+
+  def ivfProbeCurveSql(k: Int = 5, budgets: Seq[Int] = Seq(1, 2, 4)): String = {
+    val maxP = budgets.max
+    val blist = budgets.mkString(", ")
+    val cosSql = "CAST(CAST(list_sum(list_transform(generate_series(1, " + dims +
+      "), i -> a.qv[i] * f.qv[i])) AS BIGINT) AS DOUBLE)" +
+      " / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(f.nsq AS DOUBLE)))"
+    s"""WITH $kmeansCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid, rn - 1 AS pos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM (SELECT qn.vec_id, c.cid, ${distSql("qn", "c")} AS dist
+       |          FROM qn CROSS JOIN cent$iters c
+       |          WHERE qn.vec_id < 8)
+       |  ) WHERE rn <= $maxP),
+       |budgets AS (SELECT unnest([$blist]) AS budget),
+       |cand AS (
+       |  SELECT b.budget, p.query_id, f.vec_id AS cand_id, $cosSql AS cosine
+       |  FROM probes p
+       |  JOIN budgets b ON p.pos < b.budget
+       |  JOIN fin f ON f.cid = p.cid AND f.vec_id <> p.query_id
+       |  JOIN qn a ON a.vec_id = p.query_id),
+       |top AS (
+       |  SELECT budget, query_id, cand_id FROM (
+       |    SELECT budget, query_id, cand_id,
+       |           row_number() OVER (PARTITION BY budget, query_id
+       |             ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM cand) WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST(CAST(list_sum(list_transform(generate_series(1, $dims),
+       |               i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+       |               / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8) WHERE rank <= $k)
+       |SELECT b.budget, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM budgets b CROSS JOIN exact e
+       |LEFT JOIN top t ON t.budget = b.budget AND t.query_id = e.query_id
+       |  AND t.cand_id = e.cand_id
+       |GROUP BY b.budget ORDER BY b.budget""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle — the unrolled training replay
   // ---------------------------------------------------------------------
@@ -488,6 +588,7 @@ object Clustering {
     "sim_kmeans" -> ((s, d) => kmeans(s, d)),
     "sim_semdedup" -> ((s, d) => semDedup(s, d)),
     "sim_ivf_trained" -> ((s, d) => ivfTrainedTopK(s, d)),
+    "sim_ivf_probe_curve" -> ((s, d) => ivfProbeCurve(s, d)),
     "sim_kmeans_incremental" -> ((s, d) => kmeansIncremental(s, d)),
     "pipeline_cluster_quality" -> ((s, d) => clusterQuality(s, d)),
     "sample_cluster_balanced" -> ((s, d) => clusterBalancedSample(s, d)))
@@ -496,6 +597,7 @@ object Clustering {
     "sim_kmeans" -> kmeansSql,
     "sim_semdedup" -> semDedupSql(),
     "sim_ivf_trained" -> ivfTrainedTopKSql(),
+    "sim_ivf_probe_curve" -> ivfProbeCurveSql(),
     "sim_kmeans_incremental" -> kmeansIncrementalSql,
     "pipeline_cluster_quality" -> clusterQualitySql,
     "sample_cluster_balanced" -> clusterBalancedSampleSql())

@@ -76,6 +76,19 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("ivf probe curve: budgets 1/2/4, recall monotone (wider nprobe supersets candidates)") {
+    val rows = Clustering.ivfProbeCurve(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getAs[Int]("budget")).toSeq === Seq(1, 2, 4))
+    rows.foreach(r => assert(r.getAs[Long]("n_exact") === 40L)) // 8 queries × k=5
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls === recalls.sorted,
+      s"nprobe b+1 probes a superset of b's cells, recall can't drop: $recalls")
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // measured shape on this corpus: a real curve, not a flat line
+    assert(recalls.last > recalls.head,
+      s"sf0.001 measured 0.85→0.975; a flat curve means the probe filter broke: $recalls")
+  }
+
   test("kmeans clusters are pure on a separated synthetic corpus") {
     // 4 tight blobs of 25 vectors. The first-8-vectors seeding puts TWO
     // seeds inside each blob, so a blob may legitimately split between

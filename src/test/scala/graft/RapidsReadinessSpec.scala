@@ -109,6 +109,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
     "sim_ivf_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivf_trained" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivf_probe_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "rdd-segment"),
@@ -204,6 +205,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ivf_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_ivf_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_ivf_trained" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivf_probe_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
@@ -296,6 +298,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_ivfadc_topk", "sim_ivfadc_recall",
         "sim_opq_topk", "sim_opq_recall",
         "sim_ivfbq_topk", "sim_ivfbq_recall",
+        "sim_ivf_probe_curve",
         "sim_semdedup", "text_bpe_counts"))
     } finally p.sharedState.cacheManager.clearCache()
   }
