@@ -21,6 +21,7 @@ object SparkEntry {
     (operators.Skew.queries, operators.Skew.oracles),
     (operators.Sketches.queries, operators.Sketches.oracles),
     (operators.Analytics.queries, operators.Analytics.oracles),
+    (operators.Analytics2.queries, operators.Analytics2.oracles),
     (operators.Behavior.queries, operators.Behavior.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.Tpch3.queries, operators.Tpch3.oracles),
@@ -30,6 +31,7 @@ object SparkEntry {
     (operators.Relational5.queries, operators.Relational5.oracles),
     (operators.Layout.queries, operators.Layout.oracles),
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
+    (text.Classify.queries, text.Classify.oracles),
     (text.Bpe.queries, text.Bpe.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
     (text.Pipeline.queries, text.Pipeline.oracles),

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Tables.t
+
+/** Second analytics batch: CUSUM changepoint detection, lag-1
+  * autocorrelation, and market-basket co-occurrence mining.
+  *
+  * Reference context: the reference engine (/root/reference/src/) has no
+  * analytics surface; like the rest of SURVEY §2.4 these are harness
+  * capability queries. All three follow the repo's exactness discipline:
+  * values are quantized to scaled BIGINTs up front, every aggregate is
+  * an order-independent integer sum, and any double in the output is a
+  * single identical IEEE expression over those exact sums in both
+  * engines.
+  */
+object Analytics2 {
+
+  private val hourNs = 3600L * 1000 * 1000 * 1000
+
+  /** `value` in exact centi-units (scale 100): DECIMAL(18,2) rounds the
+    * stored double to 2 places identically in both engines, then the
+    * ×100 is exact. Scale 100 (not 1e4) keeps the CUSUM cross-product
+    * sv·N − n·SV comfortably inside BIGINT at sf0.1 (≈1e15); a true
+    * 100 TB run widens these to DECIMAL(38,0), same plan shape. */
+  private def centi(colName: String) =
+    (col(colName).cast(DecimalType(18, 2)) * 100).cast("long")
+
+  private val centiSql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** CUSUM changepoint detection per event_type at hour grain — the
+    * classic mean-shift detector (Page 1954): the changepoint estimate
+    * is the hour maximizing |Σ_{h'≤h} (x_h' − μ)|. Exactness: the
+    * deviation is cross-multiplied into integers — dev_h = sv_h·N −
+    * n_h·SV (so μ = SV/N never materializes as a rational) — and the
+    * running CUSUM is an integer window sum; ties at the max flag every
+    * argmax hour, deterministically.
+    *
+    * Scale shape: one partial+final agg to hour grain (the only pass
+    * over the events), a per-type totals agg joined back on the
+    * (tiny) type key, and two windows over HOUR-GRAIN rows — window
+    * input is bounded by the time range × type count, never by event
+    * count, no matter how large the corpus. */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $hourNs").as("hour"),
+        centi("value").as("v"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val totals = hourly.groupBy("event_type")
+      .agg(sum("n").as("nn"), sum("sv").as("svv"))
+    val run = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    hourly.join(totals, "event_type")
+      .withColumn("dev", col("sv") * col("nn") - col("n") * col("svv"))
+      .withColumn("cusum", sum("dev").over(run))
+      .withColumn("is_changepoint",
+        abs(col("cusum")) === max(abs(col("cusum"))).over(whole))
+      .select(col("event_type"), (col("hour") * 3600L).as("hour_start_s"),
+        col("n"), col("cusum"), col("is_changepoint"))
+      .orderBy("event_type", "hour_start_s")
+  }
+
+  val cusumChangepointsSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_ns(ts) // $hourNs AS hour,
+       |         count(*) AS n, sum($centiSql) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+       |         CAST(sum(sv) AS BIGINT) AS svv
+       |  FROM hourly GROUP BY 1
+       |), dev AS (
+       |  SELECT h.event_type, h.hour, h.n, CAST(h.sv AS BIGINT) AS sv,
+       |         CAST(h.sv AS BIGINT) * t.nn - h.n * t.svv AS dev
+       |  FROM hourly h JOIN tot t USING (event_type)
+       |), cu AS (
+       |  SELECT event_type, hour, n,
+       |         CAST(sum(dev) OVER (PARTITION BY event_type ORDER BY hour
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+       |  FROM dev
+       |)
+       |SELECT event_type, hour * 3600 AS hour_start_s, n, cusum,
+       |       abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type) AS is_changepoint
+       |FROM cu ORDER BY event_type, hour_start_s""".stripMargin
+
+  /** Lag-1 autocorrelation of `value` along each USER's event stream,
+    * reported per event_type of the later event — "does a user's next
+    * value track their previous one". The lag runs inside the per-user
+    * partition (bounded by a user's own history), never over a global
+    * sort; the correlation itself is the momentStats recipe: exact
+    * integer sums per type, then one identical IEEE expression.
+    * Ordering inside a user is (ts, event_id) — unique, so lag() is
+    * deterministic in both engines. */
+  def lagAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), centi("value").as("y"))
+      .withColumn("x", lag("y", 1).over(w))
+      .filter(col("x").isNotNull)
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("x").as("sxl"), sum("y").as("syl"),
+        sum(col("x") * col("x")).as("sxxl"),
+        sum(col("y") * col("y")).as("syyl"),
+        sum(col("x") * col("y")).as("sxyl"))
+      .select(col("event_type"), col("n_pairs"),
+        // un-scale exact sums to doubles, then one shared IEEE tree
+        ((col("n_pairs") * col("sxyl").cast("double")
+          - col("sxl").cast("double") * col("syl").cast("double"))
+          / (sqrt(col("n_pairs") * col("sxxl").cast("double")
+              - col("sxl").cast("double") * col("sxl").cast("double"))
+            * sqrt(col("n_pairs") * col("syyl").cast("double")
+              - col("syl").cast("double") * col("syl").cast("double"))))
+          .as("lag1_corr"))
+      .orderBy("event_type")
+  }
+
+  val lagAutocorrSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type,
+       |         $centiSql AS y
+       |  FROM events
+       |), p AS (
+       |  SELECT event_type, y,
+       |         lag(y) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS x
+       |  FROM e
+       |), s AS (
+       |  SELECT event_type, count(*) AS n_pairs,
+       |         CAST(sum(x) AS BIGINT) AS sxl, CAST(sum(y) AS BIGINT) AS syl,
+       |         CAST(sum(x * x) AS BIGINT) AS sxxl,
+       |         CAST(sum(y * y) AS BIGINT) AS syyl,
+       |         CAST(sum(x * y) AS BIGINT) AS sxyl
+       |  FROM p WHERE x IS NOT NULL GROUP BY event_type
+       |)
+       |SELECT event_type, n_pairs,
+       |       (n_pairs * CAST(sxyl AS DOUBLE) - CAST(sxl AS DOUBLE) * CAST(syl AS DOUBLE))
+       |       / (sqrt(n_pairs * CAST(sxxl AS DOUBLE) - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE))
+       |          * sqrt(n_pairs * CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)))
+       |         AS lag1_corr
+       |FROM s ORDER BY event_type""".stripMargin
+
+  /** Market-basket co-occurrence: for every part, its top-3 co-purchased
+    * parts by shared-order count — the item-item edge mining step under
+    * any co-occurrence recommender / related-items index.
+    *
+    * Scale shape: the pair generator is a SELF-EQUI-JOIN on l_orderkey
+    * with p1 < p2 — per-order fanout is (basket choose 2), bounded by
+    * the basket size (TPC-H ≤ 7 lines), never corpus-quadratic; the
+    * count is one (p1,p2)-keyed partial+final agg; the top-3 is a
+    * rank-filtered window per p1 that plans as WindowGroupLimit (a
+    * partial top-k pushed before the final shuffle). Tiebreak
+    * (n_orders DESC, p2 ASC) is total, so ranks are deterministic. */
+  def copurchaseTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = li.as("a").join(li.as("b"), Seq("okey"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+    val counted = pairs.groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+    val und = counted.unionAll(
+      counted.select(col("p2").as("p1"), col("p1").as("p2"), col("n_orders")))
+    val w = Window.partitionBy("p1")
+      .orderBy(col("n_orders").desc, col("p2").asc)
+    und.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("p1", "rank", "p2", "n_orders")
+      .orderBy("p1", "rank")
+  }
+
+  val copurchaseTopkSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+      |), pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM li a JOIN li b ON a.okey = b.okey AND a.p < b.p
+      |), counted AS (
+      |  SELECT p1, p2, count(*) AS n_orders FROM pairs GROUP BY p1, p2
+      |), und AS (
+      |  SELECT p1, p2, n_orders FROM counted
+      |  UNION ALL
+      |  SELECT p2 AS p1, p1 AS p2, n_orders FROM counted
+      |), ranked AS (
+      |  SELECT p1, p2, n_orders,
+      |         row_number() OVER (PARTITION BY p1 ORDER BY n_orders DESC, p2) AS rank
+      |  FROM und
+      |)
+      |SELECT p1, rank, p2, n_orders FROM ranked WHERE rank <= 3
+      |ORDER BY p1, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum_changepoints" -> cusumChangepoints,
+    "ts_lag_autocorr" -> lagAutocorr,
+    "rec_copurchase_topk" -> ((s, d) => copurchaseTopk(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "ts_cusum_changepoints" -> cusumChangepointsSql,
+    "ts_lag_autocorr" -> lagAutocorrSql,
+    "rec_copurchase_topk" -> copurchaseTopkSql)
+}

@@ -299,13 +299,86 @@ object GraphOps {
        |GROUP BY src ORDER BY node""".stripMargin
   }
 
+  /** Degree histogram by node side (part = even id, supplier = odd):
+    * (side, degree) → node count. The structural summary every graph
+    * job starts from; two partial+final aggs (per-node degree, then the
+    * histogram), output bounded by max-degree × 2 — never node count. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy(when(col("src") % 2 === 0, "part").otherwise("supplier").as("side"),
+        col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("side", "deg")
+
+  val degreeHistogramSql: String =
+    s"""WITH $edgesSql,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+       |SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS side,
+       |       deg, count(*) AS n_nodes
+       |FROM deg GROUP BY 1, 2 ORDER BY side, deg""".stripMargin
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    * degrees over the DIRECTED edge list (each undirected edge counted
+    * both ways — the standard estimator for undirected graphs). The
+    * momentStats recipe: exact BIGINT sums of degree products (one
+    * degree agg + two equi-joins back onto the edge list), then a single
+    * identical IEEE expression in both engines. One row out. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val xy = e
+      .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+    xy.agg(count(lit(1)).as("n_edges"),
+        sum("x").as("sxl"), sum("y").as("syl"),
+        sum(col("x") * col("x")).as("sxxl"),
+        sum(col("y") * col("y")).as("syyl"),
+        sum(col("x") * col("y")).as("sxyl"))
+      .select(col("n_edges"), col("sxl"), col("syl"), col("sxyl"),
+        ((col("n_edges") * col("sxyl").cast("double")
+          - col("sxl").cast("double") * col("syl").cast("double"))
+          / (sqrt(col("n_edges") * col("sxxl").cast("double")
+              - col("sxl").cast("double") * col("sxl").cast("double"))
+            * sqrt(col("n_edges") * col("syyl").cast("double")
+              - col("syl").cast("double") * col("syl").cast("double"))))
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH $edgesSql,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |xy AS (
+       |  SELECT dx.deg AS x, dy.deg AS y
+       |  FROM edges e
+       |  JOIN deg dx ON e.src = dx.src
+       |  JOIN deg dy ON e.dst = dy.src
+       |), s AS (
+       |  SELECT count(*) AS n_edges,
+       |         CAST(sum(x) AS BIGINT) AS sxl, CAST(sum(y) AS BIGINT) AS syl,
+       |         CAST(sum(x * x) AS BIGINT) AS sxxl,
+       |         CAST(sum(y * y) AS BIGINT) AS syyl,
+       |         CAST(sum(x * y) AS BIGINT) AS sxyl
+       |  FROM xy
+       |)
+       |SELECT n_edges, sxl, syl, sxyl,
+       |       (n_edges * CAST(sxyl AS DOUBLE) - CAST(sxl AS DOUBLE) * CAST(syl AS DOUBLE))
+       |       / (sqrt(n_edges * CAST(sxxl AS DOUBLE) - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE))
+       |          * sqrt(n_edges * CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)))
+       |         AS assortativity
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
-    "graph_kcore" -> ((s, d) => kcore(s, d)))
+    "graph_kcore" -> ((s, d) => kcore(s, d)),
+    "graph_degree_histogram" -> degreeHistogram,
+    "graph_assortativity" -> assortativity)
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(),
     "graph_triangles" -> trianglesSql(),
-    "graph_kcore" -> kcoreSql())
+    "graph_kcore" -> kcoreSql(),
+    "graph_degree_histogram" -> degreeHistogramSql,
+    "graph_assortativity" -> assortativitySql)
 }

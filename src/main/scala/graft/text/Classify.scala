@@ -1,0 +1,162 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.Cache.CacheOps
+
+/** In-query Naive Bayes quality classifier — the fastText/CCNet-style
+  * model-based quality filter (Wenzek et al. 2020, CCNet; Joulin et al.
+  * 2017): train multinomial NB term weights on the TRAIN split against
+  * a deterministic heuristic label, then score EVERY document with the
+  * log-likelihood ratio. The whole train+score round trip is one query —
+  * the shape a 100 TB curation pipeline runs nightly (the "model" is a
+  * term → weight table, naturally a DataFrame).
+  *
+  * Reference context: /root/reference/src/ has no text surface; this is
+  * SURVEY §2.4 harness capability, LLM-data-pipeline class.
+  *
+  * Exactness: class-conditional surprisal is QUANTIZED to integer bits
+  * with the perplexity trick — s_c(term) = floor(log2((T_c + V)·2^20
+  * div (c_c(term)+1))) as length(bin(x))−1, exact integer arithmetic in
+  * both engines — and the per-doc margin is the RAW integer sum
+  * Σ tf·(s_bad − s_good) (no division: Spark's DIV truncates toward
+  * zero while DuckDB's // floors, and the margin is signed — emitting
+  * the undivided sum sidesteps the semantic gap entirely). Positive
+  * margin ⇒ the good-class likelihood wins (equal priors — a
+  * likelihood-ratio score; the doc-count prior is a per-doc constant a
+  * deployment adds back trivially).
+  *
+  * Scale shape: the heuristic label is a per-doc map; class term counts
+  * are ONE partial+final agg over the train split's (term → tf·1{class})
+  * rows; (T_c, V) is a 1-row broadcast; scoring is an equi-join of the
+  * corpus tf table with the |vocabulary|-sized weight table on term,
+  * then a per-doc agg — identical layout to [[TextAnalysis.perplexity]]
+  * (which is the same query against a one-class LM). Same 2^43-token
+  * shift-overflow bound as perplexity; widen the scale type past that.
+  *
+  * API contract: only TRAIN-VOCABULARY tokens score (inner join — OOV
+  * tokens carry no evidence either way under equal smoothing); documents
+  * with zero in-vocab tokens are absent from the output.
+  */
+object Classify {
+
+  /** Heuristic label: good ⇔ stopword tokens ≥ 20% of tokens (integer
+    * cross-multiplied — no ratio materializes). The stand-in for the
+    * "known-good reference corpus" label CCNet trains against. */
+  private def isGood(toks: org.apache.spark.sql.Column) =
+    size(filter(toks, tk => tk.isin(TextAnalysis.enStop: _*))) * 5 >= size(toks)
+
+  private val isGoodSql: String = {
+    val stopList = TextAnalysis.enStop.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, x -> list_contains($stopList, x))) * 5 >= len(toks)"
+  }
+
+  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("split", TextAnalysis.splitOf(col("doc_id")))
+      .withColumn("label", when(isGood(col("toks")), "good").otherwise("bad"))
+    val tf = docs
+      .select(col("doc_id"), col("split"), col("label"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "split", "label", "term")
+      .agg(count(lit(1)).as("tf"))
+      .staged // feeds training AND scoring
+    // training: per-term class counts over the train split, one agg
+    val vocab = tf.filter(col("split") === "train")
+      .groupBy("term")
+      .agg(sum(when(col("label") === "good", col("tf")).otherwise(0L)).as("cg"),
+        sum(when(col("label") === "bad", col("tf")).otherwise(0L)).as("cb"))
+      .staged
+    val totals = vocab.agg(sum("cg").as("tg"), sum("cb").as("tb"),
+      count(lit(1)).as("v"))
+    val weights = vocab.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (length(bin(expr("((tg + v) * 1048576) DIV (cg + 1)"))).cast("long") - 1L)
+          .as("sg"),
+        (length(bin(expr("((tb + v) * 1048576) DIV (cb + 1)"))).cast("long") - 1L)
+          .as("sb"))
+    tf.join(weights, "term")
+      .groupBy("doc_id", "split", "label")
+      .agg(sum("tf").as("n_scored_tokens"),
+        sum(col("tf") * (col("sb") - col("sg"))).as("margin_bits"))
+      .withColumn("pred", when(col("margin_bits") > 0, "good").otherwise("bad"))
+      .select("doc_id", "split", "label", "n_scored_tokens", "margin_bits", "pred")
+      .orderBy("doc_id")
+  }
+
+  val nbQualitySql: String = {
+    val tok = TextAnalysis.tokSql
+    s"""WITH d AS (
+       |  SELECT doc_id, $tok AS toks,
+       |         CASE WHEN ${TextAnalysis.splitHashSql} < 80 THEN 'train'
+       |              WHEN ${TextAnalysis.splitHashSql} < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents
+       |), lab AS (
+       |  SELECT doc_id, toks, split,
+       |         CASE WHEN $isGoodSql THEN 'good' ELSE 'bad' END AS label
+       |  FROM d
+       |), tf AS (
+       |  SELECT doc_id, split, label, term, count(*) AS tf
+       |  FROM (SELECT doc_id, split, label, unnest(toks) AS term FROM lab)
+       |  GROUP BY 1, 2, 3, 4
+       |), vocab AS (
+       |  SELECT term,
+       |         CAST(sum(CASE WHEN label = 'good' THEN tf ELSE 0 END) AS BIGINT) AS cg,
+       |         CAST(sum(CASE WHEN label = 'bad' THEN tf ELSE 0 END) AS BIGINT) AS cb
+       |  FROM tf WHERE split = 'train' GROUP BY term
+       |), tot AS (
+       |  SELECT CAST(sum(cg) AS BIGINT) AS tg, CAST(sum(cb) AS BIGINT) AS tb,
+       |         count(*) AS v
+       |  FROM vocab
+       |), w AS (
+       |  SELECT term,
+       |         length(bin(((tg + v) * 1048576) // (cg + 1))) - 1 AS sg,
+       |         length(bin(((tb + v) * 1048576) // (cb + 1))) - 1 AS sb
+       |  FROM vocab CROSS JOIN tot
+       |)
+       |SELECT tf.doc_id, tf.split, tf.label,
+       |       CAST(sum(tf.tf) AS BIGINT) AS n_scored_tokens,
+       |       CAST(sum(tf.tf * (w.sb - w.sg)) AS BIGINT) AS margin_bits,
+       |       CASE WHEN CAST(sum(tf.tf * (w.sb - w.sg)) AS BIGINT) > 0
+       |            THEN 'good' ELSE 'bad' END AS pred
+       |FROM tf JOIN w USING (term)
+       |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Confusion summary of [[nbQuality]] on the HELD-OUT splits only —
+    * the model-eval step beside the scorer: (split, label, pred) cell
+    * counts plus each cell's mean margin in exact milli-bits-per-token
+    * (1000·Σ margin is divided by Σ tokens once, in DOUBLE — identical
+    * IEEE op on identical integer sums). Nine-ish rows out. */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame =
+    nbQuality(spark, dir)
+      .filter(col("split") =!= "train")
+      .groupBy("split", "label", "pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_scored_tokens").as("n_tokens"),
+        sum("margin_bits").as("sum_margin"))
+      .withColumn("mean_margin_mbits",
+        (col("sum_margin").cast("double") * 1000d) / col("n_tokens").cast("double"))
+      .orderBy("split", "label", "pred")
+
+  val nbConfusionSql: String =
+    s"""WITH scored AS (${nbQualitySql.replace("ORDER BY doc_id", "")})
+       |SELECT split, label, pred, count(*) AS n_docs,
+       |       CAST(sum(n_scored_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(margin_bits) AS BIGINT) AS sum_margin,
+       |       CAST(sum(margin_bits) AS DOUBLE) * 1000 / CAST(sum(n_scored_tokens) AS DOUBLE)
+       |         AS mean_margin_mbits
+       |FROM scored WHERE split <> 'train'
+       |GROUP BY 1, 2, 3 ORDER BY split, label, pred""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nb_quality" -> nbQuality,
+    "text_nb_confusion" -> nbConfusion)
+
+  val oracles: Map[String, String] = Map(
+    "text_nb_quality" -> nbQualitySql,
+    "text_nb_confusion" -> nbConfusionSql)
+}

@@ -52,7 +52,7 @@ object TextAnalysis {
        |       CAST(list_sum(list_transform(toks, x -> 1 + (length(x) - 1) // 4)) AS BIGINT) AS n_subwords
        |FROM tk ORDER BY doc_id""".stripMargin
 
-  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+  private[text] val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
   /** Quality scoring: length, mean token length, stopword ratio, repetition
     * (1 - distinct/total), alpha-space purity. Ratios are divisions of

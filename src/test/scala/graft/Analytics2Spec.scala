@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics2, Tables}
+import graft.sim.GraphOps
+import graft.text.Classify
+
+/** Semantic invariants of the second analytics batch (CUSUM, lag-1
+  * autocorrelation, co-purchase mining), the graph structure summaries,
+  * and the in-query Naive Bayes quality classifier — properties the
+  * hash oracle implies but which should fail loudly on their own. */
+class Analytics2Spec extends SparkSpec {
+
+  test("cusum: telescopes to zero at the last hour and flags every argmax") {
+    val rows = Analytics2.cusumChangepoints(spark, sf("sf0.001"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("hour_start_s"))
+      // Σ dev = Σ(sv·N − n·SV) = SV·N − N·SV = 0 — the cross-multiplied
+      // deviation telescopes exactly; a scaled-mean residue would not
+      assert(sorted.last.getAs[Long]("cusum") === 0L,
+        s"$tpe: final CUSUM ${sorted.last.getAs[Long]("cusum")} != 0")
+      val maxAbs = sorted.map(r => math.abs(r.getAs[Long]("cusum"))).max
+      val flagged = sorted.filter(_.getAs[Boolean]("is_changepoint"))
+      assert(flagged.nonEmpty, s"$tpe: no changepoint flagged")
+      flagged.foreach(r => assert(math.abs(r.getAs[Long]("cusum")) === maxAbs))
+      assert(sorted.count(r => math.abs(r.getAs[Long]("cusum")) === maxAbs)
+        === flagged.length, s"$tpe: an argmax hour is unflagged")
+    }
+  }
+
+  test("lag autocorr: replays exactly from a serial per-user walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics2.lagAutocorr(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("lag1_corr"))).toMap
+    // plain-Scala double entry: same quantization, same integer sums,
+    // same IEEE expression — must be bit-identical
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.zip(s.drop(1)).map { case (a, b) => (b._4, a._5, b._5) }
+    }.toSeq
+    val want = pairs.groupBy(_._1).map { case (tpe, ps) =>
+      val n = ps.size.toLong
+      val sx = ps.map(_._2).sum; val sy = ps.map(_._3).sum
+      val sxx = ps.map(p => p._2 * p._2).sum
+      val syy = ps.map(p => p._3 * p._3).sum
+      val sxy = ps.map(p => p._2 * p._3).sum
+      val corr = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(n * syy.toDouble - sy.toDouble * sy.toDouble))
+      tpe -> (n, corr)
+    }
+    assert(got === want)
+  }
+
+  test("copurchase: ranks are dense from 1, counts replay from the basket walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics2.copurchaseTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("rank"),
+        r.getAs[Long]("p2"), r.getAs[Long]("n_orders")))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // serial replay of the pair counts and the (n DESC, p2 ASC) top-3
+    val li = Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val counts = li.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val und = counts.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val want = und.groupBy(_._1).flatMap { case (p1, es) =>
+      es.sortBy(e => (-e._3, e._2)).take(3).zipWithIndex
+        .map { case ((_, p2, n), i) => (p1, i + 1L, p2, n) }
+    }.toSet
+    assert(got.toSet === want)
+  }
+
+  test("degree histogram: node and edge totals tie out to the distinct pair set") {
+    val dir = sf("sf0.001")
+    val h = GraphOps.degreeHistogram(spark, dir).collect()
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+    val nPairs = pairs.count()
+    val nParts = pairs.select("l_partkey").distinct().count()
+    val nSupps = pairs.select("l_suppkey").distinct().count()
+    val bySide = h.groupBy(_.getAs[String]("side"))
+    assert(bySide("part").map(_.getAs[Long]("n_nodes")).sum === nParts)
+    assert(bySide("supplier").map(_.getAs[Long]("n_nodes")).sum === nSupps)
+    // each side's Σ deg·n_nodes is the full undirected pair count
+    Seq("part", "supplier").foreach { s =>
+      val degSum = bySide(s).map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
+      assert(degSum === nPairs, s"$s: Σ deg·n = $degSum != $nPairs")
+    }
+  }
+
+  test("assortativity: symmetric edge list forces sx = sy; r is in [-1, 1]") {
+    val r = GraphOps.assortativity(spark, sf("sf0.001")).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("sxl") === row.getAs[Long]("syl"),
+      "directed-both-ways edges must have identical endpoint-degree sums")
+    val a = row.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"assortativity $a out of range")
+    val pairs = Tables.t(spark, sf("sf0.001"), "lineitem")
+      .select("l_partkey", "l_suppkey").distinct().count()
+    assert(row.getAs[Long]("n_edges") === 2 * pairs)
+  }
+
+  test("nb quality: margin sign drives pred; confusion is the scorer's own rollup") {
+    val dir = sf("sf0.001")
+    val scored = Classify.nbQuality(spark, dir).collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      assert(Set("good", "bad")(r.getAs[String]("label")))
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+      assert(r.getAs[Long]("n_scored_tokens") >= 1L)
+      val m = r.getAs[Long]("margin_bits")
+      assert(r.getAs[String]("pred") === (if (m > 0) "good" else "bad"))
+    }
+    // double entry between the two queries: the confusion report must
+    // equal a plain rollup of the scorer's held-out rows
+    val want = scored.filter(_.getAs[String]("split") != "train")
+      .groupBy(r => (r.getAs[String]("split"), r.getAs[String]("label"),
+        r.getAs[String]("pred")))
+      .map { case (k, rs) => k -> (rs.length.toLong,
+        rs.map(_.getAs[Long]("n_scored_tokens")).sum,
+        rs.map(_.getAs[Long]("margin_bits")).sum) }
+    val got = Classify.nbConfusion(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("label"),
+        r.getAs[String]("pred")) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_margin"))).toMap
+    assert(got === want)
+  }
+
+  test("nb quality: the model separates the label it was trained against") {
+    // not a tautology: the NB weights see only train-split term counts,
+    // yet must beat coin-flip on the held-out label by a wide margin
+    // (the label's evidence — stopword mass — is in the vocabulary)
+    val held = Classify.nbConfusion(spark, sf("sf0.001")).collect()
+    val n = held.map(_.getAs[Long]("n_docs")).sum
+    val hit = held.filter(r => r.getAs[String]("label") === r.getAs[String]("pred"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(n > 0)
+    assert(hit * 10 >= n * 7, s"held-out accuracy $hit/$n below 0.7")
+  }
+}

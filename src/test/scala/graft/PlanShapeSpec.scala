@@ -423,4 +423,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "group-count/median frames are group-cardinality — they must broadcast:\n" + p.take(2000))
   }
+
+  test("cusum windows run over hour-grain rows; per-type totals broadcast back") {
+    val p = planString(graft.operators.Analytics2.cusumChangepoints(spark, sf("sf0.001")))
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "type-cardinality totals must broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("lag autocorr is one per-user window + one aggregate, no join at all") {
+    val p = planString(graft.operators.Analytics2.lagAutocorr(spark, sf("sf0.001")))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), "lag() must come from the window, not a self-join:\n" + p.take(2000))
+  }
+
+  test("copurchase pairs come from an okey equi-join and a partial top-k") {
+    val p = planString(graft.operators.Analytics2.copurchaseTopk(spark, sf("sf0.001")))
+    assert(p.contains("WindowGroupLimit"), "top-3 must push a partial group limit:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "basket pairing must stay an equi-join on the order key:\n" + p.take(1500))
+  }
+
+  test("degree histogram is two aggregations, no join") {
+    val p = planString(graft.sim.GraphOps.degreeHistogram(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("assortativity joins degrees back by key — no nested loop, no cartesian") {
+    val p = planString(graft.sim.GraphOps.assortativity(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("nb classifier: corpus scoring is a term equi-join; only the 1-row totals nest") {
+    val p = planString(graft.text.Classify.nbQuality(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
 }

@@ -23,7 +23,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "dq_freshness_report",
     "fn_conditionals",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
-    "fn_scalar_string_math", "fn_string_extra", "join_full_outer",
+    "fn_scalar_string_math", "fn_string_extra",
+    "graph_degree_histogram", "join_full_outer",
     "join_null_aware_anti",
     "join_lateral_topn", "join_salted_skew", "join_semi_anti",
     "layout_compaction_bins", "layout_zorder_stats", "mm_media_meta",
@@ -34,7 +35,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "q20_volume_suppliers", "q22_idle_customers", "q2_min_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "s11_full_scan_count", "s12_delete_antijoin",
+    "q9_product_profit", "rec_copurchase_topk",
+    "s11_full_scan_count", "s12_delete_antijoin",
     "s13_update_merge", "s14_table_sizes", "s2_point_lookup",
     "s5_upsert_union", "sample_bottomk", "sample_stratified", "sample_weighted",
     "set_ops_except", "set_ops_intersect", "src_bucketed_join",
@@ -47,6 +49,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
     "text_pii_redact", "text_split_assign", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
+    "ts_cusum_changepoints", "ts_lag_autocorr",
     "ts_ewma_smooth", "ts_funnel_conversion", "ts_interpolate", "ts_range_join",
     "ts_range_join_rule",
     "ts_scd2_intervals", "ts_scd2_lookup", "ts_zscore_outliers",
@@ -79,6 +82,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
     "fn_array_ops" -> Set("higher-order-function"),
+    "graph_assortativity" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
     "graph_triangles" -> Set("rdd-segment"),
@@ -132,6 +136,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
     "text_bpe_counts" -> Set("rdd-segment"),
+    // the tokenizer HOF sits UPSTREAM of the tf stage barrier, so
+    // checkpoint mode sees only the post-barrier bin (NB weights)
+    "text_nb_quality" -> Set("bin", "rdd-segment"),
+    "text_nb_confusion" -> Set("bin", "rdd-segment"),
     "text_cosine_pairs" -> Set("rdd-segment"),
     "text_countmin_est" -> Set("rdd-segment"),
     "text_fingerprint" -> Set("higher-order-function"),
@@ -233,6 +241,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_lang_id" -> Set("higher-order-function"),
     "text_mix_report" -> Set("higher-order-function"),
     "text_ngram_novelty" -> Set("higher-order-function"),
+    "text_nb_quality" -> Set("higher-order-function", "bin"),
+    "text_nb_confusion" -> Set("higher-order-function", "bin"),
     "text_perplexity" -> Set("bin", "higher-order-function"),
     "text_quality_score" -> Set("higher-order-function"),
     "text_repetition_stats" -> Set("higher-order-function"),
