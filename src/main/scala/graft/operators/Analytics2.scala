@@ -194,13 +194,113 @@ object Analytics2 {
       |SELECT p1, rank, p2, n_orders FROM ranked WHERE rank <= 3
       |ORDER BY p1, rank""".stripMargin
 
+  /** Hour-of-day seasonal profile per event_type — the naive seasonal
+    * decomposition under every traffic/load model: per (type, hod) the
+    * cross-multiplied integer deviation from the type's global mean
+    * (dev = sv_h·N − n_h·SV, the CUSUM trick, so no rational mean ever
+    * materializes) plus a peak flag on every argmax hod. 24 × |types|
+    * rows out; the only pass over the events is the first aggregate. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .select(col("event_type"),
+        (expr(s"ts div $hourNs") % 24).as("hod"), centi("value").as("v"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val totals = hourly.groupBy("event_type")
+      .agg(sum("n").as("nn"), sum("sv").as("svv"))
+    val whole = Window.partitionBy("event_type")
+    hourly.join(totals, "event_type")
+      .withColumn("dev", col("sv") * col("nn") - col("n") * col("svv"))
+      .withColumn("is_peak", col("dev") === max(col("dev")).over(whole))
+      .select("event_type", "hod", "n", "dev", "is_peak")
+      .orderBy("event_type", "hod")
+  }
+
+  val seasonalProfileSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, (epoch_ns(ts) // $hourNs) % 24 AS hod,
+       |         count(*) AS n, sum($centiSql) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+       |         CAST(sum(sv) AS BIGINT) AS svv
+       |  FROM hourly GROUP BY 1
+       |), dev AS (
+       |  SELECT h.event_type, h.hod, h.n,
+       |         CAST(h.sv AS BIGINT) * t.nn - h.n * t.svv AS dev
+       |  FROM hourly h JOIN tot t USING (event_type)
+       |)
+       |SELECT event_type, hod, n, dev,
+       |       dev = max(dev) OVER (PARTITION BY event_type) AS is_peak
+       |FROM dev ORDER BY event_type, hod""".stripMargin
+
+  /** Inter-arrival burstiness per event_type: gaps between a user's
+    * consecutive events (any type, per-user window — never a global
+    * sort), quantized to whole seconds, aggregated to exact sums, then
+    * mean / coefficient-of-variation / the Goh–Barabási burstiness
+    * index B = (σ−μ)/(σ+μ) as one shared IEEE tree. B→−1 periodic,
+    * 0 Poisson, →1 bursty — the traffic-shape fingerprint. */
+  def interarrivalBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        expr("(ts - prev_ts) div 1000000000").as("gap_s"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_s").as("sgl"), sum(col("gap_s") * col("gap_s")).as("sggl"))
+      .select(col("event_type"), col("n_gaps"), col("sgl").as("sum_gap_s"),
+        (col("sgl").cast("double") / col("n_gaps")).as("mean_gap_s"),
+        // σ/μ and (σ−μ)/(σ+μ) from the same exact sums
+        (sqrt(col("n_gaps") * col("sggl").cast("double")
+            - col("sgl").cast("double") * col("sgl").cast("double"))
+          / col("sgl").cast("double")).as("cv"),
+        ((sqrt(col("n_gaps") * col("sggl").cast("double")
+            - col("sgl").cast("double") * col("sgl").cast("double"))
+          - col("sgl").cast("double"))
+          / (sqrt(col("n_gaps") * col("sggl").cast("double")
+            - col("sgl").cast("double") * col("sgl").cast("double"))
+          + col("sgl").cast("double"))).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  val interarrivalBurstinessSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |         (tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id))
+      |           // 1000000000 AS gap_s
+      |  FROM e
+      |), s AS (
+      |  SELECT event_type, count(*) AS n_gaps,
+      |         CAST(sum(gap_s) AS BIGINT) AS sgl,
+      |         CAST(sum(gap_s * gap_s) AS BIGINT) AS sggl
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+      |)
+      |SELECT event_type, n_gaps, sgl AS sum_gap_s,
+      |       CAST(sgl AS DOUBLE) / n_gaps AS mean_gap_s,
+      |       sqrt(n_gaps * CAST(sggl AS DOUBLE) - CAST(sgl AS DOUBLE) * CAST(sgl AS DOUBLE))
+      |         / CAST(sgl AS DOUBLE) AS cv,
+      |       (sqrt(n_gaps * CAST(sggl AS DOUBLE) - CAST(sgl AS DOUBLE) * CAST(sgl AS DOUBLE))
+      |          - CAST(sgl AS DOUBLE))
+      |       / (sqrt(n_gaps * CAST(sggl AS DOUBLE) - CAST(sgl AS DOUBLE) * CAST(sgl AS DOUBLE))
+      |          + CAST(sgl AS DOUBLE)) AS burstiness
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_cusum_changepoints" -> cusumChangepoints,
     "ts_lag_autocorr" -> lagAutocorr,
+    "ts_seasonal_profile" -> seasonalProfile,
+    "ts_interarrival_burstiness" -> interarrivalBurstiness,
     "rec_copurchase_topk" -> ((s, d) => copurchaseTopk(s, d)))
 
   val oracles: Map[String, String] = Map(
     "ts_cusum_changepoints" -> cusumChangepointsSql,
     "ts_lag_autocorr" -> lagAutocorrSql,
+    "ts_seasonal_profile" -> seasonalProfileSql,
+    "ts_interarrival_burstiness" -> interarrivalBurstinessSql,
     "rec_copurchase_topk" -> copurchaseTopkSql)
 }

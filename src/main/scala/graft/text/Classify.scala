@@ -152,11 +152,110 @@ object Classify {
        |FROM scored WHERE split <> 'train'
        |GROUP BY 1, 2, 3 ORDER BY split, label, pred""".stripMargin
 
+  /** Calibration curve of the NB margin — the reliability diagram every
+    * model-based filter ships with: docs bucketed by margin (fixed
+    * 256-bit-wide bins; floor of a power-of-two double division is
+    * IEEE-exact and floors identically in both engines, unlike signed
+    * integer DIV), per-(split, bin) label-good rate in exact permille.
+    * Output bounded by bins × splits, never doc count. */
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame =
+    nbQuality(spark, dir)
+      .withColumn("margin_bin",
+        floor(col("margin_bits").cast("double") / 256.0d).cast("long"))
+      .groupBy("split", "margin_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label") === "good", 1L).otherwise(0L)).as("n_good"))
+      .withColumn("good_permille", expr("(1000 * n_good) DIV n_docs"))
+      .orderBy("split", "margin_bin")
+
+  val nbCalibrationSql: String =
+    s"""WITH scored AS (${nbQualitySql.replace("ORDER BY doc_id", "")})
+       |SELECT split, CAST(floor(margin_bits / 256.0) AS BIGINT) AS margin_bin,
+       |       count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       |       CAST((1000 * sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+       |         AS good_permille
+       |FROM scored GROUP BY 1, 2 ORDER BY split, margin_bin""".stripMargin
+
+  /** Per-document cross-entropy under the corpus BIGRAM language model
+    * with add-one smoothing — the KenLM-shaped quality signal one rung
+    * above [[TextAnalysis.perplexity]]'s unigram LM (a doc of real words
+    * in scrambled order is invisible to unigram surprisal; the bigram
+    * model prices the transitions). P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V),
+    * surprisal quantized to whole bits via the bin trick — exact integer
+    * arithmetic both engines; same 2^43 shift bound as the unigram form.
+    *
+    * Scale shape: adjacent-pair explode → per-(doc,bigram) tf agg →
+    * corpus bigram counts (shuffle keyed on the bigram) → context
+    * counts by first-word agg over THE BIGRAM TABLE (|bigram vocab|
+    * input, not corpus) → two equi-joins (bigram, then w1) + per-doc
+    * agg. Every stage partial+final; nothing global but the 1-row V.
+    * Docs with <2 tokens have no transitions and are excluded. */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .staged // keep the split() out of the per-index lambda
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), (i + 1).cast("int"))))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .staged // feeds corpus counts AND the score join
+    val corpus = bg.groupBy("bg").agg(sum("tf").as("c12")).staged
+    val ctx = corpus
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum("c12").as("c1"))
+    val v = corpus.agg(count(lit(1)).as("v"))
+    val scored = bg.join(corpus, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("s",
+        length(bin(expr("((c1 + v) * 1048576) DIV (c12 + 1)"))).cast("long") - 1L)
+    scored.groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        expr("(1000 * sum(tf * s)) DIV sum(tf)").as("h2_mbits"))
+      .orderBy("doc_id")
+  }
+
+  val bigramPerplexitySql: String = {
+    val tok = TextAnalysis.tokSql
+    s"""WITH d AS (
+       |  SELECT doc_id, $tok AS toks FROM documents
+       |), bgl AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM d WHERE len(toks) >= 2
+       |), tf AS (
+       |  SELECT doc_id, bg, count(*) AS tf FROM bgl GROUP BY 1, 2
+       |), corpus AS (
+       |  SELECT bg, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY bg
+       |), ctx AS (
+       |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+       |  FROM corpus GROUP BY 1
+       |), vt AS (SELECT count(*) AS v FROM corpus)
+       |SELECT tf.doc_id,
+       |       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       |       CAST((1000 * sum(tf.tf * (length(bin(((c.c1 + vt.v) * 1048576) // (co.c12 + 1))) - 1)))
+       |            // sum(tf.tf) AS BIGINT) AS h2_mbits
+       |FROM tf
+       |JOIN corpus co USING (bg)
+       |JOIN ctx c ON split_part(tf.bg, ' ', 1) = c.w1
+       |CROSS JOIN vt
+       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_nb_quality" -> nbQuality,
-    "text_nb_confusion" -> nbConfusion)
+    "text_nb_confusion" -> nbConfusion,
+    "text_nb_calibration" -> nbCalibration,
+    "text_bigram_perplexity" -> bigramPerplexity)
 
   val oracles: Map[String, String] = Map(
     "text_nb_quality" -> nbQualitySql,
-    "text_nb_confusion" -> nbConfusionSql)
+    "text_nb_confusion" -> nbConfusionSql,
+    "text_nb_calibration" -> nbCalibrationSql,
+    "text_bigram_perplexity" -> bigramPerplexitySql)
 }

@@ -145,6 +145,81 @@ class Analytics2Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("seasonal profile: deviations telescope to zero; every argmax hod is peaked") {
+    val byType = Analytics2.seasonalProfile(spark, sf("sf0.001")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    byType.foreach { case (tpe, rs) =>
+      assert(rs.forall(r => (0L until 24L).contains(r.getAs[Long]("hod"))))
+      // Σ_h (sv_h·N − n_h·SV) = SV·N − N·SV = 0 exactly
+      assert(rs.map(_.getAs[Long]("dev")).sum === 0L, s"$tpe: Σ dev != 0")
+      val maxDev = rs.map(_.getAs[Long]("dev")).max
+      val peaks = rs.filter(_.getAs[Boolean]("is_peak"))
+      assert(peaks.nonEmpty && peaks.forall(_.getAs[Long]("dev") === maxDev))
+      assert(rs.count(_.getAs[Long]("dev") === maxDev) === peaks.length)
+    }
+  }
+
+  test("interarrival burstiness: replays exactly from a serial per-user walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics2.interarrivalBurstiness(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("sum_gap_s"),
+          r.getAs[Double]("burstiness"))).toMap
+    val ev = Tables.t(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3))
+      s.zip(s.drop(1)).map { case (a, b) => (b._4, (b._2 - a._2) / 1000000000L) }
+    }.toSeq
+    val want = gaps.groupBy(_._1).map { case (tpe, gs) =>
+      val n = gs.size.toLong
+      val sg = gs.map(_._2).sum; val sgg = gs.map(g => g._2 * g._2).sum
+      val sd = math.sqrt(n * sgg.toDouble - sg.toDouble * sg.toDouble)
+      tpe -> (n, sg, (sd - sg.toDouble) / (sd + sg.toDouble))
+    }
+    assert(got === want)
+  }
+
+  test("bigram perplexity: transition count ties out to token count minus one") {
+    val dir = sf("sf0.001")
+    val bp = Classify.bigramPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("h2_mbits"))).toMap
+    assert(bp.nonEmpty)
+    bp.values.foreach { case (n, h) => assert(n >= 1L && h >= 0L) }
+    // cross-query double entry: n_bigrams = n_tokens − 1 for every doc
+    // with ≥ 2 tokens, and exactly those docs appear
+    val tc = graft.text.TextAnalysis.tokenCounts(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val wantDocs = tc.filter(_._2 >= 2)
+    assert(bp.keySet === wantDocs.keySet)
+    wantDocs.foreach { case (d, nt) => assert(bp(d)._1 === nt - 1, s"doc $d") }
+  }
+
+  test("nb calibration: bins roll up the scorer; good rate is monotone-ish evidence") {
+    val dir = sf("sf0.001")
+    val scored = Classify.nbQuality(spark, dir).collect()
+    val want = scored.groupBy(r => (r.getAs[String]("split"),
+      math.floor(r.getAs[Long]("margin_bits").toDouble / 256.0).toLong))
+      .map { case (k, rs) => k -> (rs.length.toLong,
+        rs.count(_.getAs[String]("label") == "good").toLong) }
+    val got = Classify.nbCalibration(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("margin_bin")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_good"))).toMap
+    assert(got === want)
+    got.foreach { case (_, (n, g)) => assert(g >= 0L && g <= n) }
+    // the top bin must be purer than the bottom bin in every split —
+    // the weakest useful statement of calibration, and it holds because
+    // the margin is literally built from the label's evidence
+    got.keys.map(_._1).toSeq.distinct.foreach { split =>
+      val bins = got.filter(_._1._1 == split).toSeq
+        .map { case ((_, b), (n, g)) => (b, 1000L * g / n) }.sortBy(_._1)
+      assert(bins.last._2 >= bins.head._2, s"$split: top bin less pure than bottom")
+    }
+  }
+
   test("nb quality: the model separates the label it was trained against") {
     // not a tautology: the NB weights see only train-split term counts,
     // yet must beat coin-flip on the held-out label by a wide margin

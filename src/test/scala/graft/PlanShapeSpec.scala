@@ -463,4 +463,25 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
     assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
   }
+
+  test("seasonal profile windows over 24-row grain; totals broadcast back") {
+    val p = planString(graft.operators.Analytics2.seasonalProfile(spark, sf("sf0.001")))
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("interarrival burstiness is one per-user window + one aggregate, no join") {
+    val p = planString(graft.operators.Analytics2.interarrivalBurstiness(spark, sf("sf0.001")))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("bigram LM: scoring is bigram/context equi-joins; only the 1-row V nests") {
+    val p = planString(graft.text.Classify.bigramPerplexity(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
 }

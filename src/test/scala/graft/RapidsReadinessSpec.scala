@@ -50,6 +50,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_pii_redact", "text_split_assign", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
     "ts_cusum_changepoints", "ts_lag_autocorr",
+    "ts_seasonal_profile", "ts_interarrival_burstiness",
     "ts_ewma_smooth", "ts_funnel_conversion", "ts_interpolate", "ts_range_join",
     "ts_range_join_rule",
     "ts_scd2_intervals", "ts_scd2_lookup", "ts_zscore_outliers",
@@ -136,10 +137,12 @@ class RapidsReadinessSpec extends SparkSpec {
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
     "text_bpe_counts" -> Set("rdd-segment"),
-    // the tokenizer HOF sits UPSTREAM of the tf stage barrier, so
-    // checkpoint mode sees only the post-barrier bin (NB weights)
+    // the tokenizer HOF sits UPSTREAM of the tf/bigram stage barrier, so
+    // checkpoint mode sees only the post-barrier bin (LM weights)
     "text_nb_quality" -> Set("bin", "rdd-segment"),
     "text_nb_confusion" -> Set("bin", "rdd-segment"),
+    "text_nb_calibration" -> Set("bin", "rdd-segment"),
+    "text_bigram_perplexity" -> Set("bin", "rdd-segment"),
     "text_cosine_pairs" -> Set("rdd-segment"),
     "text_countmin_est" -> Set("rdd-segment"),
     "text_fingerprint" -> Set("higher-order-function"),
@@ -243,6 +246,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_ngram_novelty" -> Set("higher-order-function"),
     "text_nb_quality" -> Set("higher-order-function", "bin"),
     "text_nb_confusion" -> Set("higher-order-function", "bin"),
+    "text_nb_calibration" -> Set("higher-order-function", "bin"),
+    "text_bigram_perplexity" -> Set("higher-order-function", "bin"),
     "text_perplexity" -> Set("bin", "higher-order-function"),
     "text_quality_score" -> Set("higher-order-function"),
     "text_repetition_stats" -> Set("higher-order-function"),
