@@ -39,6 +39,7 @@ object SparkEntry {
     (sim.Similarity.queries, sim.Similarity.oracles),
     (sim.Clustering.queries, sim.Clustering.oracles),
     (sim.Pq.queries, sim.Pq.oracles),
+    (sim.Pca.queries, sim.Pca.oracles),
     (sim.Embeddings.queries, sim.Embeddings.oracles),
     (sim.GraphOps.queries, sim.GraphOps.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),

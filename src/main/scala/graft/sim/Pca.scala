@@ -1,0 +1,195 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+import graft.Cache.CacheOps
+
+/** PCA by power iteration over the embedding covariance — the
+  * PageRank recipe (scaled-integer iteration, exact at every step)
+  * applied to dense linear algebra. The leading principal component is
+  * the workhorse of embedding hygiene: whitening, anisotropy removal
+  * (the "all-but-the-top" post-process of Mu & Viswanath 2018), OPQ
+  * rotation seeding, and drift monitoring all start from it.
+  *
+  * Reference context: /root/reference/src/ has no linear-algebra
+  * surface; SURVEY §2.4 harness capability, LLM-data-pipeline class.
+  *
+  * Exactness strategy: the covariance is the CROSS-MULTIPLIED integer
+  * moment C_ij = N·Σ q_i q_j − (Σ q_i)(Σ q_j) (no rational mean), then
+  * every power-iteration step is integer arithmetic: the matrix is
+  * pre-scaled to ≤S by C'_ij = ((C_ij + M)·S) div M − S with
+  * M = max|C| (the SHIFT keeps both operands non-negative, so Spark's
+  * truncating DIV and DuckDB's flooring // agree — signed integer
+  * division semantics differ between the engines and must never be
+  * exercised), and each iterate renormalizes by the same shifted
+  * division. Three fixed rounds from the all-ones start; identical
+  * integers in both engines, so the oracle replays the whole
+  * iteration as unrolled CTEs.
+  *
+  * Scale shape: the corpus is touched ONCE — a posexplode² outer
+  * product pass partial+final-aggregated to the D² = 4096-cell moment
+  * table (map-side combine collapses each partition to ≤4096 cells).
+  * Everything after is model-cardinality (64-row vector ⋈ 4096-row
+  * matrix per round, broadcast-sized at any corpus scale) — the
+  * iteration cost is INDEPENDENT of corpus size, which is the whole
+  * point of the moments-first formulation.
+  */
+object Pca {
+
+  private val dims = 64
+  private val S = 1000000L // vector/matrix fixed-point scale
+
+  /** Raw second/first moment cells from one pass over the corpus:
+    * (i, j) → (Σ q_i·q_j), plus first moments via the j==i diagonal of
+    * a separate single explode. */
+  private def moments(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val q = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(Portable.quantize(col("embedding")).as("q"))
+      .staged // one corpus read feeds both moment passes
+    val n = q.count()
+    val second = q
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), posexplode(transform(col("q"), x => x * col("qi"))).as(Seq("j", "p")))
+      .groupBy("i", "j").agg(sum("p").as("sij"))
+    val first = q
+      .select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum("qi").as("si"))
+    (second, first, n)
+  }
+
+  /** Scaled covariance C' (64×64, values in [−S, S]) as a DataFrame of
+    * (i, j, c) — the broadcastable model every iteration consumes. */
+  private[graft] def scaledCov(spark: SparkSession, dir: String): DataFrame = {
+    val (second, first, n) = moments(spark, dir)
+    val cov = second
+      .join(first.select(col("i"), col("si").as("s_i")), "i")
+      .join(first.select(col("i").as("j"), col("si").as("s_j")), "j")
+      .select(col("i"), col("j"), (lit(n) * col("sij") - col("s_i") * col("s_j")).as("c0"))
+      .staged // model-cardinality (4096 rows); feeds max and rescale
+    val m = cov.agg(max(abs(col("c0"))).as("m"))
+    // (c0+m)·S can reach ~2e24 — widen to DECIMAL(38,0) for the product
+    // (DuckDB mirrors with HUGEINT); operands stay non-negative so the
+    // integral division floors identically in both engines
+    cov.crossJoin(broadcast(m))
+      .select(col("i"), col("j"),
+        (expr(s"((CAST(c0 AS DECIMAL(38,0)) + m) * $S) DIV m") - S).as("c"))
+  }
+
+  /** Three power-iteration rounds; returns the (dim, v) iterate at
+    * scale S. Every join is model-cardinality. */
+  private[graft] def iterate(cov: DataFrame, rounds: Int = 3): DataFrame = {
+    var v = cov.select(col("j")).distinct().select(col("j").as("d"), lit(S).as("v"))
+    for (_ <- 1 to rounds) {
+      val w = cov.join(v, cov("j") === v("d"))
+        .groupBy("i").agg(sum(expr("c * v")).as("w"))
+      val mw = w.agg(max(abs(col("w"))).as("mw"))
+      v = w.crossJoin(broadcast(mw))
+        .select(col("i").as("d"),
+          (expr(s"((CAST(w AS DECIMAL(38,0)) + mw) * $S) DIV mw") - S).as("v"))
+    }
+    v
+  }
+
+  /** Leading principal direction after 3 rounds: (dim, v) with v at
+    * scale 1e6, renormalized to max|v| = S each round. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    iterate(scaledCov(spark, dir).staged)
+      .select(col("d").cast("long").as("dim"), col("v"))
+      .orderBy("dim")
+
+  /** Unrolled-CTE oracle of the full pipeline: moments → shift-scaled
+    * covariance → 3 renormalized iterations. */
+  private def pipelineSql(rounds: Int = 3): String = {
+    val iters = (1 to rounds).map { k =>
+      s"""w$k AS (
+         |  SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS w
+         |  FROM cs c JOIN v${k - 1} v ON c.j = v.d GROUP BY c.i
+         |), mw$k AS (SELECT max(abs(w)) AS mw FROM w$k),
+         |v$k AS (
+         |  SELECT i AS d,
+         |         CAST(((CAST(w AS HUGEINT) + mw) * ${S}) // mw - ${S} AS BIGINT) AS v
+         |  FROM w$k CROSS JOIN mw$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (
+       |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), nt AS (SELECT count(*) AS n FROM q),
+       |cells AS (
+       |  SELECT i.i - 1 AS i, j.j - 1 AS j,
+       |         CAST(sum(qv[i.i] * qv[j.j]) AS BIGINT) AS sij
+       |  FROM q, generate_series(1, $dims) i(i), generate_series(1, $dims) j(j)
+       |  GROUP BY 1, 2
+       |), firsts AS (
+       |  SELECT i.i - 1 AS i, CAST(sum(qv[i.i]) AS BIGINT) AS si
+       |  FROM q, generate_series(1, $dims) i(i) GROUP BY 1
+       |), cov AS (
+       |  SELECT c.i, c.j, CAST(n * c.sij - fi.si * fj.si AS BIGINT) AS c0
+       |  FROM cells c
+       |  JOIN firsts fi ON c.i = fi.i
+       |  JOIN firsts fj ON c.j = fj.i
+       |  CROSS JOIN nt
+       |), mm AS (SELECT max(abs(c0)) AS m FROM cov),
+       |cs AS (
+       |  SELECT i, j,
+       |         CAST(((CAST(c0 AS HUGEINT) + m) * ${S}) // m - ${S} AS BIGINT) AS c
+       |  FROM cov CROSS JOIN mm
+       |), v0 AS (SELECT DISTINCT j AS d, CAST(${S} AS BIGINT) AS v FROM cs),
+       |$iters""".stripMargin
+  }
+
+  val pcaPowerSql: String =
+    s"""WITH ${pipelineSql()}
+       |SELECT d AS dim, CAST(v AS BIGINT) AS v FROM v3 ORDER BY dim""".stripMargin
+
+  /** Explained-variance report beside the direction: the Rayleigh
+    * quotient λ = vᵀC'v / vᵀv on the final iterate vs trace(C') —
+    * λ/trace is the explained-variance share in the scaled metric.
+    * Quadratic forms are exact DECIMAL(38,0) sums (|terms| ≤ S³, 4096
+    * of them — far inside 38 digits and order-independent); the two
+    * ratios are single IEEE divisions of exact integers. One row. */
+  def pcaExplained(spark: SparkSession, dir: String): DataFrame = {
+    val cov = scaledCov(spark, dir).staged
+    val v = iterate(cov)
+    val quad = cov.join(v.select(col("d").as("i"), col("v").as("vi")), "i")
+      .join(v.select(col("d").as("j"), col("v").as("vj")), "j")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * vi * vj")).as("vcv"))
+    val vv = v.agg(sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("vtv"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum("c").as("trace"))
+    quad.crossJoin(broadcast(vv)).crossJoin(broadcast(tr))
+      .select(col("trace"),
+        (col("vcv").cast("double") / col("vtv").cast("double")).as("lambda_scaled"),
+        ((col("vcv").cast("double") / col("vtv").cast("double"))
+          / col("trace").cast("double")).as("explained_share"))
+  }
+
+  val pcaExplainedSql: String =
+    s"""WITH ${pipelineSql()},
+       |quad AS (
+       |  SELECT CAST(sum(CAST(c.c AS DECIMAL(38,0)) * vi.v * vj.v) AS DECIMAL(38,0)) AS vcv
+       |  FROM cs c
+       |  JOIN v3 vi ON c.i = vi.d
+       |  JOIN v3 vj ON c.j = vj.d
+       |), vv AS (
+       |  SELECT CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DECIMAL(38,0)) AS vtv FROM v3
+       |), tr AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS trace FROM cs WHERE i = j
+       |)
+       |SELECT trace,
+       |       CAST(vcv AS DOUBLE) / CAST(vtv AS DOUBLE) AS lambda_scaled,
+       |       (CAST(vcv AS DOUBLE) / CAST(vtv AS DOUBLE)) / CAST(trace AS DOUBLE)
+       |         AS explained_share
+       |FROM quad CROSS JOIN vv CROSS JOIN tr""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_power" -> pcaPower,
+    "sim_pca_explained" -> pcaExplained)
+
+  val oracles: Map[String, String] = Map(
+    "sim_pca_power" -> pcaPowerSql,
+    "sim_pca_explained" -> pcaExplainedSql)
+}

@@ -220,6 +220,53 @@ class Analytics2Spec extends SparkSpec {
     }
   }
 
+  test("pca power: replays exactly from a plain-Scala integer iteration") {
+    val dir = sf("sf0.001")
+    val got = graft.sim.Pca.pcaPower(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v")).toMap
+    assert(got.size === 64)
+    // renormalization pins the max-|component| at exactly S
+    assert(got.values.map(math.abs).max === 1000000L)
+    // serial replay: same quantization, same moments, same shifted
+    // integral divisions — must be integer-identical
+    val emb = graft.operators.Tables.t(spark, dir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray)
+    val n = emb.length.toLong
+    val d = 64
+    val sij = Array.ofDim[Long](d, d); val si = new Array[Long](d)
+    emb.foreach { q =>
+      var i = 0
+      while (i < d) {
+        si(i) += q(i); var j = 0
+        while (j < d) { sij(i)(j) += q(i) * q(j); j += 1 }; i += 1
+      }
+    }
+    val c0 = Array.tabulate(d, d)((i, j) => n * sij(i)(j) - si(i) * si(j))
+    val m = c0.flatten.map(math.abs).max
+    val s = 1000000L
+    val cs = c0.map(_.map(x => ((BigInt(x) + m) * s / m - s).toLong))
+    var v = Array.fill(d)(s)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cs(i)(j) * v(j)).sum)
+      val mw = w.map(math.abs).max
+      v = w.map(x => ((BigInt(x) + mw) * s / mw - s).toLong)
+    }
+    val want = v.zipWithIndex.map { case (x, i) => i.toLong -> x }.toMap
+    assert(got === want)
+  }
+
+  test("pca explained: leading share dominates the 1/64 uniform floor") {
+    val r = graft.sim.Pca.pcaExplained(spark, sf("sf0.001")).collect()
+    assert(r.length === 1)
+    val share = r(0).getAs[Double]("explained_share")
+    val lambda = r(0).getAs[Double]("lambda_scaled")
+    assert(lambda > 0.0, s"Rayleigh quotient $lambda must be positive")
+    // ≤1 up to the ±1-per-cell rescale rounding of the PSD matrix
+    assert(share > 1.0 / 64 && share <= 1.0 + 1e-4,
+      s"explained share $share outside (1/64, 1]")
+  }
+
   test("nb quality: the model separates the label it was trained against") {
     // not a tautology: the NB weights see only train-split term counts,
     // yet must beat coin-flip on the held-out label by a wide margin

@@ -477,6 +477,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("pca power: model-cardinality iteration; only 1-row max scalars nest") {
+    val p = planString(graft.sim.Pca.pcaPower(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
+
   test("bigram LM: scoring is bigram/context equi-joins; only the 1-row V nests") {
     val p = planString(graft.text.Classify.bigramPerplexity(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct"), p.take(1500))

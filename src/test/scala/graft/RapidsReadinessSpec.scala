@@ -133,6 +133,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_opq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    // the quantize HOF sits upstream of the moments barrier; everything
+    // post-barrier is joins + integral arithmetic
+    "sim_pca_power" -> Set("rdd-segment"),
+    "sim_pca_explained" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
@@ -232,6 +236,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_opq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_opq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function"),
+    "sim_pca_power" -> Set("higher-order-function"),
+    "sim_pca_explained" -> Set("higher-order-function"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "text_bm25_rank" -> Set("higher-order-function"),
