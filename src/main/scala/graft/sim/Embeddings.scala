@@ -67,11 +67,72 @@ object Embeddings {
       |       list_max(q8) AS max_q8
       |FROM codes ORDER BY vec_id""".stripMargin
 
+  /** Pairwise cosine similarity between per-label centroids — the
+    * class-separation report under every labeled-embedding audit
+    * (are the classes collapsing? is a new labeling drift-merging two
+    * of them?). The centroid DIRECTION is the exact integer per-dim
+    * sum Σq (cosine is scale-invariant in each argument, so the 1/n
+    * normalization never materializes — no rational centroid); dots
+    * and norms are exact BIGINTs, the final cosine one shared IEEE
+    * tree. Scale shape: one posexplode pass partial+final-aggregated
+    * to |labels|×64 cells; everything after is label-cardinality. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("label").cast("long").as("label"),
+        posexplode(Portable.quantize(col("embedding"))).as(Seq("i", "qi")))
+      .groupBy("label", "i").agg(sum("qi").as("s"), count(lit(1)).as("n"))
+      .staged // label-cardinality model; feeds norms and the pair join
+    val norms = cells.groupBy("label")
+      .agg(sum(col("s") * col("s")).as("nsq"), max("n").as("n_vecs"))
+    val pairs = cells.select(col("label").as("la"), col("i"), col("s").as("sa"))
+      .join(cells.select(col("label").as("lb"), col("i"), col("s").as("sb")), Seq("i"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb").agg(sum(col("sa") * col("sb")).as("dot"))
+    pairs
+      .join(norms.select(col("label").as("la"), col("nsq").as("na"),
+        col("n_vecs").as("n_a")), Seq("la"))
+      .join(norms.select(col("label").as("lb"), col("nsq").as("nb"),
+        col("n_vecs").as("n_b")), Seq("lb"))
+      .select(col("la"), col("lb"), col("n_a"), col("n_b"), col("dot"),
+        (col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+      .orderBy("la", "lb")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), cells AS (
+      |  SELECT label, i.i AS i, CAST(sum(qv[i.i]) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM q, generate_series(1, 64) i(i) GROUP BY 1, 2
+      |), norms AS (
+      |  SELECT label, CAST(sum(s * s) AS BIGINT) AS nsq, max(n) AS n_vecs
+      |  FROM cells GROUP BY label
+      |), pairs AS (
+      |  SELECT a.label AS la, b.label AS lb, CAST(sum(a.s * b.s) AS BIGINT) AS dot
+      |  FROM cells a JOIN cells b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.la, p.lb, nna.n_vecs AS n_a, nnb.n_vecs AS n_b, p.dot,
+      |       CAST(p.dot AS DOUBLE) / (sqrt(CAST(nna.nsq AS DOUBLE)) * sqrt(CAST(nnb.nsq AS DOUBLE)))
+      |         AS cos
+      |FROM pairs p
+      |JOIN norms nna ON p.la = nna.label
+      |JOIN norms nnb ON p.lb = nnb.label
+      |ORDER BY la, lb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_embed_quantize" -> int8Quantize)
+    "sim_embed_quantize" -> int8Quantize,
+    "sim_label_centroids" -> labelCentroids)
 
   val oracles: Map[String, String] = Map(
-    "sim_embed_quantize" -> int8QuantizeSql)
+    "sim_embed_quantize" -> int8QuantizeSql,
+    "sim_label_centroids" -> labelCentroidsSql)
 }
 
 /** Iterative rank propagation (PageRank) as pure dataflow — the shape of

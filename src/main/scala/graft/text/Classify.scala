@@ -247,15 +247,83 @@ object Classify {
        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
   }
 
+  /** Zipf-law fit over the top-1000 corpus terms — the vocabulary-health
+    * diagnostic (a natural corpus fits log f ≈ −log r; template spam and
+    * synthetic text bend the curve). Log coordinates are QUANTIZED to
+    * exact fractional bits with the bin trick — rank at quarter-bit
+    * resolution (floor(4·log2 r) = len(bin(r⁴))−1, r ≤ 1000 so r⁴ fits
+    * BIGINT), frequency at half-bit (f² needs f < 3e9 — widen past
+    * that corpus size) — so the regression sums are integers and the
+    * least-squares slope is one shared IEEE tree. slope_bits ≈ −1 for
+    * Zipfian text.
+    *
+    * Scale shape: term counts are one partial+final agg; the top-1000
+    * is a bounded TakeOrdered (never a global sort of the vocabulary);
+    * the regression runs over exactly 1000 rows. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = t(spark, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term").asc)
+      .limit(1000)
+    val ranked = top
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("f").desc, col("term").asc)).cast("long"))
+      .select(
+        (length(bin(col("r") * col("r") * col("r") * col("r"))).cast("long") - 1L).as("xq"),
+        (length(bin(col("f") * col("f"))).cast("long") - 1L).as("yq"))
+    ranked.agg(count(lit(1)).as("n_terms"),
+        sum("xq").as("sx"), sum("yq").as("sy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("xq") * col("yq")).as("sxy"))
+      .select(col("n_terms"), col("sx"), col("sy"), col("sxy"),
+        // slope in quantized units, rescaled: Y half-bits over X
+        // quarter-bits → ×(1/2)/(1/4) = ×2 to true bits/bits
+        (lit(2.0d) * (col("n_terms") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_terms") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("slope_bits"))
+  }
+
+  val zipfFitSql: String = {
+    val tok = TextAnalysis.tokSql
+    s"""WITH tf AS (
+       |  SELECT term, count(*) AS f
+       |  FROM (SELECT unnest($tok) AS term FROM documents)
+       |  GROUP BY term
+       |), top AS (
+       |  SELECT term, f FROM tf ORDER BY f DESC, term LIMIT 1000
+       |), ranked AS (
+       |  SELECT length(bin(r * r * r * r)) - 1 AS xq,
+       |         length(bin(f * f)) - 1 AS yq
+       |  FROM (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM top)
+       |), s AS (
+       |  SELECT count(*) AS n_terms,
+       |         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+       |         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+       |         CAST(sum(xq * yq) AS BIGINT) AS sxy
+       |  FROM ranked
+       |)
+       |SELECT n_terms, sx, sy, sxy,
+       |       2.0 * (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |       / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |         AS slope_bits
+       |FROM s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_nb_quality" -> nbQuality,
     "text_nb_confusion" -> nbConfusion,
     "text_nb_calibration" -> nbCalibration,
-    "text_bigram_perplexity" -> bigramPerplexity)
+    "text_bigram_perplexity" -> bigramPerplexity,
+    "text_zipf_fit" -> zipfFit)
 
   val oracles: Map[String, String] = Map(
     "text_nb_quality" -> nbQualitySql,
     "text_nb_confusion" -> nbConfusionSql,
     "text_nb_calibration" -> nbCalibrationSql,
-    "text_bigram_perplexity" -> bigramPerplexitySql)
+    "text_bigram_perplexity" -> bigramPerplexitySql,
+    "text_zipf_fit" -> zipfFitSql)
 }

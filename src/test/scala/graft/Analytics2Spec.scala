@@ -267,6 +267,63 @@ class Analytics2Spec extends SparkSpec {
       s"explained share $share outside (1/64, 1]")
   }
 
+  test("zipf fit: slope is negative, self-consistent with its own sums") {
+    val r = Classify.zipfFit(spark, sf("sf0.001")).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    val (n, sx, sy, sxy, slope) = (row.getAs[Long]("n_terms"),
+      row.getAs[Long]("sx"), row.getAs[Long]("sy"), row.getAs[Long]("sxy"),
+      row.getAs[Double]("slope_bits"))
+    assert(n >= 10L && n <= 1000L) // sf0.001's synthetic vocab is ~31 terms
+    assert(slope < 0.0, s"Zipf slope must be negative, got $slope")
+    assert(slope > -3.0, s"slope $slope implausibly steep")
+    // serial replay: same tokenizer, same (f DESC, term) top-1000, same
+    // quarter/half-bit quantized logs, same slope tree
+    val counts = Tables.t(spark, sf("sf0.001"), "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .foldLeft(Map.empty[String, Long]) { (m, t) => m.updated(t, m.getOrElse(t, 0L) + 1L) }
+    val top = counts.toSeq.sortBy { case (t, f) => (-f, t) }.take(1000)
+    def bits(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      val r = i + 1L
+      (bits(r * r * r * r).toLong, bits(f * f).toLong)
+    }
+    val (wn, wsx, wsy) = (pts.size.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+    val wsxx = pts.map(p => p._1 * p._1).sum
+    val wsxy = pts.map(p => p._1 * p._2).sum
+    assert((n, sx, sy, sxy) === ((wn, wsx, wsy, wsxy)))
+    val wslope = 2.0 * (wn * wsxy.toDouble - wsx.toDouble * wsy.toDouble) /
+      (wn * wsxx.toDouble - wsx.toDouble * wsx.toDouble)
+    assert(slope === wslope)
+  }
+
+  test("label centroids: full pair set, exact replay from a serial centroid walk") {
+    val dir = sf("sf0.001")
+    val got = graft.sim.Embeddings.labelCentroids(spark, dir).collect()
+      .map(r => (r.getAs[Long]("la"), r.getAs[Long]("lb")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("dot"),
+          r.getAs[Double]("cos"))).toMap
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0).toLong ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray)
+    val byLabel = emb.groupBy(_._1)
+    val cent = byLabel.map { case (l, vs) =>
+      l -> (vs.size.toLong, vs.map(_._2).transpose.map(_.sum).toArray)
+    }
+    val labels = cent.keys.toSeq.sorted
+    val want = (for {
+      a <- labels; b <- labels if a < b
+      (na, sa) = cent(a); (nb, sb) = cent(b)
+      dot = sa.zip(sb).map { case (x, y) => x * y }.sum
+      nsqa = sa.map(x => x * x).sum; nsqb = sb.map(x => x * x).sum
+    } yield (a, b) -> (na, nb, dot,
+      dot.toDouble / (math.sqrt(nsqa.toDouble) * math.sqrt(nsqb.toDouble)))).toMap
+    assert(got === want)
+    got.values.foreach { case (_, _, _, c) => assert(c >= -1.0 && c <= 1.0) }
+  }
+
   test("nb quality: the model separates the label it was trained against") {
     // not a tautology: the NB weights see only train-split term counts,
     // yet must beat coin-flip on the held-out label by a wide margin

@@ -485,6 +485,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
   }
 
+  test("zipf fit: top-1000 is a bounded TakeOrdered, never a vocabulary sort") {
+    val p = planString(graft.text.Classify.zipfFit(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("label centroids: cell equi-joins only, no nested loop, no cartesian") {
+    val p = planString(graft.sim.Embeddings.labelCentroids(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("bigram LM: scoring is bigram/context equi-joins; only the 1-row V nests") {
     val p = planString(graft.text.Classify.bigramPerplexity(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct"), p.take(1500))

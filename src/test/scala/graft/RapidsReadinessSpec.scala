@@ -137,6 +137,7 @@ class RapidsReadinessSpec extends SparkSpec {
     // post-barrier is joins + integral arithmetic
     "sim_pca_power" -> Set("rdd-segment"),
     "sim_pca_explained" -> Set("rdd-segment"),
+    "sim_label_centroids" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
@@ -147,6 +148,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_nb_confusion" -> Set("bin", "rdd-segment"),
     "text_nb_calibration" -> Set("bin", "rdd-segment"),
     "text_bigram_perplexity" -> Set("bin", "rdd-segment"),
+    "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "text_cosine_pairs" -> Set("rdd-segment"),
     "text_countmin_est" -> Set("rdd-segment"),
     "text_fingerprint" -> Set("higher-order-function"),
@@ -238,6 +240,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function"),
     "sim_pca_power" -> Set("higher-order-function"),
     "sim_pca_explained" -> Set("higher-order-function"),
+    "sim_label_centroids" -> Set("higher-order-function"),
+    "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "text_bm25_rank" -> Set("higher-order-function"),
