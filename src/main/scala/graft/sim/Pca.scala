@@ -185,11 +185,131 @@ object Pca {
        |         AS explained_share
        |FROM quad CROSS JOIN vv CROSS JOIN tr""".stripMargin
 
+  /** Anisotropy report — the "all-but-the-top" post-process (Mu &
+    * Viswanath 2018) as a measured corpus transform: remove each
+    * vector's projection onto the leading PC and compare the corpus'
+    * alignment with its centroid direction before vs after.
+    *
+    * Exactness: the residual is the CROSS-MULTIPLIED integer form
+    * r_i = x_i·(vᵀv) − (xᵀv)·v_i (the rational projection coefficient
+    * never materializes), then each residual vector is floor-rescaled
+    * to ≤S by the shift-before-divide idiom (mr = per-VECTOR max|r|;
+    * all-zero residuals keep r' = 0). Per-vector cosines to the exact
+    * integer centroid directions (Σx, Σr') are single IEEE trees over
+    * DECIMAL(38,0)-widened dots, quantized to shifted micros
+    * (floor((cos+1)·1e6) ≥ 0) so the corpus MEAN is an integer sum and
+    * a non-negative DIV. One row out.
+    *
+    * Scale shape: the corpus appears only in cell form — explode once,
+    * then every stage is either vec_id-keyed (p, mr, the cosine aggs —
+    * exchange-aligned) or a 64/1-row broadcast (v, vᵀv, centroids).
+    * Nothing joins corpus×corpus. */
+  def anisotropyReport(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), posexplode(Portable.quantize(col("embedding"))).as(Seq("i", "xi")))
+      .staged // one corpus explode feeds projection, residual and both cosine passes
+    val v = iterate(scaledCov(spark, dir).staged).staged
+    val vb = v.select(col("d").as("i"), col("v").as("vi"))
+    val vv = v.agg(sum(col("v") * col("v")).as("vv"))
+    val p = cells.join(broadcast(vb), "i")
+      .groupBy("vec_id").agg(sum(col("xi") * col("vi")).as("p"))
+    val r = cells.join(p, "vec_id").join(broadcast(vb), "i")
+      .crossJoin(broadcast(vv))
+      .select(col("vec_id"), col("i"),
+        (col("xi") * col("vv") - col("p") * col("vi")).as("ri"))
+    val mr = r.groupBy("vec_id").agg(max(abs(col("ri"))).as("mr"))
+    val rp = r.join(mr, "vec_id")
+      .select(col("vec_id"), col("i"),
+        when(col("mr") === 0L, 0L).otherwise(
+          expr(s"CAST(((CAST(ri AS DECIMAL(38,0)) + mr) * $S) DIV mr AS BIGINT)") - S)
+          .as("ri"))
+      .staged // residual cells feed the after-centroid AND the after-cosines
+    def report(cs: DataFrame, valCol: String, tag: String): DataFrame = {
+      val cent = cs.groupBy("i").agg(sum(col(valCol)).as("s"))
+      val ns = cent.agg(sum(expr("CAST(s AS DECIMAL(38,0)) * s")).as("ns"))
+      cs.join(broadcast(cent), "i")
+        .groupBy("vec_id")
+        .agg(sum(expr(s"CAST($valCol AS DECIMAL(38,0)) * s")).as("dot"),
+          sum(expr(s"CAST($valCol AS DECIMAL(38,0)) * $valCol")).as("nx"))
+        .filter(col("nx") > 0) // zero vectors carry no direction
+        .crossJoin(broadcast(ns))
+        .select(floor((col("dot").cast("double")
+          / (sqrt(col("nx").cast("double")) * sqrt(col("ns").cast("double")))
+          + 1.0d) * 1000000d).cast("long").as("qcos"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          expr(s"sum(qcos) DIV count(1)").as(s"mean_qcos_$tag"))
+    }
+    report(cells, "xi", "before")
+      .crossJoin(broadcast(report(rp, "ri", "after")))
+  }
+
+  val anisotropyReportSql: String =
+    s"""WITH ${pipelineSql()},
+       |cellsx AS (
+       |  SELECT vec_id, i.i - 1 AS i, qv2.qv[i.i] AS xi
+       |  FROM (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+       |        FROM embeddings) qv2, generate_series(1, $dims) i(i)
+       |), vvt AS (SELECT CAST(sum(v * v) AS BIGINT) AS vv FROM v3),
+       |pt AS (
+       |  SELECT c.vec_id, CAST(sum(c.xi * v.v) AS BIGINT) AS p
+       |  FROM cellsx c JOIN v3 v ON c.i = v.d GROUP BY c.vec_id
+       |), rt AS (
+       |  SELECT c.vec_id, c.i, c.xi * vvt.vv - pt.p * v.v AS ri
+       |  FROM cellsx c
+       |  JOIN pt ON c.vec_id = pt.vec_id
+       |  JOIN v3 v ON c.i = v.d
+       |  CROSS JOIN vvt
+       |), mrt AS (
+       |  SELECT vec_id, max(abs(ri)) AS mr FROM rt GROUP BY vec_id
+       |), rp AS (
+       |  SELECT r.vec_id, r.i,
+       |         CASE WHEN m.mr = 0 THEN 0
+       |              ELSE CAST(((CAST(r.ri AS HUGEINT) + m.mr) * ${S}) // m.mr - ${S} AS BIGINT)
+       |         END AS ri
+       |  FROM rt r JOIN mrt m ON r.vec_id = m.vec_id
+       |), centb AS (SELECT i, CAST(sum(xi) AS BIGINT) AS s FROM cellsx GROUP BY i),
+       |nsb AS (SELECT CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ns FROM centb),
+       |cosb AS (
+       |  SELECT c.vec_id,
+       |         CAST(sum(CAST(c.xi AS HUGEINT) * cb.s) AS HUGEINT) AS dot,
+       |         CAST(sum(CAST(c.xi AS HUGEINT) * c.xi) AS HUGEINT) AS nx
+       |  FROM cellsx c JOIN centb cb ON c.i = cb.i GROUP BY c.vec_id
+       |), qb AS (
+       |  SELECT CAST(floor((CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ns AS DOUBLE))) + 1.0) * 1000000)
+       |         AS BIGINT) AS qcos
+       |  FROM cosb CROSS JOIN nsb WHERE nx > 0
+       |), centa AS (SELECT i, CAST(sum(ri) AS BIGINT) AS s FROM rp GROUP BY i),
+       |nsa AS (SELECT CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ns FROM centa),
+       |cosa AS (
+       |  SELECT r.vec_id,
+       |         CAST(sum(CAST(r.ri AS HUGEINT) * ca.s) AS HUGEINT) AS dot,
+       |         CAST(sum(CAST(r.ri AS HUGEINT) * r.ri) AS HUGEINT) AS nx
+       |  FROM rp r JOIN centa ca ON r.i = ca.i GROUP BY r.vec_id
+       |), qa AS (
+       |  SELECT CAST(floor((CAST(dot AS DOUBLE)
+       |           / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ns AS DOUBLE))) + 1.0) * 1000000)
+       |         AS BIGINT) AS qcos
+       |  FROM cosa CROSS JOIN nsa WHERE nx > 0
+       |), rb AS (
+       |  SELECT count(*) AS n_before, CAST(sum(qcos) // count(*) AS BIGINT) AS mean_qcos_before
+       |  FROM qb
+       |), ra AS (
+       |  SELECT count(*) AS n_after, CAST(sum(qcos) // count(*) AS BIGINT) AS mean_qcos_after
+       |  FROM qa
+       |)
+       |SELECT n_before, mean_qcos_before, n_after, mean_qcos_after
+       |FROM rb CROSS JOIN ra""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pca_power" -> pcaPower,
-    "sim_pca_explained" -> pcaExplained)
+    "sim_pca_explained" -> pcaExplained,
+    "sim_anisotropy_report" -> anisotropyReport)
 
   val oracles: Map[String, String] = Map(
     "sim_pca_power" -> pcaPowerSql,
-    "sim_pca_explained" -> pcaExplainedSql)
+    "sim_pca_explained" -> pcaExplainedSql,
+    "sim_anisotropy_report" -> anisotropyReportSql)
 }

@@ -220,18 +220,16 @@ class Analytics2Spec extends SparkSpec {
     }
   }
 
-  test("pca power: replays exactly from a plain-Scala integer iteration") {
-    val dir = sf("sf0.001")
-    val got = graft.sim.Pca.pcaPower(spark, dir).collect()
-      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v")).toMap
-    assert(got.size === 64)
-    // renormalization pins the max-|component| at exactly S
-    assert(got.values.map(math.abs).max === 1000000L)
-    // serial replay: same quantization, same moments, same shifted
-    // integral divisions — must be integer-identical
-    val emb = graft.operators.Tables.t(spark, dir, "embeddings")
+  /** Quantized embeddings at sf0.001, the shared input of the PCA-family
+    * replays. */
+  private def quantizedEmb(dir: String): Array[Array[Long]] =
+    Tables.t(spark, dir, "embeddings")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray)
+
+  /** Plain-Scala integer replay of Pca's moments → rescale → 3 power
+    * rounds (same shifted integral divisions). */
+  private def replayPcaV(emb: Array[Array[Long]]): Array[Long] = {
     val n = emb.length.toLong
     val d = 64
     val sij = Array.ofDim[Long](d, d); val si = new Array[Long](d)
@@ -252,8 +250,57 @@ class Analytics2Spec extends SparkSpec {
       val mw = w.map(math.abs).max
       v = w.map(x => ((BigInt(x) + mw) * s / mw - s).toLong)
     }
+    v
+  }
+
+  test("pca power: replays exactly from a plain-Scala integer iteration") {
+    val dir = sf("sf0.001")
+    val got = graft.sim.Pca.pcaPower(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("v")).toMap
+    assert(got.size === 64)
+    // renormalization pins the max-|component| at exactly S
+    assert(got.values.map(math.abs).max === 1000000L)
+    val v = replayPcaV(quantizedEmb(dir))
     val want = v.zipWithIndex.map { case (x, i) => i.toLong -> x }.toMap
     assert(got === want)
+  }
+
+  test("anisotropy report: replays exactly, residual rescale included") {
+    val dir = sf("sf0.001")
+    val r = graft.sim.Pca.anisotropyReport(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    val emb = quantizedEmb(dir)
+    val v = replayPcaV(emb)
+    val s = 1000000L
+    val vv = v.map(x => x * x).sum
+    val resid = emb.map { x =>
+      val p = x.zip(v).map { case (a, b) => a * b }.sum
+      val ri = x.zip(v).map { case (xi, vi) => xi * vv - p * vi }
+      val mr = ri.map(math.abs).max
+      if (mr == 0L) ri.map(_ => 0L)
+      else ri.map(x0 => ((BigInt(x0) + mr) * s / mr - s).toLong)
+    }
+    def meanQcos(vecs: Array[Array[Long]]): (Long, Long) = {
+      val cent = vecs.transpose.map(_.sum)
+      val ns = cent.map(x => BigInt(x) * x).sum
+      val qs = vecs.flatMap { x =>
+        val nx = x.map(a => BigInt(a) * a).sum
+        if (nx == 0) None
+        else {
+          val dot = x.zip(cent).map { case (a, b) => BigInt(a) * b }.sum
+          Some(math.floor((dot.toDouble
+            / (math.sqrt(nx.toDouble) * math.sqrt(ns.toDouble)) + 1.0) * 1000000d).toLong)
+        }
+      }
+      (qs.length.toLong, qs.sum / qs.length)
+    }
+    val (nb, mb) = meanQcos(emb)
+    val (na, ma) = meanQcos(resid)
+    assert(row.getAs[Long]("n_before") === nb)
+    assert(row.getAs[Long]("mean_qcos_before") === mb)
+    assert(row.getAs[Long]("n_after") === na)
+    assert(row.getAs[Long]("mean_qcos_after") === ma)
   }
 
   test("pca explained: leading share dominates the 1/64 uniform floor") {

@@ -485,6 +485,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
   }
 
+  test("anisotropy report: vec-keyed cells + broadcast models; only 1-row scalars nest") {
+    val p = planString(graft.sim.Pca.anisotropyReport(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
+
   test("zipf fit: top-1000 is a bounded TakeOrdered, never a vocabulary sort") {
     val p = planString(graft.text.Classify.zipfFit(spark, sf("sf0.001")))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

@@ -137,6 +137,7 @@ class RapidsReadinessSpec extends SparkSpec {
     // post-barrier is joins + integral arithmetic
     "sim_pca_power" -> Set("rdd-segment"),
     "sim_pca_explained" -> Set("rdd-segment"),
+    "sim_anisotropy_report" -> Set("rdd-segment"),
     "sim_label_centroids" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
@@ -240,6 +241,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function"),
     "sim_pca_power" -> Set("higher-order-function"),
     "sim_pca_explained" -> Set("higher-order-function"),
+    "sim_anisotropy_report" -> Set("higher-order-function"),
     "sim_label_centroids" -> Set("higher-order-function"),
     "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
