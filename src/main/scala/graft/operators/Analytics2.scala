@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.Tables.t
+import graft.Cache.CacheOps
 
 /** Second analytics batch: CUSUM changepoint detection, lag-1
   * autocorrelation, and market-basket co-occurrence mining.
@@ -290,17 +291,116 @@ object Analytics2 {
       |          + CAST(sgl AS DOUBLE)) AS burstiness
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** Association rules over the co-purchase pairs (Agrawal–Srikant
+    * support/confidence/lift): for every DIRECTED pair a→b seen in ≥2
+    * shared orders — support in exact order-permille, confidence
+    * (1000·n_ab) DIV n_a (non-negative integral division, identical in
+    * both engines), lift N·n_ab/(n_a·n_b) as one IEEE division of
+    * exact integers alongside its raw numerator/denominator. The
+    * pair generator is [[copurchaseTopk]]'s bounded basket self-join;
+    * item order-counts join back on the item key. */
+  def copurchaseLift(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
+      .distinct()
+      .staged // feeds the total, the item counts and the pair join
+    val total = li.select("okey").distinct().agg(count(lit(1)).as("n_orders_total"))
+    val items = li.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val pairs = li.as("a").join(li.as("b"), Seq("okey"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val directed = pairs.unionAll(
+      pairs.select(col("p2").as("p1"), col("p1").as("p2"), col("n_ab")))
+    directed
+      .join(items.select(col("p").as("p1"), col("n_item").as("n_a")), Seq("p1"))
+      .join(items.select(col("p").as("p2"), col("n_item").as("n_b")), Seq("p2"))
+      .crossJoin(broadcast(total))
+      .select(col("p1"), col("p2"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000 * n_ab) DIV n_orders_total").as("support_permille"),
+        expr("(1000 * n_ab) DIV n_a").as("conf_permille"),
+        ((col("n_orders_total") * col("n_ab")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy("p1", "p2")
+  }
+
+  val copurchaseLiftSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+      |), tot AS (SELECT count(DISTINCT okey) AS n_orders_total FROM li),
+      |items AS (SELECT p, count(*) AS n_item FROM li GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_ab
+      |  FROM li a JOIN li b ON a.okey = b.okey AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), directed AS (
+      |  SELECT p1, p2, n_ab FROM pairs
+      |  UNION ALL
+      |  SELECT p2, p1, n_ab FROM pairs
+      |)
+      |SELECT d.p1, d.p2, d.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+      |       CAST((1000 * d.n_ab) // t.n_orders_total AS BIGINT) AS support_permille,
+      |       CAST((1000 * d.n_ab) // ia.n_item AS BIGINT) AS conf_permille,
+      |       CAST(t.n_orders_total * d.n_ab AS DOUBLE)
+      |         / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      |FROM directed d
+      |JOIN items ia ON d.p1 = ia.p
+      |JOIN items ib ON d.p2 = ib.p
+      |CROSS JOIN tot t
+      |ORDER BY p1, p2""".stripMargin
+
+  /** Pointwise mutual information between the two document categoricals
+    * (lang × source) — the feature-association audit under every
+    * metadata-balance check (is one source dominating one language?).
+    * PMI is quantized to whole bits with the SHIFTED bin trick:
+    * pmi_bits = floor(log2((n·N·2^20) div (n_l·n_s))) − 20 — signed
+    * output from non-negative arithmetic (the 2^20 headroom keeps the
+    * DIV argument ≥ 1 down to PMI −20 bits, far below any real cell).
+    * Output is category-cardinality cells; one pass over the corpus. */
+  def categoryPmi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val nl = cells.groupBy("lang").agg(sum("n").as("n_l"))
+    val ns = cells.groupBy("source").agg(sum("n").as("n_s"))
+    val tot = cells.agg(sum("n").as("nn"))
+    cells.join(nl, "lang").join(ns, "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n"), col("n_l"), col("n_s"),
+        (length(bin(expr("(n * nn * 1048576) DIV (n_l * n_s)"))).cast("long") - 21L)
+          .as("pmi_bits"))
+      .orderBy("lang", "source")
+  }
+
+  val categoryPmiSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+      |), nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_l FROM cells GROUP BY lang),
+      |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM cells GROUP BY source),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells)
+      |SELECT c.lang, c.source, c.n, nl.n_l, ns.n_s,
+      |       length(bin((c.n * t.nn * 1048576) // (nl.n_l * ns.n_s))) - 21 AS pmi_bits
+      |FROM cells c
+      |JOIN nl USING (lang)
+      |JOIN ns USING (source)
+      |CROSS JOIN tot t
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_cusum_changepoints" -> cusumChangepoints,
     "ts_lag_autocorr" -> lagAutocorr,
     "ts_seasonal_profile" -> seasonalProfile,
     "ts_interarrival_burstiness" -> interarrivalBurstiness,
-    "rec_copurchase_topk" -> ((s, d) => copurchaseTopk(s, d)))
+    "rec_copurchase_topk" -> ((s, d) => copurchaseTopk(s, d)),
+    "rec_copurchase_lift" -> copurchaseLift,
+    "dq_category_pmi" -> categoryPmi)
 
   val oracles: Map[String, String] = Map(
     "ts_cusum_changepoints" -> cusumChangepointsSql,
     "ts_lag_autocorr" -> lagAutocorrSql,
     "ts_seasonal_profile" -> seasonalProfileSql,
     "ts_interarrival_burstiness" -> interarrivalBurstinessSql,
-    "rec_copurchase_topk" -> copurchaseTopkSql)
+    "rec_copurchase_topk" -> copurchaseTopkSql,
+    "rec_copurchase_lift" -> copurchaseLiftSql,
+    "dq_category_pmi" -> categoryPmiSql)
 }

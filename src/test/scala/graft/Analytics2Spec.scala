@@ -88,6 +88,58 @@ class Analytics2Spec extends SparkSpec {
     assert(got.toSet === want)
   }
 
+  test("copurchase lift: rules replay from the basket walk; bounds hold") {
+    val dir = sf("sf0.001")
+    val got = Analytics2.copurchaseLift(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("support_permille"), r.getAs[Long]("conf_permille"),
+          r.getAs[Double]("lift"))).toMap
+    got.values.foreach { case (nab, na, nb, sup, conf, lift) =>
+      assert(nab >= 2L && nab <= na && nab <= nb)
+      assert(conf <= 1000L && sup <= conf, "support cannot exceed confidence")
+      assert(lift > 0.0)
+    }
+    val li = Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1)
+    val totalOrders = byOrder.size.toLong
+    val items = li.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._1).distinct.size.toLong }
+    val pairCounts = byOrder.values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2L)
+    val want = pairCounts.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+      .map { case (a, b, n) =>
+        (a, b) -> (n, items(a), items(b), 1000L * n / totalOrders, 1000L * n / items(a),
+          (totalOrders * n).toDouble / (items(a) * items(b)).toDouble)
+      }.toMap
+    assert(got === want)
+  }
+
+  test("category pmi: cells and marginals replay; pmi is the floored log ratio") {
+    val dir = sf("sf0.001")
+    val got = Analytics2.categoryPmi(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_l"), r.getAs[Long]("n_s"),
+          r.getAs[Long]("pmi_bits"))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.t(spark, dir, "documents")
+      .select("lang", "source").collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nl = docs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val ns = docs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nn = docs.length.toLong
+    def bits(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val want = cells.map { case ((l, s), n) =>
+      (l, s) -> (n, nl(l), ns(s), bits((n * nn * 1048576L) / (nl(l) * ns(s))) - 20L)
+    }
+    assert(got === want)
+  }
+
   test("degree histogram: node and edge totals tie out to the distinct pair set") {
     val dir = sf("sf0.001")
     val h = GraphOps.degreeHistogram(spark, dir).collect()

@@ -485,6 +485,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
   }
 
+  test("copurchase lift: basket equi-joins; only the 1-row total nests") {
+    val p = planString(graft.operators.Analytics2.copurchaseLift(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
+
+  test("category pmi: marginal equi-joins; only the 1-row total nests") {
+    val p = planString(graft.operators.Analytics2.categoryPmi(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
+
   test("anisotropy report: vec-keyed cells + broadcast models; only 1-row scalars nest") {
     val p = planString(graft.sim.Pca.anisotropyReport(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct"), p.take(1500))

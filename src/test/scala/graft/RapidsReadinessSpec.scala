@@ -100,7 +100,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
     "pipeline_pack_sequences" -> Set("higher-order-function"),
     "pipeline_mix_resample" -> Set("higher-order-function"),
+    "dq_category_pmi" -> Set("bin"),
     "q15_top_supplier" -> Set("rdd-segment"),
+    "rec_copurchase_lift" -> Set("rdd-segment"),
     "q21_sole_return_supplier" -> Set("rdd-segment"),
     "sim_ann_lsh" -> Set("custom-expression", "rdd-segment"),
     "sim_ann_multiprobe" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -196,6 +198,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_simhash_incremental" -> Set("bit-count", "higher-order-function"),
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
     "fn_array_ops" -> Set("higher-order-function"),
+    "dq_category_pmi" -> Set("bin"),
     "mm_decode_summary" -> Set("object-node"),
     "mm_frame_sample" -> Set("object-node"),
     "mm_neardup_pairs" -> Set("bit-count"),
