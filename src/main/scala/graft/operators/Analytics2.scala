@@ -386,7 +386,77 @@ object Analytics2 {
       |CROSS JOIN tot t
       |ORDER BY lang, source""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic of each event_type's value
+    * distribution against the pooled corpus — the nonparametric drift
+    * gate beside the histogram drift report. EXACT: values quantize to
+    * centi-units, counts aggregate to a (type × distinct-value) cell
+    * grid — bounded by VALUE RESOLUTION, never corpus size — and
+    * D = max|F_t − F| is evaluated cross-multiplied
+    * (|cum_t·N − cum·n_t|, all BIGINTs; the empirical CDFs never
+    * materialize as rationals). The windows run over grid rows only.
+    * Output: one row per type with the scaled D and its permille. */
+  def ksByType(spark: SparkSession, dir: String): DataFrame = {
+    val cells = t(spark, dir, "events")
+      .select(col("event_type"), centi("value").as("qv"))
+      .groupBy("event_type", "qv").agg(count(lit(1)).as("c"))
+      .staged // grid base: feeds the value grid, totals, and both CDFs
+    val grid = cells.select("qv").distinct()
+    val types = cells.groupBy("event_type").agg(sum("c").as("n_t"))
+    val tot = types.agg(sum("n_t").as("nn"))
+    val wAll = Window.orderBy("qv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumAll = grid
+      .join(cells.groupBy("qv").agg(sum("c").as("ca")), Seq("qv"), "left")
+      .withColumn("cum_all", sum(coalesce(col("ca"), lit(0L))).over(wAll))
+      .select("qv", "cum_all")
+    val wT = Window.partitionBy("event_type").orderBy("qv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumT = grid.crossJoin(broadcast(types))
+      .join(cells, Seq("event_type", "qv"), "left")
+      .withColumn("cum_t", sum(coalesce(col("c"), lit(0L))).over(wT))
+    cumT.join(cumAll, "qv")
+      .crossJoin(broadcast(tot))
+      .groupBy("event_type", "n_t", "nn")
+      .agg(max(abs(col("cum_t") * col("nn") - col("cum_all") * col("n_t"))).as("d_cross"))
+      .select(col("event_type"), col("n_t"),
+        col("d_cross"),
+        expr("(1000 * d_cross) DIV (n_t * nn)").as("d_permille"))
+      .orderBy("event_type")
+  }
+
+  val ksByTypeSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, $centiSql AS qv, count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), grid AS (SELECT DISTINCT qv FROM cells),
+       |types AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_t FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS nn FROM types),
+       |cum_all AS (
+       |  SELECT g.qv,
+       |         CAST(sum(coalesce(ca.ca, 0)) OVER (ORDER BY g.qv
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+       |  FROM grid g
+       |  LEFT JOIN (SELECT qv, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY qv) ca
+       |    ON g.qv = ca.qv
+       |), cum_t AS (
+       |  SELECT ty.event_type, ty.n_t, g.qv,
+       |         CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY ty.event_type ORDER BY g.qv
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t
+       |  FROM grid g CROSS JOIN types ty
+       |  LEFT JOIN cells c ON c.event_type = ty.event_type AND c.qv = g.qv
+       |)
+       |SELECT t.event_type, t.n_t,
+       |       CAST(max(abs(t.cum_t * o.nn - a.cum_all * t.n_t)) AS BIGINT) AS d_cross,
+       |       CAST((1000 * max(abs(t.cum_t * o.nn - a.cum_all * t.n_t))) // (t.n_t * o.nn) AS BIGINT)
+       |         AS d_permille
+       |FROM cum_t t
+       |JOIN cum_all a ON t.qv = a.qv
+       |CROSS JOIN tot o
+       |GROUP BY t.event_type, t.n_t, o.nn
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_ks_by_type" -> ksByType,
     "ts_cusum_changepoints" -> cusumChangepoints,
     "ts_lag_autocorr" -> lagAutocorr,
     "ts_seasonal_profile" -> seasonalProfile,
@@ -396,6 +466,7 @@ object Analytics2 {
     "dq_category_pmi" -> categoryPmi)
 
   val oracles: Map[String, String] = Map(
+    "stat_ks_by_type" -> ksByTypeSql,
     "ts_cusum_changepoints" -> cusumChangepointsSql,
     "ts_lag_autocorr" -> lagAutocorrSql,
     "ts_seasonal_profile" -> seasonalProfileSql,

@@ -429,17 +429,68 @@ object GraphOps {
        |         AS assortativity
        |FROM s""".stripMargin
 
+  /** Neighbor-set Jaccard similarity — the classic link-prediction /
+    * node-dedup primitive: candidate pairs (a, b) sharing a common
+    * neighbor m, scored |N(a)∩N(b)| / |N(a)∪N(b)| in exact integral
+    * permille. The pair generator is the WEDGE equi-join on the middle
+    * node with a degree cap on m (deg ≤ maxMidDeg — hub-mediated
+    * candidates are dropped, same df-cap rationale as the shingle
+    * index: a hub of degree h fans out h² wedges and ranks everything
+    * against everything). Degrees in the denominator stay UNCAPPED.
+    * Top-50 overall by (permille DESC, a, b) — a bounded TakeOrdered. */
+  def jaccardNeighbors(spark: SparkSession, dir: String,
+                       maxMidDeg: Int = 32, topN: Int = 50): DataFrame = {
+    val e = edges(spark, dir).staged
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val mids = deg.filter(col("deg") <= maxMidDeg)
+      .select(col("src").as("m"))
+    val capped = e.join(mids, e("src") === mids("m"))
+      .select(col("src").as("m0"), col("dst"))
+    val wedges = capped.as("x").join(capped.as("y"), Seq("m0"))
+      .filter(col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+        expr("(1000 * n_common) DIV (deg_a + deg_b - n_common)").as("j_permille"))
+      .orderBy(col("j_permille").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  def jaccardNeighborsSql(maxMidDeg: Int = 32, topN: Int = 50): String =
+    s"""WITH $edgesSql,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |mids AS (SELECT src AS m FROM deg WHERE deg <= $maxMidDeg),
+       |capped AS (
+       |  SELECT e.src AS m0, e.dst FROM edges e JOIN mids ON e.src = mids.m
+       |), wedges AS (
+       |  SELECT x.dst AS a, y.dst AS b, count(*) AS n_common
+       |  FROM capped x JOIN capped y ON x.m0 = y.m0 AND x.dst < y.dst
+       |  GROUP BY 1, 2
+       |)
+       |SELECT w.a, w.b, w.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       |       CAST((1000 * w.n_common) // (da.deg + db.deg - w.n_common) AS BIGINT)
+       |         AS j_permille
+       |FROM wedges w
+       |JOIN deg da ON w.a = da.src
+       |JOIN deg db ON w.b = db.src
+       |ORDER BY j_permille DESC, a, b LIMIT $topN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
     "graph_kcore" -> ((s, d) => kcore(s, d)),
     "graph_degree_histogram" -> degreeHistogram,
-    "graph_assortativity" -> assortativity)
+    "graph_assortativity" -> assortativity,
+    "graph_jaccard_neighbors" -> ((s, d) => jaccardNeighbors(s, d)))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql(),
     "graph_triangles" -> trianglesSql(),
     "graph_kcore" -> kcoreSql(),
     "graph_degree_histogram" -> degreeHistogramSql,
-    "graph_assortativity" -> assortativitySql)
+    "graph_assortativity" -> assortativitySql,
+    "graph_jaccard_neighbors" -> jaccardNeighborsSql())
 }

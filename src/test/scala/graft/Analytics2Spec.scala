@@ -140,6 +140,60 @@ class Analytics2Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ks by type: replays exactly from a serial CDF walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics2.ksByType(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_t"), r.getAs[Long]("d_cross"), r.getAs[Long]("d_permille"))).toMap
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("qv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grid = ev.map(_._2).distinct.sorted
+    val nn = ev.length.toLong
+    val byType = ev.groupBy(_._1)
+    val want = byType.map { case (tpe, xs) =>
+      val nt = xs.length.toLong
+      val cellsT = xs.groupBy(_._2).map { case (v, ys) => v -> ys.length.toLong }
+      val cellsAll = ev.groupBy(_._2).map { case (v, ys) => v -> ys.length.toLong }
+      var ct = 0L; var ca = 0L; var d = 0L
+      grid.foreach { v =>
+        ct += cellsT.getOrElse(v, 0L); ca += cellsAll(v)
+        d = math.max(d, math.abs(ct * nn - ca * nt))
+      }
+      tpe -> (nt, d, 1000L * d / (nt * nn))
+    }
+    assert(got === want)
+    // D must be 0 iff the type IS the whole corpus; here every type is a
+    // strict subset, so every D is positive
+    got.values.foreach { case (_, d, _) => assert(d > 0L) }
+  }
+
+  test("jaccard neighbors: replays exactly from a serial wedge walk") {
+    val dir = sf("sf0.001")
+    val got = graft.sim.GraphOps.jaccardNeighbors(spark, dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_common"),
+        r.getAs[Long]("deg_a"), r.getAs[Long]("deg_b"), r.getAs[Long]("j_permille")))
+    assert(got.nonEmpty && got.length <= 50)
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = pairs.flatMap { case (p, s) => Seq((p, s), (s, p)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val mids = deg.filter(_._2 <= 32L).keySet
+    val byMid = edges.filter(e => mids(e._1)).groupBy(_._1)
+    val wedges = byMid.values.flatMap { es =>
+      val ns = es.map(_._2).sorted
+      for (i <- ns.indices; j <- (i + 1) until ns.length) yield (ns(i), ns(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val scored = wedges.map { case ((a, b), n) =>
+      (a, b, n, deg(a), deg(b), 1000L * n / (deg(a) + deg(b) - n))
+    }.toSeq
+    val want = scored.sortBy(t => (-t._6, t._1, t._2)).take(50)
+    assert(got.toSeq === want)
+  }
+
   test("degree histogram: node and edge totals tie out to the distinct pair set") {
     val dir = sf("sf0.001")
     val h = GraphOps.degreeHistogram(spark, dir).collect()

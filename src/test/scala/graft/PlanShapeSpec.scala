@@ -485,6 +485,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
   }
 
+  test("ks by type: windows over the value grid; only bounded model frames nest") {
+    val p = planString(graft.operators.Analytics2.ksByType(spark, sf("sf0.001")))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bnlj = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
+  }
+
+  test("jaccard neighbors: wedge equi-join + bounded TakeOrdered") {
+    val p = planString(graft.sim.GraphOps.jaccardNeighbors(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("copurchase lift: basket equi-joins; only the 1-row total nests") {
     val p = planString(graft.operators.Analytics2.copurchaseLift(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct"), p.take(1500))

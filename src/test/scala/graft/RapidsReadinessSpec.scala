@@ -84,6 +84,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
     "fn_array_ops" -> Set("higher-order-function"),
     "graph_assortativity" -> Set("rdd-segment"),
+    "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
     "graph_triangles" -> Set("rdd-segment"),
@@ -140,6 +141,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pca_power" -> Set("rdd-segment"),
     "sim_pca_explained" -> Set("rdd-segment"),
     "sim_anisotropy_report" -> Set("rdd-segment"),
+    "stat_ks_by_type" -> Set("rdd-segment"),
     "sim_label_centroids" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
