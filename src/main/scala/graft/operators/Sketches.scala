@@ -550,6 +550,81 @@ object Sketches {
       |            / (n - 1)) AS stddev_w
       |FROM agg ORDER BY l_returnflag""".stripMargin
 
+  /** Neyman (variance-proportional) stratified allocation: a total
+    * budget K is split across strata ∝ n_s·σ_s — the optimal-variance
+    * allocation (Neyman 1934) every survey/eval sampler uses — then
+    * each stratum draws its quota deterministically by hash order.
+    *
+    * Exactness: n_s·σ_s = sqrt(n_s·Σv² − (Σv)²) on exact centi-integer
+    * sums; the weight is floor-quantized to a BIGINT per stratum
+    * (per-row IEEE sqrt, deterministic) BEFORE the cross-stratum sum,
+    * so the allocation q_s = (K·wq_s) DIV Σwq is non-negative integral
+    * arithmetic end to end — no cross-engine double accumulation.
+    * Selection is rank ≤ q_s over (hash60, event_id) per stratum —
+    * the bottom-k machinery, planning as a partial top-k. Output is
+    * the per-stratum allocation plus each sampled row. */
+  def neymanSample(spark: SparkSession, dir: String, budget: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"))
+    val strata = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_s"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      // n_s·Σv² reaches ~1e22 at sf0.1 — widen to DECIMAL(38,0) (DuckDB:
+      // HUGEINT) before the one deterministic double conversion
+      .withColumn("wq",
+        floor(sqrt(expr("CAST(CAST(n_s AS DECIMAL(38,0)) * svv - CAST(sv AS DECIMAL(38,0)) * sv AS DOUBLE)")))
+          .cast("long"))
+    val totw = strata.agg(sum("wq").as("tw"))
+    val quotas = strata.crossJoin(broadcast(totw))
+      .select(col("event_type"), col("n_s"), col("wq"),
+        expr(s"($budget * wq) DIV tw").as("quota"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(pmod(Portable.hash60(concat_ws("_", lit("ney"), col("event_id"))),
+        lit(1000000007L)), col("event_id"))
+    ev.withColumn("rk", row_number().over(w).cast("long"))
+      // static budget bound first: quota ≤ K always, and a LITERAL limit
+      // lets the planner push a WindowGroupLimit (the joined quota
+      // column could not be pushed below the window)
+      .filter(col("rk") <= budget.toLong)
+      .join(broadcast(quotas), "event_type")
+      .filter(col("rk") <= col("quota"))
+      .select("event_type", "n_s", "quota", "rk", "event_id")
+      .orderBy("event_type", "rk")
+  }
+
+  def neymanSampleSql(budget: Int = 1000): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM events
+       |), strata AS (
+       |  SELECT event_type, count(*) AS n_s,
+       |         CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS svv
+       |  FROM ev GROUP BY event_type
+       |), wqs AS (
+       |  SELECT event_type, n_s,
+       |         CAST(floor(sqrt(CAST(CAST(n_s AS HUGEINT) * svv - CAST(sv AS HUGEINT) * sv AS DOUBLE))) AS BIGINT) AS wq
+       |  FROM strata
+       |), tw AS (SELECT CAST(sum(wq) AS BIGINT) AS tw FROM wqs),
+       |quotas AS (
+       |  SELECT event_type, n_s, wq, ($budget * wq) // tw.tw AS quota
+       |  FROM wqs CROSS JOIN tw
+       |), ranked AS (
+       |  SELECT event_type, event_id,
+       |         row_number() OVER (PARTITION BY event_type
+       |           ORDER BY ('0x' || substr(md5('ney_' || event_id), 1, 15))::BIGINT % 1000000007,
+       |                    event_id) AS rk
+       |  FROM ev
+       |)
+       |SELECT r.event_type, q.n_s, CAST(q.quota AS BIGINT) AS quota,
+       |       CAST(r.rk AS BIGINT) AS rk, r.event_id
+       |FROM ranked r JOIN quotas q USING (event_type)
+       |WHERE r.rk <= $budget AND r.rk <= q.quota
+       |ORDER BY event_type, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_winsorized" -> winsorizedStats,
     "agg_quantile_sketch" -> quantileSketch,
@@ -558,7 +633,8 @@ object Sketches {
     "agg_hll_groups" -> ((s, d) => hllGroups(s, d)),
     "join_bloom_prune" -> ((s, d) => bloomPrune(s, d)),
     "sample_bottomk" -> ((s, d) => bottomK(s, d)),
-    "sample_stratified" -> ((s, d) => stratifiedSample(s, d)))
+    "sample_stratified" -> ((s, d) => stratifiedSample(s, d)),
+    "sample_neyman" -> ((s, d) => neymanSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "stat_winsorized" -> winsorizedStatsSql,
@@ -568,5 +644,6 @@ object Sketches {
     "agg_hll_groups" -> hllGroupsSql(),
     "join_bloom_prune" -> bloomPruneSql(),
     "sample_bottomk" -> bottomKSql(),
-    "sample_stratified" -> stratifiedSampleSql())
+    "sample_stratified" -> stratifiedSampleSql(),
+    "sample_neyman" -> neymanSampleSql())
 }

@@ -38,7 +38,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "q9_product_profit", "rec_copurchase_topk",
     "s11_full_scan_count", "s12_delete_antijoin",
     "s13_update_merge", "s14_table_sizes", "s2_point_lookup",
-    "s5_upsert_union", "sample_bottomk", "sample_stratified", "sample_weighted",
+    "s5_upsert_union", "sample_bottomk", "sample_neyman",
+    "sample_stratified", "sample_weighted",
     "set_ops_except", "set_ops_intersect", "src_bucketed_join",
     "src_csv_roundtrip", "src_dpp_prune", "src_json_roundtrip",
     "src_orc_roundtrip",

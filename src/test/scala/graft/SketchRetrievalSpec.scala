@@ -67,6 +67,48 @@ class SketchRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("Neyman allocation replays exactly: quotas ∝ n_s·σ_s, selection is bottom-quota by hash") {
+    val budget = 1000
+    // plain-Scala double entry of the whole allocation + selection
+    val ev = graft.operators.Tables.t(spark, dir, "events")
+      .select("event_type", "event_id", "value").collect()
+      .map { r =>
+        val v = new java.math.BigDecimal(r.getAs[Double]("value"))
+          .setScale(2, java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact
+        (r.getAs[String]("event_type"), r.getAs[Long]("event_id"), v)
+      }
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"ney_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000007L
+    }
+    val strata = ev.groupBy(_._1).map { case (et, rs) =>
+      val n = BigInt(rs.length)
+      val sv = rs.map(r => BigInt(r._3)).sum
+      val svv = rs.map(r => BigInt(r._3) * r._3).sum
+      val wq = math.sqrt((n * svv - sv * sv).toDouble).toLong
+      (et, (rs, wq))
+    }
+    val tw = strata.values.map(_._2).sum
+    val expected = strata.map { case (et, (rs, wq)) =>
+      val quota = (budget * wq) / tw
+      val picked = rs.sortBy(r => (h(r._2), r._2)).take(quota.toInt).map(_._2).toSet
+      et -> (rs.length.toLong, quota, picked)
+    }
+
+    val rows = Sketches.neymanSample(spark, dir, budget).collect()
+    val byStratum = rows.groupBy(_.getAs[String]("event_type"))
+    assert(byStratum.keySet === expected.filter(_._2._3.nonEmpty).keySet)
+    byStratum.foreach { case (et, rs) =>
+      val (nS, quota, picked) = expected(et)
+      assert(rs.forall(_.getAs[Long]("n_s") == nS))
+      assert(rs.forall(_.getAs[Long]("quota") == quota))
+      assert(rs.length.toLong === math.min(quota, nS), s"stratum $et row count")
+      assert(rs.map(_.getAs[Long]("event_id")).toSet === picked, s"stratum $et selection")
+    }
+    assert(expected.values.map(_._2).sum <= budget, "allocation never exceeds the budget")
+  }
+
   test("tf-idf emits at most k rows per doc with non-increasing scores") {
     val rows = Retrieval.tfidfTop(spark, dir, k = 5).collect()
     rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
