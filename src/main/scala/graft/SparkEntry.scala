@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.Sketches.queries, operators.Sketches.oracles),
     (operators.Analytics.queries, operators.Analytics.oracles),
     (operators.Analytics2.queries, operators.Analytics2.oracles),
+    (operators.Analytics3.queries, operators.Analytics3.oracles),
     (operators.Behavior.queries, operators.Behavior.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.Tpch3.queries, operators.Tpch3.oracles),

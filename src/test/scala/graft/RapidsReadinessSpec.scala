@@ -19,7 +19,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_distinct", "agg_grouping_sets", "agg_pivot_linestatus",
     "agg_rollup_customers", "agg_salted_skew", "agg_session_stats",
     "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
-    "dedup_exact", "dq_constraint_report", "dq_drift_report",
+    "dedup_exact", "dq_benford", "dq_constraint_report", "dq_drift_report",
     "dq_freshness_report",
     "fn_conditionals",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
@@ -59,8 +59,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "window_event_transitions", "window_range_frame",
     "window_ranking_family", "window_retention_cohorts",
     "window_rfm_segments",
-    "window_running_sum", "window_sessionize", "window_topk_per_group",
-    "window_value_family")
+    "window_running_sum", "window_sessionize", "window_streaks",
+    "window_topk_per_group", "window_value_family")
 
   /** Expected fallback triggers per flagged query (exact sets — a new
     * trigger appearing, or one silently disappearing, both fail). */
