@@ -106,11 +106,126 @@ object Analytics3 {
        |SELECT max_streak, count(*) AS n_users
        |FROM per_user GROUP BY max_streak ORDER BY max_streak""".stripMargin
 
+  /** Deterministic per-epoch reshuffle of the document corpus — the
+    * delivery-side operator of a training pipeline: each epoch must
+    * visit every document exactly once in a fresh pseudorandom order,
+    * reproducibly, WITHOUT a global sort. Documents hash to one of 16
+    * shards per epoch (the unit a trainer streams), and the intra-shard
+    * order is a per-shard local sort by a second-level hash. The output
+    * audits the shuffle: per (epoch, shard) the document count, an
+    * order-independent XOR of the member hashes (membership check), and
+    * a rank-weighted checksum (order check — any transposition changes
+    * it).
+    *
+    * Scale shape: the explode is map-side (×E epochs), the only shuffle
+    * is the (epoch, shard)-keyed exchange every trainer needs anyway,
+    * and each window partition is one shard (corpus/16 rows) — the
+    * 100 TB epoch shuffle is exactly this plan with more shards. */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   epochs: Int = 4, shards: Int = 16): DataFrame = {
+    val h = graft.functions.Portable.hash60(
+      concat_ws("_", lit("epshuf"), col("epoch"), col("doc_id")))
+    val assigned = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    assigned
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xor_h"),
+        sum(col("rk") * pmod(col("h"), lit(997L))).as("order_sum"))
+      .orderBy("epoch", "shard")
+  }
+
+  def epochShuffleSql(epochs: Int = 4, shards: Int = 16): String =
+    s"""WITH assigned AS (
+       |  SELECT d.doc_id, e.epoch,
+       |         CAST(('0x' || substr(md5('epshuf_' || e.epoch || '_' || d.doc_id), 1, 15)) AS BIGINT) AS h
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(0, $epochs)) AS epoch) e
+       |), ranked AS (
+       |  SELECT epoch, h % $shards AS shard, h,
+       |         row_number() OVER (PARTITION BY epoch, h % $shards ORDER BY h, doc_id) AS rk
+       |  FROM assigned
+       |)
+       |SELECT epoch, shard, count(*) AS n_docs,
+       |       CAST(bit_xor(h) AS BIGINT) AS xor_h,
+       |       CAST(sum(rk * (h % 997)) AS BIGINT) AS order_sum
+       |FROM ranked GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
+  /** Poisson-bootstrap confidence interval for the mean event value —
+    * THE bootstrap that works at 100 TB: instead of resampling n rows
+    * with replacement (which needs global coordination), every row
+    * contributes an independent Poisson(1) weight per replicate
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams"). Weights come from a deterministic inverse-CDF on a
+    * 60-bit hash, so both engines draw identical replicates. Output:
+    * one row per replicate with its exact integer weighted moments, the
+    * scaled mean, and the replicate's rank — rank 1 / R are the
+    * bootstrap CI endpoints.
+    *
+    * Scale shape: the ×R explode is map-side and collapses to R cells
+    * per partition before the one 32-cell shuffle (partial aggregation
+    * does the work); the ranking window sees R rows total. */
+  def bootstrapCi(spark: SparkSession, dir: String, reps: Int = 32): DataFrame = {
+    // cumulative Poisson(1) CDF × 1e6, floored: P(X<=k) for k = 0..5;
+    // u >= all thresholds → weight 6 (truncation error < 1e-4)
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    val u = pmod(graft.functions.Portable.hash60(
+      concat_ws("_", lit("boot"), col("r"), col("event_id"))), lit(1000000L))
+    val weight = cdf.zipWithIndex.foldRight(lit(cdf.length.toLong)) {
+      case ((thr, k), els) => when(col("u") < thr, k.toLong).otherwise(els)
+    }
+    val reps32 = t(spark, dir, "events")
+      .select(col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("r"))
+      .withColumn("u", u)
+      .withColumn("w", weight)
+      .groupBy("r")
+      .agg(sum("w").as("n_w"), sum(col("w") * col("v")).as("sum_wv"))
+      .withColumn("mean_micro", expr("(10000 * sum_wv) DIV n_w"))
+    reps32
+      .withColumn("rank",
+        row_number().over(Window.orderBy("mean_micro", "r")).cast("long"))
+      .orderBy("r")
+  }
+
+  def bootstrapCiSql(reps: Int = 32): String =
+    s"""WITH drawn AS (
+       |  SELECT r.r, ev.event_id,
+       |         CAST(CAST(ev.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+       |         CAST(('0x' || substr(md5('boot_' || r.r || '_' || ev.event_id), 1, 15)) AS BIGINT)
+       |           % 1000000 AS u
+       |  FROM events ev CROSS JOIN (SELECT unnest(range(0, $reps)) AS r) r
+       |), weighted AS (
+       |  SELECT r, v,
+       |         CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+       |              WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+       |              WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+       |              ELSE 6 END AS w
+       |  FROM drawn
+       |), cells AS (
+       |  SELECT r, CAST(sum(w) AS BIGINT) AS n_w, CAST(sum(w * v) AS BIGINT) AS sum_wv
+       |  FROM weighted GROUP BY r
+       |), means AS (
+       |  SELECT r, n_w, sum_wv, (10000 * sum_wv) // n_w AS mean_micro FROM cells
+       |)
+       |SELECT r, n_w, sum_wv, mean_micro,
+       |       CAST(row_number() OVER (ORDER BY mean_micro, r) AS BIGINT) AS rank
+       |FROM means ORDER BY r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_benford" -> benfordDigits,
-    "window_streaks" -> activityStreaks)
+    "window_streaks" -> activityStreaks,
+    "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
+    "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dq_benford" -> benfordDigitsSql,
-    "window_streaks" -> activityStreaksSql)
+    "window_streaks" -> activityStreaksSql,
+    "pipeline_epoch_shuffle" -> epochShuffleSql(),
+    "stat_bootstrap_ci" -> bootstrapCiSql())
 }

@@ -58,4 +58,72 @@ class Analytics3Spec extends SparkSpec {
     // user conservation: histogram sums to the distinct-user count
     assert(got.values.sum === days.map(_._1).distinct.length.toLong)
   }
+
+  test("epoch shuffle: every epoch is a permutation; checksums replay serially") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.epochShuffle(spark, dir).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("xor_h"), r.getAs[Long]("order_sum")))
+    val docIds = Tables.t(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // conservation: each epoch's shards hold every document exactly once
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._3).sum === docIds.length.toLong)
+    }
+    // serial replay of the shard assignment, membership XOR and
+    // rank-weighted order checksum (identical md5-based hash)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val want = (for {
+      e <- 0L until 4L
+      d <- docIds
+    } yield {
+      val h = h60(s"epshuf_${e}_$d")
+      (e, h % 16, h, d)
+    }).groupBy(t => (t._1, t._2)).map { case ((e, s), ms) =>
+      val sorted = ms.sortBy(m => (m._3, m._4))
+      val orderSum = sorted.zipWithIndex
+        .map { case (m, i) => (i + 1L) * (m._3 % 997) }.sum
+      (e, s, sorted.length.toLong, sorted.map(_._3).reduce(_ ^ _), orderSum)
+    }.toSet
+    assert(got.toSet === want)
+  }
+
+  test("bootstrap: ranks are a permutation and replicate moments replay") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.bootstrapCi(spark, dir).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_w"),
+        r.getAs[Long]("sum_wv"), r.getAs[Long]("mean_micro"), r.getAs[Long]("rank")))
+    assert(got.length === 32)
+    assert(got.map(_._5).sorted.toSeq === (1L to 32L).toSeq)
+    // rank order agrees with (mean, r) lexicographic order
+    val byRank = got.sortBy(_._5).map(r => (r._4, r._1)).toSeq
+    assert(byRank === byRank.sorted)
+    // serial replay of two replicates' weighted moments
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L)
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Seq(0L, 17L).foreach { r =>
+      val ws = ev.map { case (id, v) =>
+        val u = h60(s"boot_${r}_$id") % 1000000L
+        val w = cdf.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+        (w, w * v)
+      }
+      val (nw, swv) = (ws.map(_._1).sum, ws.map(_._2).sum)
+      val row = got.find(_._1 === r).get
+      assert((row._2, row._3) === ((nw, swv)))
+      assert(row._4 === 10000L * swv / nw)
+    }
+  }
 }

@@ -28,7 +28,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "join_null_aware_anti",
     "join_lateral_topn", "join_salted_skew", "join_semi_anti",
     "layout_compaction_bins", "layout_zorder_stats", "mm_media_meta",
-    "pipeline_source_cap",
+    "pipeline_epoch_shuffle", "pipeline_source_cap",
     "q10_returned_items", "q11_part_value_share", "q12_priority_shipping",
     "q14_promo_effect", "q16_supplier_variety", "q17_small_qty_revenue",
     "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
@@ -43,8 +43,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "set_ops_except", "set_ops_intersect", "src_bucketed_join",
     "src_csv_roundtrip", "src_dpp_prune", "src_json_roundtrip",
     "src_orc_roundtrip",
-    "src_partitioned_prune", "src_schema_evolution", "stat_column_profile",
-    "stat_mad_outliers", "stat_moments",
+    "src_partitioned_prune", "src_schema_evolution", "stat_bootstrap_ci",
+    "stat_column_profile", "stat_mad_outliers", "stat_moments",
     "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
     "t10_op_chain_seq", "t2_batch_lookup_join", "t5_reserve_min_agg",
     "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
