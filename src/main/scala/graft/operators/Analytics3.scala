@@ -217,13 +217,89 @@ object Analytics3 {
        |       CAST(row_number() OVER (ORDER BY mean_micro, r) AS BIGINT) AS rank
        |FROM means ORDER BY r""".stripMargin
 
+  /** Gini coefficient + Lorenz-curve deciles of order value — the
+    * concentration report ("what share of revenue do the bottom k/10 of
+    * orders carry") that skew-aware capacity planning reads. Computed
+    * from GROUPED data on a value-resolution-bounded grid (prices
+    * quantized to 10-currency-unit cells), the same bounded-grid trick
+    * as the KS statistic: with cells sorted by value, Σ rank·x over the
+    * expanded rows equals Σ_cells qv·(c·cumN_prev + c(c+1)/2) — all
+    * exact BIGINTs — and G = (2S − (N+1)V) / (N·V) emerges as one
+    * integer division at milli resolution (denominator pre-shrunk
+    * `DIV 1000` to keep the numerator inside BIGINT at 8× scale).
+    *
+    * Scale shape: one partial+final agg to the price grid, windows over
+    * GRID rows (bounded by value resolution, never table size), and a
+    * 10-row decile probe via min_by. */
+  def giniLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val units10 = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 1000")
+    val cells = t(spark, dir, "orders")
+      .select(units10.as("qv"))
+      .groupBy("qv").agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum("c").as("nn"), sum(col("c") * col("qv")).as("vv"))
+    val w = Window.orderBy("qv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cum_n", sum("c").over(w))
+      .withColumn("cum_v", sum(col("c") * col("qv")).over(w))
+    val s = cum.agg(
+      sum(col("qv") * (col("c") * (col("cum_n") - col("c"))
+        + expr("(c * (c + 1)) DIV 2"))).as("s"))
+    val gini = s.crossJoin(broadcast(tot))
+      .select(col("nn"), col("vv"),
+        expr("(2 * s - (nn + 1) * vv) DIV ((nn * vv) DIV 1000)").as("gini_milli"))
+    val deciles = cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(
+        spark.range(1, 11).select(col("id").as("decile"))))
+      .filter(col("cum_n") * 10 >= col("decile") * col("nn"))
+      .groupBy("decile")
+      .agg(min_by(col("cum_v"), col("qv")).as("cum_v_at"))
+    deciles.crossJoin(broadcast(gini))
+      .select(col("decile"),
+        expr("(1000 * cum_v_at) DIV vv").as("lorenz_permille"),
+        col("gini_milli"))
+      .orderBy("decile")
+  }
+
+  val giniLorenzSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS qv,
+      |         count(*) AS c
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS nn, CAST(sum(c * qv) AS BIGINT) AS vv FROM cells
+      |), cum AS (
+      |  SELECT qv, c,
+      |         CAST(sum(c) OVER (ORDER BY qv
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+      |         CAST(sum(c * qv) OVER (ORDER BY qv
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v
+      |  FROM cells
+      |), s AS (
+      |  SELECT CAST(sum(qv * (c * (cum_n - c) + (c * (c + 1)) // 2)) AS BIGINT) AS s FROM cum
+      |), gini AS (
+      |  SELECT t.nn, t.vv, (2 * s.s - (t.nn + 1) * t.vv) // ((t.nn * t.vv) // 1000) AS gini_milli
+      |  FROM s CROSS JOIN tot t
+      |), deciles AS (
+      |  SELECT k.decile, min_by(cum.cum_v, cum.qv) AS cum_v_at
+      |  FROM cum CROSS JOIN tot t
+      |       CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) k
+      |  WHERE cum.cum_n * 10 >= k.decile * t.nn
+      |  GROUP BY k.decile
+      |)
+      |SELECT d.decile, (1000 * d.cum_v_at) // g.vv AS lorenz_permille, g.gini_milli
+      |FROM deciles d CROSS JOIN gini g
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_gini" -> giniLorenz,
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "stat_gini" -> giniLorenzSql,
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

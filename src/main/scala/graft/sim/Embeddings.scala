@@ -478,7 +478,61 @@ object GraphOps {
        |JOIN deg db ON w.b = db.src
        |ORDER BY j_permille DESC, a, b LIMIT $topN""".stripMargin
 
+  /** BFS layer histogram from a deterministic seed set (node % seedMod
+    * == 0) — the multi-source shortest-path-layers primitive behind
+    * "distance-to-labeled-node" features and reachability audits. K
+    * rounds of min-distance propagation (dist' = min(dist, min over
+    * in-neighbors dist+1)) — the same bounded-iteration dataflow shape
+    * as pageRank: each round is one equi-join + one min-agg on the
+    * BIGINT node key, the whole iteration executes as ONE job with K
+    * chained shuffles, and the output is a (K+2)-row histogram
+    * (distance → node count, −1 = unreached within K hops).
+    *
+    * Scale: frontier state is one row per reached node; rounds never
+    * materialize paths. 100 TB form is identical with per-round lineage
+    * cuts once K is convergence-driven rather than fixed. */
+  def bfsLayers(spark: SparkSession, dir: String,
+                rounds: Int = 4, seedMod: Int = 101): DataFrame = {
+    val e = edges(spark, dir).staged // reused every round
+    val nodes = e.select(col("src").as("node")).distinct().staged
+    var dist = nodes.filter(pmod(col("node"), lit(seedMod.toLong)) === 0L)
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val prop = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.select("node", "dist").unionAll(prop)
+        .groupBy("node").agg(min("dist").as("dist"))
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+  }
+
+  def bfsLayersSql(rounds: Int = 4, seedMod: Int = 101): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM edges e JOIN d${i - 1} d ON e.src = d.node
+         |  ) GROUP BY node
+         |)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % $seedMod = 0
+       |),
+       |$iters
+       |SELECT CAST(coalesce(d.dist, -1) AS BIGINT) AS dist, count(*) AS n_nodes
+       |FROM nodes n LEFT JOIN d$rounds d ON n.node = d.node
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_layers" -> ((s, d) => bfsLayers(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
     "graph_kcore" -> ((s, d) => kcore(s, d)),
@@ -487,6 +541,7 @@ object GraphOps {
     "graph_jaccard_neighbors" -> ((s, d) => jaccardNeighbors(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "graph_bfs_layers" -> bfsLayersSql(),
     "graph_pagerank" -> pageRankSql(),
     "graph_triangles" -> trianglesSql(),
     "graph_kcore" -> kcoreSql(),

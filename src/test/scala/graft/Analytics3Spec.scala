@@ -126,4 +126,61 @@ class Analytics3Spec extends SparkSpec {
       assert(row._4 === 10000L * swv / nw)
     }
   }
+
+  test("bfs layers: histogram replays from a serial multi-source BFS") {
+    val dir = sf("sf0.001")
+    val got = graft.sim.GraphOps.bfsLayers(spark, dir).collect()
+      .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    // serial BFS over the same part↔supplier edge list
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (pairs.map(p => (p._1, p._2)) ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keySet
+    var dist = nodes.filter(_ % 101 == 0).map(_ -> 0L).toMap
+    (1 to 4).foreach { _ =>
+      val next: Seq[(Long, Long)] = dist.toSeq.flatMap { case (n, d) =>
+        adj(n).toSeq.map(_ -> (d + 1)) ++ Seq(n -> d)
+      }
+      dist = next.groupBy(_._1).map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val want = nodes.toSeq.map(n => dist.getOrElse(n, -1L))
+      .groupBy(identity).map { case (d, ns) => d -> ns.size.toLong }
+    assert(got === want)
+    // conservation + parity sanity: all nodes are in exactly one layer
+    assert(got.values.sum === nodes.size.toLong)
+  }
+
+  test("gini: deciles and coefficient replay from a serial sorted walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.giniLorenz(spark, dir).collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("lorenz_permille"),
+        r.getAs[Long]("gini_milli")))
+    assert(got.map(_._1).toSeq === (1L to 10L).toSeq)
+    // Lorenz curve is monotone and ends at 1000 permille
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted)
+    assert(got.last._2 === 1000L)
+    // serial replay on the quantized values
+    val qvs = Tables.t(spark, dir, "orders")
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 1000"))
+      .collect().map(_.getLong(0)).sorted
+    val nn = qvs.length.toLong
+    val vv = qvs.sum
+    val s = qvs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val giniMilli = (2 * s - (nn + 1) * vv) / ((nn * vv) / 1000)
+    assert(got.head._3 === giniMilli)
+    // cell-granular Lorenz probe: first VALUE CELL whose cumulative
+    // count crosses k·N/10, reported with that whole cell's cum value
+    // (matches the query's grid semantics; deciles can land mid-cell)
+    val cells = qvs.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (qv, xs) => (qv, xs.length.toLong) }
+    val cums = cells.scanLeft((0L, 0L)) { case ((cn, cv), (qv, c)) =>
+      (cn + c, cv + c * qv)
+    }.drop(1)
+    (1 to 10).foreach { k =>
+      val (_, cv) = cums.find { case (cn, _) => cn * 10 >= k * nn }.get
+      assert(got(k - 1)._2 === 1000L * cv / vv, s"decile $k")
+    }
+  }
 }

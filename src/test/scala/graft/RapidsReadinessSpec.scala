@@ -44,7 +44,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "src_csv_roundtrip", "src_dpp_prune", "src_json_roundtrip",
     "src_orc_roundtrip",
     "src_partitioned_prune", "src_schema_evolution", "stat_bootstrap_ci",
-    "stat_column_profile", "stat_mad_outliers", "stat_moments",
+    "stat_column_profile", "stat_gini", "stat_mad_outliers", "stat_moments",
     "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
     "t10_op_chain_seq", "t2_batch_lookup_join", "t5_reserve_min_agg",
     "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
@@ -85,6 +85,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
     "fn_array_ops" -> Set("higher-order-function"),
     "graph_assortativity" -> Set("rdd-segment"),
+    "graph_bfs_layers" -> Set("rdd-segment"),
     "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
