@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.Tables.t
+import graft.Cache.CacheOps
 
 /** Third analytics batch: Benford first-digit conformance, activity
   * streaks (gaps-and-islands), deterministic epoch reshuffling for
@@ -291,8 +292,187 @@ object Analytics3 {
       |FROM deciles d CROSS JOIN gini g
       |ORDER BY decile""".stripMargin
 
+  /** RAKE keyword extraction (Rose et al. 2010) — corpus-level salient
+    * terms: phrases are maximal stopword-free token runs (phrase id =
+    * running stopword count, a per-doc window over token positions),
+    * word score = degree/frequency where degree sums the lengths of
+    * every phrase containing the word. Declarative RAKE: the phrase
+    * segmentation that is usually an imperative scan is one cumulative
+    * window + a filter. Integral milli score; top-25 with (score, word)
+    * tie-break.
+    *
+    * Scale shape: explode→window→two corpus-linear joins on (doc,
+    * phrase) — the inverted-index class; the window partition is one
+    * document's tokens. */
+  def keywordRake(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "was", "for", "on", "with", "as", "by", "at", "it", "that", "this",
+      "are", "be", "from", "we", "you", "not")
+    val pos = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.text.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .withColumn("is_stop",
+        col("tok").isInCollection(stop).cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = pos.withColumn("phrase", sum("is_stop").over(w))
+      .filter(col("is_stop") === 0L)
+      .select("doc_id", "phrase", "tok")
+    val plen = ph.groupBy("doc_id", "phrase").agg(count(lit(1)).as("plen"))
+    ph.join(plen, Seq("doc_id", "phrase"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+      .select(col("tok").as("word"), col("freq"), col("degree"),
+        expr("(1000 * degree) DIV freq").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("word"))
+      .limit(topN)
+  }
+
+  def keywordRakeSql(topN: Int = 25): String = {
+    val stopList = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "was", "for", "on", "with", "as", "by", "at", "it", "that", "this",
+      "are", "be", "from", "we", "you", "not")
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                     x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, u.i AS pos, toks[u.i] AS tok,
+       |         CASE WHEN toks[u.i] IN ($stopList) THEN 1 ELSE 0 END AS is_stop
+       |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)
+       |), ph AS (
+       |  SELECT doc_id, tok, is_stop,
+       |         CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS phrase
+       |  FROM pos
+       |), body AS (
+       |  SELECT doc_id, phrase, tok FROM ph WHERE is_stop = 0
+       |), plen AS (
+       |  SELECT doc_id, phrase, count(*) AS plen FROM body GROUP BY 1, 2
+       |), wrd AS (
+       |  SELECT b.tok AS word, count(*) AS freq, CAST(sum(l.plen) AS BIGINT) AS degree
+       |  FROM body b JOIN plen l USING (doc_id, phrase)
+       |  GROUP BY 1
+       |)
+       |SELECT word, freq, degree, (1000 * degree) // freq AS score_milli
+       |FROM wrd ORDER BY score_milli DESC, word LIMIT $topN""".stripMargin
+  }
+
+  /** KMV (bottom-k / theta-style) distinct sketch with SET-INTERSECTION
+    * estimation — the capability an HLL register bank cannot provide:
+    * per event_type the k smallest distinct user hashes form the
+    * sketch, the k smallest of a pair's sketch union form the UNION
+    * sketch (identical to sketching the union directly, which is what
+    * makes KMV mergeable), and the Jaccard estimate is the fraction of
+    * union-sketch members present in both sides (Beyer et al. 2007).
+    * The EXACT pairwise Jaccard runs beside it as the gate, computed
+    * corpus-linearly (per-user type pairs — never a type×type
+    * distinct-set join).
+    *
+    * Scale shape: one distinct (type, user-hash) shuffle; sketches are
+    * k-bounded per type (window top-k), every pair computation is over
+    * ≤2k rows × (type-pair count) — constant once the corpus exceeds
+    * k·|types|. */
+  def kmvJaccard(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val tu = t(spark, dir, "events")
+      .select(col("event_type"),
+        graft.functions.Portable.hash60(
+          concat_ws("_", lit("kmv"), col("user_id"))).as("uh"))
+      .distinct().staged // feeds sketches, per-type totals, and the exact gate
+    val wr = Window.partitionBy("event_type").orderBy("uh")
+    val sk = tu.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k).select("event_type", "uh")
+    val skA = sk.select(col("event_type").as("t1"), col("uh"))
+    val skB = sk.select(col("event_type").as("t2"), col("uh"))
+    // per-type-pair union sketch: both sides' members, deduped with
+    // membership flags, ranked by hash
+    val pairsAll = skA.join(skB.select(col("t2")).distinct(), skA("t1") < col("t2"))
+      .select(col("t1"), col("t2"), col("uh"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionAll(
+        skB.join(skA.select(col("t1")).distinct(), col("t1") < skB("t2"))
+          .select(col("t1"), col("t2"), col("uh"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy("t1", "t2", "uh")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val wp = Window.partitionBy("t1", "t2").orderBy("uh")
+    val est = pairsAll.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= k)
+      .groupBy("t1", "t2")
+      .agg(sum(col("in_a") * col("in_b")).as("est_inter"),
+        count(lit(1)).as("k_used"))
+      .withColumn("est_permille", expr("(1000 * est_inter) DIV k_used"))
+    // exact gate: per-user type pairs (corpus-linear), per-type totals
+    val totals = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = tu.as("a").join(tu.as("b"),
+        col("a.uh") === col("b.uh") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("t1", "t2"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(totals.select(col("event_type").as("t1"), col("n").as("n_a")), Seq("t1"))
+      .join(totals.select(col("event_type").as("t2"), col("n").as("n_b")), Seq("t2"))
+      .select(col("t1"), col("t2"), col("k_used"), col("est_inter"),
+        col("est_permille"), col("n_a"), col("n_b"), col("n_inter"),
+        expr("(1000 * n_inter) DIV (n_a + n_b - n_inter)").as("exact_permille"))
+      .orderBy("t1", "t2")
+  }
+
+  def kmvJaccardSql(k: Int = 256): String =
+    s"""WITH tu AS (
+       |  SELECT DISTINCT event_type,
+       |         CAST(('0x' || substr(md5('kmv_' || user_id), 1, 15)) AS BIGINT) AS uh
+       |  FROM events
+       |), sk AS (
+       |  SELECT event_type, uh FROM (
+       |    SELECT event_type, uh,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY uh) AS rk
+       |    FROM tu
+       |  ) WHERE rk <= $k
+       |), pairs_all AS (
+       |  SELECT t1, t2, uh,
+       |         CAST(max(in_a) AS BIGINT) AS in_a, CAST(max(in_b) AS BIGINT) AS in_b
+       |  FROM (
+       |    SELECT a.event_type AS t1, t2s.t2, a.uh, 1 AS in_a, 0 AS in_b
+       |    FROM sk a JOIN (SELECT DISTINCT event_type AS t2 FROM sk) t2s
+       |      ON a.event_type < t2s.t2
+       |    UNION ALL
+       |    SELECT t1s.t1, b.event_type AS t2, b.uh, 0 AS in_a, 1 AS in_b
+       |    FROM sk b JOIN (SELECT DISTINCT event_type AS t1 FROM sk) t1s
+       |      ON t1s.t1 < b.event_type
+       |  ) GROUP BY 1, 2, 3
+       |), est AS (
+       |  SELECT t1, t2, CAST(sum(in_a * in_b) AS BIGINT) AS est_inter,
+       |         count(*) AS k_used
+       |  FROM (
+       |    SELECT t1, t2, in_a, in_b,
+       |           row_number() OVER (PARTITION BY t1, t2 ORDER BY uh) AS rk
+       |    FROM pairs_all
+       |  ) WHERE rk <= $k GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT event_type, count(*) AS n FROM tu GROUP BY 1
+       |), inter AS (
+       |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_inter
+       |  FROM tu a JOIN tu b ON a.uh = b.uh AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.t1, e.t2, e.k_used, e.est_inter,
+       |       (1000 * e.est_inter) // e.k_used AS est_permille,
+       |       ta.n AS n_a, tb.n AS n_b,
+       |       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |       (1000 * CAST(coalesce(i.n_inter, 0) AS BIGINT))
+       |         // (ta.n + tb.n - CAST(coalesce(i.n_inter, 0) AS BIGINT)) AS exact_permille
+       |FROM est e
+       |LEFT JOIN inter i ON e.t1 = i.t1 AND e.t2 = i.t2
+       |JOIN totals ta ON e.t1 = ta.event_type
+       |JOIN totals tb ON e.t2 = tb.event_type
+       |ORDER BY e.t1, e.t2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> giniLorenz,
+    "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
+    "agg_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
@@ -300,6 +480,8 @@ object Analytics3 {
 
   val oracles: Map[String, String] = Map(
     "stat_gini" -> giniLorenzSql,
+    "text_keyword_rake" -> keywordRakeSql(),
+    "agg_kmv_jaccard" -> kmvJaccardSql(),
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

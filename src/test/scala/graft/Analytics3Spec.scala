@@ -183,4 +183,76 @@ class Analytics3Spec extends SparkSpec {
       assert(got(k - 1)._2 === 1000L * cv / vv, s"decile $k")
     }
   }
+
+  test("rake: scores replay from a serial phrase segmentation") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.keywordRake(spark, dir).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"),
+        r.getAs[Long]("degree"), r.getAs[Long]("score_milli")))
+    assert(got.length === 25)
+    // serial RAKE over the same tokenization
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "was", "for", "on", "with", "as", "by", "at", "it", "that", "this",
+      "are", "be", "from", "we", "you", "not")
+    val docs = Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val occ = docs.flatMap { case (_, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      // phrases = maximal stopword-free runs
+      val phrases = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.newBuilder[String]
+      toks.foreach { t =>
+        if (stop(t)) { val p = cur.result(); if (p.nonEmpty) phrases += p; cur = List.newBuilder }
+        else cur += t
+      }
+      val last = cur.result(); if (last.nonEmpty) phrases += last
+      phrases.flatMap(p => p.map(w => (w, p.length.toLong)))
+    }
+    val want = occ.groupBy(_._1).map { case (w, os) =>
+      val freq = os.length.toLong; val degree = os.map(_._2).sum
+      (w, freq, degree, 1000L * degree / freq)
+    }.toSeq.sortBy(t => (-t._4, t._1)).take(25)
+    assert(got.toSeq === want)
+  }
+
+  test("kmv: estimate replays serially and the union-sketch identity holds") {
+    val dir = sf("sf0.001")
+    val k = 256
+    val got = Analytics3.kmvJaccard(spark, dir).collect()
+      .map(r => ((r.getAs[String]("t1"), r.getAs[String]("t2")),
+        (r.getAs[Long]("k_used"), r.getAs[Long]("est_inter"),
+          r.getAs[Long]("est_permille"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("n_inter"),
+          r.getAs[Long]("exact_permille")))).toMap
+    assert(got.nonEmpty)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val tu = Tables.t(spark, dir, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), h60(s"kmv_${r.getLong(1)}")))
+      .distinct
+    val byType = tu.groupBy(_._1).map { case (t, us) => t -> us.map(_._2).toSet }
+    val types = byType.keys.toSeq.sorted
+    for (i <- types.indices; j <- (i + 1) until types.length) {
+      val (t1, t2) = (types(i), types(j))
+      val (sa, sb) = (byType(t1), byType(t2))
+      val ska = sa.toSeq.sorted.take(k).toSet
+      val skb = sb.toSeq.sorted.take(k).toSet
+      // union sketch of the two k-sketches == k-sketch of the union
+      val unionSk = (ska ++ skb).toSeq.sorted.take(k)
+      assert(unionSk === (sa ++ sb).toSeq.sorted.take(k))
+      val estInter = unionSk.count(h => ska(h) && skb(h)).toLong
+      val inter = (sa & sb).size.toLong
+      val row = got((t1, t2))
+      assert(row._1 === unionSk.length.toLong)
+      assert(row._2 === estInter)
+      assert(row._3 === 1000L * estInter / unionSk.length)
+      assert((row._4, row._5, row._6) === ((sa.size.toLong, sb.size.toLong, inter)))
+      assert(row._7 === 1000L * inter / (sa.size + sb.size - inter))
+    }
+  }
 }

@@ -66,6 +66,8 @@ class RapidsReadinessSpec extends SparkSpec {
     * trigger appearing, or one silently disappearing, both fail). */
   private val flagged: Map[String, Set[String]] = Map(
     "agg_hll_distinct" -> Set("rdd-segment", "bin"),
+    "agg_kmv_jaccard" -> Set("rdd-segment"),
+    "text_keyword_rake" -> Set("higher-order-function"),
     "agg_hll_groups" -> Set("rdd-segment", "bin"),
     "agg_percentiles" -> Set("rdd-segment"),
     "agg_quantile_sketch" -> Set("rdd-segment"),
@@ -254,6 +256,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "text_bm25_rank" -> Set("higher-order-function"),
+    "text_keyword_rake" -> Set("higher-order-function"),
     "text_bpe_counts" -> Set("higher-order-function", "rdd-segment"),
     "text_char_entropy" -> Set("bin"),
     "text_cosine_pairs" -> Set("higher-order-function"),
