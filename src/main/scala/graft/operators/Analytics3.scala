@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -469,10 +469,170 @@ object Analytics3 {
        |JOIN totals tb ON e.t2 = tb.event_type
        |ORDER BY e.t1, e.t2""".stripMargin
 
+  /** Johnson–Lindenstrauss sparse random projection (Achlioptas 2003:
+    * r_ij ∈ {+1, 0, −1} w.p. 1/6, 2/3, 1/6, scale 3/k) from 64 to 16
+    * dims, with a distance-distortion report: for every (panel vector,
+    * corpus vector) pair, the ratio of the scaled projected squared
+    * distance to the original squared distance, bucketed to a bounded
+    * histogram. The projection matrix is GENERATED from the portable
+    * hash in both engines — no stored model — and all distances are
+    * exact integers over the quantized vectors; the single division is
+    * integral permille.
+    *
+    * Scale shape: pure per-row map (the projection HOF) + broadcast
+    * 8-vector panel + one bounded histogram agg — the corpus is
+    * touched once and never shuffled at full width. */
+  def randomProjection(spark: SparkSession, dir: String,
+                       outDims: Int = 16, inDims: Int = 64): DataFrame = {
+    // r_ij from the portable hash: u ∈ {0..5}; 0 → +1, 1 → −1, else 0
+    def rij(j: Column, i: Column): Column = {
+      val u = pmod(graft.functions.Portable.hash60(
+        concat_ws("_", lit("rp"), j, i)), lit(6L))
+      when(u === 0L, 1L).when(u === 1L, -1L).otherwise(0L)
+    }
+    val base = t(spark, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.Portable.quantize(col("embedding")).as("q"))
+      .withColumn("y", transform(sequence(lit(1), lit(outDims)), j =>
+        aggregate(
+          zip_with(col("q"),
+            transform(sequence(lit(1), lit(inDims)), i => rij(j, i)),
+            (a, r) => a * r),
+          lit(0L), (acc, x) => acc + x)))
+    val panel = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("pid"), col("q").as("pq"), col("y").as("py"))
+    base.crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("vec_id"), col("pid"),
+        aggregate(zip_with(col("q"), col("pq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2_orig"),
+        aggregate(zip_with(col("y"), col("py"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2_proj"))
+      .filter(col("d2_orig") > 0L)
+      .select(expr(s"((1000 * 3 * d2_proj) DIV ($outDims * d2_orig)) DIV 100")
+        .as("ratio_decile"))
+      .groupBy("ratio_decile").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("ratio_decile")
+  }
+
+  def randomProjectionSql(outDims: Int = 16, inDims: Int = 64): String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), proj AS (
+       |  SELECT vec_id, q,
+       |         list_transform(generate_series(1, $outDims), j ->
+       |           CAST(list_sum(list_transform(generate_series(1, $inDims), i ->
+       |             q[CAST(i AS INT)] *
+       |             (CASE CAST(('0x' || substr(md5('rp_' || j || '_' || i), 1, 15)) AS BIGINT) % 6
+       |              WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END))) AS BIGINT)) AS y
+       |  FROM base
+       |), panel AS (
+       |  SELECT vec_id AS pid, q AS pq, y AS py FROM proj WHERE vec_id < 8
+       |), pairs AS (
+       |  SELECT c.vec_id, p.pid,
+       |         CAST(list_sum(list_transform(generate_series(1, $inDims),
+       |           i -> (c.q[CAST(i AS INT)] - p.pq[CAST(i AS INT)])
+       |              * (c.q[CAST(i AS INT)] - p.pq[CAST(i AS INT)]))) AS BIGINT) AS d2_orig,
+       |         CAST(list_sum(list_transform(generate_series(1, $outDims),
+       |           j -> (c.y[CAST(j AS INT)] - p.py[CAST(j AS INT)])
+       |              * (c.y[CAST(j AS INT)] - p.py[CAST(j AS INT)]))) AS BIGINT) AS d2_proj
+       |  FROM proj c CROSS JOIN panel p
+       |  WHERE c.vec_id <> p.pid
+       |)
+       |SELECT ((1000 * 3 * d2_proj) // ($outDims * d2_orig)) // 100 AS ratio_decile,
+       |       count(*) AS n_pairs
+       |FROM pairs WHERE d2_orig > 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Spearman rank correlation (with midrank tie handling) between a
+    * document's character count and its word-token count — "does char
+    * length predict token budget monotonically", the association check
+    * a tokenizer-budget planner runs (and the one Pearson understates
+    * whenever the relation is monotone but nonlinear). Ranks NEVER
+    * require a global sort over rows: both variables reduce to value-
+    * resolution-bounded grids, midranks come from grid cumulative sums
+    * (doubled — `2·cumN_prev + c + 1` — to stay integral under ties),
+    * rows join back to their midranks on the grid key, and the
+    * correlation is one exact-moments aggregate. Sums are
+    * DECIMAL(38,0)-widened (n·mr² would overflow BIGINT on a corpus
+    * 100× this), then ONE identical IEEE expression in both engines
+    * produces rho.
+    *
+    * Scale shape: two bounded-grid aggs + two grid-keyed equi-joins +
+    * one partial+final moments agg; windows touch grid rows only. */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val rows = t(spark, dir, "documents")
+      .select(col("n_chars").as("x"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("y"))
+    def midranks(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col(c), (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+          .as(s"mr2_$c"))
+    }
+    val joined = rows
+      .join(midranks(rows, "x"), Seq("x"))
+      .join(midranks(rows, "y"), Seq("y"))
+      .select(col("mr2_x").cast(DecimalType(38, 0)).as("rx"),
+        col("mr2_y").cast(DecimalType(38, 0)).as("ry"))
+    joined.agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("spearman_rho"))
+  }
+
+  val spearmanCorrSql: String =
+    """WITH rows_q AS (
+      |  SELECT n_chars AS x,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                              t -> len(t) > 0)) AS BIGINT) AS y
+      |  FROM documents
+      |), mrx AS (
+      |  SELECT x, 2 * (cum - cnt) + cnt + 1 AS mr2_x FROM (
+      |    SELECT x, cnt, CAST(sum(cnt) OVER (ORDER BY x
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |    FROM (SELECT x, count(*) AS cnt FROM rows_q GROUP BY x)
+      |  )
+      |), mry AS (
+      |  SELECT y, 2 * (cum - cnt) + cnt + 1 AS mr2_y FROM (
+      |    SELECT y, cnt, CAST(sum(cnt) OVER (ORDER BY y
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |    FROM (SELECT y, count(*) AS cnt FROM rows_q GROUP BY y)
+      |  )
+      |), joined AS (
+      |  SELECT CAST(mr2_x AS HUGEINT) AS rx, CAST(mr2_y AS HUGEINT) AS ry
+      |  FROM rows_q r JOIN mrx USING (x) JOIN mry USING (y)
+      |), s AS (
+      |  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+      |         sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+      |  FROM joined
+      |)
+      |SELECT n,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |         AS spearman_rho
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> giniLorenz,
     "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
     "agg_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
+    "sim_random_projection" -> ((s, d) => randomProjection(s, d)),
+    "stat_spearman" -> spearmanCorr,
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
@@ -482,6 +642,8 @@ object Analytics3 {
     "stat_gini" -> giniLorenzSql,
     "text_keyword_rake" -> keywordRakeSql(),
     "agg_kmv_jaccard" -> kmvJaccardSql(),
+    "sim_random_projection" -> randomProjectionSql(),
+    "stat_spearman" -> spearmanCorrSql,
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

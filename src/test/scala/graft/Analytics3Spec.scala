@@ -255,4 +255,72 @@ class Analytics3Spec extends SparkSpec {
       assert(row._7 === 1000L * inter / (sa.size + sb.size - inter))
     }
   }
+
+  test("random projection: histogram replays from a serial JL transform") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.randomProjection(spark, dir).collect()
+      .map(r => r.getAs[Long]("ratio_decile") -> r.getAs[Long]("n_pairs")).toMap
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val r = Array.tabulate(16, 64) { (j, i) =>
+      h60(s"rp_${j + 1}_${i + 1}") % 6 match {
+        case 0 => 1L; case 1 => -1L; case _ => 0L
+      }
+    }
+    val vecs = Tables.t(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(row => (row.getLong(0),
+        row.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray))
+    val proj = vecs.map { case (id, q) =>
+      (id, q, Array.tabulate(16)(j => (0 until 64).map(i => q(i) * r(j)(i)).sum))
+    }
+    val panel = proj.filter(_._1 < 8)
+    val want = (for {
+      (cid, cq, cy) <- proj
+      (pid, pq, py) <- panel
+      if cid != pid
+      d2o = (0 until 64).map(i => (cq(i) - pq(i)) * (cq(i) - pq(i))).sum
+      if d2o > 0
+      d2p = (0 until 16).map(j => (cy(j) - py(j)) * (cy(j) - py(j))).sum
+    } yield (1000L * 3 * d2p / (16 * d2o)) / 100)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    assert(got === want)
+    // distortion concentrates around ratio 1 (decile bucket ~10)
+    val mass = got.filter { case (b, _) => b >= 5 && b <= 15 }.values.sum
+    assert(mass * 10 >= got.values.sum * 8, s"JL mass too spread: $got")
+  }
+
+  test("spearman: rho replays from a serial midrank computation") {
+    val dir = sf("sf0.001")
+    val row = Analytics3.spearmanCorr(spark, dir).collect().head
+    val (n, rho) = (row.getAs[Long]("n"), row.getAs[Double]("spearman_rho"))
+    val xs = Tables.t(spark, dir, "documents")
+      .select("n_chars", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong))
+    assert(n === xs.length.toLong)
+    def mr2(vals: Seq[Long]): Map[Long, Long] = {
+      val cells = vals.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (v, g) => (v, g.size.toLong) }
+      cells.scanLeft((0L, 0L, 0L)) { case ((_, cum, _), (v, c)) =>
+        (v, cum + c, 2 * cum + c + 1)
+      }.drop(1).map { case (v, _, m) => v -> m }.toMap
+    }
+    val (mx, my) = (mr2(xs.map(_._1)), mr2(xs.map(_._2)))
+    val rs = xs.map { case (x, y) => (BigInt(mx(x)), BigInt(my(y))) }
+    val nn = BigInt(xs.length)
+    val (sx, sy) = (rs.map(_._1).sum, rs.map(_._2).sum)
+    val sxx = rs.map(p => p._1 * p._1).sum
+    val syy = rs.map(p => p._2 * p._2).sum
+    val sxy = rs.map(p => p._1 * p._2).sum
+    val want = (nn.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (math.sqrt(nn.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        math.sqrt(nn.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    assert(rho === want)
+    // char count and token count are strongly monotone-associated
+    assert(rho > 0.9, s"rho=$rho")
+  }
 }

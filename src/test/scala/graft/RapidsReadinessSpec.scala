@@ -67,7 +67,6 @@ class RapidsReadinessSpec extends SparkSpec {
   private val flagged: Map[String, Set[String]] = Map(
     "agg_hll_distinct" -> Set("rdd-segment", "bin"),
     "agg_kmv_jaccard" -> Set("rdd-segment"),
-    "text_keyword_rake" -> Set("higher-order-function"),
     "agg_hll_groups" -> Set("rdd-segment", "bin"),
     "agg_percentiles" -> Set("rdd-segment"),
     "agg_quantile_sketch" -> Set("rdd-segment"),
@@ -145,6 +144,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pca_power" -> Set("rdd-segment"),
     "sim_pca_explained" -> Set("rdd-segment"),
     "sim_anisotropy_report" -> Set("rdd-segment"),
+    "sim_random_projection" -> Set("higher-order-function"),
+    "stat_spearman" -> Set("higher-order-function"),
     "stat_ks_by_type" -> Set("rdd-segment"),
     "sim_label_centroids" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
@@ -166,6 +167,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_mix_report" -> Set("higher-order-function"),
     "text_ngram_novelty" -> Set("rdd-segment"),
     "text_char_entropy" -> Set("bin"),
+    "text_keyword_rake" -> Set("higher-order-function"),
     "text_perplexity" -> Set("bin", "rdd-segment"),
     "text_quality_score" -> Set("higher-order-function"),
     "text_tfidf_top" -> Set("rdd-segment"),
@@ -251,6 +253,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pca_power" -> Set("higher-order-function"),
     "sim_pca_explained" -> Set("higher-order-function"),
     "sim_anisotropy_report" -> Set("higher-order-function"),
+    "sim_random_projection" -> Set("higher-order-function"),
+    "stat_spearman" -> Set("higher-order-function"),
     "sim_label_centroids" -> Set("higher-order-function"),
     "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
