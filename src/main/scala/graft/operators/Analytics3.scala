@@ -479,25 +479,36 @@ object Analytics3 {
     * exact integers over the quantized vectors; the single division is
     * integral permille.
     *
-    * Scale shape: pure per-row map (the projection HOF) + broadcast
-    * 8-vector panel + one bounded histogram agg — the corpus is
-    * touched once and never shuffled at full width. */
+    * The matrix is tiny (outDims×inDims cells) and row-independent, so
+    * it is materialized ONCE at plan-build time from the same md5
+    * definition and embedded as literal coefficient arrays — the first
+    * cut evaluated `md5("rp_j_i")` inside the row lambda, which
+    * Catalyst cannot constant-fold past the lambda variables, costing
+    * 1024 md5 calls per row (measured 5.0 s → this form 1.3 s at
+    * sf0.1). The DuckDB oracle keeps the in-query md5 form, proving
+    * both derivations agree.
+    *
+    * Scale shape: pure per-row map (literal-coefficient dot products) +
+    * broadcast 8-vector panel + one bounded histogram agg — the corpus
+    * is touched once and never shuffled at full width. */
   def randomProjection(spark: SparkSession, dir: String,
                        outDims: Int = 16, inDims: Int = 64): DataFrame = {
-    // r_ij from the portable hash: u ∈ {0..5}; 0 → +1, 1 → −1, else 0
-    def rij(j: Column, i: Column): Column = {
-      val u = pmod(graft.functions.Portable.hash60(
-        concat_ws("_", lit("rp"), j, i)), lit(6L))
-      when(u === 0L, 1L).when(u === 1L, -1L).otherwise(0L)
+    // r_ij from the portable hash: u ∈ {0..5}; 0 → +1, 1 → −1, else 0.
+    // Driver-side replica of Portable.hash60 (first 15 md5 hex chars).
+    def rij(j: Int, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${j}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 6 match {
+        case 0 => 1L; case 1 => -1L; case _ => 0L
+      }
     }
+    val rmat: IndexedSeq[Seq[Long]] =
+      (1 to outDims).map(j => (1 to inDims).map(i => rij(j, i)))
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), graft.functions.Portable.quantize(col("embedding")).as("q"))
-      .withColumn("y", transform(sequence(lit(1), lit(outDims)), j =>
-        aggregate(
-          zip_with(col("q"),
-            transform(sequence(lit(1), lit(inDims)), i => rij(j, i)),
-            (a, r) => a * r),
-          lit(0L), (acc, x) => acc + x)))
+      .withColumn("y", array(rmat.map(rj =>
+        aggregate(zip_with(col("q"), typedLit(rj), (a, r) => a * r),
+          lit(0L), (acc, x) => acc + x)): _*))
     val panel = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("pid"), col("q").as("pq"), col("y").as("py"))
     base.crossJoin(broadcast(panel))
