@@ -638,12 +638,162 @@ object Analytics3 {
       |         AS spearman_rho
       |FROM s""".stripMargin
 
+  /** Exact integer division of non-negative DECIMAL(38,0) `a` by
+    * positive `b`: `(a − a % b) / b`. The subtraction makes the
+    * dividend an exact multiple, so Spark's scale-6 HALF_UP decimal
+    * division rounds an exact integer — no `floor(a/b)` edge case
+    * where the rational quotient rounds up past the floor. DuckDB
+    * mirror is plain HUGEINT `//`. */
+  private def decDiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** Per-language OLS fit of a document's word-token count on its
+    * character count — the parametric counterpart of [[spearmanCorr]]
+    * (tokens ≈ chars / avg-word-length is genuinely linear, so slope ≈
+    * 1/avg-word-length and R² is high; the tokenizer-budget planner's
+    * cost model). Slope, intercept, R² come from exact DECIMAL(38,0)
+    * moments (Σx² escapes BIGINT once docs reach ~1e6 chars at corpus
+    * scale), then ONE identical IEEE expression in both engines. The
+    * grouped form exercises partial+final moment aggregation per key —
+    * the distributed regression shape (a 100 TB fit is six sums, never
+    * a solver).
+    *
+    * Scale shape: one scan → per-group partial+final agg on a
+    * language-cardinality key; everything after is per-group scalar
+    * math. */
+  def olsFit(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val rows = t(spark, dir, "documents").select(
+      col("lang"),
+      col("n_chars").cast(d).as("x"),
+      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+        .cast(d).as("y"))
+    val dbl = (c: String) => col(c).cast("double")
+    rows.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lang"), col("n"),
+        ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+          / (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))).as("slope"),
+        ((dbl("sy") - (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+            / (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) * dbl("sx"))
+          / dbl("n")).as("intercept"),
+        ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+          * (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+          / ((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+            * (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")))).as("r2"))
+      .orderBy("lang")
+  }
+
+  val olsFitSql: String =
+    """WITH rows_q AS (
+      |  SELECT lang,
+      |         CAST(n_chars AS HUGEINT) AS x,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                              t -> len(t) > 0)) AS HUGEINT) AS y
+      |  FROM documents
+      |), m AS (
+      |  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM rows_q GROUP BY lang
+      |)
+      |SELECT lang, n,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         AS slope,
+      |       (CAST(sy AS DOUBLE)
+      |        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * CAST(sx AS DOUBLE))
+      |       / CAST(n AS DOUBLE) AS intercept,
+      |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |         AS r2
+      |FROM m ORDER BY lang""".stripMargin
+
+  /** Chi-square test of independence over the bounded
+    * (o_orderpriority × o_orderstatus) grid — "is priority assigned
+    * independently of status", the categorical-association gate a
+    * data-quality suite runs beside [[categoryPmi]]'s pointwise view.
+    * Per cell: observed count, expected count at milli resolution, and
+    * the χ² contribution (N·n_ij − r_i·c_j)²/(N·r_i·c_j) at micro
+    * resolution — all EXACT integers via DECIMAL(38,0) arithmetic and
+    * the [[decDiv]] exact-multiple division (the squared numerator
+    * passes 1e22 at 8× scale, far outside BIGINT), so the statistic
+    * never sums floats in engine-dependent order. A TOTAL row carries
+    * χ²_micro and the degrees of freedom.
+    *
+    * Scale shape: one scan → 15-cell partial+final agg; margins are
+    * two tiny aggs of the CELL frame (the corpus is read once) joined
+    * back at grid cardinality. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val cells = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).cast(d).as("n_ij")).staged
+    val rowTot = cells.groupBy("o_orderpriority").agg(sum("n_ij").as("r_i"))
+    val colTot = cells.groupBy("o_orderstatus").agg(sum("n_ij").as("c_j"))
+    val nTot = cells.agg(sum("n_ij").as("n_tot"))
+    val perCell = cells
+      .join(broadcast(rowTot), Seq("o_orderpriority"))
+      .join(broadcast(colTot), Seq("o_orderstatus"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("dev", col("n_tot") * col("n_ij") - col("r_i") * col("c_j"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("n_ij").cast("long").as("observed"),
+        decDiv(col("r_i") * col("c_j") * lit(1000L).cast(d), col("n_tot"))
+          .as("expected_milli"),
+        decDiv(col("dev") * col("dev") * lit(1000000L).cast(d),
+          col("n_tot") * col("r_i") * col("c_j")).as("contrib_micro"))
+    val total = perCell.agg(
+        count(lit(1)).as("observed"),
+        ((countDistinct(col("o_orderpriority")) - 1)
+          * (countDistinct(col("o_orderstatus")) - 1)).as("expected_milli"),
+        sum("contrib_micro").as("contrib_micro"))
+      .select(lit("ZZ_TOTAL").as("o_orderpriority"),
+        lit("-").as("o_orderstatus"), col("observed"),
+        col("expected_milli"), col("contrib_micro"))
+    perCell.unionByName(total)
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  val chi2IndependenceSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS HUGEINT) AS n_ij
+      |  FROM orders GROUP BY 1, 2
+      |), rt AS (SELECT o_orderpriority, sum(n_ij) AS r_i FROM cells GROUP BY 1),
+      |ct AS (SELECT o_orderstatus, sum(n_ij) AS c_j FROM cells GROUP BY 1),
+      |nt AS (SELECT sum(n_ij) AS n_tot FROM cells),
+      |per_cell AS (
+      |  SELECT c.o_orderpriority, c.o_orderstatus,
+      |         CAST(c.n_ij AS BIGINT) AS observed,
+      |         CAST((r_i * c_j * 1000) // n_tot AS BIGINT) AS expected_milli,
+      |         CAST(((n_tot * n_ij - r_i * c_j) * (n_tot * n_ij - r_i * c_j) * 1000000)
+      |              // (n_tot * r_i * c_j) AS BIGINT) AS contrib_micro
+      |  FROM cells c JOIN rt USING (o_orderpriority) JOIN ct USING (o_orderstatus)
+      |       CROSS JOIN nt
+      |)
+      |SELECT * FROM per_cell
+      |UNION ALL
+      |SELECT 'ZZ_TOTAL', '-', count(*),
+      |       (count(DISTINCT o_orderpriority) - 1) * (count(DISTINCT o_orderstatus) - 1),
+      |       CAST(sum(contrib_micro) AS BIGINT)
+      |FROM per_cell
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> giniLorenz,
     "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
     "agg_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
     "sim_random_projection" -> ((s, d) => randomProjection(s, d)),
     "stat_spearman" -> spearmanCorr,
+    "stat_ols_fit" -> olsFit,
+    "dq_chi2_independence" -> chi2Independence,
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
@@ -655,6 +805,8 @@ object Analytics3 {
     "agg_kmv_jaccard" -> kmvJaccardSql(),
     "sim_random_projection" -> randomProjectionSql(),
     "stat_spearman" -> spearmanCorrSql,
+    "stat_ols_fit" -> olsFitSql,
+    "dq_chi2_independence" -> chi2IndependenceSql,
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

@@ -293,6 +293,59 @@ class Analytics3Spec extends SparkSpec {
     assert(mass * 10 >= got.values.sum * 8, s"JL mass too spread: $got")
   }
 
+  test("ols: per-language fit replays from serial exact moments") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.olsFit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Double]("slope"),
+        r.getAs[Double]("intercept"), r.getAs[Double]("r2")))).toMap
+    val rows = Tables.t(spark, dir, "documents")
+      .select("lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), BigInt(r.getLong(1)),
+        BigInt(r.getString(2).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty))))
+    val want = rows.groupBy(_._1).map { case (f, g) =>
+      val n = BigInt(g.length)
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val syy = g.map(t => t._3 * t._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val slope = num / den
+      f -> ((g.length.toLong, slope,
+        (sy.toDouble - slope * sx.toDouble) / n.toDouble,
+        num * num / (den * (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))))
+    }
+    assert(got === want)
+    // tokens ≈ chars / avg-word-length: strongly positive fit everywhere
+    got.values.foreach { case (_, slope, _, r2) =>
+      assert(slope > 0 && r2 > 0.5, s"weak fit: $got")
+    }
+  }
+
+  test("chi2: cells + total replay from a serial contingency table") {
+    val dir = sf("sf0.001")
+    val out = Analytics3.chi2Independence(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("observed"),
+        r.getAs[Long]("expected_milli"), r.getAs[Long]("contrib_micro")))
+    val (tot, cells) = out.partition(_._1 == "ZZ_TOTAL")
+    val rows = Tables.t(spark, dir, "orders")
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.groupBy(identity).map { case (k, g) => k -> BigInt(g.length) }
+    val ri = rows.groupBy(_._1).map { case (k, g) => k -> BigInt(g.length) }
+    val cj = rows.groupBy(_._2).map { case (k, g) => k -> BigInt(g.length) }
+    val nt = BigInt(rows.length)
+    val want = n.toSeq.sortBy(k => (k._1._1, k._1._2)).map { case ((p, s), nij) =>
+      val dev = nt * nij - ri(p) * cj(s)
+      (p, s, nij.toLong, (ri(p) * cj(s) * 1000 / nt).toLong,
+        (dev * dev * 1000000 / (nt * ri(p) * cj(s))).toLong)
+    }
+    assert(cells.toSeq === want)
+    assert(tot.head._3 === want.length.toLong)
+    assert(tot.head._4 === (ri.size - 1).toLong * (cj.size - 1)) // dof
+    assert(tot.head._5 === want.map(_._5).sum)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head

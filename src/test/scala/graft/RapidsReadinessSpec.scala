@@ -146,6 +146,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_anisotropy_report" -> Set("rdd-segment"),
     "sim_random_projection" -> Set("higher-order-function"),
     "stat_spearman" -> Set("higher-order-function"),
+    "stat_ols_fit" -> Set("higher-order-function"),
+    "dq_chi2_independence" -> Set("rdd-segment"),
     "stat_ks_by_type" -> Set("rdd-segment"),
     "sim_label_centroids" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
@@ -255,6 +257,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_anisotropy_report" -> Set("higher-order-function"),
     "sim_random_projection" -> Set("higher-order-function"),
     "stat_spearman" -> Set("higher-order-function"),
+    "stat_ols_fit" -> Set("higher-order-function"),
     "sim_label_centroids" -> Set("higher-order-function"),
     "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
