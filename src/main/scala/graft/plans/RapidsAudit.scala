@@ -59,6 +59,13 @@ object RapidsAudit {
     def walkPlan(p: LogicalPlan): Unit = p.foreach { node =>
       node.getClass.getSimpleName match {
         case "LogicalRDD" => out += "rdd-segment"
+        // a custom DSv2 table (e.g. sources.GeneratorSource) is a
+        // row-based scan outside the plugin's supported-source list —
+        // the scan runs CPU with a row→columnar transition above it
+        // (file formats here read through V1 LogicalRelation, so this
+        // only fires on genuinely custom connectors)
+        case "DataSourceV2Relation" | "DataSourceV2ScanRelation" =>
+          out += "custom-source"
         case "MapPartitions" | "MapElements" | "MapGroups" |
              "FlatMapGroupsWithState" | "TypedFilter" |
              "AppendColumns" | "CoGroup" => out += "object-node"

@@ -227,7 +227,33 @@ object Formats {
       |SELECT CAST(n_nationkey + 100 AS BIGINT), n_name, 'v2' FROM nation
       |ORDER BY r_regionkey""".stripMargin
 
+  /** Scan of the custom DSv2 generator table ([[GeneratorSource]])
+    * with a pushed key-range filter: the range comparison never runs
+    * post-scan (the source generates exactly [50000,150000)), the
+    * scan materializes only (bucket, payload) — `k` is pruned away
+    * after driving the range — and the slice grid drops the 8 of 16
+    * input partitions the filter excludes. The oracle REGENERATES the
+    * table in DuckDB from `range()` + the same portable md5, so the
+    * source's output is value-verified, not just schema-checked.
+    * GeneratorSourceSpec asserts the pruning facts against the plan. */
+  def generatorPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.GeneratorSource")
+      .option("rows", "200000").option("slices", "16").load()
+      .filter(col("k") >= 50000L && col("k") < 150000L)
+      .withColumn("h", graft.functions.Portable.hash60(col("payload")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), expr("bit_xor(h)").as("payload_xor"))
+      .orderBy("bucket")
+
+  val generatorPushdownSql: String =
+    """WITH g AS (SELECT range AS k FROM range(50000, 150000))
+      |SELECT k % 100 AS bucket, count(*) AS n_keys,
+      |       bit_xor(CAST(('0x' || substr(md5(md5('gen_' || k)), 1, 15)) AS BIGINT))
+      |         AS payload_xor
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_generator_pushdown" -> generatorPushdown,
     "src_csv_roundtrip" -> csvRoundTrip,
     "src_orc_roundtrip" -> orcRoundTrip,
     "src_json_roundtrip" -> jsonRoundTrip,
@@ -237,6 +263,7 @@ object Formats {
     "src_bucketed_join" -> bucketedJoin)
 
   val oracles: Map[String, String] = Map(
+    "src_generator_pushdown" -> generatorPushdownSql,
     "src_csv_roundtrip" -> csvRoundTripSql,
     "src_orc_roundtrip" -> orcRoundTripSql,
     "src_json_roundtrip" -> jsonRoundTripSql,

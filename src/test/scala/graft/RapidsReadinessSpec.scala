@@ -148,6 +148,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "stat_spearman" -> Set("higher-order-function"),
     "stat_ols_fit" -> Set("higher-order-function"),
     "dq_chi2_independence" -> Set("rdd-segment"),
+    "src_generator_pushdown" -> Set("custom-source"),
     "stat_ks_by_type" -> Set("rdd-segment"),
     "sim_label_centroids" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
@@ -258,6 +259,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_random_projection" -> Set("higher-order-function"),
     "stat_spearman" -> Set("higher-order-function"),
     "stat_ols_fit" -> Set("higher-order-function"),
+    "src_generator_pushdown" -> Set("custom-source"),
     "sim_label_centroids" -> Set("higher-order-function"),
     "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -384,5 +386,7 @@ class RapidsReadinessSpec extends SparkSpec {
       .contains("custom-expression"))
     val f = udf((x: Long) => x + 1)
     assert(RapidsAudit.flags(df.select(f(col("id")))).contains("scala-udf"))
+    assert(RapidsAudit.flags(spark.read.format("graft.sources.GeneratorSource")
+      .option("rows", "16").load()).contains("custom-source"))
   }
 }
