@@ -786,6 +786,38 @@ object Analytics3 {
       |FROM per_cell
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  /** Exact distinct-user counts per event type via FIXED-WIDTH BITMAP
+    * WORDS (the ClickHouse/Doris/roaring groupBitmap pattern): user id
+    * u sets bit u%64 of word u DIV 64, words merge with the
+    * commutative `bit_or`, and the distinct count is Σ popcount(word).
+    * Why this beats `count(DISTINCT)` at 100 TB: the shuffle carries
+    * one 8-byte word per (type, 64-user block) — a DENSITY-bounded key
+    * space — instead of one row per distinct (type, user), partial
+    * bit_or runs map-side, and the per-type word sets are mergeable
+    * across days/partitions for free (the same words re-or). The
+    * oracle computes plain `count(DISTINCT user_id)`, so the bitmap
+    * identity itself is what the gate verifies; n_words pins the
+    * block-count bookkeeping.
+    *
+    * Scale shape: one scan → (type, word)-keyed bit_or with map-side
+    * combine → type-cardinality popcount sum. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), expr("user_id DIV 64").as("word_idx"),
+        expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("bit"))
+      .groupBy("event_type", "word_idx")
+      .agg(expr("bit_or(bit)").as("word"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("word")).cast("long")).as("n_distinct"),
+        count(lit(1)).as("n_words"))
+      .orderBy("event_type")
+
+  val bitmapDistinctSql: String =
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+      |       CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> giniLorenz,
     "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
@@ -794,6 +826,7 @@ object Analytics3 {
     "stat_spearman" -> spearmanCorr,
     "stat_ols_fit" -> olsFit,
     "dq_chi2_independence" -> chi2Independence,
+    "agg_bitmap_distinct" -> bitmapDistinct,
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
@@ -807,6 +840,7 @@ object Analytics3 {
     "stat_spearman" -> spearmanCorrSql,
     "stat_ols_fit" -> olsFitSql,
     "dq_chi2_independence" -> chi2IndependenceSql,
+    "agg_bitmap_distinct" -> bitmapDistinctSql,
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

@@ -531,7 +531,59 @@ object GraphOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Bounded-round connected components: K rounds of min-label
+    * propagation over the undirected edge list (label(v) ←
+    * min(label(v), min label over neighbors)), then a component-size
+    * histogram. After K rounds a node's label is the minimum node id
+    * within K hops — exact CC once the diameter is covered, and a
+    * well-defined K-hop contraction before that (the docs say which;
+    * the spec asserts the fixture converges). Same iteration shape as
+    * [[bfsLayers]]/[[pageRank]]: per round ONE equi-join on the
+    * BIGINT-encoded node key + one min-agg, linear in edges, no
+    * all-pairs anything. The doubling variant (propagate labels
+    * through label-groups) would cover diameter 2^K in K rounds at
+    * the cost of a second join per round — documented tradeoff, not
+    * needed at this fixture's diameter.
+    *
+    * Scale shape: K chained (join + partial+final min-agg) stages on
+    * the same key layout; the histogram is label-cardinality bounded. */
+  def connectedComponents(spark: SparkSession, dir: String,
+                          rounds: Int = 4): DataFrame = {
+    val e = edges(spark, dir).staged // reused every round
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val prop = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.select("node", "label").unionAll(prop)
+        .groupBy("node").agg(min("label").as("label"))
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy("csize")
+  }
+
+  def connectedComponentsSql(rounds: Int = 4): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, CAST(min(label) AS BIGINT) AS label FROM (
+         |    SELECT node, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, l.label
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |  ) GROUP BY node
+         |)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$iters,
+       |comp AS (SELECT label, count(*) AS csize FROM l$rounds GROUP BY label)
+       |SELECT csize, count(*) AS n_components FROM comp
+       |GROUP BY csize ORDER BY csize""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_concomp" -> ((s, d) => connectedComponents(s, d)),
     "graph_bfs_layers" -> ((s, d) => bfsLayers(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
@@ -541,6 +593,7 @@ object GraphOps {
     "graph_jaccard_neighbors" -> ((s, d) => jaccardNeighbors(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "graph_concomp" -> connectedComponentsSql(),
     "graph_bfs_layers" -> bfsLayersSql(),
     "graph_pagerank" -> pageRankSql(),
     "graph_triangles" -> trianglesSql(),

@@ -346,6 +346,46 @@ class Analytics3Spec extends SparkSpec {
     assert(tot.head._5 === want.map(_._5).sum)
   }
 
+  test("concomp: histogram replays from a serial union-find (fixture converges in 4 rounds)") {
+    val dir = sf("sf0.001")
+    val got = graft.sim.GraphOps.connectedComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("csize") -> r.getAs[Long]("n_components")).toMap
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // serial union-find = TRUE components; equality proves the bounded
+    // 4-round propagation converged on this fixture
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.map(find).groupBy(identity)
+      .values.map(_.size.toLong).groupBy(identity)
+      .map { case (sz, g) => sz -> g.size.toLong }
+    assert(got === want)
+    assert(got.map { case (sz, n) => sz * n }.sum ===
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+  }
+
+  test("bitmap distinct: per-type counts equal plain distinct; words are the block count") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.bitmapDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_distinct"), r.getAs[Long]("n_words")))).toMap
+    val rows = Tables.t(spark, dir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (t, g) =>
+      val users = g.map(_._2).distinct
+      t -> ((users.length.toLong, users.map(_ / 64).distinct.length.toLong))
+    }
+    assert(got === want)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head

@@ -66,6 +66,7 @@ class RapidsReadinessSpec extends SparkSpec {
     * trigger appearing, or one silently disappearing, both fail). */
   private val flagged: Map[String, Set[String]] = Map(
     "agg_hll_distinct" -> Set("rdd-segment", "bin"),
+    "agg_bitmap_distinct" -> Set("bit-count"),
     "agg_kmv_jaccard" -> Set("rdd-segment"),
     "agg_hll_groups" -> Set("rdd-segment", "bin"),
     "agg_percentiles" -> Set("rdd-segment"),
@@ -87,6 +88,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "fn_array_ops" -> Set("higher-order-function"),
     "graph_assortativity" -> Set("rdd-segment"),
     "graph_bfs_layers" -> Set("rdd-segment"),
+    "graph_concomp" -> Set("rdd-segment"),
     "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
@@ -192,6 +194,7 @@ class RapidsReadinessSpec extends SparkSpec {
     * several sets here are supersets of their checkpoint-mode sets.
     * Queries not listed are fully clean under persist mode. */
   private val persistFlagged: Map[String, Set[String]] = Map(
+    "agg_bitmap_distinct" -> Set("bit-count"),
     "agg_hll_distinct" -> Set("bin"),
     "agg_hll_groups" -> Set("bin"),
     "dedup_containment" -> Set("higher-order-function"),
