@@ -818,6 +818,106 @@ object Analytics3 {
       |       CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val hourNs = 3600L * 1000 * 1000 * 1000
+  private def centi(colName: String) =
+    (col(colName).cast(DecimalType(18, 2)) * 100).cast("long")
+  private val centiSql = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Seasonal-naive forecast backtest per event type: the forecast for
+    * hour h is the ACTUAL at h−24 (same hour yesterday — the baseline
+    * every fancier forecaster must beat, and the one ops dashboards
+    * ship first). Hourly centi-unit totals align by an exact
+    * (type, h = h'+24) equi-join on the hour grid — robust to missing
+    * hours, unlike a row-lag — and the report is per-type backtest
+    * coverage, MAE (centi, floor-DIV), and bias (forecast-minus-actual
+    * sign balance). All integers end-to-end.
+    *
+    * Scale shape: one scan → (type, hour) agg; everything after lives
+    * on the hour grid (span-bounded), including the self-join. */
+  def backtestSnaive(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $hourNs").as("h"), centi("value").as("v"))
+      .groupBy("event_type", "h").agg(sum("v").as("sv")).staged
+    val prev = hourly.select(col("event_type"), (col("h") + 24L).as("h"),
+      col("sv").as("sv_pred"))
+    hourly.join(prev, Seq("event_type", "h"))
+      .withColumn("err", col("sv_pred") - col("sv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        expr("sum(abs(err)) DIV count(1)").as("mae_centi"),
+        sum(when(col("err") > 0L, 1L).when(col("err") < 0L, -1L)
+          .otherwise(0L)).as("bias_sign"))
+      .orderBy("event_type")
+  }
+
+  val backtestSnaiveSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_ns(ts) // $hourNs AS h,
+       |         CAST(sum($centiSql) AS BIGINT) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), joined AS (
+       |  SELECT c.event_type, p.sv - c.sv AS err
+       |  FROM hourly c JOIN hourly p
+       |    ON c.event_type = p.event_type AND c.h = p.h + 24
+       |)
+       |SELECT event_type, count(*) AS n_hours,
+       |       CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae_centi,
+       |       CAST(sum(CASE WHEN err > 0 THEN 1 WHEN err < 0 THEN -1 ELSE 0 END)
+       |            AS BIGINT) AS bias_sign
+       |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Seasonal anomaly report: each event z-tested against its
+    * (event_type, hour-of-day) cell — "is this value extreme FOR THIS
+    * HOUR", the shape that catches a 3am traffic spike a global
+    * z-score normalizes away. The |z|>3 test runs in cross-multiplied
+    * integers ((n·v − s1)² > 9·(n·s2 − s1²)), DECIMAL(38,0)-widened
+    * (n·s2 passes 1e19 at 8× sf0.1), so no rational mean or variance
+    * ever materializes; the report is per-cell counts and an
+    * anomaly-permille rate. Population cells (the event's own value
+    * included) — documented, and what one pass buys.
+    *
+    * Scale shape: one scan → 120-cell moment agg (broadcast back) →
+    * one more scan-side map + cell-keyed count. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), (expr(s"ts div $hourNs") % 24).as("hod"),
+        centi("value").cast(d).as("v"))
+    val cells = ev.groupBy("event_type", "hod")
+      .agg(count(lit(1)).cast(d).as("n"), sum("v").as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    ev.join(broadcast(cells), Seq("event_type", "hod"))
+      .withColumn("num", col("n") * col("v") - col("s1"))
+      .withColumn("den", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("is_anom", col("num") * col("num") > lit(9L).cast(d) * col("den"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      .withColumn("anom_permille", expr("(1000 * n_anomalies) DIV n_events"))
+      .orderBy("event_type", "hod")
+  }
+
+  val seasonalAnomalySql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, (epoch_ns(ts) // $hourNs) % 24 AS hod,
+       |         CAST($centiSql AS HUGEINT) AS v
+       |  FROM events
+       |), cells AS (
+       |  SELECT event_type, hod, CAST(count(*) AS HUGEINT) AS n,
+       |         sum(v) AS s1, sum(v * v) AS s2
+       |  FROM ev GROUP BY 1, 2
+       |), tested AS (
+       |  SELECT e.event_type, e.hod,
+       |         (c.n * e.v - c.s1) * (c.n * e.v - c.s1)
+       |           > 9 * (c.n * c.s2 - c.s1 * c.s1) AS is_anom
+       |  FROM ev e JOIN cells c USING (event_type, hod)
+       |)
+       |SELECT event_type, hod, count(*) AS n_events,
+       |       CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       |       (1000 * CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT))
+       |         // count(*) AS anom_permille
+       |FROM tested GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> giniLorenz,
     "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
@@ -827,6 +927,8 @@ object Analytics3 {
     "stat_ols_fit" -> olsFit,
     "dq_chi2_independence" -> chi2Independence,
     "agg_bitmap_distinct" -> bitmapDistinct,
+    "ts_backtest_snaive" -> backtestSnaive,
+    "ts_seasonal_anomaly" -> seasonalAnomaly,
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
@@ -841,6 +943,8 @@ object Analytics3 {
     "stat_ols_fit" -> olsFitSql,
     "dq_chi2_independence" -> chi2IndependenceSql,
     "agg_bitmap_distinct" -> bitmapDistinctSql,
+    "ts_backtest_snaive" -> backtestSnaiveSql,
+    "ts_seasonal_anomaly" -> seasonalAnomalySql,
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

@@ -386,6 +386,54 @@ class Analytics3Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("snaive backtest: MAE/bias replay from a serial hourly walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.backtestSnaive(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_hours"),
+        r.getAs[Long]("mae_centi"), r.getAs[Long]("bias_sign")))).toMap
+    val rows = Tables.t(spark, dir, "events")
+      .select(col("event_type"), expr("ts div " + (3600L * 1000 * 1000 * 1000)).as("h"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hourly = rows.groupBy(r => (r._1, r._2))
+      .map { case ((t, h), g) => (t, h) -> g.map(_._3).sum }
+    val want = hourly.keys.groupBy(_._1).flatMap { case (t, ks) =>
+      val errs = ks.toSeq.flatMap { case (_, h) =>
+        hourly.get((t, h - 24)).map(p => p - hourly((t, h)))
+      }
+      if (errs.isEmpty) None
+      else Some(t -> ((errs.length.toLong, errs.map(math.abs).sum / errs.length,
+        errs.map(e => java.lang.Long.signum(e).toLong).sum)))
+    }
+    assert(got === want)
+  }
+
+  test("seasonal anomaly: per-cell anomaly counts replay serially") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.seasonalAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hod")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_anomalies"),
+          r.getAs[Long]("anom_permille")))).toMap
+    val rows = Tables.t(spark, dir, "events")
+      .select(col("event_type"), (expr("ts div " + (3600L * 1000 * 1000 * 1000)) % 24).as("hod"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), BigInt(r.getLong(2))))
+    val want = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+      val n = BigInt(g.length)
+      val s1 = g.map(_._3).sum; val s2 = g.map(r => r._3 * r._3).sum
+      val anom = g.count { r =>
+        val num = n * r._3 - s1
+        num * num > 9 * (n * s2 - s1 * s1)
+      }
+      k -> ((g.length.toLong, anom.toLong, 1000L * anom / g.length))
+    }
+    assert(got === want)
+    // cells partition the events
+    assert(got.values.map(_._1).sum === rows.length.toLong)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head
