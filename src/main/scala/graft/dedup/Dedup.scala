@@ -817,7 +817,177 @@ object Dedup {
        |ORDER BY canonical_id""".stripMargin
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): per document, the ORDERED token-3-gram hash
+    * sequence is scanned with a sliding window of w=8, keeping each
+    * window's MINIMUM hash as a fingerprint. The guarantee (§2 of the
+    * paper): any token run of length ≥ w+k−1 = 10 shared by two
+    * documents yields at least one shared fingerprint — detection is
+    * certain, not probabilistic like minhash, while storing ~2/(w+1)
+    * of the grams. Candidate pairs come from the fingerprint inverted
+    * index (df-capped like every candidate generator on this board).
+    * All sharing pairs are kept — the guarantee promises exactly ONE
+    * shared fingerprint for a minimal run (the interior window minima
+    * dedup to a single gram), so thresholding on n_shared > 1 would
+    * break it; n_shared is reported for consumers to rank on.
+    *
+    * Unlike [[shingles]], the gram sequence here is NOT distinct —
+    * winnowing is positional. The gram frame is staged before the
+    * window pass (the CollapseProject re-run trap documented on
+    * [[shingleTable]] applies doubly: `slice` touches w elements per
+    * window).
+    *
+    * Scale shape: per-doc O(n·w) maps → explode of the SELECTED
+    * fingerprints only (~2/(w+1) density) → df-capped equi-join;
+    * never all-pairs, never a global sort. */
+  def winnowingPairs(spark: SparkSession, dir: String,
+                     w: Int = 8, dfCap: Int = 20): DataFrame = {
+    val tk = t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .staged
+    val grams = tk.select(col("doc_id"),
+      when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => Portable.hash60(concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+        .otherwise(array(Portable.hash60(concat_ws(" ", col("toks"))))).as("hs"))
+      .staged
+    val fps = grams.select(col("doc_id"),
+      explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+    val capped = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("fp"), Seq("fp"))
+    capped.select(col("doc_id").as("a"), col("fp"))
+      .join(capped.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .orderBy("a", "b")
+  }
+
+  def winnowingPairsSql(w: Int = 8, dfCap: Int = 20): String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) >= 3
+       |           THEN list_transform(generate_series(1, len(toks) - 2),
+       |                  i -> CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]
+       |                             || ' ' || toks[i+2]), 1, 15)) AS BIGINT))
+       |           ELSE [CAST(('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))
+       |                 AS BIGINT)]
+       |         END AS hs
+       |  FROM tk
+       |), f AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           generate_series(1, greatest(len(hs) - ${w - 1}, 1)),
+       |           i -> list_min(hs[i:i+${w - 1}])))) AS fp
+       |  FROM g
+       |), capped AS (
+       |  SELECT f.doc_id, f.fp FROM f
+       |  JOIN (SELECT fp, count(*) AS df FROM f GROUP BY fp) d ON f.fp = d.fp
+       |  WHERE d.df <= $dfCap
+       |)
+       |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+       |FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** b-bit minhash (Li & König 2010, b=1): keep only the LOWEST BIT of
+    * each of 64 minhash permutations and pack the whole signature into
+    * ONE BIGINT — 8 bytes per document instead of 64 perms × 8 bytes,
+    * the storage move that makes billion-document similarity indexes
+    * fit in memory. The estimator corrects for random 1-bit
+    * collisions: with match fraction P = m/64 over the packed words
+    * (m = 64 − popcount(wa XOR wb)), Ĵ = 2P − 1 clamped at 0 (the
+    * b=1, C≈1/2 case of the paper's Eq. 5). The query computes packed
+    * signatures for the WHOLE corpus (the production artifact: one
+    * shuffle, map-side combine, same aggregate shape as
+    * [[minhashSignatures]] at k=64), evaluates all pairs of the 32-doc
+    * panel, and reports the estimate BESIDE the exact shingle Jaccard
+    * — the estimator-vs-truth gate, like [[minhashEstimates]].
+    *
+    * Scale shape: corpus touched once for the signature agg; the pair
+    * evaluation is panel-bounded (496 rows); exact Jaccard for the
+    * gate runs on the panel's shingle sets only. */
+  def bbitMinhash(spark: SparkSession, dir: String,
+                  k: Int = 64, panel: Int = 32): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(pmod(lit(uhA(i)) * col("hp") + lit(uhB(i)), lit(P))).as(s"mh$i"))
+    val words = shingleTable(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), pmod(Portable.hash60(col("shingle")), lit(P)).as("hp"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        (0 until k).map(i => shiftleft(pmod(col(s"mh$i"), lit(2L)), i))
+          .reduce(_ + _).as("word"))
+    val pw = words.filter(col("doc_id") < panel).staged
+    val pairs = pw.select(col("doc_id").as("a"), col("word").as("wa"))
+      .join(broadcast(pw.select(col("doc_id").as("b"), col("word").as("wb"))),
+        col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (lit(k.toLong) - bit_count(col("wa").bitwiseXOR(col("wb"))).cast("long"))
+          .as("m_bits"))
+      .withColumn("est_permille",
+        greatest(lit(0L), expr(s"(1000 * (2 * m_bits - $k)) DIV $k")))
+    val psh = shingleTable(spark, dir).filter(col("doc_id") < panel)
+      .select(col("doc_id"), explode(col("sh")).as("shingle")).staged
+    val sizes = psh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = psh.select(col("doc_id").as("a"), col("shingle"))
+      .join(psh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"), "left")
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("a"), col("b"), col("m_bits"), col("est_permille"),
+        expr("(1000 * inter) DIV (na + nb - inter)").as("exact_permille"))
+      .orderBy("a", "b")
+  }
+
+  def bbitMinhashSql(k: Int = 64, panel: Int = 32): String = {
+    val minExprs = (0 until k).map(i =>
+      s"min((${uhA(i)} * hp + ${uhB(i)}) % $P) AS mh$i").mkString(",\n|         ")
+    val matchTerms = (0 until k).map(i =>
+      s"CASE WHEN x.mh$i % 2 = y.mh$i % 2 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$shingleTableSql,
+       |sh AS (SELECT doc_id, unnest(st.sh) AS shingle FROM st WHERE doc_id < $panel),
+       |hp AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P) AS hp FROM sh),
+       |mh AS (SELECT doc_id, $minExprs FROM hp GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |         CAST($matchTerms AS BIGINT) AS m_bits
+       |  FROM mh x JOIN mh y ON x.doc_id < y.doc_id
+       |),
+       |est AS (
+       |  SELECT a, b, m_bits,
+       |         greatest(0, (1000 * (2 * m_bits - $k)) // $k) AS est_permille
+       |  FROM pairs
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.a, e.b, e.m_bits, e.est_permille,
+       |       (1000 * coalesce(i.inter, 0)) // (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))
+       |         AS exact_permille
+       |FROM est e
+       |LEFT JOIN inter i ON e.a = i.a AND e.b = i.b
+       |JOIN sizes sa ON e.a = sa.doc_id
+       |JOIN sizes sb ON e.b = sb.doc_id
+       |ORDER BY e.a, e.b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bbit_minhash" -> ((s, d) => bbitMinhash(s, d)),
+    "dedup_winnowing" -> ((s, d) => winnowingPairs(s, d)),
     "dedup_golden_record" -> goldenRecord,
     "dedup_neardup_clusters" -> nearDupClusters,
     "dedup_exact" -> exact,
@@ -834,6 +1004,8 @@ object Dedup {
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_bbit_minhash" -> bbitMinhashSql(),
+    "dedup_winnowing" -> winnowingPairsSql(),
     "dedup_golden_record" -> goldenRecordSql,
     "dedup_neardup_clusters" -> nearDupClustersSql,
     "dedup_exact" -> exactSql,

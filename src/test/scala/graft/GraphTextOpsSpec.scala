@@ -196,4 +196,49 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(!jac.contains((0L, 1L)), jac.toString)
     graft.dedup.Dedup.evictPairs(spark) // don't leak the temp index
   }
+
+  test("winnowing: a planted >=10-token shared run is ALWAYS detected; unrelated docs are not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    // docs 0 and 1 share an exact 14-token run (>= w+k-1 = 10, so the
+    // Schleimer guarantee applies) inside otherwise-different text;
+    // doc 2 shares nothing
+    val run = (0 until 14).map(i => s"shared$i").mkString(" ")
+    val d0 = (0 until 30).map(i => s"a$i").mkString(" ") + " " + run
+    val d1 = run + " " + (0 until 30).map(i => s"b$i").mkString(" ")
+    val d2 = (0 until 40).map(i => s"c$i").mkString(" ")
+    Seq((0L, d0, "en", "t", d0.length.toLong), (1L, d1, "en", "t", d1.length.toLong),
+      (2L, d2, "en", "t", d2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.dedup.Dedup.winnowingPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_shared")))
+    assert(got.map(t => (t._1, t._2)).toSet === Set((0L, 1L)), got.mkString(","))
+    assert(got.head._3 >= 1L) // the guarantee promises at least one
+  }
+
+  test("b-bit minhash: identical docs estimate 1000 permille; estimator tracks exact on the panel") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bbit").toString
+    // docs 0/1 identical (J=1 -> all 64 minhash bits match -> est 1000);
+    // docs 2..9 pairwise-unrelated (J=0 -> est concentrates near 0)
+    val same = (0 until 40).map(i => s"dup$i").mkString(" ")
+    val docs = Seq((0L, same), (1L, same)) ++
+      (2L to 9L).map(i => i -> (0 until 40).map(j => s"u${i}x$j").mkString(" "))
+    docs.map { case (id, tx) => (id, tx, "en", "t", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.dedup.Dedup.bbitMinhash(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("m_bits"), r.getAs[Long]("est_permille"),
+          r.getAs[Long]("exact_permille")))).toMap
+    assert(rows.size === 45) // all pairs of the 10-doc panel
+    val (m01, est01, ex01) = rows((0L, 1L))
+    assert(m01 === 64L && est01 === 1000L && ex01 === 1000L)
+    // unrelated pairs: exact 0, estimator within its 1-bit noise band
+    val unrel = rows.filter { case ((a, _), _) => a >= 2 }.values
+    assert(unrel.forall(_._3 === 0L))
+    val meanEst = unrel.map(_._2).sum.toDouble / unrel.size
+    assert(meanEst < 300.0, s"estimator biased high: $meanEst")
+  }
 }
