@@ -918,6 +918,49 @@ object Analytics3 {
        |         // count(*) AS anom_permille
        |FROM tested GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** OHLC candle bars per (event_type, hour): open/close are the
+    * values of the FIRST/LAST event in the bar (total order =
+    * (ts, event_id), so ties are deterministic), high/low are extremes,
+    * volume is the event count — the time-series summarization every
+    * market-data / metrics pipeline ships. Open/close come from ONE
+    * min/max over a packed (ts, event_id, value) struct — no window,
+    * no self-join, so the whole query is a single partial+final agg on
+    * the (type, hour) grid key.
+    *
+    * Scale shape: one scan → one grid-keyed agg with map-side combine;
+    * output is span-bounded. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $hourNs").as("h"),
+        col("ts"), col("event_id"), centi("value").as("v"))
+      .groupBy("event_type", "h")
+      .agg(min(struct(col("ts"), col("event_id"), col("v"))).as("first"),
+        max(struct(col("ts"), col("event_id"), col("v"))).as("last"),
+        max("v").as("high_centi"), min("v").as("low_centi"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"), col("h"),
+        col("first.v").as("open_centi"), col("high_centi"),
+        col("low_centi"), col("last.v").as("close_centi"), col("volume"))
+      .orderBy("event_type", "h")
+
+  // the (ts, event_id) total order packs into ONE HUGEINT key
+  // (event_id < 1e10 on every fixture scale), since min_by/max_by
+  // take a scalar key
+  val ohlcBarsSql: String =
+    s"""WITH q AS (
+       |  SELECT event_type, epoch_ns(ts) // $hourNs AS h,
+       |         CAST(epoch_ns(ts) AS HUGEINT) * 10000000000 + event_id AS ord,
+       |         $centiSql AS v
+       |  FROM events
+       |)
+       |SELECT event_type, h,
+       |       CAST(min_by(v, ord) AS BIGINT) AS open_centi,
+       |       CAST(max(v) AS BIGINT) AS high_centi,
+       |       CAST(min(v) AS BIGINT) AS low_centi,
+       |       CAST(max_by(v, ord) AS BIGINT) AS close_centi,
+       |       count(*) AS volume
+       |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> giniLorenz,
     "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
@@ -929,6 +972,7 @@ object Analytics3 {
     "agg_bitmap_distinct" -> bitmapDistinct,
     "ts_backtest_snaive" -> backtestSnaive,
     "ts_seasonal_anomaly" -> seasonalAnomaly,
+    "ts_ohlc_bars" -> ohlcBars,
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
@@ -945,6 +989,7 @@ object Analytics3 {
     "agg_bitmap_distinct" -> bitmapDistinctSql,
     "ts_backtest_snaive" -> backtestSnaiveSql,
     "ts_seasonal_anomaly" -> seasonalAnomalySql,
+    "ts_ohlc_bars" -> ohlcBarsSql,
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

@@ -582,8 +582,63 @@ object GraphOps {
        |GROUP BY csize ORDER BY csize""".stripMargin
   }
 
+  /** Pointer-jumping connected components — the log-diameter variant
+    * [[connectedComponents]]'s scaladoc trades against: each round
+    * does (a) one neighbor min-propagation AND (b) one pointer jump
+    * `label(v) ← label(label(v))` (valid because labels are always
+    * node ids with a live row, and monotone: label(x) ≤ x). Reach
+    * grows ~geometrically instead of +1 hop per round, so a
+    * 100 TB-scale graph of diameter D needs O(log D) shuffles, not D.
+    * 3 rounds here vs the plain form's 4 on the same fixture; the
+    * spec pins BOTH to the same union-find truth.
+    *
+    * Scale shape: per round two equi-joins + one min-agg on the
+    * BIGINT node key; the jump join is labels⋈labels (node-sized,
+    * never edge-sized). */
+  def connectedComponentsDoubling(spark: SparkSession, dir: String,
+                                  rounds: Int = 3): DataFrame = {
+    val e = edges(spark, dir).staged
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val nb = e.join(labels, e("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val merged = labels.select("node", "label").unionAll(nb)
+        .groupBy("node").agg(min("label").as("label"))
+      labels = merged.alias("m")
+        .join(merged.select(col("node").as("ln"), col("label").as("l2")).alias("j"),
+          col("m.label") === col("j.ln"))
+        .select(col("m.node").as("node"), col("j.l2").as("label"))
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .orderBy("csize")
+  }
+
+  def connectedComponentsDoublingSql(rounds: Int = 3): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""m$i AS (
+         |  SELECT node, CAST(min(label) AS BIGINT) AS label FROM (
+         |    SELECT node, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, l.label
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |  ) GROUP BY node
+         |), l$i AS (
+         |  SELECT m.node, j.label FROM m$i m JOIN m$i j ON m.label = j.node
+         |)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$iters,
+       |comp AS (SELECT label, count(*) AS csize FROM l$rounds GROUP BY label)
+       |SELECT csize, count(*) AS n_components FROM comp
+       |GROUP BY csize ORDER BY csize""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_concomp" -> ((s, d) => connectedComponents(s, d)),
+    "graph_concomp_doubling" -> ((s, d) => connectedComponentsDoubling(s, d)),
     "graph_bfs_layers" -> ((s, d) => bfsLayers(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
@@ -594,6 +649,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_concomp" -> connectedComponentsSql(),
+    "graph_concomp_doubling" -> connectedComponentsDoublingSql(),
     "graph_bfs_layers" -> bfsLayersSql(),
     "graph_pagerank" -> pageRankSql(),
     "graph_triangles" -> trianglesSql(),

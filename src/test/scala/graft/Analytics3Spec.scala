@@ -434,6 +434,40 @@ class Analytics3Spec extends SparkSpec {
     assert(got.values.map(_._1).sum === rows.length.toLong)
   }
 
+  test("ohlc: bars replay from a serial per-bar walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.ohlcBars(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("h")) ->
+        ((r.getAs[Long]("open_centi"), r.getAs[Long]("high_centi"),
+          r.getAs[Long]("low_centi"), r.getAs[Long]("close_centi"),
+          r.getAs[Long]("volume")))).toMap
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val rows = Tables.t(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = rows.groupBy(r => (r._1, r._2 / hourNs)).map { case (k, g) =>
+      val ord = g.sortBy(r => (r._2, r._3))
+      k -> ((ord.head._4, g.map(_._4).max, g.map(_._4).min, ord.last._4,
+        g.length.toLong))
+    }
+    assert(got === want)
+    // invariants: low <= open, close <= high
+    got.values.foreach { case (o, h, l, c, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  test("concomp doubling: 3 pointer-jump rounds reach the same components as plain and union-find") {
+    val dir = sf("sf0.001")
+    val plain = graft.sim.GraphOps.connectedComponents(spark, dir).collect()
+      .map(r => r.getAs[Long]("csize") -> r.getAs[Long]("n_components")).toMap
+    val dbl = graft.sim.GraphOps.connectedComponentsDoubling(spark, dir).collect()
+      .map(r => r.getAs[Long]("csize") -> r.getAs[Long]("n_components")).toMap
+    assert(dbl === plain) // both converged (plain is union-find-pinned above)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head

@@ -51,7 +51,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_pii_redact", "text_split_assign", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
     "ts_cusum_changepoints", "ts_lag_autocorr",
-    "ts_seasonal_profile", "ts_seasonal_anomaly", "ts_interarrival_burstiness",
+    "ts_seasonal_profile", "ts_seasonal_anomaly", "ts_ohlc_bars",
+    "ts_interarrival_burstiness",
     "ts_ewma_smooth", "ts_funnel_conversion", "ts_interpolate", "ts_range_join",
     "ts_range_join_rule",
     "ts_scd2_intervals", "ts_scd2_lookup", "ts_zscore_outliers",
@@ -91,6 +92,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_assortativity" -> Set("rdd-segment"),
     "graph_bfs_layers" -> Set("rdd-segment"),
     "graph_concomp" -> Set("rdd-segment"),
+    "graph_concomp_doubling" -> Set("rdd-segment"),
     "ts_backtest_snaive" -> Set("rdd-segment"),
     "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
