@@ -485,6 +485,45 @@ object Relational {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** All queries + oracles exported to SparkEntry. */
+  /** Pure-SQL call path through the V2 FunctionCatalog
+    * ([[graft.plans.GraftFunctionCatalog]], registered lazily on the
+    * runtime conf — catalogs instantiate on first reference): the
+    * catalog-qualified `graftfn.ns.permille/clamp` resolve through the
+    * V2 function-resolution path and bind their MAGIC methods inside
+    * codegen. The query itself is the winsorize-and-share report those
+    * primitives exist for. */
+  def catalogV2Functions(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftfn",
+      classOf[graft.plans.GraftFunctionCatalog].getName)
+    t(spark, dir, "lineitem").createOrReplaceTempView("li_fncat")
+    spark.sql(
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+        |  FROM li_fncat
+        |), agg AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(graftfn.ns.clamp(qc, 1000L, 4000L)) AS clamped_qty
+        |  FROM base GROUP BY l_returnflag
+        |), tot AS (SELECT sum(n) AS nn FROM agg)
+        |SELECT l_returnflag, n, clamped_qty,
+        |       graftfn.ns.permille(n, nn) AS share_permille
+        |FROM agg CROSS JOIN tot ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val catalogV2FunctionsSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+      |  FROM lineitem
+      |), agg AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         CAST(sum(greatest(1000, least(4000, qc))) AS BIGINT) AS clamped_qty
+      |  FROM base GROUP BY l_returnflag
+      |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM agg)
+      |SELECT l_returnflag, n, clamped_qty, (1000 * n) // nn AS share_permille
+      |FROM agg CROSS JOIN tot ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_point_lookup" -> pointLookup,
     "s11_full_scan_count" -> fullScanCount,
@@ -507,7 +546,8 @@ object Relational {
     "agg_tumbling_events" -> tumblingAgg,
     "agg_distinct" -> distinctAgg,
     "fn_scalar_string_math" -> scalarFunctions,
-    "fn_date_parts" -> dateFunctions)
+    "fn_date_parts" -> dateFunctions,
+    "fn_catalog_v2" -> catalogV2Functions)
 
   val oracles: Map[String, String] = Map(
     "s2_point_lookup" -> pointLookupSql,
@@ -531,5 +571,6 @@ object Relational {
     "agg_tumbling_events" -> tumblingAggSql,
     "agg_distinct" -> distinctAggSql,
     "fn_scalar_string_math" -> scalarFunctionsSql,
-    "fn_date_parts" -> dateFunctionsSql)
+    "fn_date_parts" -> dateFunctionsSql,
+    "fn_catalog_v2" -> catalogV2FunctionsSql)
 }

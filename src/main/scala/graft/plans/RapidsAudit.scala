@@ -58,7 +58,11 @@ object RapidsAudit {
     val out = scala.collection.mutable.LinkedHashSet[String]()
     def walkPlan(p: LogicalPlan): Unit = p.foreach { node =>
       node.getClass.getSimpleName match {
-        case "LogicalRDD" => out += "rdd-segment"
+        // ExternalRDD: a .rdd round-trip re-entering the plan via toDF
+        // (e.g. the T8 zipWithIndex renumber) — caught since the
+        // jvm-invoke audit exposed its deserializer Invokes; it was
+        // previously misclassified clean
+        case "LogicalRDD" | "ExternalRDD" => out += "rdd-segment"
         // a custom DSv2 table (e.g. sources.GeneratorSource) is a
         // row-based scan outside the plugin's supported-source list —
         // the scan runs CPU with a row→columnar transition above it
@@ -106,6 +110,11 @@ object RapidsAudit {
              "ZipWith" | "ArrayExists" | "ArrayForAll" | "MapFilter" |
              "TransformKeys" | "TransformValues" => out += "higher-order-function"
         case "ScalaUDF" => out += "scala-udf"
+        // V2 FunctionCatalog calls: the magic method binds as a
+        // reflective Invoke (codegen on CPU, but a JVM call the plugin
+        // cannot translate); ApplyFunctionExpression is the row-based
+        // fallback form of the same thing
+        case "Invoke" | "ApplyFunctionExpression" => out += "jvm-invoke"
         case "ScalaAggregator" | "ScalaUDAF" => out += "scala-udaf"
         case "ArrayDotLong" => out += "custom-expression"
         case "Bin" => out += "bin"

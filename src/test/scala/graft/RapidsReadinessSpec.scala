@@ -47,7 +47,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "stat_column_profile", "stat_gini", "stat_mad_outliers", "stat_moments",
     "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
     "t10_op_chain_seq", "t2_batch_lookup_join", "t5_reserve_min_agg",
-    "t6_hazard_flags", "t7_install_merge", "t8_collect_renumber",
+    "t6_hazard_flags", "t7_install_merge",
     "text_pii_redact", "text_split_assign", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
     "ts_cusum_changepoints", "ts_lag_autocorr",
@@ -99,10 +99,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_pagerank" -> Set("rdd-segment"),
     "graph_triangles" -> Set("rdd-segment"),
     "join_bloom_prune" -> Set("rdd-segment"),
-    "mm_decode_summary" -> Set("object-node"),
-    "mm_frame_sample" -> Set("object-node"),
+    "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
+    "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
-    "mm_resize_meta" -> Set("object-node"),
+    "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
@@ -156,6 +156,11 @@ class RapidsReadinessSpec extends SparkSpec {
     "stat_ols_fit" -> Set("higher-order-function"),
     "dq_chi2_independence" -> Set("rdd-segment"),
     "src_generator_pushdown" -> Set("custom-source"),
+    "fn_catalog_v2" -> Set("jvm-invoke"),
+    // the .rdd zipWithIndex two-phase renumber (see T8 in COVERAGE):
+    // the RDD boundary is the documented unbounded-renumber design;
+    // its tuple-encoder deserializers are the Invokes
+    "t8_collect_renumber" -> Set("rdd-segment", "jvm-invoke"),
     "stat_ks_by_type" -> Set("rdd-segment"),
     "sim_label_centroids" -> Set("rdd-segment"),
     "stat_winsorized" -> Set("rdd-segment"),
@@ -220,10 +225,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
     "fn_array_ops" -> Set("higher-order-function"),
     "dq_category_pmi" -> Set("bin"),
-    "mm_decode_summary" -> Set("object-node"),
-    "mm_frame_sample" -> Set("object-node"),
+    "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
+    "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
-    "mm_resize_meta" -> Set("object-node"),
+    "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("higher-order-function"),
@@ -270,6 +275,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "stat_spearman" -> Set("higher-order-function"),
     "stat_ols_fit" -> Set("higher-order-function"),
     "src_generator_pushdown" -> Set("custom-source"),
+    "fn_catalog_v2" -> Set("jvm-invoke"),
+    "t8_collect_renumber" -> Set("rdd-segment", "jvm-invoke"),
     "sim_label_centroids" -> Set("higher-order-function"),
     "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -346,8 +353,11 @@ class RapidsReadinessSpec extends SparkSpec {
       assert(bad.isEmpty, bad.mkString("\n"))
       // the headline: the row-based segment class is gone except where an
       // iterative drain's lineage cut is semantic (graft.Cache scaladoc)
+      // t8's ExternalRDD renumber is mode-independent (it IS an RDD op,
+      // not a cache barrier) — it joins the drain cuts here
       val rddSeg = persistFlagged.filter(_._2.contains("rdd-segment")).keySet
-      assert(rddSeg == Set("pipeline_cluster_quality", "sample_cluster_balanced",
+      assert(rddSeg == Set("t8_collect_renumber",
+        "pipeline_cluster_quality", "sample_cluster_balanced",
         "sim_ivf_trained", "sim_kmeans", "sim_kmeans_incremental",
         "sim_pq_topk", "sim_pq_recall", "sim_pq_incremental",
         "sim_ivfpq_topk", "sim_ivfpq_recall",
