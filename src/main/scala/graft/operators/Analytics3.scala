@@ -961,6 +961,67 @@ object Analytics3 {
        |       count(*) AS volume
        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Growth accounting (the Social-Capital "growth accounting"
+    * decomposition): every active (user, day) is NEW (first day ever),
+    * RETAINED (also active the previous calendar day) or RESURRECTED
+    * (returning after a gap), and CHURNED(d) counts users active on
+    * d−1 who did not return on d — so active(d) = new + retained +
+    * resurrected and churned(d) = active(d−1) − retained(d), an
+    * identity the spec asserts. One distinct (user, day) frame, one
+    * user-partitioned lag window, one day-grain agg, one day-grid
+    * self-join for churn — no per-day distinct-count state carried
+    * across days.
+    *
+    * Scale shape: user-keyed shuffle for the dedup + lag; everything
+    * after lives on the day grid. */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts DIV ${dayNs}L").as("day"))
+      .distinct().staged
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val classified = days
+      .withColumn("prev", lag("day", 1).over(w))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("day") - 1L, "retained")
+          .otherwise("resurrected"))
+    val daily = classified.groupBy("day")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    daily.alias("d")
+      .join(daily.select((col("day") + 1L).as("day"), col("active").as("prev_active"))
+        .alias("p"), Seq("day"), "left")
+      .select(col("day"), col("active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained")).as("n_churned"))
+      .orderBy("day")
+  }
+
+  val growthAccountingSql: String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // ${dayNs} AS day FROM events
+       |), cl AS (
+       |  SELECT day,
+       |         CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+       |                THEN 'new'
+       |              WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) = day - 1
+       |                THEN 'retained'
+       |              ELSE 'resurrected' END AS status
+       |  FROM days
+       |), daily AS (
+       |  SELECT day, count(*) AS active,
+       |         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |         CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       |         CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+       |  FROM cl GROUP BY day
+       |)
+       |SELECT d.day, d.active, d.n_new, d.n_retained, d.n_resurrected,
+       |       coalesce(p.active, 0) - d.n_retained AS n_churned
+       |FROM daily d LEFT JOIN daily p ON d.day = p.day + 1
+       |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> giniLorenz,
     "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
@@ -973,6 +1034,7 @@ object Analytics3 {
     "ts_backtest_snaive" -> backtestSnaive,
     "ts_seasonal_anomaly" -> seasonalAnomaly,
     "ts_ohlc_bars" -> ohlcBars,
+    "window_growth_accounting" -> growthAccounting,
     "dq_benford" -> benfordDigits,
     "window_streaks" -> activityStreaks,
     "pipeline_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
@@ -990,6 +1052,7 @@ object Analytics3 {
     "ts_backtest_snaive" -> backtestSnaiveSql,
     "ts_seasonal_anomaly" -> seasonalAnomalySql,
     "ts_ohlc_bars" -> ohlcBarsSql,
+    "window_growth_accounting" -> growthAccountingSql,
     "dq_benford" -> benfordDigitsSql,
     "window_streaks" -> activityStreaksSql,
     "pipeline_epoch_shuffle" -> epochShuffleSql(),

@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.Tables.t
 import graft.functions.Portable
 import graft.Cache.CacheOps
@@ -636,8 +637,94 @@ object GraphOps {
        |GROUP BY csize ORDER BY csize""".stripMargin
   }
 
+  /** Modularity trajectory of min-label propagation (Newman–Girvan Q,
+    * computed EXACTLY): after each round r = 0..2 of the
+    * [[connectedComponents]] iteration, Q of the current label
+    * partition — Q = (M·Σintra_c − Σd_c²)/M² over the DIRECTED edge
+    * list (M = 2m) — as exact integers (q_num, q_den) plus the one
+    * IEEE division. Round 0 (singletons) is negative by construction
+    * (q_num = −Σd_v²); on a CONNECTED graph the converged partition
+    * lands at Q = 0 exactly (Σintra = M, Σd_c² = M²) — and the
+    * mid-trajectory dip the fixture shows is real: min-label
+    * contraction is a connectivity iteration, not a community
+    * detector, and the curve QUANTIFIES that distinction (a Louvain
+    * pass would climb where this dips). No division happens until the
+    * final scalar, so there is no signed trunc-vs-floor hazard.
+    *
+    * Scale shape: per round, two label equi-joins + edge-keyed aggs;
+    * Q's terms are label-cardinality bounded; output is one row per
+    * round. */
+  def modularityCurve(spark: SparkSession, dir: String,
+                      rounds: Int = 2): DataFrame = {
+    val e = edges(spark, dir).staged
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val d = DecimalType(38, 0)
+    val mRow = e.agg(count(lit(1)).cast(d).as("m_dir")).staged
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val perRound = (0 to rounds).map { r =>
+      if (r > 0) {
+        val prop = e.join(labels, e("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+        labels = labels.select("node", "label").unionAll(prop)
+          .groupBy("node").agg(min("label").as("label")).staged
+      }
+      val ls = labels.select(col("node").as("src"), col("label").as("ls"))
+      val ld = labels.select(col("node").as("dst"), col("label").as("ld"))
+      val intra = e.join(ls, "src").join(ld, "dst")
+        .agg(sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).cast(d)
+          .as("intra_dir"))
+      val dsq = deg.join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy("label").agg(sum("deg").as("d_c"))
+        .agg(sum(col("d_c").cast(d) * col("d_c").cast(d)).as("sum_dsq"))
+      intra.crossJoin(broadcast(dsq)).crossJoin(broadcast(mRow))
+        .select(lit(r.toLong).as("round"),
+          col("m_dir").cast("long").as("m_dir"),
+          (col("m_dir") * col("intra_dir") - col("sum_dsq")).cast("long").as("q_num"),
+          (col("m_dir") * col("m_dir")).cast("long").as("q_den"))
+        .withColumn("q", col("q_num").cast("double") / col("q_den").cast("double"))
+    }
+    perRound.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  def modularityCurveSql(rounds: Int = 2): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, CAST(min(label) AS BIGINT) AS label FROM (
+         |    SELECT node, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, l.label
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |  ) GROUP BY node
+         |)"""
+    }.mkString(",\n")
+    val qSelects = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |       CAST((SELECT m_dir FROM m) AS BIGINT) AS m_dir,
+         |       CAST((SELECT m_dir FROM m)
+         |            * (SELECT CAST(sum(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS HUGEINT)
+         |               FROM edges e JOIN l$r ls ON e.src = ls.node
+         |                            JOIN l$r ld ON e.dst = ld.node)
+         |            - (SELECT sum(d_c * d_c) FROM (
+         |                 SELECT CAST(sum(deg) AS HUGEINT) AS d_c
+         |                 FROM deg d JOIN l$r l ON d.src = l.node GROUP BY l.label))
+         |            AS BIGINT) AS q_num,
+         |       CAST((SELECT m_dir * m_dir FROM m) AS BIGINT) AS q_den"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $edgesSql,
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$iters,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m_dir FROM edges)
+       |SELECT round, m_dir, q_num, q_den,
+       |       CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE) AS q
+       |FROM ($qSelects)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_concomp" -> ((s, d) => connectedComponents(s, d)),
+    "graph_modularity" -> ((s, d) => modularityCurve(s, d)),
     "graph_concomp_doubling" -> ((s, d) => connectedComponentsDoubling(s, d)),
     "graph_bfs_layers" -> ((s, d) => bfsLayers(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
@@ -650,6 +737,7 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "graph_concomp" -> connectedComponentsSql(),
     "graph_concomp_doubling" -> connectedComponentsDoublingSql(),
+    "graph_modularity" -> modularityCurveSql(),
     "graph_bfs_layers" -> bfsLayersSql(),
     "graph_pagerank" -> pageRankSql(),
     "graph_triangles" -> trianglesSql(),

@@ -468,6 +468,71 @@ class Analytics3Spec extends SparkSpec {
     assert(dbl === plain) // both converged (plain is union-find-pinned above)
   }
 
+  test("growth accounting: identities hold and statuses replay serially") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.growthAccounting(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> ((r.getAs[Long]("active"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+        r.getAs[Long]("n_churned")))).toMap
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val days = Tables.t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts DIV ${dayNs}L").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = days.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).sorted }
+    val want = days.groupBy(_._2).map { case (d, g) =>
+      val statuses = g.map { case (u, _) =>
+        val ds = byUser(u)
+        if (ds.head == d) "new"
+        else if (ds.contains(d - 1)) "retained"
+        else "resurrected"
+      }
+      val prevActive = days.count(_._2 == d - 1).toLong
+      d -> ((g.length.toLong, statuses.count(_ == "new").toLong,
+        statuses.count(_ == "retained").toLong,
+        statuses.count(_ == "resurrected").toLong,
+        prevActive - statuses.count(_ == "retained")))
+    }
+    assert(got === want)
+    // identity: active = new + retained + resurrected, every day
+    got.values.foreach { case (a, n, r, s, _) => assert(a === n + r + s) }
+  }
+
+  test("modularity: endpoint identities hold and every round replays from a serial walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics3Spec.collectModularity(spark, dir)
+    assert(got.map(_._1) === Seq(0L, 1L, 2L))
+    // exact identities: q_den = M², q = q_num/q_den;
+    // round 0 (singletons): q_num = −Σ d_v² (no intra edges)
+    got.foreach { case (_, m, num, den, q) =>
+      assert(den === m * m)
+      assert(q === num.toDouble / den.toDouble)
+    }
+    assert(got.head._5 < 0.0)
+    // this fixture is one connected component, so the converged
+    // partition has Q = 0 EXACTLY (Σintra = M, Σd_c² = M²)
+    assert(got(2)._3 === 0L)
+    // serial replay of every round from the raw edge list
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap(p => Seq(p, p.swap))
+    val deg = edges.groupBy(_._1).map { case (n, g) => n -> BigInt(g.length) }
+    var lab = edges.map(_._1).distinct.map(n => n -> n).toMap
+    val mDir = BigInt(edges.length)
+    val want = (0 to 2).map { r =>
+      if (r > 0)
+        lab = lab.map { case (n, l) =>
+          n -> (edges.collect { case (s, d2) if d2 == n => lab(s) } :+ l).min
+        }
+      val intra = BigInt(edges.count { case (s, d2) => lab(s) == lab(d2) })
+      val dsq = lab.groupBy(_._2).values
+        .map(c => c.keys.iterator.map(deg).sum) // iterator: Set.map would dedup equal degrees
+        .map(x => x * x).sum
+      (r.toLong, mDir.toLong, (mDir * intra - dsq).toLong, (mDir * mDir).toLong)
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) === want)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head
@@ -498,4 +563,12 @@ class Analytics3Spec extends SparkSpec {
     // char count and token count are strongly monotone-associated
     assert(rho > 0.9, s"rho=$rho")
   }
+}
+
+object Analytics3Spec {
+  def collectModularity(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Seq[(Long, Long, Long, Long, Double)] =
+    graft.sim.GraphOps.modularityCurve(spark, dir).collect().toSeq
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("m_dir"),
+        r.getAs[Long]("q_num"), r.getAs[Long]("q_den"), r.getAs[Double]("q")))
 }

@@ -93,6 +93,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_bfs_layers" -> Set("rdd-segment"),
     "graph_concomp" -> Set("rdd-segment"),
     "graph_concomp_doubling" -> Set("rdd-segment"),
+    "graph_modularity" -> Set("rdd-segment"),
+    "window_growth_accounting" -> Set("rdd-segment"),
     "ts_backtest_snaive" -> Set("rdd-segment"),
     "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
