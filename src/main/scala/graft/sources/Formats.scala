@@ -252,8 +252,68 @@ object Formats {
       |         AS payload_xor
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Plain-text source round-trip: customer names written as text
+    * lines (`spark.write.text`), read back with `spark.read.text` and
+    * checksummed — the log-file ingest path (one string column named
+    * `value`, whole-line records). Oracle recomputes the same
+    * per-line md5-hash checksums from the source column. */
+  def textRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("text_rt", dir)
+    writeOnce(s"text|$path") {
+      t(spark, dir, "customer").select(col("c_name"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+    }
+    spark.read.text(path)
+      .select(graft.functions.Portable.hash60(col("value")).as("line_hash"),
+        length(col("value")).cast("long").as("n_chars"))
+      .orderBy("line_hash")
+  }
+
+  val textRoundTripSql: String =
+    """SELECT CAST(('0x' || substr(md5(c_name), 1, 15)) AS BIGINT) AS line_hash,
+      |       CAST(len(c_name) AS BIGINT) AS n_chars
+      |FROM customer ORDER BY line_hash""".stripMargin
+
+  /** `binaryFile` source — the multimodal INGEST path (images/audio
+    * arrive as raw files): deterministic fixture blobs written to
+    * disk, read back as (path, length, content) rows, reported as
+    * (file index, byte length, 60-bit content hash). The oracle
+    * REGENERATES the same deterministic blob text per index, so the
+    * binary content—not just the listing—is value-verified. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratch("bin_src", dir)
+    writeOnce(s"bin|$path") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      (0 until 16).foreach { i =>
+        val content = (0 until (i + 1) * 3).map(j => s"blob_${i}_$j").mkString(",")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$path/part_$i%03d.bin"),
+          content.getBytes("UTF-8"))
+      }
+    }
+    spark.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(col("path"), "part_(\\d+)\\.bin$", 1).cast("long").as("idx"),
+        col("length"),
+        graft.functions.Portable.hash60(col("content").cast("string")).as("content_hash"))
+      .orderBy("idx")
+  }
+
+  val binaryMetaSql: String =
+    """WITH g AS (
+      |  SELECT range AS i,
+      |         array_to_string(list_transform(generate_series(0, (range + 1) * 3 - 1),
+      |           j -> 'blob_' || range || '_' || j), ',') AS content
+      |  FROM range(0, 16)
+      |)
+      |SELECT i AS idx, CAST(len(content) AS BIGINT) AS length,
+      |       CAST(('0x' || substr(md5(content), 1, 15)) AS BIGINT) AS content_hash
+      |FROM g ORDER BY idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_generator_pushdown" -> generatorPushdown,
+    "src_text_roundtrip" -> textRoundTrip,
+    "src_binary_meta" -> binaryMeta,
     "src_csv_roundtrip" -> csvRoundTrip,
     "src_orc_roundtrip" -> orcRoundTrip,
     "src_json_roundtrip" -> jsonRoundTrip,
@@ -264,6 +324,8 @@ object Formats {
 
   val oracles: Map[String, String] = Map(
     "src_generator_pushdown" -> generatorPushdownSql,
+    "src_text_roundtrip" -> textRoundTripSql,
+    "src_binary_meta" -> binaryMetaSql,
     "src_csv_roundtrip" -> csvRoundTripSql,
     "src_orc_roundtrip" -> orcRoundTripSql,
     "src_json_roundtrip" -> jsonRoundTripSql,

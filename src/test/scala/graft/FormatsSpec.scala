@@ -58,4 +58,30 @@ class FormatsSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("dynamicpruningexpression"), plan.take(1500))
   }
+
+  test("text source round-trip: every customer name survives as one line") {
+    val dir = sf("sf0.001")
+    val got = Formats.textRoundTrip(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = Tables.t(spark, dir, "customer").select("c_name").collect()
+      .map(_.getString(0)).map { n =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(n.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(md.take(15), 16), n.length.toLong)
+      }.sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("binaryFile source: content bytes, not just listings, round-trip") {
+    val got = Formats.binaryMeta(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 16)
+    got.foreach { case (i, len, h) =>
+      val content = (0 until (i.toInt + 1) * 3).map(j => s"blob_${i}_$j").mkString(",")
+      assert(len === content.length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(h === java.lang.Long.parseLong(md.take(15), 16), s"file $i")
+    }
+  }
 }

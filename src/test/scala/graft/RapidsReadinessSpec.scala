@@ -42,6 +42,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sample_stratified", "sample_weighted",
     "set_ops_except", "set_ops_intersect", "src_bucketed_join",
     "src_csv_roundtrip", "src_dpp_prune", "src_json_roundtrip",
+    "src_text_roundtrip", "src_binary_meta",
     "src_orc_roundtrip",
     "src_partitioned_prune", "src_schema_evolution", "stat_bootstrap_ci",
     "stat_column_profile", "stat_gini", "stat_mad_outliers", "stat_moments",
