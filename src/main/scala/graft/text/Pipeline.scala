@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
@@ -478,7 +478,138 @@ object Pipeline {
        |       n_docs * gmax - n_tokens AS pad_global
        |FROM agg, g ORDER BY bucket""".stripMargin
 
+  /** T5-style span corruption plan (Raffel et al. 2020 §3.1.4),
+    * deterministic: token position i STARTS a mask span iff
+    * hash(doc, i) % 100 < 10 (≈15% corruption at mean span 1.5 after
+    * overlap merge), with span length 1 + hash % 3. A position is
+    * masked iff SOME start j ∈ {i−2, i−1, i} covers it — and because
+    * start/length are pure hash functions of (doc, j), each exploded
+    * row recomputes its 3-position lookback directly: NO sequential
+    * scan, no window, no cross-row state for the masking itself.
+    * Overlapping spans then merge into sentinel islands (one
+    * gaps-and-islands window over the masked subset, doc-partitioned),
+    * which is what makes the reported span count the actual number of
+    * `<extra_id_k>` sentinels a T5 batch would emit.
+    *
+    * Scale shape: posexplode → pure per-row maps → one doc-keyed
+    * window + agg. Reproducible across runs/partitionings/backfills —
+    * the property that makes corruption AUDITABLE (re-derive any
+    * doc's mask from its id alone). */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    def h(pos: Column): Column =
+      Portable.hash60(concat_ws("_", lit("span"), col("doc_id"), pos))
+    def covers(i: Column, j: Column): Column =
+      j >= 0L && pmod(h(j), lit(100L)) < 10L &&
+        (j + 1L + pmod(h(j) * 7L + 13L, lit(3L))) > i
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val masked = toks.withColumn("m",
+      covers(col("pos"), col("pos")) ||
+        covers(col("pos"), col("pos") - 1L) ||
+        covers(col("pos"), col("pos") - 2L))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = masked.filter(col("m"))
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+        countDistinct("isl").as("n_spans"))
+    masked.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("mask_permille", expr("(1000 * n_masked) DIV n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val spanCorruptionSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                                 x -> len(x) > 0)) AS n FROM documents
+      |), pos AS (
+      |  SELECT doc_id, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS pos
+      |  FROM tk WHERE n > 0
+      |), m AS (
+      |  SELECT doc_id, pos,
+      |         (SELECT bool_or(
+      |            j >= 0
+      |            AND ('0x' || substr(md5('span_' || doc_id || '_' || j), 1, 15))::BIGINT % 100 < 10
+      |            AND (j + 1 + (('0x' || substr(md5('span_' || doc_id || '_' || j), 1, 15))::BIGINT * 7 + 13) % 3) > pos)
+      |          FROM (SELECT unnest([pos, pos - 1, pos - 2]) AS j)) AS masked
+      |  FROM pos
+      |), isl AS (
+      |  SELECT doc_id,
+      |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m WHERE masked
+      |), agg_m AS (
+      |  SELECT doc_id, count(*) AS n_masked, count(DISTINCT island) AS n_spans
+      |  FROM isl GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+      |       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+      |       (1000 * CAST(coalesce(a.n_masked, 0) AS BIGINT)) // t.n AS mask_permille
+      |FROM tk t LEFT JOIN agg_m a ON t.doc_id = a.doc_id
+      |WHERE t.n > 0
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Fill-in-the-middle split plan (Bavarian et al. 2022): half the
+    * corpus (by document hash) is FIM-reordered — two hash-derived cut
+    * points split the text into prefix/middle/suffix and the training
+    * form is suffix+prefix+middle (PSM's SPM variant). The report is
+    * the per-doc plan: mode, exact cut offsets, and the md5 of the
+    * REORDERED text, so the oracle re-derives the transformation
+    * itself, not just the bookkeeping. Pure per-row maps; zero
+    * shuffles besides the output sort.
+    *
+    * Scale shape: one scan, per-row string ops; nothing else. */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("n_chars")
+    val h1 = pmod(Portable.hash60(concat_ws("_", lit("fim1"), col("doc_id"))), n) + 1L
+    val h2 = pmod(Portable.hash60(concat_ws("_", lit("fim2"), col("doc_id"))), n) + 1L
+    val cutA = least(h1, h2)
+    val cutB = greatest(h1, h2)
+    t(spark, dir, "documents")
+      .filter(n > 0L)
+      .select(col("doc_id"), col("text"),
+        (pmod(Portable.hash60(concat_ws("_", lit("fim"), col("doc_id"))),
+          lit(2L)) === 0L).as("fim"),
+        cutA.as("cut_a"), cutB.as("cut_b"))
+      .select(col("doc_id"), col("fim"),
+        when(col("fim"), col("cut_a")).otherwise(0L).as("cut_a"),
+        when(col("fim"), col("cut_b")).otherwise(0L).as("cut_b"),
+        md5(when(col("fim"),
+          concat(
+            expr("substring(text, cut_b + 1)"),         // suffix
+            expr("substring(text, 1, cut_a)"),           // prefix
+            expr("substring(text, cut_a + 1, cut_b - cut_a)"))) // middle
+          .otherwise(col("text"))).as("train_md5"))
+      .orderBy("doc_id")
+  }
+
+  val fimSplitSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, n_chars,
+      |         ('0x' || substr(md5('fim_' || doc_id), 1, 15))::BIGINT % 2 = 0 AS fim,
+      |         ('0x' || substr(md5('fim1_' || doc_id), 1, 15))::BIGINT % n_chars + 1 AS h1,
+      |         ('0x' || substr(md5('fim2_' || doc_id), 1, 15))::BIGINT % n_chars + 1 AS h2
+      |  FROM documents WHERE n_chars > 0
+      |)
+      |SELECT doc_id, fim,
+      |       CASE WHEN fim THEN least(h1, h2) ELSE 0 END AS cut_a,
+      |       CASE WHEN fim THEN greatest(h1, h2) ELSE 0 END AS cut_b,
+      |       md5(CASE WHEN fim THEN
+      |             substr(text, greatest(h1, h2) + 1)
+      |             || substr(text, 1, least(h1, h2))
+      |             || substr(text, least(h1, h2) + 1, greatest(h1, h2) - least(h1, h2))
+      |           ELSE text END) AS train_md5
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_span_corruption" -> spanCorruption,
+    "pipeline_fim_split" -> fimSplit,
     "pipeline_length_buckets" -> lengthBuckets,
     "pipeline_chunk_overlap" -> chunkOverlap,
     "pipeline_curation" -> curationFunnel,
@@ -489,6 +620,8 @@ object Pipeline {
     "pipeline_leakage_split" -> leakageSplit)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_span_corruption" -> spanCorruptionSql,
+    "pipeline_fim_split" -> fimSplitSql,
     "pipeline_length_buckets" -> lengthBucketsSql,
     "pipeline_chunk_overlap" -> chunkOverlapSql,
     "pipeline_curation" -> curationFunnelSql,

@@ -72,6 +72,62 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("span corruption: masks replay from a serial walk; islands merge overlaps") {
+    val dir = sf("sf0.001")
+    val got = graft.text.Pipeline.spanCorruption(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("mask_permille")))).toMap
+    def h(doc: Long, j: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"span_${doc}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val docs = operators.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)))
+      .filter(_._2 > 0)
+    val want = docs.map { case (id, n) =>
+      val masked = (0L until n.toLong).map { i =>
+        (math.max(0L, i - 2) to i).exists { j =>
+          h(id, j) % 100 < 10 && (j + 1 + (h(id, j) * 7 + 13) % 3) > i
+        }
+      }
+      val spans = masked.foldLeft((0L, false)) { case ((c, prev), m) =>
+        (if (m && !prev) c + 1 else c, m)
+      }._1
+      val nm = masked.count(identity).toLong
+      id -> ((n.toLong, nm, spans, 1000 * nm / n))
+    }.toMap
+    assert(got === want)
+    // corruption rate lands in the engineered band on the real corpus
+    val (tot, msk) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(msk * 1000 / tot >= 100 && msk * 1000 / tot <= 250, s"rate=${msk * 1000 / tot}")
+  }
+
+  test("fim split: reordering is a permutation (fim docs reorder, rest identical)") {
+    val dir = sf("sf0.001")
+    val got = graft.text.Pipeline.fimSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getAs[Long]("cut_a"),
+        r.getAs[Long]("cut_b"), r.getString(4)))
+    val text = operators.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.exists(_._2) && got.exists(!_._2)) // both modes present
+    got.foreach { case (id, fim, a, b, m) =>
+      val t = text(id)
+      if (fim) {
+        assert(1 <= a && a <= b && b <= t.length)
+        val re = t.substring(b.toInt) + t.substring(0, a.toInt) + t.substring(a.toInt, b.toInt)
+        assert(re.length === t.length) // permutation, nothing lost
+        assert(m === md5hex(re))
+      } else assert(a === 0L && b === 0L && m === md5hex(t))
+    }
+  }
+
   test("leakage split: every source lands wholly in one split and totals add up") {
     val docs = graft.operators.Tables.t(spark, sf("sf0.001"), "documents")
     val r = Pipeline.leakageSplit(spark, sf("sf0.001")).collect()

@@ -21,7 +21,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
     "dedup_exact", "dq_benford", "dq_constraint_report", "dq_drift_report",
     "dq_freshness_report",
-    "fn_conditionals",
+    "fn_conditionals", "pipeline_fim_split",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
     "fn_scalar_string_math", "fn_string_extra",
     "graph_degree_histogram", "join_full_outer",
@@ -109,6 +109,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
+    "pipeline_span_corruption" -> Set("higher-order-function"),
     "pipeline_dsir_select" -> Set("higher-order-function", "bin"),
     "pipeline_leakage_split" -> Set("higher-order-function"),
     "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
@@ -233,6 +234,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_neardup_pairs" -> Set("bit-count"),
     "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
+    "pipeline_span_corruption" -> Set("higher-order-function"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("higher-order-function"),
     "pipeline_dsir_select" -> Set("bin", "higher-order-function"),
