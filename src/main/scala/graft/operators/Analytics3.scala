@@ -1022,7 +1022,123 @@ object Analytics3 {
        |FROM daily d LEFT JOIN daily p ON d.day = p.day + 1
        |ORDER BY d.day""".stripMargin
 
+  /** Welch's two-sample t-test between the value distributions of two
+    * event types (unequal variances — the honest default): t statistic
+    * and Welch–Satterthwaite degrees of freedom from EXACT
+    * DECIMAL(38,0) moments (n, Σv, Σv² in centi units), converted to
+    * doubles only inside ONE identical IEEE expression per output —
+    * the same discipline as [[olsFit]]/[[spearmanCorr]]. The 100 TB
+    * shape of every A/B readout: two partial+final moment aggregates,
+    * then scalar math.
+    *
+    * Scale shape: one scan → 2-group agg → driver-sized join of two
+    * single rows. */
+  def welchTtest(spark: SparkSession, dir: String,
+                 typeA: String = "click", typeB: String = "purchase"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val m = t(spark, dir, "events")
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"), centi("value").cast(d).as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+    val a = m.filter(col("event_type") === typeA)
+      .select(col("n").as("n1"), col("sv").as("sv1"), col("svv").as("svv1"))
+    val b = m.filter(col("event_type") === typeB)
+      .select(col("n").as("n2"), col("sv").as("sv2"), col("svv").as("svv2"))
+    val dbl = (c: String) => col(c).cast("double")
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("n2"),
+        // se2_i = s_i^2 / n_i with s_i^2 = (n·svv − sv²)/(n(n−1))
+        ((dbl("n1") * dbl("svv1") - dbl("sv1") * dbl("sv1"))
+          / (dbl("n1") * (dbl("n1") - 1d) * dbl("n1"))).as("se2_1"),
+        ((dbl("n2") * dbl("svv2") - dbl("sv2") * dbl("sv2"))
+          / (dbl("n2") * (dbl("n2") - 1d) * dbl("n2"))).as("se2_2"),
+        (dbl("sv1") / dbl("n1") - dbl("sv2") / dbl("n2")).as("mean_diff_centi"))
+      .select(col("n1"), col("n2"), col("mean_diff_centi"),
+        (col("mean_diff_centi") / sqrt(col("se2_1") + col("se2_2"))).as("t_stat"),
+        (((col("se2_1") + col("se2_2")) * (col("se2_1") + col("se2_2")))
+          / (col("se2_1") * col("se2_1") / (col("n1").cast("double") - 1d)
+            + col("se2_2") * col("se2_2") / (col("n2").cast("double") - 1d)))
+          .as("welch_df"))
+  }
+
+  def welchTtestSql(typeA: String = "click", typeB: String = "purchase"): String =
+    s"""WITH m AS (
+       |  SELECT event_type, count(*) AS n,
+       |         sum(CAST($centiSql AS HUGEINT)) AS sv,
+       |         sum(CAST($centiSql AS HUGEINT) * CAST($centiSql AS HUGEINT)) AS svv
+       |  FROM events WHERE event_type IN ('$typeA', '$typeB')
+       |  GROUP BY event_type
+       |), a AS (SELECT n AS n1, sv AS sv1, svv AS svv1 FROM m WHERE event_type = '$typeA'),
+       |b AS (SELECT n AS n2, sv AS sv2, svv AS svv2 FROM m WHERE event_type = '$typeB'),
+       |j AS (
+       |  SELECT n1, n2,
+       |         (CAST(n1 AS DOUBLE) * CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE))
+       |           / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) * CAST(n1 AS DOUBLE)) AS se2_1,
+       |         (CAST(n2 AS DOUBLE) * CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE))
+       |           / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1) * CAST(n2 AS DOUBLE)) AS se2_2,
+       |         CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |           - CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_diff_centi
+       |  FROM a CROSS JOIN b
+       |)
+       |SELECT n1, n2, mean_diff_centi,
+       |       mean_diff_centi / sqrt(se2_1 + se2_2) AS t_stat,
+       |       ((se2_1 + se2_2) * (se2_1 + se2_2))
+       |       / (se2_1 * se2_1 / (CAST(n1 AS DOUBLE) - 1)
+       |          + se2_2 * se2_2 / (CAST(n2 AS DOUBLE) - 1)) AS welch_df
+       |FROM j""".stripMargin
+
+  /** Vocabulary-coverage report: what fraction of each language's
+    * token stream is covered by the corpus-global top-K vocabulary
+    * (deterministic tiebreak: count desc, token asc) — the number a
+    * tokenizer-budget decision actually hinges on (coverage cliffs by
+    * language reveal who pays the OOV tax). Vocab selection is a
+    * TakeOrderedAndProject (partial top-K per partition, never a full
+    * sort), membership is a broadcast semi-join, and the rates are
+    * integer permille.
+    *
+    * Scale shape: one explode→count shuffle for the counts, vocab-size
+    * bounded top-K, broadcast membership, language-keyed agg. */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 1000): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("lang"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .staged
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k).select("tok")
+    val covered = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_covered"))
+    toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+      .join(covered, Seq("lang"), "left")
+      .select(col("lang"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_permille", expr("(1000 * n_covered) DIV n_tokens"))
+      .orderBy("lang")
+  }
+
+  def vocabCoverageSql(k: Int = 1000): String =
+    s"""WITH toks AS (
+       |  SELECT lang,
+       |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                            x -> len(x) > 0)) AS tok
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+       |  ORDER BY cnt DESC, tok LIMIT $k
+       |), cov AS (
+       |  SELECT lang, count(*) AS n_covered FROM toks
+       |  WHERE tok IN (SELECT tok FROM vocab) GROUP BY lang
+       |)
+       |SELECT t.lang, count(*) AS n_tokens,
+       |       CAST(coalesce(any_value(c.n_covered), 0) AS BIGINT) AS n_covered,
+       |       (1000 * CAST(coalesce(any_value(c.n_covered), 0) AS BIGINT)) // count(*)
+       |         AS coverage_permille
+       |FROM toks t LEFT JOIN cov c ON t.lang = c.lang
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_welch_ttest" -> ((s, d) => welchTtest(s, d)),
+    "text_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "stat_gini" -> giniLorenz,
     "text_keyword_rake" -> ((s, d) => keywordRake(s, d)),
     "agg_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
@@ -1041,6 +1157,8 @@ object Analytics3 {
     "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "stat_welch_ttest" -> welchTtestSql(),
+    "text_vocab_coverage" -> vocabCoverageSql(),
     "stat_gini" -> giniLorenzSql,
     "text_keyword_rake" -> keywordRakeSql(),
     "agg_kmv_jaccard" -> kmvJaccardSql(),

@@ -533,6 +533,53 @@ class Analytics3Spec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3, t._4)) === want)
   }
 
+  test("welch t-test: statistic and df replay from serial exact moments") {
+    val dir = sf("sf0.001")
+    val row = Analytics3.welchTtest(spark, dir).collect().head
+    val rows = Tables.t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    def mom(t: String) = {
+      val g = rows.filter(_._1 == t).map(_._2)
+      (BigInt(g.length), g.sum, g.map(x => x * x).sum)
+    }
+    val (n1, sv1, svv1) = mom("click"); val (n2, sv2, svv2) = mom("purchase")
+    def se2(n: BigInt, sv: BigInt, svv: BigInt) =
+      (n.toDouble * svv.toDouble - sv.toDouble * sv.toDouble) /
+        (n.toDouble * (n.toDouble - 1) * n.toDouble)
+    val (a, b) = (se2(n1, sv1, svv1), se2(n2, sv2, svv2))
+    val md = sv1.toDouble / n1.toDouble - sv2.toDouble / n2.toDouble
+    assert(row.getAs[Long]("n1") === n1.toLong && row.getAs[Long]("n2") === n2.toLong)
+    assert(row.getAs[Double]("t_stat") === md / math.sqrt(a + b))
+    assert(row.getAs[Double]("welch_df") ===
+      (a + b) * (a + b) / (a * a / (n1.toDouble - 1) + b * b / (n2.toDouble - 1)))
+    // df bounded by the component dfs, as Welch-Satterthwaite promises
+    val df = row.getAs[Double]("welch_df")
+    assert(df >= math.min(n1.toDouble, n2.toDouble) - 1 && df <= n1.toDouble + n2.toDouble - 2)
+  }
+
+  test("vocab coverage: permilles replay from a serial top-k vocabulary") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.vocabCoverage(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"),
+        r.getAs[Long]("coverage_permille")))).toMap
+    val toks = Tables.t(spark, dir, "documents").select("lang", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val vocab = toks.groupBy(_._2).map { case (t, g) => (t, g.length) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(1000).map(_._1).toSet
+    val want = toks.groupBy(_._1).map { case (l, g) =>
+      val cov = g.count(t => vocab(t._2)).toLong
+      l -> ((g.length.toLong, cov, 1000 * cov / g.length))
+    }
+    assert(got === want)
+    // K=1000 covers most of each stream (a small language may hit 1000
+    // exactly at sf0.001 — its whole vocabulary fits)
+    got.values.foreach { case (_, _, p) => assert(p > 500 && p <= 1000) }
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head

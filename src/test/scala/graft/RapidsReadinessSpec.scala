@@ -21,7 +21,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
     "dedup_exact", "dq_benford", "dq_constraint_report", "dq_drift_report",
     "dq_freshness_report",
-    "fn_conditionals", "pipeline_fim_split",
+    "fn_conditionals", "pipeline_fim_split", "stat_welch_ttest",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
     "fn_scalar_string_math", "fn_string_extra",
     "graph_degree_histogram", "join_full_outer",
@@ -97,6 +97,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_modularity" -> Set("rdd-segment"),
     "window_growth_accounting" -> Set("rdd-segment"),
     "ts_backtest_snaive" -> Set("rdd-segment"),
+    "text_vocab_coverage" -> Set("rdd-segment"),
     "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
@@ -297,6 +298,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_lang_id" -> Set("higher-order-function"),
     "text_mix_report" -> Set("higher-order-function"),
     "text_ngram_novelty" -> Set("higher-order-function"),
+    "text_vocab_coverage" -> Set("higher-order-function"),
     "text_nb_quality" -> Set("higher-order-function", "bin"),
     "text_nb_confusion" -> Set("higher-order-function", "bin"),
     "text_nb_calibration" -> Set("higher-order-function", "bin"),
