@@ -985,7 +985,93 @@ object Dedup {
        |ORDER BY e.a, e.b""".stripMargin
   }
 
+  /** Content-defined chunking (the rsync/LBFS/Borg boundary rule,
+    * token-level): position i ends a chunk iff hash(tok_i) % 2^k == 0
+    * (expected chunk length 2^k = 16 tokens) — boundaries depend only
+    * on LOCAL content, so an insertion early in a document shifts
+    * chunk CONTENTS by one token but leaves every later boundary
+    * intact, which is why CDC dedup survives edits that defeat
+    * fixed-size blocking. Chunks are identified by an order-sensitive
+    * CHUNK-RELATIVE positional fold of their token hashes
+    * (Σ (j−start+1)·h_j mod p, computed as s1 − start·s0 from plain
+    * sums — relative, or the identity would break on exactly the
+    * shifted-content case CDC exists for; the planted-insertion spec
+    * guards this), and the report counts cross-document duplicate
+    * chunks and the
+    * share of token mass they cover — the dedup-savings estimate a
+    * storage or corpus team reads off first.
+    *
+    * Scale shape: per-token maps (boundary flag is a pure hash), ONE
+    * doc-partitioned window (cumulative boundary count = chunk id),
+    * chunk-keyed fold agg, then a chunk-hash-keyed count — all
+    * bounded-key shuffles, never all-pairs. */
+  def cdcChunks(spark: SparkSession, dir: String, modBits: Int = 4): DataFrame = {
+    val mask = (1L << modBits) - 1
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Portable.hash60(col("tok")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk", coalesce(sum(when((col("h") % (mask + 1)) === 0L, 1L)
+        .otherwise(0L)).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_tok"),
+        (sum((col("pos") + 1L) * pmod(col("h"), lit(1000003L)))
+          - min("pos") * sum(pmod(col("h"), lit(1000003L)))).as("sig"))
+      .staged
+    val dupSigs = chunks.groupBy("n_tok", "sig")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val dupChunks = chunks.join(dupSigs, Seq("n_tok", "sig"), "left_semi")
+    val tot = chunks.agg(count(lit(1)).as("n_chunks"), sum("n_tok").as("n_tokens"))
+    val dup = dupChunks.agg(count(lit(1)).as("n_dup_chunks"),
+      coalesce(sum("n_tok"), lit(0L)).as("n_dup_tokens"))
+    tot.crossJoin(broadcast(dup))
+      .select(col("n_chunks"), col("n_tokens"), col("n_dup_chunks"),
+        col("n_dup_tokens"),
+        expr("(1000 * n_dup_tokens) DIV n_tokens").as("dup_permille"))
+  }
+
+  def cdcChunksSql(modBits: Int = 4): String = {
+    val mod = 1L << modBits
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |pos AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         ('0x' || substr(md5(toks[i]), 1, 15))::BIGINT AS h
+       |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)
+       |  WHERE len(toks) > 0
+       |), ch AS (
+       |  SELECT doc_id, pos, h,
+       |         CAST(coalesce(sum(CASE WHEN h % $mod = 0 THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS chunk
+       |  FROM pos
+       |), chunks AS (
+       |  SELECT doc_id, chunk, count(*) AS n_tok,
+       |         CAST(sum((pos + 1) * (h % 1000003))
+       |              - min(pos) * sum(h % 1000003) AS BIGINT) AS sig
+       |  FROM ch GROUP BY doc_id, chunk
+       |), dup_sigs AS (
+       |  SELECT n_tok, sig FROM chunks
+       |  GROUP BY n_tok, sig HAVING count(DISTINCT doc_id) >= 2
+       |), tot AS (
+       |  SELECT count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM chunks
+       |), dup AS (
+       |  SELECT count(*) AS n_dup_chunks,
+       |         CAST(coalesce(sum(c.n_tok), 0) AS BIGINT) AS n_dup_tokens
+       |  FROM chunks c JOIN dup_sigs d ON c.n_tok = d.n_tok AND c.sig = d.sig
+       |)
+       |SELECT n_chunks, n_tokens, n_dup_chunks, n_dup_tokens,
+       |       (1000 * n_dup_tokens) // n_tokens AS dup_permille
+       |FROM tot CROSS JOIN dup""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "dedup_bbit_minhash" -> ((s, d) => bbitMinhash(s, d)),
     "dedup_winnowing" -> ((s, d) => winnowingPairs(s, d)),
     "dedup_golden_record" -> goldenRecord,
@@ -1004,6 +1090,7 @@ object Dedup {
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" -> cdcChunksSql(),
     "dedup_bbit_minhash" -> bbitMinhashSql(),
     "dedup_winnowing" -> winnowingPairsSql(),
     "dedup_golden_record" -> goldenRecordSql,

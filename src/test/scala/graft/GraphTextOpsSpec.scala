@@ -217,6 +217,27 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(got.head._3 >= 1L) // the guarantee promises at least one
   }
 
+  test("cdc chunks: a front-of-doc insertion leaves later chunks shared (edit resilience)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // d1 = d0 with ONE token inserted at the front: fixed-size blocking
+    // would shift every block; CDC boundaries resynchronize at the
+    // first post-insertion boundary, so duplicate chunks must appear
+    val body = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val d0 = body
+    val d1 = "inserted " + body
+    Seq((0L, d0, "en", "t", d0.length.toLong), (1L, d1, "en", "t", d1.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val row = graft.dedup.Dedup.cdcChunks(spark, tmp).collect().head
+    val (nch, ntok, ndup, ndtok, pm) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(ntok === 401L)
+    assert(ndup >= 2L, s"CDC failed to resynchronize: $row")
+    assert(ndtok * 2 > ntok, s"most token mass should re-deduplicate: $row")
+    assert(pm === 1000 * ndtok / ntok && nch >= ndup)
+  }
+
   test("b-bit minhash: identical docs estimate 1000 permille; estimator tracks exact on the panel") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_bbit").toString

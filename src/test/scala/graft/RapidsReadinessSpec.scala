@@ -78,6 +78,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_jaccard_pairs" -> Set("rdd-segment"),
     "dedup_containment" -> Set("rdd-segment"),
     "dedup_winnowing" -> Set("higher-order-function", "rdd-segment"),
+    // the tokenize HOF sits upstream of the chunk-frame barrier
+    "dedup_cdc_chunks" -> Set("rdd-segment"),
     "dedup_bbit_minhash" -> Set("bit-count", "rdd-segment"),
     "dedup_minhash_bands" -> Set("higher-order-function", "rdd-segment"),
     "dedup_minhash_candidates" -> Set("rdd-segment"),
@@ -214,6 +216,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_hll_groups" -> Set("bin"),
     "dedup_containment" -> Set("higher-order-function"),
     "dedup_winnowing" -> Set("higher-order-function"),
+    "dedup_cdc_chunks" -> Set("higher-order-function"),
     "dedup_bbit_minhash" -> Set("higher-order-function", "bit-count"),
     "dedup_decontaminate" -> Set("higher-order-function"),
     "dedup_edit_verify" -> Set("higher-order-function"),
