@@ -1136,7 +1136,88 @@ object Analytics3 {
        |FROM toks t LEFT JOIN cov c ON t.lang = c.lang
        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
 
+  /** Differentially-private release mechanism for per-(type, day)
+    * event counts: DISCRETE Laplace noise (two-sided geometric,
+    * Canonne–Kamath–Steinke 2020 — the integer-valued mechanism real
+    * DP deployments use, because continuous Laplace on floats leaks
+    * through rounding). The noise is drawn by integer inverse-CDF over
+    * a bounded support [−8, 8] at α = 1/2: thresholds are exact
+    * integers out of 2^16, the uniform is a 16-bit slice of the cell's
+    * 60-bit hash, and the whole draw is engine-exact — no exp/log
+    * whose libm rounding could differ. Deterministic seeding makes the
+    * release REPRODUCIBLE (and is how a real pipeline pins its noise
+    * for audit, swapping the seed per release). Bounded support
+    * truncates <0.4% of the tail mass — documented, standard for
+    * bounded-contribution releases.
+    *
+    * Scale shape: one grid-keyed count agg + pure per-cell maps. */
+  def dpCounts(spark: SparkSession, dir: String): DataFrame = {
+    // P(|k| >= j) thresholds for alpha=1/2 over 2^16: cdf lookup via
+    // nested whens on u = hash % 65536. pmf: p(0)=1/3, p(±j)=(1/3)/2^j.
+    // Cumulative (scaled by 3*2^16/3...): exact integer thresholds.
+    val u = pmod(hash60Col(concat_ws("_", lit("dp"), col("event_type"), col("day"))),
+      lit(65536L))
+    // thresholds: k=0 for u < 21845; then alternating +j/−j bands of
+    // width 65536/(3·2^j) each (floor), remainder → 0
+    def bands: Column = {
+      var lower = 0L
+      val widths = Seq(
+        (0L, 21845L), (1L, 10922L), (-1L, 10922L), (2L, 5461L), (-2L, 5461L),
+        (3L, 2730L), (-3L, 2730L), (4L, 1365L), (-4L, 1365L),
+        (5L, 682L), (-5L, 682L), (6L, 341L), (-6L, 341L),
+        (7L, 170L), (-7L, 170L), (8L, 85L), (-8L, 85L))
+      var cond: Column = null
+      widths.foreach { case (k, w) =>
+        val hi = lower + w
+        val c = (u >= lower && u < hi)
+        cond = if (cond == null) when(c, k) else cond.when(c, k)
+        lower = hi
+      }
+      cond.otherwise(0L)
+    }
+    t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts DIV ${dayNs}L").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("noise", bands)
+      .withColumn("released_count", greatest(lit(0L), col("true_count") + col("noise")))
+      .orderBy("event_type", "day")
+  }
+
+  private def hash60Col(c: Column): Column = graft.functions.Portable.hash60(c)
+
+  val dpCountsSql: String = {
+    val widths = Seq(
+      (0L, 21845L), (1L, 10922L), (-1L, 10922L), (2L, 5461L), (-2L, 5461L),
+      (3L, 2730L), (-3L, 2730L), (4L, 1365L), (-4L, 1365L),
+      (5L, 682L), (-5L, 682L), (6L, 341L), (-6L, 341L),
+      (7L, 170L), (-7L, 170L), (8L, 85L), (-8L, 85L))
+    var lower = 0L
+    val cases = widths.map { case (k, w) =>
+      val hi = lower + w
+      val s = s"WHEN u >= $lower AND u < $hi THEN $k"
+      lower = hi
+      s
+    }.mkString("\n|             ")
+    s"""WITH g AS (
+       |  SELECT event_type, epoch_ns(ts) // ${dayNs} AS day, count(*) AS true_count
+       |  FROM events GROUP BY 1, 2
+       |), n AS (
+       |  SELECT event_type, day, true_count,
+       |         ('0x' || substr(md5('dp_' || event_type || '_' || day), 1, 15))::BIGINT
+       |           % 65536 AS u
+       |  FROM g
+       |)
+       |SELECT event_type, day, true_count,
+       |       CAST(CASE $cases
+       |             ELSE 0 END AS BIGINT) AS noise,
+       |       greatest(0, true_count + CAST(CASE $cases
+       |             ELSE 0 END AS BIGINT)) AS released_count
+       |FROM n ORDER BY event_type, day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_dp_counts" -> dpCounts,
     "stat_welch_ttest" -> ((s, d) => welchTtest(s, d)),
     "text_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
     "stat_gini" -> giniLorenz,
@@ -1157,6 +1238,7 @@ object Analytics3 {
     "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dq_dp_counts" -> dpCountsSql,
     "stat_welch_ttest" -> welchTtestSql(),
     "text_vocab_coverage" -> vocabCoverageSql(),
     "stat_gini" -> giniLorenzSql,

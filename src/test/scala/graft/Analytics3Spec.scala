@@ -580,6 +580,36 @@ class Analytics3Spec extends SparkSpec {
     got.values.foreach { case (_, _, p) => assert(p > 500 && p <= 1000) }
   }
 
+  test("dp counts: noise replays from the integer inverse-CDF and has the geometric shape") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.dpCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("true_count"), r.getAs[Long]("noise"),
+          r.getAs[Long]("released_count")))).toMap
+    val widths = Seq(
+      (0L, 21845L), (1L, 10922L), (-1L, 10922L), (2L, 5461L), (-2L, 5461L),
+      (3L, 2730L), (-3L, 2730L), (4L, 1365L), (-4L, 1365L),
+      (5L, 682L), (-5L, 682L), (6L, 341L), (-6L, 341L),
+      (7L, 170L), (-7L, 170L), (8L, 85L), (-8L, 85L))
+    def draw(t: String, d: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp_${t}_$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md.take(15), 16) % 65536
+      var lower = 0L
+      for ((k, w) <- widths) { if (u >= lower && u < lower + w) return k; lower += w }
+      0L
+    }
+    got.foreach { case ((t, d), (tc, n, rc)) =>
+      assert(n === draw(t, d), s"cell ($t,$d)")
+      assert(rc === math.max(0L, tc + n))
+      assert(n >= -8 && n <= 8)
+    }
+    // with many cells, about 1/3 of draws are zero and signs balance
+    val ns = got.values.map(_._2).toSeq
+    assert(ns.count(_ == 0L) * 5 > ns.size, s"too few zeros: ${ns.count(_ == 0L)}/${ns.size}")
+    assert(math.abs(ns.sum) < ns.size, s"noise biased: ${ns.sum}")
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head
