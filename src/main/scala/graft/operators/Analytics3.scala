@@ -1216,7 +1216,65 @@ object Analytics3 {
        |FROM n ORDER BY event_type, day""".stripMargin
   }
 
+  /** ABC / Pareto analysis of part revenue: parts ranked by revenue
+    * (exact cents, deterministic tiebreak), classified A/B/C at
+    * cumulative-share thresholds 80%/95% — the inventory-analysis
+    * classic. The cumulative window runs over the PART dimension
+    * (already aggregated), not line items — a dimension-sized sort is
+    * the documented acceptable global-window shape (same as the layout
+    * compaction planner); the fact scan contributes one partial+final
+    * agg. All shares are integer permille against cross-multiplied
+    * exact totals.
+    *
+    * Scale shape: lineitem → part-keyed agg (one shuffle) →
+    * part-cardinality window → 3-row report. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("rev"))
+    val tot = rev.agg(sum("rev").as("tot"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum", sum("rev").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 1000L <= col("tot") * 800L, "A")
+          .when(col("cum") * 1000L <= col("tot") * 950L, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("(1000 * revenue_cents) DIV tot"))
+      .select("cls", "n_parts", "revenue_cents", "share_permille")
+      .orderBy("cls")
+  }
+
+  val abcAnalysisSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |              AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY l_partkey
+      |), tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+      |c AS (
+      |  SELECT rev,
+      |         CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM rev
+      |), cls AS (
+      |  SELECT rev,
+      |         CASE WHEN cum * 1000 <= (SELECT tot FROM tot) * 800 THEN 'A'
+      |              WHEN cum * 1000 <= (SELECT tot FROM tot) * 950 THEN 'B'
+      |              ELSE 'C' END AS cls
+      |  FROM c
+      |)
+      |SELECT cls, count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS revenue_cents,
+      |       (1000 * CAST(sum(rev) AS BIGINT)) // (SELECT tot FROM tot) AS share_permille
+      |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_abc_analysis" -> abcAnalysis,
     "dq_dp_counts" -> dpCounts,
     "stat_welch_ttest" -> ((s, d) => welchTtest(s, d)),
     "text_vocab_coverage" -> ((s, d) => vocabCoverage(s, d)),
@@ -1238,6 +1296,7 @@ object Analytics3 {
     "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "agg_abc_analysis" -> abcAnalysisSql,
     "dq_dp_counts" -> dpCountsSql,
     "stat_welch_ttest" -> welchTtestSql(),
     "text_vocab_coverage" -> vocabCoverageSql(),

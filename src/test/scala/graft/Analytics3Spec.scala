@@ -610,6 +610,34 @@ class Analytics3Spec extends SparkSpec {
     assert(math.abs(ns.sum) < ns.size, s"noise biased: ${ns.sum}")
   }
 
+  test("abc analysis: classes replay from a serial Pareto walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.abcAnalysis(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_parts"),
+        r.getAs[Long]("revenue_cents"), r.getAs[Long]("share_permille")))).toMap
+    val rev = Tables.t(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }.toSeq
+    val tot = rev.map(_._2).sum
+    var cum = 0L
+    val classes = rev.sortBy { case (p, v) => (-v, p) }.map { case (_, v) =>
+      cum += v
+      if (cum * 1000 <= tot * 800) ("A", v)
+      else if (cum * 1000 <= tot * 950) ("B", v) else ("C", v)
+    }
+    val want = classes.groupBy(_._1).map { case (c, g) =>
+      c -> ((g.length.toLong, g.map(_._2).sum, 1000 * g.map(_._2).sum / tot))
+    }
+    assert(got === want)
+    // the classes partition parts and revenue; A's share lands just
+    // under the 800 threshold (this corpus is near-uniform, so A holds
+    // MANY parts — the classifier is exact either way)
+    assert(got.values.map(_._2).sum === tot)
+    assert(got("A")._3 >= 750 && got("A")._3 <= 800)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head
