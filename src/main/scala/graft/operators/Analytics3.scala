@@ -1273,7 +1273,64 @@ object Analytics3 {
       |       (1000 * CAST(sum(rev) AS BIGINT)) // (SELECT tot FROM tot) AS share_permille
       |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** Ranking AUC (Mann–Whitney U) of event value as a classifier score
+    * for the 'purchase' class — EXACT, via the same value-grid midrank
+    * machinery as [[spearmanCorr]]: doubled midranks from grid
+    * cumulative sums stay integral under ties, Σ_pos mr2 is one
+    * cell-weighted sum, and AUC = (Σ_pos mr2 − n_pos(n_pos+1)) /
+    * (2·n_pos·n_neg) — numerator and denominator reported as exact
+    * integers beside the one IEEE division. Ranks never require a
+    * global row sort: the grid is value-resolution bounded.
+    *
+    * Scale shape: one scan → grid agg (+ pos counts per cell) → grid
+    * window → single-row moments. */
+  def aucRank(spark: SparkSession, dir: String,
+              posType: String = "purchase"): DataFrame = {
+    val d = DecimalType(38, 0)
+    val cells = t(spark, dir, "events")
+      .select(centi("value").as("v"),
+        when(col("event_type") === posType, 1L).otherwise(0L).as("pos"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("cnt"), sum("pos").as("n_pos"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = cells
+      .withColumn("cum", sum("cnt").over(w))
+      .select(col("n_pos").cast(d).as("np"),
+        (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L).cast(d).as("mr2"),
+        col("cnt").cast(d).as("cnt"))
+    g.agg(sum(col("np")).as("n_pos"), sum(col("cnt") - col("np")).as("n_neg"),
+        sum(col("np") * col("mr2")).as("s_mr2"))
+      .select(col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        (col("s_mr2") - col("n_pos") * (col("n_pos") + 1)).cast("long").as("u2_num"),
+        (lit(2L).cast(d) * col("n_pos") * col("n_neg")).cast("long").as("u2_den"))
+      .withColumn("auc", col("u2_num").cast("double") / col("u2_den").cast("double"))
+  }
+
+  def aucRankSql(posType: String = "purchase"): String =
+    s"""WITH cells AS (
+       |  SELECT $centiSql AS v, count(*) AS cnt,
+       |         CAST(sum(CASE WHEN event_type = '$posType' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_pos
+       |  FROM events GROUP BY 1
+       |), g AS (
+       |  SELECT CAST(n_pos AS HUGEINT) AS np, CAST(cnt AS HUGEINT) AS cnt,
+       |         CAST(2 * (CAST(sum(cnt) OVER (ORDER BY v
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt)
+       |              + cnt + 1 AS HUGEINT) AS mr2
+       |  FROM cells
+       |), m AS (
+       |  SELECT sum(np) AS n_pos, sum(cnt - np) AS n_neg, sum(np * mr2) AS s_mr2 FROM g
+       |)
+       |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       |       CAST(s_mr2 - n_pos * (n_pos + 1) AS BIGINT) AS u2_num,
+       |       CAST(2 * n_pos * n_neg AS BIGINT) AS u2_den,
+       |       CAST(CAST(s_mr2 - n_pos * (n_pos + 1) AS BIGINT) AS DOUBLE)
+       |         / CAST(CAST(2 * n_pos * n_neg AS BIGINT) AS DOUBLE) AS auc
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_auc_rank" -> ((s, d) => aucRank(s, d)),
     "agg_abc_analysis" -> abcAnalysis,
     "dq_dp_counts" -> dpCounts,
     "stat_welch_ttest" -> ((s, d) => welchTtest(s, d)),
@@ -1296,6 +1353,7 @@ object Analytics3 {
     "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "stat_auc_rank" -> aucRankSql(),
     "agg_abc_analysis" -> abcAnalysisSql,
     "dq_dp_counts" -> dpCountsSql,
     "stat_welch_ttest" -> welchTtestSql(),

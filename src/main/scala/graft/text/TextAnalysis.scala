@@ -537,7 +537,44 @@ object TextAnalysis {
       |WHERE cnt > t.total // 1000
       |ORDER BY cnt DESC, tok""".stripMargin
 
+  /** Code-vs-prose detection (the modality split a pretraining corpus
+    * runs before routing to code/prose-specific cleaning): per-doc
+    * symbol and digit densities at integer permille — code text is
+    * dense in `(){}[];=<>` where prose is not — with a fixed-threshold
+    * flag (symbol_permille > 100). Pure per-row character counting via
+    * regexp strip; thresholds are a documented map, not a trained
+    * model, so the split is stable across runs and corpora. The
+    * planted-code spec proves the detector fires.
+    *
+    * Scale shape: pure map + one output sort; no shuffle before it. */
+  def codeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val stripped = regexp_replace(col("text"), "[^A-Za-z0-9 \t\n]", "")
+    val digits = regexp_replace(col("text"), "[^0-9]", "")
+    t(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        (length(col("text")) - length(stripped)).cast("long").as("n_sym"),
+        length(digits).cast("long").as("n_dig"),
+        length(col("text")).cast("long").as("n_all"))
+      .select(col("doc_id"),
+        expr("(1000 * n_sym) DIV n_all").as("symbol_permille"),
+        expr("(1000 * n_dig) DIV n_all").as("digit_permille"))
+      .withColumn("is_code", col("symbol_permille") > 100L)
+      .orderBy("doc_id")
+  }
+
+  val codeRatioSql: String =
+    """SELECT doc_id,
+      |       (CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 \t\n]', '', 'g'))
+      |             AS BIGINT) * 1000) // len(text) AS symbol_permille,
+      |       (CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) * 1000)
+      |         // len(text) AS digit_permille,
+      |       (CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9 \t\n]', '', 'g'))
+      |             AS BIGINT) * 1000) // len(text) > 100 AS is_code
+      |FROM documents WHERE len(text) > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_ratio" -> codeRatio,
     "text_heavy_hitters" -> heavyHitters,
     "text_token_counts" -> tokenCounts,
     "text_quality_score" -> qualityScore,
@@ -552,6 +589,7 @@ object TextAnalysis {
     "text_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
+    "text_code_ratio" -> codeRatioSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality_score" -> qualityScoreSql,

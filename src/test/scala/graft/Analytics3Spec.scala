@@ -638,6 +638,23 @@ class Analytics3Spec extends SparkSpec {
     assert(got("A")._3 >= 750 && got("A")._3 <= 800)
   }
 
+  test("auc: rank-sum AUC replays from a serial midrank walk and matches pair counting") {
+    val dir = sf("sf0.001")
+    val row = Analytics3.aucRank(spark, dir).collect().head
+    val rows = Tables.t(spark, dir, "events")
+      .select((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long"), (col("event_type") === "purchase").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) == 1L))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    // direct pair counting: P(pos > neg) + P(tie)/2, doubled to stay integral
+    val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert(row.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(row.getAs[Long]("u2_num") === u2)
+    assert(row.getAs[Long]("u2_den") === 2L * pos.length * neg.length)
+    assert(row.getAs[Double]("auc") === u2.toDouble / (2L * pos.length * neg.length).toDouble)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head

@@ -217,6 +217,23 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(got.head._3 >= 1L) // the guarantee promises at least one
   }
 
+  test("code ratio: planted code is flagged, prose is not, ratios replay serially") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_code").toString
+    val code = "def f(x): return {\"k\": x[0] + 1, \"v\": (x[1] * 2) >= 3};"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((0L, code, "en", "t", code.length.toLong), (1L, prose, "en", "t", prose.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.text.TextAnalysis.codeRatio(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("symbol_permille"), r.getBoolean(3)))).toMap
+    def sym(s: String): Long =
+      1000L * s.count(c => !(c.isLetterOrDigit && c < 128) &&
+        c != ' ' && c != '\t' && c != '\n') / s.length
+    assert(got(0L)._1 === sym(code) && got(0L)._2 === true, got.toString)
+    assert(got(1L)._1 === sym(prose) && got(1L)._2 === false, got.toString)
+  }
+
   test("cdc chunks: a front-of-doc insertion leaves later chunks shared (edit resilience)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString

@@ -17,7 +17,7 @@ class RapidsReadinessSpec extends SparkSpec {
   private val gpuClean = Set(
     "agg_collect_sorted", "agg_count_distribution", "agg_cube_pricing",
     "agg_distinct", "agg_grouping_sets", "agg_pivot_linestatus",
-    "agg_abc_analysis", "agg_rollup_customers", "agg_salted_skew", "agg_session_stats",
+    "agg_abc_analysis", "stat_auc_rank", "text_code_ratio", "agg_rollup_customers", "agg_salted_skew", "agg_session_stats",
     "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
     "dedup_exact", "dq_benford", "dq_constraint_report", "dq_drift_report",
     "dq_freshness_report",
