@@ -1329,7 +1329,123 @@ object Analytics3 {
        |         / CAST(CAST(2 * n_pos * n_neg AS BIGINT) AS DOUBLE) AS auc
        |FROM m""".stripMargin
 
+  /** Mann–Kendall trend test per event type, EXACT: S = Σ_{i<j}
+    * sign(x_j − x_i) over the HOURLY grid (the pair join is grid² —
+    * bounded by time span, NOT event volume, so 8× data leaves it
+    * unchanged), with the tie-corrected variance reported as the
+    * exact integer var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (the /18
+    * never happens in integer space) and the continuity-corrected z
+    * as the one IEEE expression. The monotone-trend detector that,
+    * unlike OLS-on-time, needs no distributional assumption.
+    *
+    * Scale shape: one scan → (type, hour) agg; the pair join and tie
+    * groups live on the span-bounded grid. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $hourNs").as("h"), centi("value").as("v"))
+      .groupBy("event_type", "h").agg(sum("v").as("sv")).staged
+    val pairs = hourly.alias("a")
+      .join(hourly.alias("b"),
+        col("a.event_type") === col("b.event_type") && col("a.h") < col("b.h"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.sv") - col("a.sv")).cast("long")).as("s_stat"))
+    val ties = hourly.groupBy("event_type", "sv").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_groups"), sum("t").as("n_hours"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("tie_term"))
+    pairs.join(ties, "event_type")
+      .select(col("event_type"), col("n_hours"), col("s_stat"),
+        (col("n_hours") * (col("n_hours") - 1L) * (lit(2L) * col("n_hours") + 5L)
+          - col("tie_term")).as("var18"))
+      .withColumn("z",
+        when(col("var18") > 0L,
+          (col("s_stat").cast("double") - signum(col("s_stat").cast("double")))
+            / sqrt(col("var18").cast("double") / 18d)).otherwise(lit(0d)))
+      .orderBy("event_type")
+  }
+
+  val mannKendallSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_ns(ts) // $hourNs AS h,
+       |         CAST(sum($centiSql) AS BIGINT) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.event_type,
+       |         CAST(sum(CASE WHEN b.sv > a.sv THEN 1 WHEN b.sv < a.sv THEN -1
+       |                       ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM hourly a JOIN hourly b
+       |    ON a.event_type = b.event_type AND a.h < b.h
+       |  GROUP BY a.event_type
+       |), ties AS (
+       |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n_hours,
+       |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+       |  FROM (SELECT event_type, sv, count(*) AS t FROM hourly GROUP BY 1, 2)
+       |  GROUP BY event_type
+       |)
+       |SELECT p.event_type, t.n_hours, p.s_stat,
+       |       t.n_hours * (t.n_hours - 1) * (2 * t.n_hours + 5) - t.tie_term AS var18,
+       |       CASE WHEN t.n_hours * (t.n_hours - 1) * (2 * t.n_hours + 5) - t.tie_term > 0
+       |         THEN (CAST(p.s_stat AS DOUBLE) - sign(CAST(p.s_stat AS DOUBLE)))
+       |              / sqrt(CAST(t.n_hours * (t.n_hours - 1) * (2 * t.n_hours + 5)
+       |                          - t.tie_term AS DOUBLE) / 18)
+       |         ELSE 0 END AS z
+       |FROM pairs p JOIN ties t USING (event_type)
+       |ORDER BY p.event_type""".stripMargin
+
+  /** Discrete churn hazard curve: for each day d, users AT RISK
+    * (first_day ≤ d ≤ last_day) and users whose last activity was d
+    * (the churn event), hazard = churn/at_risk permille — the
+    * Kaplan–Meier hazard table without the float survival product
+    * (the cumulative product is the one piece integer arithmetic
+    * can't carry; the hazard column IS the estimator's input, exact).
+    * at_risk comes from two day-grid cumulative sums (births minus
+    * prior deaths), never a per-day distinct count.
+    *
+    * Scale shape: one user-keyed agg (first/last), two day-grid
+    * windows, day-grid output. */
+  def hazardCurve(spark: SparkSession, dir: String): DataFrame = {
+    val span = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts DIV ${dayNs}L").as("day"))
+      .groupBy("user_id").agg(min("day").as("first"), max("day").as("last"))
+    val births = span.groupBy(col("first").as("day")).agg(count(lit(1)).as("b"))
+    val deaths = span.groupBy(col("last").as("day")).agg(count(lit(1)).as("d"))
+    val grid = births.join(deaths, Seq("day"), "full")
+      .select(col("day"), coalesce(col("b"), lit(0L)).as("b"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("at_risk", sum("b").over(w) - coalesce(sum("d").over(wPrev), lit(0L)))
+      .select(col("day"), col("at_risk"), col("d").as("n_churned"),
+        expr("(1000 * d) DIV at_risk").as("hazard_permille"))
+      .orderBy("day")
+  }
+
+  val hazardCurveSql: String =
+    s"""WITH span AS (
+       |  SELECT user_id, min(epoch_ns(ts) // ${dayNs}) AS first,
+       |         max(epoch_ns(ts) // ${dayNs}) AS last FROM events GROUP BY user_id
+       |), births AS (SELECT first AS day, count(*) AS b FROM span GROUP BY 1),
+       |deaths AS (SELECT last AS day, count(*) AS d FROM span GROUP BY 1),
+       |grid AS (
+       |  SELECT coalesce(births.day, deaths.day) AS day,
+       |         coalesce(b, 0) AS b, coalesce(d, 0) AS d
+       |  FROM births FULL JOIN deaths ON births.day = deaths.day
+       |)
+       |SELECT day,
+       |       CAST(sum(b) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            - coalesce(sum(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                    AND 1 PRECEDING), 0) AS BIGINT) AS at_risk,
+       |       CAST(d AS BIGINT) AS n_churned,
+       |       (1000 * CAST(d AS BIGINT))
+       |         // CAST(sum(b) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |              - coalesce(sum(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                      AND 1 PRECEDING), 0) AS BIGINT) AS hazard_permille
+       |FROM grid ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_mann_kendall" -> mannKendall,
+    "window_hazard_curve" -> hazardCurve,
     "stat_auc_rank" -> ((s, d) => aucRank(s, d)),
     "agg_abc_analysis" -> abcAnalysis,
     "dq_dp_counts" -> dpCounts,
@@ -1353,6 +1469,8 @@ object Analytics3 {
     "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "ts_mann_kendall" -> mannKendallSql,
+    "window_hazard_curve" -> hazardCurveSql,
     "stat_auc_rank" -> aucRankSql(),
     "agg_abc_analysis" -> abcAnalysisSql,
     "dq_dp_counts" -> dpCountsSql,

@@ -655,6 +655,55 @@ class Analytics3Spec extends SparkSpec {
     assert(row.getAs[Double]("auc") === u2.toDouble / (2L * pos.length * neg.length).toDouble)
   }
 
+  test("mann-kendall: S and tie-corrected variance replay from a serial pair walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.mannKendall(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_hours"), r.getAs[Long]("s_stat"),
+        r.getAs[Long]("var18"), r.getAs[Double]("z")))).toMap
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val rows = Tables.t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts div $hourNs").as("h"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (t, g) =>
+      val series = g.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, xs) => xs.map(_._3).sum }
+      val n = series.length.toLong
+      val s = (for (i <- series.indices; j <- i + 1 until series.length)
+        yield java.lang.Long.signum(series(j) - series(i)).toLong).sum
+      val tie = series.groupBy(identity).values
+        .map(ts => { val t0 = ts.size.toLong; t0 * (t0 - 1) * (2 * t0 + 5) }).sum
+      val v18 = n * (n - 1) * (2 * n + 5) - tie
+      val z = if (v18 > 0) (s.toDouble - math.signum(s.toDouble)) / math.sqrt(v18 / 18d)
+        else 0d
+      t -> ((n, s, v18, z))
+    }
+    assert(got === want)
+  }
+
+  test("hazard curve: at-risk accounting replays from a serial lifetime walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.hazardCurve(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> ((r.getAs[Long]("at_risk"),
+        r.getAs[Long]("n_churned"), r.getAs[Long]("hazard_permille")))).toMap
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val spans = Tables.t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts DIV ${dayNs}L").as("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, g) => (u, g.map(_._2).min, g.map(_._2).max) }
+    val days = (spans.map(_._2) ++ spans.map(_._3)).toSet
+    val want = days.map { d =>
+      val atRisk = spans.count(s => s._2 <= d && d <= s._3).toLong
+      val churn = spans.count(_._3 == d).toLong
+      d -> ((atRisk, churn, 1000 * churn / atRisk))
+    }.toMap
+    assert(got === want)
+    // everyone at risk on day d-1 is either still at risk, churned, or
+    // replaced by births: last day's at_risk equals its churn count
+    val lastDay = got.keys.max
+    assert(got(lastDay)._1 >= got(lastDay)._2)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head

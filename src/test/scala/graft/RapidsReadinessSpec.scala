@@ -62,7 +62,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "window_ranking_family", "window_retention_cohorts",
     "window_rfm_segments",
     "window_running_sum", "window_sessionize", "window_streaks",
-    "window_topk_per_group", "window_value_family")
+    "window_topk_per_group", "window_value_family", "window_hazard_curve")
 
   /** Expected fallback triggers per flagged query (exact sets — a new
     * trigger appearing, or one silently disappearing, both fail). */
@@ -99,6 +99,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_modularity" -> Set("rdd-segment"),
     "window_growth_accounting" -> Set("rdd-segment"),
     "ts_backtest_snaive" -> Set("rdd-segment"),
+    "ts_mann_kendall" -> Set("rdd-segment"),
     "text_vocab_coverage" -> Set("rdd-segment"),
     "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
