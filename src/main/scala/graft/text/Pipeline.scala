@@ -607,7 +607,66 @@ object Pipeline {
       |           ELSE text END) AS train_md5
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Dataset card (Gebru et al. datasheets / HF dataset cards): the
+    * one-frame corpus summary a release ships — documents, characters,
+    * tokens, language and source cardinalities, exact-duplicate count
+    * (docs minus distinct content hashes), and the split sizes — as
+    * (metric, value) rows. Every number is a single-pass aggregate
+    * over frames this board already verifies piecewise; the card is
+    * the composition, ordered for stable diffing between releases.
+    *
+    * Scale shape: two corpus passes (plain agg + tokenize agg), a
+    * distinct-hash agg, and the split counts; all partial+final. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").staged
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+    val toks = docs.select(size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .agg(sum("nt").as("n_tokens"))
+    val splits = docs.select(TextAnalysis.splitOf(col("doc_id")).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n"))
+    val cardBase = base.crossJoin(broadcast(toks))
+    val scalarRows = Seq("n_docs", "n_chars", "n_tokens", "n_langs",
+      "n_sources", "n_exact_dups").map(m =>
+      cardBase.select(lit(m).as("metric"), col(m).as("value")))
+    val splitRows = splits.select(concat(lit("split_"), col("split")).as("metric"),
+      col("n").as("value"))
+    (scalarRows.reduce(_ unionAll _) unionAll splitRows).orderBy("metric")
+  }
+
+  val datasetCardSql: String =
+    s"""WITH base AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(len(text)) AS BIGINT) AS n_chars,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+       |  FROM documents
+       |), toks AS (
+       |  SELECT CAST(sum(len(${TextAnalysis.tokSql})) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), splits AS (
+       |  SELECT CASE WHEN ${TextAnalysis.splitHashSql} < 80 THEN 'train'
+       |              WHEN ${TextAnalysis.splitHashSql} < 90 THEN 'val'
+       |              ELSE 'test' END AS split, count(*) AS n
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM base
+       |  UNION ALL SELECT 'n_chars', n_chars FROM base
+       |  UNION ALL SELECT 'n_tokens', n_tokens FROM toks
+       |  UNION ALL SELECT 'n_langs', n_langs FROM base
+       |  UNION ALL SELECT 'n_sources', n_sources FROM base
+       |  UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM base
+       |  UNION ALL SELECT 'split_' || split, CAST(n AS BIGINT) FROM splits
+       |) ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_card" -> datasetCard,
     "pipeline_span_corruption" -> spanCorruption,
     "pipeline_fim_split" -> fimSplit,
     "pipeline_length_buckets" -> lengthBuckets,
@@ -620,6 +679,7 @@ object Pipeline {
     "pipeline_leakage_split" -> leakageSplit)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_card" -> datasetCardSql,
     "pipeline_span_corruption" -> spanCorruptionSql,
     "pipeline_fim_split" -> fimSplitSql,
     "pipeline_length_buckets" -> lengthBucketsSql,

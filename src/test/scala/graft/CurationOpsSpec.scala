@@ -128,6 +128,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("dataset card: every metric replays serially and the splits partition the corpus") {
+    val dir = sf("sf0.001")
+    val got = graft.text.Pipeline.datasetCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = operators.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got("n_docs") === docs.length.toLong)
+    assert(got("n_chars") === docs.map(_._2.length.toLong).sum)
+    assert(got("n_tokens") === docs.map(_._2.toLowerCase
+      .split("[^a-z0-9]+").count(_.nonEmpty).toLong).sum)
+    assert(got("n_langs") === docs.map(_._3).distinct.length.toLong)
+    assert(got("n_sources") === docs.map(_._4).distinct.length.toLong)
+    assert(got("n_exact_dups") === docs.length.toLong - docs.map(_._2).distinct.length)
+    assert(got("split_train") + got("split_val") + got("split_test") === got("n_docs"))
+  }
+
   test("leakage split: every source lands wholly in one split and totals add up") {
     val docs = graft.operators.Tables.t(spark, sf("sf0.001"), "documents")
     val r = Pipeline.leakageSplit(spark, sf("sf0.001")).collect()

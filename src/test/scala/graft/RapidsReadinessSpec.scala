@@ -114,6 +114,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_curation" -> Set("rdd-segment"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
     "pipeline_span_corruption" -> Set("higher-order-function"),
+    "pipeline_dataset_card" -> Set("higher-order-function", "rdd-segment"),
     "pipeline_dsir_select" -> Set("higher-order-function", "bin"),
     "pipeline_leakage_split" -> Set("higher-order-function"),
     "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
@@ -240,6 +241,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
     "pipeline_span_corruption" -> Set("higher-order-function"),
+    "pipeline_dataset_card" -> Set("higher-order-function"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("higher-order-function"),
     "pipeline_dsir_select" -> Set("bin", "higher-order-function"),
