@@ -1443,7 +1443,76 @@ object Analytics3 {
        |                                      AND 1 PRECEDING), 0) AS BIGINT) AS hazard_permille
        |FROM grid ORDER BY day""".stripMargin
 
+  /** Surrogate-key hygiene audit over the id-bearing tables: row
+    * count, distinct ids, duplicate count, id span, and gap count
+    * (span − distinct) — the first check run when an upstream
+    * extractor is suspected of dropping or double-emitting rows. One
+    * partial+final aggregate per table, unioned; span arithmetic is
+    * exact BIGINT. */
+  def idAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, idCol: String): DataFrame =
+      t(spark, dir, table).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_distinct"),
+        min(col(idCol)).cast("long").as("id_min"),
+        max(col(idCol)).cast("long").as("id_max"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dups"),
+          (col("id_max") - col("id_min") + 1L - col("n_distinct")).as("n_gaps"))
+    Seq(("events", "event_id"), ("orders", "o_orderkey"),
+      ("customer", "c_custkey"), ("part", "p_partkey"),
+      ("documents", "doc_id"))
+      .map { case (tb, c) => audit(tb, c) }
+      .reduce(_ unionAll _)
+      .orderBy("table_name")
+  }
+
+  val idAuditSql: String = {
+    val tables = Seq(("events", "event_id"), ("orders", "o_orderkey"),
+      ("customer", "c_custkey"), ("part", "p_partkey"), ("documents", "doc_id"))
+    tables.map { case (tb, c) =>
+      s"""SELECT '$tb' AS table_name, count(*) AS n_rows,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |       CAST(count(*) - count(DISTINCT $c) AS BIGINT) AS n_dups,
+         |       CAST(max($c) - min($c) + 1 - count(DISTINCT $c) AS BIGINT) AS n_gaps
+         |FROM $tb""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY table_name"
+  }
+
+  /** The null-semantics surface, exercised explicitly: nulls PLANTED
+    * deterministically (`nullif(l_linenumber % 3, 0)`), then counted
+    * through null-safe equality (`<=>` ≡ IS NOT DISTINCT FROM),
+    * `nullif`/`nvl2`/`coalesce`, and the null-vs-zero aggregate
+    * distinction (count(col) skips nulls, sum over coalesce doesn't).
+    * Every SQL engine claims these; this row-set proves the exact
+    * three-valued-logic behavior matches the independent engine. */
+  def nullSafety(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(expr("nullif(l_linenumber % 3, 0)").as("v"), col("l_linenumber"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        sum(when(col("v") <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_eq_null"),
+        sum(when(col("v") <=> (col("l_linenumber") % 3), 1L).otherwise(0L))
+          .as("n_nullsafe_eq_raw"),
+        sum(expr("nvl2(v, 10, 1)")).as("nvl2_weighted"),
+        sum(coalesce(col("v"), lit(-1L))).as("coalesce_sum"))
+
+  val nullSafetySql: String =
+    """WITH q AS (SELECT nullif(l_linenumber % 3, 0) AS v, l_linenumber FROM lineitem)
+      |SELECT count(*) AS n_rows,
+      |       count(v) AS n_nonnull,
+      |       CAST(sum(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_nullsafe_eq_null,
+      |       CAST(sum(CASE WHEN v IS NOT DISTINCT FROM l_linenumber % 3 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_nullsafe_eq_raw,
+      |       CAST(sum(CASE WHEN v IS NOT NULL THEN 10 ELSE 1 END) AS BIGINT) AS nvl2_weighted,
+      |       CAST(sum(coalesce(v, -1)) AS BIGINT) AS coalesce_sum
+      |FROM q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_id_audit" -> idAudit,
+    "fn_null_safety" -> nullSafety,
     "ts_mann_kendall" -> mannKendall,
     "window_hazard_curve" -> hazardCurve,
     "stat_auc_rank" -> ((s, d) => aucRank(s, d)),
@@ -1469,6 +1538,8 @@ object Analytics3 {
     "stat_bootstrap_ci" -> ((s, d) => bootstrapCi(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dq_id_audit" -> idAuditSql,
+    "fn_null_safety" -> nullSafetySql,
     "ts_mann_kendall" -> mannKendallSql,
     "window_hazard_curve" -> hazardCurveSql,
     "stat_auc_rank" -> aucRankSql(),

@@ -704,6 +704,37 @@ class Analytics3Spec extends SparkSpec {
     assert(got(lastDay)._1 >= got(lastDay)._2)
   }
 
+  test("id audit: per-table hygiene numbers replay serially") {
+    val dir = sf("sf0.001")
+    val got = Analytics3.idAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("n_dups"), r.getAs[Long]("n_gaps")))).toMap
+    for ((tb, c) <- Seq(("events", "event_id"), ("orders", "o_orderkey"),
+      ("customer", "c_custkey"), ("part", "p_partkey"), ("documents", "doc_id"))) {
+      val ids = Tables.t(spark, dir, tb).select(col(c).cast("long")).collect()
+        .map(_.getLong(0))
+      val want = (ids.length.toLong, ids.distinct.length.toLong,
+        (ids.length - ids.distinct.length).toLong,
+        ids.max - ids.min + 1 - ids.distinct.length)
+      assert(got(tb) === want, tb)
+    }
+  }
+
+  test("null safety: three-valued logic counts replay serially") {
+    val dir = sf("sf0.001")
+    val row = Analytics3.nullSafety(spark, dir).collect().head
+    val ln = Tables.t(spark, dir, "lineitem").select(col("l_linenumber").cast("long"))
+      .collect().map(_.getLong(0))
+    val v = ln.map(x => if (x % 3 == 0) None else Some(x % 3))
+    assert(row.getAs[Long]("n_rows") === ln.length.toLong)
+    assert(row.getAs[Long]("n_nonnull") === v.count(_.isDefined).toLong)
+    assert(row.getAs[Long]("n_nullsafe_eq_null") === v.count(_.isEmpty).toLong)
+    assert(row.getAs[Long]("n_nullsafe_eq_raw") === v.count(_.isDefined).toLong)
+    assert(row.getAs[Long]("nvl2_weighted") ===
+      v.map(o => if (o.isDefined) 10L else 1L).sum)
+    assert(row.getAs[Long]("coalesce_sum") === v.map(_.getOrElse(-1L)).sum)
+  }
+
   test("spearman: rho replays from a serial midrank computation") {
     val dir = sf("sf0.001")
     val row = Analytics3.spearmanCorr(spark, dir).collect().head
