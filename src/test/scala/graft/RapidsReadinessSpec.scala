@@ -62,7 +62,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "window_ranking_family", "window_retention_cohorts",
     "window_rfm_segments",
     "window_running_sum", "window_sessionize", "window_streaks",
-    "window_topk_per_group", "window_value_family", "window_hazard_curve")
+    "window_topk_per_group", "window_value_family", "window_hazard_curve",
+    "window_pareto_front")
 
   /** Expected fallback triggers per flagged query (exact sets — a new
     * trigger appearing, or one silently disappearing, both fail). */
@@ -105,6 +106,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
     "graph_triangles" -> Set("rdd-segment"),
+    "graph_clustering_coeff" -> Set("rdd-segment"),
     "join_bloom_prune" -> Set("rdd-segment"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
