@@ -184,11 +184,284 @@ object Analytics4 {
        |       CAST(sum(deg) AS BIGINT) AS sum_deg
        |FROM nodes GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // HITS (hubs & authorities)
+  // ---------------------------------------------------------------------
+
+  private val D = DecimalType(38, 0)
+  private val hitsScale = 1000000000000L // score scale (1e12)
+  private val hitsIters = 2
+  private val hitsTopN = 20
+
+  /** Exact integer division of non-negative DECIMAL(38,0) `a` by
+    * positive `b`: `(a − a % b) / b` — the subtraction makes the
+    * dividend an exact multiple so Spark's HALF_UP decimal division
+    * rounds an exact integer (same device as Analytics3.decDiv;
+    * DuckDB mirror is HUGEINT `//`). */
+  private def decDiv(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - a % b) / b).cast(D)
+
+  /** HITS (Kleinberg 1999) on the directed supplier→part "ships" graph:
+    * hub scores for suppliers, authority scores for parts, two mutual-
+    * reinforcement rounds, top-20 of each. The link-analysis complement
+    * of `graph_pagerank` — PageRank scores a single role per node on the
+    * symmetrized graph; HITS separates the two sides of the bipartite
+    * relation (broad-catalog suppliers vs widely-shipped parts).
+    *
+    * Exactness: scores are sum-normalized to scale 1e12 after every
+    * half-step with DECIMAL(38,0) arithmetic and exact-multiple division
+    * (the pre-division product reaches ~1e28, past BIGINT) — every step
+    * is an order-independent integer sum, so partial aggregation and
+    * DuckDB's serial replay agree bit-for-bit. (Classical HITS L2-
+    * normalizes; sum normalization has the same fixed-point direction
+    * and keeps the iteration in integers.)
+    *
+    * Scale shape: per half-step one equi-join edge⋈score on the BIGINT
+    * node key + one partial+final agg — the `graph_pagerank` layout; the
+    * normalizer is a scalar agg broadcast back. K=2 fixed, so the whole
+    * iteration is ONE job with chained shuffles (same no-per-round-
+    * checkpoint trade as pageRank, measured there). */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val S = lit(hitsScale).cast(D)
+    val edges = t(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct().staged
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum("raw").as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"), decDiv(S * col("raw"), col("tot")).as("score"))
+    }
+    var hubs = edges.select(col("s").as("node")).distinct()
+      .select(col("node"), S.as("score"))
+    var auth: DataFrame = null
+    for (_ <- 1 to hitsIters) {
+      auth = normalize(
+        edges.join(hubs, edges("s") === hubs("node"))
+          .groupBy(col("p")).agg(sum("score").as("raw"))
+          .select(col("p").as("node"), col("raw")))
+      hubs = normalize(
+        edges.join(auth, edges("p") === auth("node"))
+          .groupBy(col("s")).agg(sum("score").as("raw"))
+          .select(col("s").as("node"), col("raw")))
+    }
+    def top(df: DataFrame, role: String): DataFrame =
+      df.orderBy(desc("score"), col("node")).limit(hitsTopN)
+        .select(lit(role).as("role"), col("node"),
+          col("score").cast("long").as("score"))
+    top(auth, "authority").unionAll(top(hubs, "hub"))
+      .orderBy(col("role"), desc("score"), col("node"))
+  }
+
+  def hitsSql: String = {
+    val S = hitsScale
+    val rounds = (1 to hitsIters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}r AS (
+         |  SELECT p AS node, sum(score) AS raw
+         |  FROM pairs JOIN $prevH ON pairs.s = $prevH.node GROUP BY p
+         |), a$i AS (
+         |  SELECT node, (CAST($S AS HUGEINT) * raw) // (SELECT sum(raw) FROM a${i}r) AS score
+         |  FROM a${i}r
+         |), h${i}r AS (
+         |  SELECT s AS node, sum(score) AS raw
+         |  FROM pairs JOIN a$i ON pairs.p = a$i.node GROUP BY s
+         |), h$i AS (
+         |  SELECT node, (CAST($S AS HUGEINT) * raw) // (SELECT sum(raw) FROM h${i}r) AS score
+         |  FROM h${i}r
+         |)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+       |), h0 AS (
+       |  SELECT DISTINCT s AS node, CAST($S AS HUGEINT) AS score FROM pairs
+       |),
+       |$rounds
+       |SELECT * FROM (
+       |  (SELECT 'authority' AS role, node, CAST(score AS BIGINT) AS score
+       |   FROM a$hitsIters ORDER BY score DESC, node LIMIT $hitsTopN)
+       |  UNION ALL
+       |  (SELECT 'hub' AS role, node, CAST(score AS BIGINT) AS score
+       |   FROM h$hitsIters ORDER BY score DESC, node LIMIT $hitsTopN)
+       |) ORDER BY role, score DESC, node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // CUPED variance reduction
+  // ---------------------------------------------------------------------
+
+  private val dayNs = 86400L * 1000 * 1000 * 1000
+  private val cupedSplitDay = 19738L // 2024-01-16; events span Jan 1–30
+
+  /** CUPED variance-reduction report (Deng et al., WSDM 2013) for a
+    * deterministic A/B split of the events universe: covariate x = a
+    * user's PRE-period event count (days before 2024-01-16), metric
+    * y = the POST-period count, arm = user_id % 2. θ is fit pooled
+    * (θ = cov(x,y)/var(x), the variance-minimizing coefficient), then
+    * each arm reports mean/variance of y and the variance of the
+    * CUPED-adjusted metric via the identity
+    * var(y − θx) = var(y) − 2θ·cov(x,y) + θ²·var(x).
+    *
+    * All moments are exact DECIMAL(38,0) sums (order-independent);
+    * θ/means/variances are ONE identical IEEE expression per column in
+    * both engines, so the doubles agree bit-for-bit. The harness
+    * fixture is honest about its own shape: per-user event counts are
+    * homogeneous Poisson (var ≈ mean, corr(x,y) ≈ 0), so the reported
+    * reduction is ≈ 0 — the report PROVES the absence of a usable
+    * covariate rather than manufacturing one.
+    *
+    * Scale shape: one events scan → user-keyed conditional agg (the
+    * only data-sized shuffle) → one pooled + one per-arm moment agg
+    * (2 rows) with the pooled θ broadcast back. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val users = t(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts DIV ${dayNs}L").as("day"))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < cupedSplitDay, 1L).otherwise(0L)).cast(D).as("x"),
+        sum(when(col("day") >= cupedSplitDay, 1L).otherwise(0L)).cast(D).as("y"))
+      .withColumn("arm", expr("user_id % 2")).staged
+    val pooled = users.agg(count(lit(1)).cast(D).as("pn"),
+      sum("x").as("psx"), sum("y").as("psy"),
+      sum(col("x") * col("x")).as("psxx"), sum(col("x") * col("y")).as("psxy"))
+    val arms = users.groupBy("arm").agg(count(lit(1)).cast(D).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val dbl = (c: String) => col(c).cast("double")
+    val theta = ((dbl("pn") * dbl("psxy") - dbl("psx") * dbl("psy"))
+      / (dbl("pn") * dbl("psxx") - dbl("psx") * dbl("psx")))
+    val varY = ((dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))
+      / (dbl("n") * (dbl("n") - 1.0)))
+    val varX = ((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+      / (dbl("n") * (dbl("n") - 1.0)))
+    val covXY = ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+      / (dbl("n") * (dbl("n") - 1.0)))
+    arms.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n").cast("long").as("n_users"),
+        col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
+        theta.as("theta"),
+        (dbl("sy") / dbl("n")).as("mean_y"),
+        varY.as("var_y"),
+        (varY - lit(2.0) * theta * covXY + theta * theta * varX).as("var_cuped"))
+      .orderBy("arm")
+  }
+
+  def cupedSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |         CAST(sum(CASE WHEN epoch_ns(ts) // $dayNs < $cupedSplitDay
+       |                       THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+       |         CAST(sum(CASE WHEN epoch_ns(ts) // $dayNs >= $cupedSplitDay
+       |                       THEN 1 ELSE 0 END) AS HUGEINT) AS y
+       |  FROM events GROUP BY 1, 2
+       |), pooled AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS pn, sum(x) AS psx, sum(y) AS psy,
+       |         sum(x * x) AS psxx, sum(x * y) AS psxy
+       |  FROM u
+       |), arms AS (
+       |  SELECT arm, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+       |  FROM u GROUP BY arm
+       |)
+       |SELECT arm, CAST(n AS BIGINT) AS n_users,
+       |       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       |       (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+       |         / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE))
+       |         AS theta,
+       |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+       |       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_y,
+       |       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+       |       - 2.0 * ((CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+       |                / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)))
+       |             * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+       |       + ((CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+       |          / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)))
+       |         * ((CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+       |            / (CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE) - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE)))
+       |         * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+       |         AS var_cuped
+       |FROM arms CROSS JOIN pooled ORDER BY arm""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Multi-window SLO burn rate
+  // ---------------------------------------------------------------------
+
+  private val hourNs = 3600L * 1000 * 1000 * 1000
+  private val sloPpm = 200000L // 20% error budget (fixture error share)
+  private val longWinHours = 6L
+
+  /** Multi-window SLO burn-rate report (the Google SRE-workbook
+    * multiwindow alert): per 6-hour long window, the error rate in ppm,
+    * the max hourly (short-window) rate inside it, and the number of
+    * ALERT hours — hours where BOTH the hourly and the enclosing 6-hour
+    * rate exceed the 20% error budget (the AND is what suppresses
+    * single-spike flapping). Exact: rates are integer ppm via DIV on
+    * BIGINT counts over fixed epoch-hour windows.
+    *
+    * Scale shape: one events scan → hour-grid partial+final agg
+    * (720 cells/month regardless of data size); the long window is a
+    * second agg OF THE HOURLY GRID (the corpus is read once) joined
+    * back broadcast at grid cardinality. */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .select(expr(s"ts DIV ${hourNs}L").as("hour"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n"), sum("err").as("e"))
+      .withColumn("short_ppm", expr("(1000000 * e) DIV n"))
+      .withColumn("win", expr(s"hour DIV ${longWinHours}L")).staged
+    val longW = hourly.groupBy("win")
+      .agg(sum("n").as("n_events"), sum("e").as("n_errors"))
+      .withColumn("long_ppm", expr("(1000000 * n_errors) DIV n_events"))
+    hourly.join(broadcast(longW), "win")
+      .groupBy(col("win"), col("n_events"), col("n_errors"), col("long_ppm"))
+      .agg(max("short_ppm").as("max_short_ppm"),
+        sum(when(col("short_ppm") > sloPpm && col("long_ppm") > sloPpm, 1L)
+          .otherwise(0L)).as("n_alert_hours"))
+      .select((col("win") * longWinHours).as("win_start_hour"),
+        col("n_events"), col("n_errors"), col("long_ppm"),
+        col("max_short_ppm"), col("n_alert_hours"))
+      .orderBy("win_start_hour")
+  }
+
+  def sloBurnSql: String =
+    s"""WITH hourly AS (
+       |  SELECT epoch_ns(ts) // $hourNs AS hour, count(*) AS n,
+       |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+       |  FROM events GROUP BY 1
+       |), h2 AS (
+       |  SELECT hour, n, e, (1000000 * e) // n AS short_ppm,
+       |         hour // $longWinHours AS win
+       |  FROM hourly
+       |), longw AS (
+       |  SELECT win, CAST(sum(n) AS BIGINT) AS n_events,
+       |         CAST(sum(e) AS BIGINT) AS n_errors,
+       |         (1000000 * CAST(sum(e) AS BIGINT)) // CAST(sum(n) AS BIGINT) AS long_ppm
+       |  FROM h2 GROUP BY win
+       |)
+       |SELECT win * $longWinHours AS win_start_hour, n_events, n_errors, long_ppm,
+       |       max(short_ppm) AS max_short_ppm,
+       |       CAST(sum(CASE WHEN short_ppm > $sloPpm AND long_ppm > $sloPpm
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alert_hours
+       |FROM h2 JOIN longw USING (win)
+       |GROUP BY win, n_events, n_errors, long_ppm
+       |ORDER BY win_start_hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_pareto_front" -> ((s, d) => paretoFront(s, d)),
-    "graph_clustering_coeff" -> ((s, d) => clusteringCoeff(s, d)))
+    "graph_clustering_coeff" -> ((s, d) => clusteringCoeff(s, d)),
+    "graph_hits" -> ((s, d) => hits(s, d)),
+    "stat_cuped" -> ((s, d) => cuped(s, d)),
+    "ts_slo_burn" -> ((s, d) => sloBurn(s, d)))
 
   val oracles: Map[String, String] = Map(
     "window_pareto_front" -> paretoFrontSql,
-    "graph_clustering_coeff" -> clusteringCoeffSql)
+    "graph_clustering_coeff" -> clusteringCoeffSql,
+    "graph_hits" -> hitsSql,
+    "stat_cuped" -> cupedSql,
+    "ts_slo_burn" -> sloBurnSql)
 }

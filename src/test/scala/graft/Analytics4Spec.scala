@@ -64,4 +64,103 @@ class Analytics4Spec extends SparkSpec {
     // coefficient buckets live in [0, 10] (lcc permille <= 1000)
     assert(got.forall(r => r._1 >= 0 && r._1 <= 10))
   }
+
+  test("hits: replays from a plain-Scala BigInt iteration") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.hits(spark, dir).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("node"),
+        r.getAs[Long]("score")))
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select(col("l_suppkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val S = BigInt(1000000000000L)
+    def normalize(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> (S * v / tot) } // BigInt / floors (non-neg)
+    }
+    var hubs = pairs.map(_._1).map(_ -> S).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 2) {
+      auth = normalize(pairs.toSeq.flatMap { case (s, p) =>
+        hubs.get(s).map(p -> _)
+      }.groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).sum })
+      hubs = normalize(pairs.toSeq.flatMap { case (s, p) =>
+        auth.get(p).map(s -> _)
+      }.groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sum })
+    }
+    def top(m: Map[Long, BigInt], role: String) =
+      m.toSeq.sortBy { case (n, sc) => (-sc, n) }.take(20)
+        .map { case (n, sc) => (role, n, sc.toLong) }
+    val want = (top(auth, "authority") ++ top(hubs, "hub"))
+      .sortBy { case (r, n, sc) => (r, -sc, n) }
+    assert(got.toSeq === want)
+    // sum normalization: each side's full score mass is ~S (floor loss only)
+    assert(auth.values.sum <= S && auth.values.sum > S - auth.size)
+  }
+
+  test("cuped: theta minimizes adjusted variance and the identity holds") {
+    val dir = sf("sf0.001")
+    val rows = Analytics4.cuped(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("arm")).toSeq === Seq(0L, 1L))
+    // pooled replay
+    val u = Tables.t(spark, dir, "events")
+      .select(col("user_id").cast("long"), expr("ts DIV 86400000000000").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (uid, es) =>
+        (uid, es.count(_._2 < 19738L).toDouble, es.count(_._2 >= 19738L).toDouble)
+      }.toSeq
+    val n = u.size.toDouble
+    val sx = u.map(_._2).sum; val sy = u.map(_._3).sum
+    val sxx = u.map(v => v._2 * v._2).sum; val sxy = u.map(v => v._2 * v._3).sum
+    val thetaWant = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rows.foreach { r =>
+      val theta = r.getAs[Double]("theta")
+      assert(math.abs(theta - thetaWant) < 1e-9 * math.max(1.0, math.abs(thetaWant)))
+      val arm = r.getAs[Long]("arm")
+      val au = u.filter(v => v._1 % 2 == arm)
+      val an = au.size.toDouble
+      assert(r.getAs[Long]("n_users") === au.size.toLong)
+      def varOf(f: ((Long, Double, Double)) => Double): Double = {
+        val s = au.map(f).sum; val ss = au.map(v => f(v) * f(v)).sum
+        (an * ss - s * s) / (an * (an - 1.0))
+      }
+      // the reported var_cuped IS the variance of the adjusted metric
+      val direct = varOf(v => v._3 - theta * v._2)
+      assert(math.abs(r.getAs[Double]("var_cuped") - direct) < 1e-6 * math.max(1.0, direct))
+    }
+    // theta is the POOLED minimizer (it is fit pooled; a per-arm nudge
+    // can go either way, the pooled adjusted variance cannot improve)
+    def pooledVar(t: Double): Double = {
+      val s = u.map(v => v._3 - t * v._2).sum
+      val ss = u.map { v => val a = v._3 - t * v._2; a * a }.sum
+      (n * ss - s * s) / (n * (n - 1.0))
+    }
+    for (d <- Seq(-0.05, 0.05)) {
+      assert(pooledVar(thetaWant + d) >= pooledVar(thetaWant) - 1e-9)
+    }
+  }
+
+  test("slo burn: alert hours replay from the hourly grid") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.sloBurn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("win_start_hour"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_errors"), r.getAs[Long]("long_ppm"),
+        r.getAs[Long]("max_short_ppm"), r.getAs[Long]("n_alert_hours")))
+    val evs = Tables.t(spark, dir, "events")
+      .select(expr("ts DIV 3600000000000").cast("long"),
+        (col("event_type") === "error").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hourly = evs.groupBy(_._1).map { case (h, es) =>
+      (h, es.size.toLong, es.map(_._2).sum)
+    }.toSeq
+    val want = hourly.groupBy(_._1 / 6).toSeq.map { case (w, hs) =>
+      val nTot = hs.map(_._2).sum; val nErr = hs.map(_._3).sum
+      val longPpm = 1000000L * nErr / nTot
+      val shorts = hs.map(h => 1000000L * h._3 / h._2)
+      (w * 6, nTot, nErr, longPpm, shorts.max,
+        shorts.count(s => s > 200000L && longPpm > 200000L).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.nonEmpty)
+  }
 }

@@ -107,6 +107,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_pagerank" -> Set("rdd-segment"),
     "graph_triangles" -> Set("rdd-segment"),
     "graph_clustering_coeff" -> Set("rdd-segment"),
+    "graph_hits" -> Set("rdd-segment"),
+    "stat_cuped" -> Set("rdd-segment"),
+    "ts_slo_burn" -> Set("rdd-segment"),
     "join_bloom_prune" -> Set("rdd-segment"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
