@@ -227,13 +227,25 @@ object Analytics4 {
     val edges = t(spark, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct().staged
-    def normalize(raw: DataFrame): DataFrame = {
+    // Every score frame is sum-normalized to mass S — INCLUDING the
+    // init (h0 = S DIV n_s, not S each) — so every shuffled sum is
+    // bounded by S = 1e12 and stays BIGINT; DECIMAL(38,0) appears only
+    // in the per-NODE product S·raw (~1e24) inside the normalizer.
+    // (Decimal-128 partial aggregation over the data-sized edge join
+    // measured ~3× a BIGINT sum here.) raw feeds BOTH the scalar
+    // normalizer and the join-back: the barrier keeps the two consumers
+    // from re-deriving the edge join once per half-step compounding.
+    def normalize(raw0: DataFrame): DataFrame = {
+      val raw = raw0.staged
       val tot = raw.agg(sum("raw").as("tot"))
       raw.crossJoin(broadcast(tot))
-        .select(col("node"), decDiv(S * col("raw"), col("tot")).as("score"))
+        .select(col("node"),
+          decDiv(S * col("raw").cast(D), col("tot").cast(D))
+            .cast("long").as("score"))
     }
+    val nS = edges.select("s").distinct().count() // node count, as pageRank
     var hubs = edges.select(col("s").as("node")).distinct()
-      .select(col("node"), S.as("score"))
+      .select(col("node"), expr(s"${hitsScale}L DIV ${nS}L").as("score"))
     var auth: DataFrame = null
     for (_ <- 1 to hitsIters) {
       auth = normalize(
@@ -258,23 +270,27 @@ object Analytics4 {
     val rounds = (1 to hitsIters).map { i =>
       val prevH = if (i == 1) "h0" else s"h${i - 1}"
       s"""a${i}r AS (
-         |  SELECT p AS node, sum(score) AS raw
+         |  SELECT p AS node, CAST(sum(score) AS BIGINT) AS raw
          |  FROM pairs JOIN $prevH ON pairs.s = $prevH.node GROUP BY p
          |), a$i AS (
-         |  SELECT node, (CAST($S AS HUGEINT) * raw) // (SELECT sum(raw) FROM a${i}r) AS score
+         |  SELECT node, CAST((CAST($S AS HUGEINT) * raw)
+         |    // (SELECT CAST(sum(raw) AS HUGEINT) FROM a${i}r) AS BIGINT) AS score
          |  FROM a${i}r
          |), h${i}r AS (
-         |  SELECT s AS node, sum(score) AS raw
+         |  SELECT s AS node, CAST(sum(score) AS BIGINT) AS raw
          |  FROM pairs JOIN a$i ON pairs.p = a$i.node GROUP BY s
          |), h$i AS (
-         |  SELECT node, (CAST($S AS HUGEINT) * raw) // (SELECT sum(raw) FROM h${i}r) AS score
+         |  SELECT node, CAST((CAST($S AS HUGEINT) * raw)
+         |    // (SELECT CAST(sum(raw) AS HUGEINT) FROM h${i}r) AS BIGINT) AS score
          |  FROM h${i}r
          |)"""
     }.mkString(",\n")
     s"""WITH pairs AS (
        |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
        |), h0 AS (
-       |  SELECT DISTINCT s AS node, CAST($S AS HUGEINT) AS score FROM pairs
+       |  SELECT DISTINCT s AS node,
+       |         $S // (SELECT count(DISTINCT s) FROM pairs) AS score
+       |  FROM pairs
        |),
        |$rounds
        |SELECT * FROM (

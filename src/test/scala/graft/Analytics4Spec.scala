@@ -78,7 +78,8 @@ class Analytics4Spec extends SparkSpec {
       val tot = m.values.sum
       m.map { case (k, v) => k -> (S * v / tot) } // BigInt / floors (non-neg)
     }
-    var hubs = pairs.map(_._1).map(_ -> S).toMap
+    val suppliers = pairs.map(_._1)
+    var hubs = suppliers.map(_ -> S / suppliers.size).toMap
     var auth = Map.empty[Long, BigInt]
     for (_ <- 1 to 2) {
       auth = normalize(pairs.toSeq.flatMap { case (s, p) =>
