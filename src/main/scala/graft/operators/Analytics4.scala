@@ -467,17 +467,128 @@ object Analytics4 {
        |GROUP BY win, n_events, n_errors, long_ppm
        |ORDER BY win_start_hour""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Top user paths
+  // ---------------------------------------------------------------------
+
+  private val pathLen = 4
+  private val pathTopN = 20
+
+  /** Top-20 user paths: the first [[pathLen]] event types of each
+    * (user, day) session in timestamp order, joined with '>' — the
+    * path-mining / funnel-discovery query every product-analytics store
+    * ships (Amplitude "Pathfinder", GA "path exploration"). Reports
+    * session count and distinct users per path.
+    *
+    * Determinism: within-session order is (ts, event_id) — event_id
+    * breaks timestamp ties, so the path string is a pure function of
+    * the data. The path is assembled via per-position conditional MIN
+    * (rank is unique per session, so min = the value), never a
+    * collect_list whose order the engine doesn't define; concat_ws
+    * skips the NULL positions of shorter sessions in both engines.
+    *
+    * Scale shape: one (user, day)-keyed window shuffle (sessions are
+    * day-bounded, so partitions stay balanced regardless of total
+    * history length) → session-keyed agg → path-keyed agg → bounded
+    * top-k. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        expr(s"ts DIV ${dayNs}L").as("day"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+    val paths = ranked.groupBy("user_id", "day")
+      .agg(concat_ws(">",
+        (1 to pathLen).map(i =>
+          min(when(col("rn") === i, col("event_type")))): _*).as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(pathTopN)
+  }
+
+  def topPathsSql: String = {
+    val mins = (1 to pathLen)
+      .map(i => s"min(CASE WHEN rn = $i THEN event_type END)").mkString(", ")
+    s"""WITH ranked AS (
+       |  SELECT user_id, event_type,
+       |         epoch_ns(ts) // $dayNs AS day,
+       |         row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // $dayNs
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |), paths AS (
+       |  SELECT user_id, day, concat_ws('>', $mins) AS path
+       |  FROM ranked WHERE rn <= $pathLen GROUP BY user_id, day
+       |)
+       |SELECT path, count(*) AS n_sessions,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM paths GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT $pathTopN""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Sample-ratio mismatch
+  // ---------------------------------------------------------------------
+
+  /** χ²(α=0.05, df=1) at micro resolution — the SRM alert threshold. */
+  private val srmChi2MicroCrit = 3841459L
+
+  /** Sample-ratio-mismatch check (the first gate of any A/B readout,
+    * run per metric cohort): for each event type, the number of users
+    * in each arm (user_id % 2, the [[cuped]] split) who emitted that
+    * event at least once, the χ² statistic against the designed 50/50
+    * split — for a two-cell table χ² collapses to (n₀−n₁)²/n, computed
+    * exactly at micro resolution — and the α=0.05 alert flag.
+    *
+    * Scale shape: one events scan → distinct (type, user) →
+    * type-keyed conditional agg (5 rows); the χ² is per-row integer
+    * math. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type")
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .withColumn("chi2_micro",
+        expr("(1000000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)) DIV (n_arm0 + n_arm1)"))
+      .withColumn("srm_alert", col("chi2_micro") >= srmChi2MicroCrit)
+      .orderBy("event_type")
+  }
+
+  def srmCheckSql: String =
+    s"""WITH u AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), arms AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm0,
+       |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm1
+       |  FROM u GROUP BY event_type
+       |)
+       |SELECT event_type, n_arm0, n_arm1,
+       |       (1000000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)) // (n_arm0 + n_arm1)
+       |         AS chi2_micro,
+       |       (1000000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)) // (n_arm0 + n_arm1)
+       |         >= $srmChi2MicroCrit AS srm_alert
+       |FROM arms ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_pareto_front" -> ((s, d) => paretoFront(s, d)),
     "graph_clustering_coeff" -> ((s, d) => clusteringCoeff(s, d)),
     "graph_hits" -> ((s, d) => hits(s, d)),
     "stat_cuped" -> ((s, d) => cuped(s, d)),
-    "ts_slo_burn" -> ((s, d) => sloBurn(s, d)))
+    "ts_slo_burn" -> ((s, d) => sloBurn(s, d)),
+    "window_top_paths" -> ((s, d) => topPaths(s, d)),
+    "stat_srm" -> ((s, d) => srmCheck(s, d)))
 
   val oracles: Map[String, String] = Map(
     "window_pareto_front" -> paretoFrontSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_hits" -> hitsSql,
     "stat_cuped" -> cupedSql,
-    "ts_slo_burn" -> sloBurnSql)
+    "ts_slo_burn" -> sloBurnSql,
+    "window_top_paths" -> topPathsSql,
+    "stat_srm" -> srmCheckSql)
 }

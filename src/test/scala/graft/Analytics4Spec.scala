@@ -141,6 +141,44 @@ class Analytics4Spec extends SparkSpec {
     }
   }
 
+  test("top paths: replays from a sorted plain-Scala walk") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.topPaths(spark, dir).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_users")))
+    val evs = Tables.t(spark, dir, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(e => (e._1, e._3 / 86400000000000L)).toSeq
+      .map { case ((uid, _), es) =>
+        (uid, es.sortBy(e => (e._3, e._2)).take(4).map(_._4).mkString(">"))
+      }
+    val want = paths.groupBy(_._2).toSeq.map { case (p, ss) =>
+      (p, ss.size.toLong, ss.map(_._1).distinct.size.toLong)
+    }.sortBy { case (p, n, _) => (-n, p) }.take(20)
+    assert(got.toSeq === want)
+    // every path is 1..4 known event types
+    val types = Set("click", "error", "purchase", "signup", "view")
+    assert(got.forall(_._1.split(">").forall(types)))
+  }
+
+  test("srm: chi2 collapses to (n0-n1)^2/n and flags nothing on a fair split") {
+    val dir = sf("sf0.001")
+    val rows = Analytics4.srmCheck(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val n0 = r.getAs[Long]("n_arm0"); val n1 = r.getAs[Long]("n_arm1")
+      val d = n0 - n1
+      assert(r.getAs[Long]("chi2_micro") === 1000000L * d * d / (n0 + n1))
+      assert(r.getAs[Boolean]("srm_alert") ===
+        (r.getAs[Long]("chi2_micro") >= 3841459L))
+    }
+    // the fixture's user_id % 2 split is fair: no cohort alerts
+    assert(rows.forall(!_.getAs[Boolean]("srm_alert")))
+  }
+
   test("slo burn: alert hours replay from the hourly grid") {
     val dir = sf("sf0.001")
     val got = Analytics4.sloBurn(spark, dir).collect()
