@@ -574,6 +574,79 @@ object Analytics4 {
        |         >= $srmChi2MicroCrit AS srm_alert
        |FROM arms ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Landmark closeness centrality
+  // ---------------------------------------------------------------------
+
+  private val closenessLandmarks = 8
+  private val closenessRounds = 4
+
+  /** Landmark closeness centrality (Eppstein–Wang style fixed panel):
+    * exact distances from the [[closenessLandmarks]] smallest supplier
+    * nodes to every node within [[closenessRounds]] hops of the
+    * bipartite part↔supplier graph, reported per landmark as reach,
+    * distance sum, and harmonic-closeness (Σ 1000 DIV d, the
+    * disconnection-robust variant) — the "how central are my anchor
+    * entities" audit run when exact all-pairs closeness is off the
+    * table (it always is: that's APSP).
+    *
+    * Unlike `graph_bfs_layers` (distance to the NEAREST of a merged
+    * seed set, state = one row per node) this keeps distances PER
+    * landmark: state is (landmark, node, dist), k·V rows with k fixed
+    * at 8 — the panel shape that stays linear at 100 TB. Each round is
+    * one equi-join on the node key + one (landmark, node)-keyed
+    * min-agg; K fixed → ONE job, chained shuffles (the pageRank trade).
+    * Nodes beyond K hops are excluded (documented; harmonic closeness
+    * is the estimator that tolerates exactly that).
+    */
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sim.GraphOps.edges(spark, dir).staged
+    val landmarks = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 1) // suppliers are odd-encoded
+      .orderBy("node").limit(closenessLandmarks)
+      .select(col("node").as("lm"))
+    var dist = landmarks.select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to closenessRounds) {
+      val prop = e.join(dist, e("src") === dist("node"))
+        .select(col("lm"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.select("lm", "node", "dist").unionAll(prop)
+        .groupBy("lm", "node").agg(min("dist").as("dist"))
+    }
+    dist.filter(col("dist") > 0L)
+      .groupBy("lm")
+      .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"),
+        sum(expr("1000 DIV dist")).as("harmonic_milli"))
+      .select(expr("(lm - 1) DIV 2").as("suppkey"), col("n_reached"),
+        col("sum_dist"), col("harmonic_milli"))
+      .orderBy("suppkey")
+  }
+
+  def closenessSql: String = {
+    val iters = (1 to closenessRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT lm, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT lm, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.lm, e.dst AS node, d.dist + 1 AS dist
+         |    FROM edges e JOIN d${i - 1} d ON e.src = d.node
+         |  ) GROUP BY lm, node
+         |)"""
+    }.mkString(",\n")
+    s"""WITH ${graft.sim.GraphOps.edgesSql},
+       |lms AS (
+       |  SELECT DISTINCT src AS lm FROM edges WHERE src % 2 = 1
+       |  ORDER BY lm LIMIT $closenessLandmarks
+       |), d0 AS (
+       |  SELECT lm, lm AS node, CAST(0 AS BIGINT) AS dist FROM lms
+       |),
+       |$iters
+       |SELECT (lm - 1) // 2 AS suppkey, count(*) AS n_reached,
+       |       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |       CAST(sum(1000 // dist) AS BIGINT) AS harmonic_milli
+       |FROM d$closenessRounds WHERE dist > 0
+       |GROUP BY 1 ORDER BY suppkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_pareto_front" -> ((s, d) => paretoFront(s, d)),
     "graph_clustering_coeff" -> ((s, d) => clusteringCoeff(s, d)),
@@ -581,7 +654,8 @@ object Analytics4 {
     "stat_cuped" -> ((s, d) => cuped(s, d)),
     "ts_slo_burn" -> ((s, d) => sloBurn(s, d)),
     "window_top_paths" -> ((s, d) => topPaths(s, d)),
-    "stat_srm" -> ((s, d) => srmCheck(s, d)))
+    "stat_srm" -> ((s, d) => srmCheck(s, d)),
+    "graph_closeness" -> ((s, d) => closeness(s, d)))
 
   val oracles: Map[String, String] = Map(
     "window_pareto_front" -> paretoFrontSql,
@@ -590,5 +664,6 @@ object Analytics4 {
     "stat_cuped" -> cupedSql,
     "ts_slo_burn" -> sloBurnSql,
     "window_top_paths" -> topPathsSql,
-    "stat_srm" -> srmCheckSql)
+    "stat_srm" -> srmCheckSql,
+    "graph_closeness" -> closenessSql)
 }

@@ -159,7 +159,7 @@ object GraphOps {
     * per-round join and shuffle keys on a BIGINT instead of a string —
     * narrower exchanges and cheaper hashing, which is the whole cost of
     * the iteration at scale. */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def edges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = t(spark, dir, "lineitem")
       .select((col("l_partkey") * 2).as("p"),
         (col("l_suppkey") * 2 + 1).as("s"))
@@ -168,7 +168,7 @@ object GraphOps {
       .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
   }
 
-  private val edgesSql: String =
+  private[graft] val edgesSql: String =
     """pairs AS (
       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem
       |), edges AS (

@@ -179,6 +179,33 @@ class Analytics4Spec extends SparkSpec {
     assert(rows.forall(!_.getAs[Boolean]("srm_alert")))
   }
 
+  test("closeness: replays from per-landmark plain-Scala BFS") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.closeness(spark, dir).collect()
+      .map(r => (r.getAs[Long]("suppkey"), r.getAs[Long]("n_reached"),
+        r.getAs[Long]("sum_dist"), r.getAs[Long]("harmonic_milli")))
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select((col("l_partkey") * 2).cast("long"),
+        (col("l_suppkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val lms = adj.keySet.filter(_ % 2 == 1).toSeq.sorted.take(8)
+    val want = lms.map { lm =>
+      var dist = Map(lm -> 0L)
+      var frontier = Set(lm)
+      for (d <- 1L to 4L) {
+        val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      val ds = dist.values.filter(_ > 0).toSeq
+      ((lm - 1) / 2, ds.size.toLong, ds.sum, ds.map(1000L / _).sum)
+    }
+    assert(got.toSeq === want)
+    assert(got.length === 8)
+  }
+
   test("slo burn: alert hours replay from the hourly grid") {
     val dir = sf("sf0.001")
     val got = Analytics4.sloBurn(spark, dir).collect()
