@@ -421,7 +421,70 @@ object Relational5 {
       |            ELSE 'stale' END AS status
       |FROM perfeed, g ORDER BY event_type""".stripMargin
 
+  /** Referential-integrity audit over the star schema's FK edges —
+    * the cross-table companion of the per-table `dq_id_audit`: for
+    * each declared child→parent relation, child rows, distinct child
+    * keys, NULL keys, and ORPHAN rows (child keys with no parent).
+    * The first audit run when a partial backfill or an out-of-order
+    * ingest is suspected; on clean TPC-H-shaped data every orphan
+    * count is 0, which is exactly what the gate proves.
+    *
+    * Scale shape: one left-anti join per FK edge on the key the child
+    * would shuffle on anyway; parent key sets project to a single
+    * column (pruned scan) and broadcast when dimension-sized. The
+    * report is edge-cardinality rows. */
+  def dqRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Tables.t
+    def audit(edge: String, childTable: String, childKey: String,
+              parentTable: String, parentKey: String): DataFrame = {
+      val child = t(spark, dir, childTable).select(col(childKey).as("k"))
+      val parent = t(spark, dir, parentTable).select(col(parentKey).as("k")).distinct()
+      val stats = child.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("k")).as("n_keys"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+      val orphans = child.filter(col("k").isNotNull)
+        .join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      stats.crossJoin(broadcast(orphans))
+        .select(lit(edge).as("fk_edge"), col("n_rows"), col("n_keys"),
+          col("n_null"), col("n_orphans"))
+    }
+    Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .map { case (e, ct, ck, pt, pk) => audit(e, ct, ck, pt, pk) }
+      .reduce(_ unionAll _)
+      .orderBy("fk_edge")
+  }
+
+  val dqRefIntegritySql: String = {
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    edges.map { case (e, ct, ck, pt, pk) =>
+      s"""SELECT '$e' AS fk_edge, count(*) AS n_rows,
+         |       CAST(count(DISTINCT $ck) AS BIGINT) AS n_keys,
+         |       CAST(sum(CASE WHEN $ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       (SELECT count(*) FROM $ct c
+         |        WHERE c.$ck IS NOT NULL
+         |          AND NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.$ck))
+         |         AS n_orphans
+         |FROM $ct""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY fk_edge"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_ref_integrity" -> dqRefIntegrity,
     "dq_freshness_report" -> dqFreshnessReport,
     "dq_drift_report" -> dqDriftReport,
     "sub_exists" -> existsSubquery,
@@ -433,6 +496,7 @@ object Relational5 {
     "join_lateral_topn" -> lateralTopN)
 
   val oracles: Map[String, String] = Map(
+    "dq_ref_integrity" -> dqRefIntegritySql,
     "dq_freshness_report" -> dqFreshnessReportSql,
     "dq_drift_report" -> dqDriftReportSql,
     "sub_exists" -> existsSubquerySql,

@@ -20,7 +20,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "agg_abc_analysis", "stat_auc_rank", "text_code_ratio", "agg_rollup_customers", "agg_salted_skew", "agg_session_stats",
     "agg_sliding_events", "agg_tumbling_events", "agg_unpivot",
     "dedup_exact", "dq_benford", "dq_constraint_report", "dq_drift_report",
-    "dq_freshness_report",
+    "dq_freshness_report", "dq_ref_integrity",
     "fn_conditionals", "fn_null_safety", "dq_id_audit", "pipeline_fim_split", "stat_welch_ttest", "dq_dp_counts",
     "fn_date_parts", "fn_json_extract", "fn_regexp",
     "fn_scalar_string_math", "fn_string_extra",
