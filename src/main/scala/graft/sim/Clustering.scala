@@ -584,7 +584,83 @@ object Clustering {
        |         / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $tau
        |ORDER BY cluster_id, keep_id, drop_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // k-center (farthest-point) diversity sampling
+  // ---------------------------------------------------------------------
+
+  private val kcK = 8
+
+  /** Greedy k-center / farthest-point diversity sample (Gonzalez 1985,
+    * the 2-approximation): seed = vec_id 0, then k−1 rounds of "pick the
+    * vector farthest from every chosen center" — the coreset/diversity
+    * selection a training pipeline runs to cover embedding space with a
+    * tiny representative panel (the dual of dedup: maximize spread
+    * instead of killing near-dups). Output: (step, vec_id, min_d2), the
+    * selection order with each pick's squared distance to the panel —
+    * min_d2 is non-increasing, and its last value is the covering
+    * radius bound.
+    *
+    * Exactness: quantized integer vectors, d² = nsq_a + nsq_c − 2·a·c
+    * in BIGINT, argmax tiebreak by vec_id.
+    *
+    * Scale shape: the chosen centers live as LITERALS in the scoring
+    * expression (k·dims driver values — bounded like the epoch loop's
+    * abort set, NOT data-sized), so each round is one map over the
+    * staged corpus (a `least` chain of codegen'd dot products) + a
+    * TakeOrdered(1) — partial top-1 per partition, never a global
+    * sort. k−1 corpus scans total; no shuffle anywhere. */
+  def kCenterSample(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = qn(spark, dir).staged
+    def row3(r: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
+      (r.getAs[Long]("vec_id"), r.getSeq[Long](1).toSeq, r.getAs[Long]("nsq"))
+    val seed = row3(corpus.filter(col("vec_id") === 0L)
+      .select("vec_id", "q", "nsq").collect()(0))
+    var chosen = Seq((1L, seed._1, 0L))
+    var centers = Seq(seed)
+    for (step <- 2 to kcK) {
+      val mdCol = centers.map { case (_, cq, cn) =>
+        col("nsq") + lit(cn) - lit(2L) * Portable.dotQ(col("q"), typedLit(cq))
+      }.reduce(least(_, _))
+      val next = corpus.withColumn("md", mdCol)
+        .orderBy(desc("md"), col("vec_id"))
+        .select("vec_id", "q", "nsq", "md").limit(1).collect()(0)
+      chosen :+= ((step.toLong, next.getAs[Long]("vec_id"), next.getAs[Long]("md")))
+      centers :+= row3(next)
+    }
+    import spark.implicits._
+    // the returned plan re-anchors the driver-side panel to the corpus
+    // (membership-validated distributed result, not a bare local relation)
+    corpus.join(broadcast(chosen.toDF("step", "vec_id", "min_d2")), "vec_id")
+      .select("step", "vec_id", "min_d2").orderBy("step")
+  }
+
+  def kCenterSampleSql: String = {
+    def dot(a: String, c: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> $a.qv[i] * $c.qv[i])) AS BIGINT)"
+    val steps = (2 to kcK).map { i =>
+      val mdExpr =
+        if (i == 2) s"a.nsq + c.nsq - 2*${dot("a", "c")}"
+        else s"LEAST(a.md, a.nsq + c.nsq - 2*${dot("a", "c")})"
+      s"""m${i - 1} AS (
+         |  SELECT a.vec_id, a.qv, a.nsq, $mdExpr AS md
+         |  FROM ${if (i == 2) "qn" else s"m${i - 2}"} a CROSS JOIN c${i - 1} c
+         |), c$i AS (
+         |  SELECT * FROM m${i - 1} ORDER BY md DESC, vec_id LIMIT 1
+         |)"""
+    }.mkString(",\n")
+    val out = (2 to kcK)
+      .map(i => s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, md FROM c$i")
+      .mkString("\n")
+    s"""WITH $quantizedSql,
+       |c1 AS (SELECT vec_id, qv, nsq FROM qn WHERE vec_id = 0),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(0 AS BIGINT) AS min_d2 FROM c1
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kcenter" -> ((s, d) => kCenterSample(s, d)),
     "sim_kmeans" -> ((s, d) => kmeans(s, d)),
     "sim_semdedup" -> ((s, d) => semDedup(s, d)),
     "sim_ivf_trained" -> ((s, d) => ivfTrainedTopK(s, d)),
@@ -594,6 +670,7 @@ object Clustering {
     "sample_cluster_balanced" -> ((s, d) => clusterBalancedSample(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sample_kcenter" -> kCenterSampleSql,
     "sim_kmeans" -> kmeansSql,
     "sim_semdedup" -> semDedupSql(),
     "sim_ivf_trained" -> ivfTrainedTopKSql(),

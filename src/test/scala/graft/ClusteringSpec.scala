@@ -114,4 +114,34 @@ class ClusteringSpec extends SparkSpec {
       assert(blobs.length == 1, s"cluster mixes blobs $blobs")
     }
   }
+
+  test("k-center sample replays from a plain-Scala greedy walk") {
+    val dir = sf("sf0.001")
+    val got = Clustering.kCenterSample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("min_d2")))
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray))
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Seq(0L)
+    var want = Seq((1L, 0L, 0L))
+    for (step <- 2L to 8L) {
+      val (nid, nd) = vecs.keys.toSeq
+        .map(v => (v, centers.map(c => d2(vecs(v), vecs(c))).min))
+        .minBy { case (v, d) => (-d, v) }
+      centers :+= nid
+      want :+= ((step, nid, nd))
+    }
+    assert(got.toSeq === want)
+    // the selection radius is non-increasing after the seed
+    got.drop(1).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ =>
+    }
+  }
 }

@@ -147,6 +147,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_kmeans_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_semdedup" -> Set("custom-expression", "rdd-segment"),
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sample_kcenter" -> Set("rdd-segment"),
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
     "sim_mrl_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_incremental" -> Set("custom-expression", "rdd-segment"),
@@ -257,6 +258,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_pack_sequences" -> Set("higher-order-function"),
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function"),
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sample_kcenter" -> Set("custom-expression", "higher-order-function"),
     "sim_ann_lsh" -> Set("custom-expression", "higher-order-function"),
     "sim_ann_multiprobe" -> Set("custom-expression", "higher-order-function"),
     "sim_ann_recall" -> Set("custom-expression", "higher-order-function"),
