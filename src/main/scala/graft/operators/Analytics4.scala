@@ -575,6 +575,81 @@ object Analytics4 {
        |FROM arms ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Power analysis / minimum detectable effect
+  // ---------------------------------------------------------------------
+
+  /** z_{α/2} + z_β at (α=0.05, power=0.8) — the standard design constant. */
+  private val zSum = 2.801585
+
+  /** Experiment power report per metric (event type): with y = a user's
+    * POST-period count of that event (zero-imputed over the full user
+    * grid — absent users ARE the metric), the minimum detectable effect
+    * at the current sample size and the required per-arm n for a 5%
+    * relative lift, both from mde = (z_{α/2}+z_β)·σ·√(2/n) — the sizing
+    * arithmetic run BEFORE launching what [[cuped]]/[[srmCheck]]/
+    * `stat_welch_ttest` read out after.
+    *
+    * Exact DECIMAL(38,0) moments; the doubles are one identical IEEE
+    * expression per column in both engines.
+    *
+    * Scale shape: events scan → (user, type)-keyed agg; the zero cells
+    * come from a users×types grid join (n_users × 5, never data-sized
+    * fanout beyond the type count); then a 5-row moment agg. */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr(s"ts DIV ${dayNs}L").as("day"))
+    val users = ev.select("user_id").distinct()
+    val types = ev.select("event_type").distinct()
+    val counts = ev.filter(col("day") >= cupedSplitDay)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("y"))
+    val grid = users.crossJoin(broadcast(types))
+      .join(counts, Seq("user_id", "event_type"), "left")
+      .select(col("event_type"), coalesce(col("y"), lit(0L)).cast(D).as("y"))
+    val dbl = (c: String) => col(c).cast("double")
+    val varY = ((dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))
+      / (dbl("n") * (dbl("n") - 1.0)))
+    val meanY = dbl("sy") / dbl("n")
+    grid.groupBy("event_type")
+      .agg(count(lit(1)).cast(D).as("n"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n_users"),
+        meanY.as("mean_y"), varY.as("var_y"),
+        (lit(zSum) * sqrt(varY) * sqrt(lit(2.0) / dbl("n"))).as("mde_abs"),
+        ((lit(2.0) * varY * lit(zSum) * lit(zSum))
+          / ((lit(0.05) * meanY) * (lit(0.05) * meanY))).as("n_required_per_arm"))
+      .orderBy("event_type")
+  }
+
+  def powerMdeSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // $dayNs AS day FROM events
+       |), grid AS (
+       |  SELECT u.user_id, t.event_type,
+       |         CAST(coalesce(c.y, 0) AS HUGEINT) AS y
+       |  FROM (SELECT DISTINCT user_id FROM ev) u
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+       |  LEFT JOIN (SELECT user_id, event_type, count(*) AS y FROM ev
+       |             WHERE day >= $cupedSplitDay GROUP BY 1, 2) c
+       |    ON u.user_id = c.user_id AND t.event_type = c.event_type
+       |), m AS (
+       |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+       |         sum(y) AS sy, sum(y * y) AS syy
+       |  FROM grid GROUP BY event_type
+       |)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+       |       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_y,
+       |       $zSum * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+       |               * sqrt(2.0 / CAST(n AS DOUBLE)) AS mde_abs,
+       |       (2.0 * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) * $zSum * $zSum)
+       |       / ((0.05 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+       |          * (0.05 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS n_required_per_arm
+       |FROM m ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Landmark closeness centrality
   // ---------------------------------------------------------------------
 
@@ -671,7 +746,8 @@ object Analytics4 {
     "ts_slo_burn" -> ((s, d) => sloBurn(s, d)),
     "window_top_paths" -> ((s, d) => topPaths(s, d)),
     "stat_srm" -> ((s, d) => srmCheck(s, d)),
-    "graph_closeness" -> ((s, d) => closeness(s, d)))
+    "graph_closeness" -> ((s, d) => closeness(s, d)),
+    "stat_power_mde" -> ((s, d) => powerMde(s, d)))
 
   val oracles: Map[String, String] = Map(
     "window_pareto_front" -> paretoFrontSql,
@@ -681,5 +757,6 @@ object Analytics4 {
     "ts_slo_burn" -> sloBurnSql,
     "window_top_paths" -> topPathsSql,
     "stat_srm" -> srmCheckSql,
-    "graph_closeness" -> closenessSql)
+    "graph_closeness" -> closenessSql,
+    "stat_power_mde" -> powerMdeSql)
 }

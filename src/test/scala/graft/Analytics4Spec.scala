@@ -206,6 +206,28 @@ class Analytics4Spec extends SparkSpec {
     assert(got.length === 8)
   }
 
+  test("power/MDE: sizing identity holds and zero-imputation covers the grid") {
+    val dir = sf("sf0.001")
+    val rows = Analytics4.powerMde(spark, dir).collect()
+    assert(rows.length === 5)
+    val nUsers = Tables.t(spark, dir, "events")
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") === nUsers) // grid, not just emitters
+      val n = r.getAs[Long]("n_users").toDouble
+      val varY = r.getAs[Double]("var_y")
+      val meanY = r.getAs[Double]("mean_y")
+      val mde = r.getAs[Double]("mde_abs")
+      // mde identity: (z*sigma*sqrt(2/n))
+      assert(math.abs(mde - 2.801585 * math.sqrt(varY) * math.sqrt(2.0 / n))
+        < 1e-12 * math.max(1.0, mde))
+      // sizing consistency: at n = n_required the MDE equals the 5% lift
+      val nReq = r.getAs[Double]("n_required_per_arm")
+      val mdeAtReq = 2.801585 * math.sqrt(varY) * math.sqrt(2.0 / nReq)
+      assert(math.abs(mdeAtReq - 0.05 * meanY) < 1e-9 * math.max(1.0, meanY))
+    }
+  }
+
   test("slo burn: alert hours replay from the hourly grid") {
     val dir = sf("sf0.001")
     val got = Analytics4.sloBurn(spark, dir).collect()
