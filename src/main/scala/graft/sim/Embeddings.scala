@@ -722,7 +722,83 @@ object GraphOps {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Deterministic random walks
+  // ---------------------------------------------------------------------
+
+  private val walkLen = 4
+  private val walkSeedMod = 13L
+
+  /** Deterministic hash-driven random walks — the sampling primitive
+    * under DeepWalk/node2vec-style graph embeddings and Monte-Carlo
+    * PageRank, made reproducible: from every supplier node with
+    * suppkey % [[walkSeedMod]] == 0, a [[walkLen]]-step walk whose
+    * step-t hop is neighbor rank hash60(walk|t|cur) % deg(cur) — a pure
+    * function of (walk id, step, current node), so the "random" walk is
+    * bit-identical across engines, runs, and partitionings (auditable
+    * sampling, the same discipline as `text_split_assign`). Output: one
+    * row per walk with the full path string and its endpoint.
+    *
+    * Scale shape: the adjacency gets a per-source neighbor rank via a
+    * source-partitioned window (per-partition work bounded by max
+    * degree); each step is ONE equi-join of the walk frontier against
+    * the indexed adjacency on (node, rank) — walks are rows, K fixed,
+    * one job, chained hash joins. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).staged
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val adj = e.withColumn("rn", row_number().over(wAdj).cast("long"))
+    var walks = e.select(col("src").as("walk")).distinct()
+      .filter(col("walk") % 2 === 1 &&
+        expr(s"(walk - 1) DIV 2 % $walkSeedMod") === 0L)
+      .select(col("walk"), col("walk").as("cur"),
+        col("walk").cast("string").as("path"))
+    for (t <- 1 to walkLen) {
+      val pick = walks.join(deg, walks("cur") === deg("src"))
+        .select(col("walk"), col("cur"), col("path"),
+          (graft.functions.Portable.hash60(
+            concat_ws("|", col("walk"), lit(t), col("cur"))) % col("deg") + 1L)
+            .as("pick"))
+      walks = pick.join(adj,
+        pick("cur") === adj("src") && pick("pick") === adj("rn"))
+        .select(col("walk"), col("dst").as("cur"),
+          concat(col("path"), lit(">"), col("dst").cast("string")).as("path"))
+    }
+    walks.select(expr("(walk - 1) DIV 2").as("suppkey"), col("path"),
+      col("cur").as("endpoint"))
+      .orderBy("suppkey")
+  }
+
+  def randomWalksSql: String = {
+    val steps = (1 to walkLen).map { t =>
+      s"""w$t AS (
+         |  SELECT w.walk, a.dst AS cur, w.path || '>' || CAST(a.dst AS VARCHAR) AS path
+         |  FROM w${t - 1} w
+         |  JOIN deg d ON w.cur = d.src
+         |  JOIN adj a ON a.src = w.cur
+         |   AND a.rn = CAST(('0x' || substr(md5(CAST(w.walk AS VARCHAR) || '|' || '$t' || '|' || CAST(w.cur AS VARCHAR)), 1, 15)) AS BIGINT) % d.deg + 1
+         |)"""
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |adj AS (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rn
+       |  FROM edges
+       |), w0 AS (
+       |  SELECT src AS walk, src AS cur, CAST(src AS VARCHAR) AS path
+       |  FROM (SELECT DISTINCT src FROM edges)
+       |  WHERE src % 2 = 1 AND ((src - 1) // 2) % $walkSeedMod = 0
+       |),
+       |$steps
+       |SELECT (walk - 1) // 2 AS suppkey, path, cur AS endpoint
+       |FROM w$walkLen ORDER BY suppkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_random_walk" -> ((s, d) => randomWalks(s, d)),
     "graph_concomp" -> ((s, d) => connectedComponents(s, d)),
     "graph_modularity" -> ((s, d) => modularityCurve(s, d)),
     "graph_concomp_doubling" -> ((s, d) => connectedComponentsDoubling(s, d)),
@@ -735,6 +811,7 @@ object GraphOps {
     "graph_jaccard_neighbors" -> ((s, d) => jaccardNeighbors(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "graph_random_walk" -> randomWalksSql,
     "graph_concomp" -> connectedComponentsSql(),
     "graph_concomp_doubling" -> connectedComponentsDoublingSql(),
     "graph_modularity" -> modularityCurveSql(),

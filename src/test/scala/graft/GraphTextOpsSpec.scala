@@ -279,4 +279,37 @@ class GraphTextOpsSpec extends SparkSpec {
     val meanEst = unrel.map(_._2).sum.toDouble / unrel.size
     assert(meanEst < 300.0, s"estimator biased high: $meanEst")
   }
+
+  test("random walks replay from a plain-Scala hash walk") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = graft.sim.GraphOps.randomWalks(spark, dir).collect()
+      .map(r => (r.getAs[Long]("suppkey"), r.getAs[String]("path"),
+        r.getAs[Long]("endpoint")))
+    val pairs = graft.operators.Tables.t(spark, dir, "lineitem")
+      .select((col("l_partkey") * 2).cast("long"),
+        (col("l_suppkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).sorted }
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val seeds = adj.keySet.filter(n => n % 2 == 1 && ((n - 1) / 2) % 13 == 0)
+    val want = seeds.toSeq.sorted.map { seed =>
+      var cur = seed
+      var path = seed.toString
+      for (t <- 1 to 4) {
+        val nbrs = adj(cur)
+        val pick = (h60(s"$seed|$t|$cur") % nbrs.size).toInt
+        cur = nbrs(pick)
+        path += s">$cur"
+      }
+      ((seed - 1) / 2, path, cur)
+    }
+    assert(got.toSeq === want)
+    assert(got.nonEmpty)
+  }
 }
