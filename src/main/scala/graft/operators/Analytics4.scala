@@ -575,6 +575,115 @@ object Analytics4 {
        |FROM arms ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Incremental aggregate maintenance (delta merge)
+  // ---------------------------------------------------------------------
+
+  private val deltaSplitDate = "1998-01-01"
+
+  /** Incremental view maintenance for the per-priority revenue rollup:
+    * the BASE partial state (orders before [[deltaSplitDate]]) and the
+    * DELTA batch (on/after) are aggregated separately and MERGED —
+    * count/sum add, min/max combine — exactly how a nightly rollup
+    * absorbs a day's partition without rescanning history. The ORACLE
+    * aggregates the full table directly, so the gate proves
+    * merge(partial(base), partial(delta)) ≡ recompute(all): the
+    * algebraic-mergeability contract every distributed partial
+    * aggregation relies on, surfaced as its own verified operator.
+    *
+    * Scale shape: two partitioned scans (the date predicate is the
+    * partition boundary in the real deployment) → two priority-keyed
+    * partial aggs → a 5-row full-outer merge. History is never
+    * rescanned. */
+  def deltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+    def partial(df: DataFrame): DataFrame =
+      df.select(col("o_orderpriority"), cents.as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          min("cents").as("mn"), max("cents").as("mx"))
+    val orders = t(spark, dir, "orders")
+    val base = partial(orders.filter(col("o_orderdate") < lit(deltaSplitDate)))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(deltaSplitDate)))
+    base.select(col("o_orderpriority"), col("n").as("bn"), col("s").as("bs"),
+      col("mn").as("bmn"), col("mx").as("bmx"))
+      .join(delta.select(col("o_orderpriority"), col("n").as("dn"),
+        col("s").as("ds"), col("mn").as("dmn"), col("mx").as("dmx")),
+        Seq("o_orderpriority"), "full")
+      .select(col("o_orderpriority"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_cents"),
+        least(coalesce(col("bmn"), col("dmn")), coalesce(col("dmn"), col("bmn")))
+          .as("min_cents"),
+        greatest(coalesce(col("bmx"), col("dmx")), coalesce(col("dmx"), col("bmx")))
+          .as("max_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The oracle deliberately recomputes from the FULL table: passing
+    * the gate proves the partial-state merge is lossless. */
+  val deltaMergeSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |         AS sum_cents,
+      |       min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+      |       max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Partition-skew audit
+  // ---------------------------------------------------------------------
+
+  private val skewBuckets = 1024L
+
+  /** Shuffle-skew audit over the join keys the big queries actually
+    * shuffle on: each key hashed (portable md5-based hash60, modeling
+    * hash partitioning) into 1024 buckets, reporting per relation the
+    * row count, occupied buckets, the heaviest bucket, and
+    * skew_permille = 1000·max/avg — the number that decides whether a
+    * key needs salting BEFORE the job falls over (read next to
+    * `join_salted_skew`/`agg_salted_skew`, which are the treatment).
+    *
+    * Scale shape: one scan + one 1024-key partial+final agg per
+    * audited key; the stats are grid-sized. */
+  def partitionSkew(spark: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, table: String, key: String): DataFrame =
+      t(spark, dir, table)
+        .select(pmod(graft.functions.Portable.hash60(col(key).cast("string")),
+          lit(skewBuckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_buckets"),
+          max("cnt").as("max_bucket"))
+        .select(lit(label).as("shuffle_key"), col("n_rows"), col("n_buckets"),
+          col("max_bucket"),
+          expr(s"(1000 * max_bucket * $skewBuckets) DIV n_rows").as("skew_permille"))
+    Seq(("events.user_id", "events", "user_id"),
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+      .map { case (l, tb, k) => audit(l, tb, k) }
+      .reduce(_ unionAll _)
+      .orderBy("shuffle_key")
+  }
+
+  val partitionSkewSql: String = {
+    val rels = Seq(("events.user_id", "events", "user_id"),
+      ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+    rels.map { case (l, tb, k) =>
+      s"""SELECT '$l' AS shuffle_key, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |       count(*) AS n_buckets, CAST(max(cnt) AS BIGINT) AS max_bucket,
+         |       (1000 * CAST(max(cnt) AS BIGINT) * $skewBuckets) // CAST(sum(cnt) AS BIGINT)
+         |         AS skew_permille
+         |FROM (
+         |  SELECT CAST(('0x' || substr(md5(CAST($k AS VARCHAR)), 1, 15)) AS BIGINT)
+         |           % $skewBuckets AS b, count(*) AS cnt
+         |  FROM $tb GROUP BY 1
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY shuffle_key"
+  }
+
+  // ---------------------------------------------------------------------
   // Power analysis / minimum detectable effect
   // ---------------------------------------------------------------------
 
@@ -747,7 +856,9 @@ object Analytics4 {
     "window_top_paths" -> ((s, d) => topPaths(s, d)),
     "stat_srm" -> ((s, d) => srmCheck(s, d)),
     "graph_closeness" -> ((s, d) => closeness(s, d)),
-    "stat_power_mde" -> ((s, d) => powerMde(s, d)))
+    "stat_power_mde" -> ((s, d) => powerMde(s, d)),
+    "agg_delta_merge" -> ((s, d) => deltaMerge(s, d)),
+    "dq_partition_skew" -> ((s, d) => partitionSkew(s, d)))
 
   val oracles: Map[String, String] = Map(
     "window_pareto_front" -> paretoFrontSql,
@@ -758,5 +869,7 @@ object Analytics4 {
     "window_top_paths" -> topPathsSql,
     "stat_srm" -> srmCheckSql,
     "graph_closeness" -> closenessSql,
-    "stat_power_mde" -> powerMdeSql)
+    "stat_power_mde" -> powerMdeSql,
+    "agg_delta_merge" -> deltaMergeSql,
+    "dq_partition_skew" -> partitionSkewSql)
 }

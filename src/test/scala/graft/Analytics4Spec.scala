@@ -228,6 +228,54 @@ class Analytics4Spec extends SparkSpec {
     }
   }
 
+  test("delta merge equals the direct full-table aggregate, both sides non-empty") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.deltaMerge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val direct = Tables.t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("c"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)), sum("c"), min("c"), max("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq === direct.toSeq)
+    // the split actually has two non-empty sides (the merge is exercised)
+    val sides = Tables.t(spark, dir, "orders")
+      .select((col("o_orderdate") < lit("1998-01-01")).as("pre"))
+      .groupBy("pre").count().collect()
+    assert(sides.length === 2)
+  }
+
+  test("partition skew: bucket counts replay and the uniform fixture stays tame") {
+    val dir = sf("sf0.001")
+    val rows = Analytics4.partitionSkew(spark, dir).collect()
+      .map(r => r.getAs[String]("shuffle_key") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("skew_permille"))).toMap
+    assert(rows.size === 4)
+    val nLineitem = Tables.t(spark, dir, "lineitem").count()
+    assert(rows("lineitem.l_orderkey")._1 === nLineitem)
+    rows.values.foreach { case (n, buckets, mx, skew) =>
+      assert(buckets <= 1024L && buckets >= 1L)
+      assert(mx * buckets >= n / 1024L * buckets) // max >= floor-avg
+      assert(skew >= 1000L * buckets / 1024L)     // permille vs occupied share
+    }
+    // exact replay for events
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val evBuckets = Tables.t(spark, dir, "events")
+      .select(col("user_id").cast("long")).collect().map(_.getLong(0))
+      .groupBy(u => h60(u.toString) % 1024L).map(_._2.length.toLong)
+    val (n, b, mx) = (evBuckets.sum, evBuckets.size.toLong, evBuckets.max)
+    assert(rows("events.user_id") === ((n, b, mx, 1000L * mx * 1024L / n)))
+  }
+
   test("slo burn: alert hours replay from the hourly grid") {
     val dir = sf("sf0.001")
     val got = Analytics4.sloBurn(spark, dir).collect()

@@ -63,7 +63,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "window_rfm_segments",
     "window_running_sum", "window_sessionize", "window_streaks",
     "window_topk_per_group", "window_value_family", "window_hazard_curve",
-    "window_pareto_front", "window_top_paths", "stat_srm", "stat_power_mde")
+    "window_pareto_front", "window_top_paths", "stat_srm", "stat_power_mde",
+    "agg_delta_merge", "dq_partition_skew")
 
   /** Expected fallback triggers per flagged query (exact sets — a new
     * trigger appearing, or one silently disappearing, both fail). */
