@@ -575,6 +575,97 @@ object Analytics4 {
        |FROM arms ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // One-way ANOVA
+  // ---------------------------------------------------------------------
+
+  /** One-way ANOVA F-test of event `value` (quantized to exact cents)
+    * across the five event types — does the metric differ by group,
+    * the k-group generalization of `stat_welch_ttest`. Per group the
+    * report carries exact moment-derived mean; the TOTAL row carries
+    * F = (SSB/(k−1))/(SSW/(n−k)) and η² = SSB/SST, each computed from
+    * DECIMAL(38,0) moments through one identical IEEE expression.
+    *
+    * Scale shape: one scan → k-keyed partial+final moment agg (5
+    * rows); everything after is k-row scalar math. */
+  def anovaF(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val g = t(spark, dir, "events")
+      .select(col("event_type"), cents.cast(D).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(D).as("n"), sum("y").as("s"),
+        sum(col("y") * col("y")).as("ss")).staged
+    val tot = g.agg(sum("n").as("tn"), sum("s").as("ts"), sum("ss").as("tss"),
+      count(lit(1)).cast(D).as("k"))
+    val dbl = (c: String) => col(c).cast("double")
+    // SSB = Σ s_g²/n_g − ts²/tn ; SSW = tss − Σ s_g²/n_g (doubles)
+    val withTot = g.crossJoin(broadcast(tot))
+    val parts = withTot
+      .agg(sum(dbl("s") * dbl("s") / dbl("n")).as("sq_over_n"),
+        first(dbl("tn")).as("tn"), first(dbl("ts")).as("ts"),
+        first(dbl("tss")).as("tss"), first(dbl("k")).as("k"))
+    parts.select(
+      col("k").cast("long").as("k_groups"),
+      col("tn").cast("long").as("n_rows"),
+      ((col("sq_over_n") - col("ts") * col("ts") / col("tn"))
+        / (col("k") - lit(1.0))
+        / ((col("tss") - col("sq_over_n")) / (col("tn") - col("k")))).as("f_stat"),
+      ((col("sq_over_n") - col("ts") * col("ts") / col("tn"))
+        / (col("tss") - col("ts") * col("ts") / col("tn"))).as("eta_sq"))
+  }
+
+  val anovaFSql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS s,
+      |         sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+      |             * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS ss
+      |  FROM events GROUP BY event_type
+      |), parts AS (
+      |  SELECT sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS sq_over_n,
+      |         CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(s) AS DOUBLE) AS ts,
+      |         CAST(sum(ss) AS DOUBLE) AS tss, CAST(count(*) AS DOUBLE) AS k
+      |  FROM g
+      |)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(tn AS BIGINT) AS n_rows,
+      |       (sq_over_n - ts * ts / tn) / (k - 1.0)
+      |         / ((tss - sq_over_n) / (tn - k)) AS f_stat,
+      |       (sq_over_n - ts * ts / tn) / (tss - ts * ts / tn) AS eta_sq
+      |FROM parts""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Period-over-period deltas
+  // ---------------------------------------------------------------------
+
+  /** Week-over-week movement table per event type — the dashboard
+    * staple: weekly counts on the epoch-week grid with the previous
+    * week's count and the WoW delta in integer permille (NULL for each
+    * type's first week, semantics the oracle mirrors). One events scan
+    * → (type, week) grid agg → a type-partitioned lag over the
+    * bounded grid. */
+  def periodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"ts DIV (${dayNs}L * 7)").as("week"))
+      .groupBy("event_type", "week").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly.withColumn("prev_events", lag("n_events", 1).over(w))
+      .withColumn("wow_permille",
+        expr("(1000 * (n_events - prev_events)) DIV prev_events"))
+      .orderBy("event_type", "week")
+  }
+
+  val periodOverPeriodSql: String =
+    s"""WITH weekly AS (
+       |  SELECT event_type, epoch_ns(ts) // ($dayNs * 7) AS week,
+       |         count(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, week, n_events,
+       |       lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_events,
+       |       (1000 * (n_events - lag(n_events) OVER (PARTITION BY event_type ORDER BY week)))
+       |         // lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS wow_permille
+       |FROM weekly ORDER BY event_type, week""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Incremental aggregate maintenance (delta merge)
   // ---------------------------------------------------------------------
 
@@ -858,7 +949,9 @@ object Analytics4 {
     "graph_closeness" -> ((s, d) => closeness(s, d)),
     "stat_power_mde" -> ((s, d) => powerMde(s, d)),
     "agg_delta_merge" -> ((s, d) => deltaMerge(s, d)),
-    "dq_partition_skew" -> ((s, d) => partitionSkew(s, d)))
+    "dq_partition_skew" -> ((s, d) => partitionSkew(s, d)),
+    "stat_anova_f" -> ((s, d) => anovaF(s, d)),
+    "ts_period_over_period" -> ((s, d) => periodOverPeriod(s, d)))
 
   val oracles: Map[String, String] = Map(
     "window_pareto_front" -> paretoFrontSql,
@@ -871,5 +964,7 @@ object Analytics4 {
     "graph_closeness" -> closenessSql,
     "stat_power_mde" -> powerMdeSql,
     "agg_delta_merge" -> deltaMergeSql,
-    "dq_partition_skew" -> partitionSkewSql)
+    "dq_partition_skew" -> partitionSkewSql,
+    "stat_anova_f" -> anovaFSql,
+    "ts_period_over_period" -> periodOverPeriodSql)
 }

@@ -276,6 +276,54 @@ class Analytics4Spec extends SparkSpec {
     assert(rows("events.user_id") === ((n, b, mx, 1000L * mx * 1024L / n)))
   }
 
+  test("anova F replays from plain-Scala group moments") {
+    val dir = sf("sf0.001")
+    val r = Analytics4.anovaF(spark, dir).collect()(0)
+    val ys = Tables.t(spark, dir, "events")
+      .select(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1).toDouble))
+    val groups = ys.groupBy(_._1).values.toSeq
+    val n = ys.length.toDouble; val k = groups.size.toDouble
+    val sqOverN = groups.map { g => val s = g.map(_._2).sum; s * s / g.size }.sum
+    val ts = ys.map(_._2).sum; val tss = ys.map(v => v._2 * v._2).sum
+    val ssb = sqOverN - ts * ts / n
+    val ssw = tss - sqOverN
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(r.getAs[Long]("k_groups") === 5L)
+    assert(r.getAs[Long]("n_rows") === ys.length.toLong)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-9 * math.max(1.0, f))
+    val eta = ssb / (tss - ts * ts / n)
+    assert(math.abs(r.getAs[Double]("eta_sq") - eta) < 1e-12)
+    // uniform fixture: groups don't differ — F stays small, eta² tiny
+    assert(r.getAs[Double]("eta_sq") < 0.01)
+  }
+
+  test("period-over-period: deltas replay from the weekly grid") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.periodOverPeriod(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("week"),
+        r.getAs[Long]("n_events"),
+        Option(r.getAs[java.lang.Long]("prev_events")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("wow_permille")).map(_.toLong)))
+    val weekly = Tables.t(spark, dir, "events")
+      .select(col("event_type"), expr("ts DIV 604800000000000").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t0, w), es) => (t0, w, es.size.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val want = weekly.groupBy(_._1).toSeq.flatMap { case (_, ws) =>
+      val sorted = ws.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((t0, w, c), i) =>
+        val prev = if (i == 0) None else Some(sorted(i - 1)._3)
+        (t0, w, c, prev, prev.map(p => 1000L * (c - p) / p))
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq === want)
+    // first week per type carries NULLs
+    assert(got.groupBy(_._1).values.forall(_.minBy(_._2)._4.isEmpty))
+  }
+
   test("slo burn: alert hours replay from the hourly grid") {
     val dir = sf("sf0.001")
     val got = Analytics4.sloBurn(spark, dir).collect()

@@ -64,7 +64,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "window_running_sum", "window_sessionize", "window_streaks",
     "window_topk_per_group", "window_value_family", "window_hazard_curve",
     "window_pareto_front", "window_top_paths", "stat_srm", "stat_power_mde",
-    "agg_delta_merge", "dq_partition_skew")
+    "agg_delta_merge", "dq_partition_skew", "ts_period_over_period")
 
   /** Expected fallback triggers per flagged query (exact sets — a new
     * trigger appearing, or one silently disappearing, both fail). */
@@ -172,6 +172,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_random_projection" -> Set("higher-order-function"),
     "stat_spearman" -> Set("higher-order-function"),
     "stat_ols_fit" -> Set("higher-order-function"),
+    "stat_anova_f" -> Set("rdd-segment"),
     "dq_chi2_independence" -> Set("rdd-segment"),
     "src_generator_pushdown" -> Set("custom-source"),
     "fn_catalog_v2" -> Set("jvm-invoke"),
