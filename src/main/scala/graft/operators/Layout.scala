@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
+import graft.Cache.CacheOps
 
 /** Data-layout operators: Z-order (Morton-curve) clustering — the
   * multi-dimensional sort that makes file/row-group statistics
@@ -120,11 +121,106 @@ object Layout {
        |       CAST(cum_before // $targetBytes AS BIGINT) AS bin
        |FROM packed ORDER BY source, lang""".stripMargin
 
+  private val fileRows = 4096L
+
+  /** The fixed predicate workload for [[skipCompare]]: inclusive
+    * (lo_u, hi_u, lo_t, hi_t) boxes — a user-band scan, an hour-band
+    * scan, and a 2-D box. 65535 = the open side. */
+  private val skipPreds = Seq(
+    ("q_user_band", 256L, 511L, 0L, 65535L),
+    ("q_time_band", 0L, 65535L, 14800L, 14863L),
+    ("q_box", 256L, 511L, 14800L, 14863L))
+
+  /** File-skipping simulation: the SAME rows written under (a) a
+    * linear (user, hour) sort and (b) a Morton-curve sort, cut into
+    * equal [[fileRows]]-row files, each file keeping its (user, hour)
+    * min/max zone map; then the fixed 3-predicate workload is planned
+    * against both layouts and the report says how many files each scan
+    * touches. The quantified version of this module's header claim:
+    * the linear layout wins the prefix-dimension band, the Z-order
+    * layout wins the trailing-dimension band and the 2-D box — the
+    * numbers a table-maintenance decision actually needs.
+    *
+    * Both layouts need the rows in their target total order — the
+    * global sort IS the simulated write path (a real OPTIMIZE does a
+    * range-partitioned sort write; it is paid once at write time, and
+    * the report's output is file-inventory-sized). */
+  def skipCompare(spark: SparkSession, dir: String,
+                  rowsPerFile: Long = fileRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(spark, dir, "events")
+      .select(col("event_id"),
+        col("user_id").bitwiseAND(lit(65535L)).as("ux"),
+        expr("(ts div 3600000000000) & 65535").as("th"))
+      .withColumn("z", morton16(col("ux"), col("th")))
+    def boxes(layout: String, order: Seq[Column]): DataFrame =
+      g.withColumn("rn", row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .withColumn("f", expr(s"(rn - 1) DIV $rowsPerFile"))
+        .groupBy("f")
+        .agg(min("ux").as("min_u"), max("ux").as("max_u"),
+          min("th").as("min_t"), max("th").as("max_t"))
+        .select(lit(layout).as("layout"), col("min_u"), col("max_u"),
+          col("min_t"), col("max_t"))
+    val files = boxes("linear", Seq(col("ux"), col("th"), col("event_id")))
+      .unionAll(boxes("zorder", Seq(col("z"), col("event_id")))).staged
+    val preds = skipPreds.map { case (p, lu, hu, lt, ht) =>
+      s"SELECT '$p' AS pred, ${lu}L AS lo_u, ${hu}L AS hi_u, ${lt}L AS lo_t, ${ht}L AS hi_t"
+    }.reduce(_ + " UNION ALL " + _)
+    files.crossJoin(broadcast(spark.sql(preds)))
+      .groupBy("layout", "pred")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("min_u") <= col("hi_u") && col("max_u") >= col("lo_u") &&
+          col("min_t") <= col("hi_t") && col("max_t") >= col("lo_t"), 1L)
+          .otherwise(0L)).as("n_scanned"))
+      .withColumn("skip_permille",
+        expr("(1000 * (n_files - n_scanned)) DIV n_files"))
+      .orderBy("layout", "pred")
+  }
+
+  def skipCompareSql: String = {
+    val preds = skipPreds.map { case (p, lu, hu, lt, ht) =>
+      s"SELECT '$p' AS pred, $lu AS lo_u, $hu AS hi_u, $lt AS lo_t, $ht AS hi_t"
+    }.mkString(" UNION ALL ")
+    s"""WITH g AS (
+       |  SELECT event_id, user_id & 65535 AS ux,
+       |         (epoch_ns(ts) // 3600000000000) & 65535 AS th
+       |  FROM events
+       |), z AS (
+       |  SELECT event_id, ux, th, ${mortonSql("ux", "th")} AS zc FROM g
+       |), files AS (
+       |  SELECT 'linear' AS layout,
+       |         (row_number() OVER (ORDER BY ux, th, event_id) - 1) // $fileRows AS f,
+       |         ux, th
+       |  FROM z
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout,
+       |         (row_number() OVER (ORDER BY zc, event_id) - 1) // $fileRows AS f,
+       |         ux, th
+       |  FROM z
+       |), zone AS (
+       |  SELECT layout, f, min(ux) AS min_u, max(ux) AS max_u,
+       |         min(th) AS min_t, max(th) AS max_t
+       |  FROM files GROUP BY layout, f
+       |), preds AS ($preds)
+       |SELECT layout, pred, count(*) AS n_files,
+       |       CAST(sum(CASE WHEN min_u <= hi_u AND max_u >= lo_u
+       |                      AND min_t <= hi_t AND max_t >= lo_t
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+       |       (1000 * (count(*) - CAST(sum(CASE WHEN min_u <= hi_u AND max_u >= lo_u
+       |                                          AND min_t <= hi_t AND max_t >= lo_t
+       |                                         THEN 1 ELSE 0 END) AS BIGINT)))
+       |         // count(*) AS skip_permille
+       |FROM zone CROSS JOIN preds
+       |GROUP BY layout, pred ORDER BY layout, pred""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_stats" -> ((s, d) => zorderStats(s, d)),
-    "layout_compaction_bins" -> ((s, d) => compactionBins(s, d)))
+    "layout_compaction_bins" -> ((s, d) => compactionBins(s, d)),
+    "layout_skip_compare" -> ((s, d) => skipCompare(s, d)))
 
   val oracles: Map[String, String] = Map(
     "layout_zorder_stats" -> zorderStatsSql(),
-    "layout_compaction_bins" -> compactionBinsSql())
+    "layout_compaction_bins" -> compactionBinsSql(),
+    "layout_skip_compare" -> skipCompareSql)
 }

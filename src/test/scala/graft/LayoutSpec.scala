@@ -43,4 +43,27 @@ class LayoutSpec extends SparkSpec {
     assert(zChunks === 7L, s"z-order chunk extent $zChunks, expected 8x8 boxes")
     assert(xChunks === 63L, "the 1-D sort should leave the other dimension unbounded")
   }
+
+  test("skip compare: the layouts trade exactly as the module header claims") {
+    // 256-row files: the sf0.001 fixture cuts into ~24 files so the
+    // zone maps actually discriminate (the default 4096 gives 2 files)
+    val rows = Layout.skipCompare(spark, sf("sf0.001"), rowsPerFile = 256L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("n_scanned"),
+          r.getAs[Long]("skip_permille"))).toMap
+    assert(rows.size === 6)
+    // every (layout, pred) sees the same file count (equal-size cut)
+    assert(rows.values.map(_._1).toSet.size === 1)
+    // scanned <= files and the permille is consistent
+    rows.values.foreach { case (f, s, p) =>
+      assert(s <= f); assert(p === 1000L * (f - s) / f)
+    }
+    // linear: perfect on the prefix dim, blind on the trailing dim
+    assert(rows(("linear", "q_user_band"))._3 >=
+      rows(("zorder", "q_user_band"))._3)
+    assert(rows(("zorder", "q_time_band"))._3 >
+      rows(("linear", "q_time_band"))._3)
+    // the box never does worse under z-order than the time band alone
+    assert(rows(("zorder", "q_box"))._3 >= rows(("zorder", "q_time_band"))._3)
+  }
 }

@@ -114,6 +114,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "stat_cuped" -> Set("rdd-segment"),
     "ts_slo_burn" -> Set("rdd-segment"),
     "join_bloom_prune" -> Set("rdd-segment"),
+    "layout_skip_compare" -> Set("rdd-segment"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
