@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Tables.t
 import graft.functions.Portable
@@ -63,6 +64,108 @@ object Sketches {
         lit(alpha * m * m) * lit((1L << 53).toDouble) / col("sum_int").cast("double"))
     val exact = toks.agg(countDistinct(col("tok")).as("n_exact"))
     exact.crossJoin(est.select(col("v").as("n_buckets_used"), col("hll_est")))
+  }
+
+  /** Cumulative-distinct curve via HLL register MERGE: per-day
+    * registers (hash of event_id) folded forward with a cumulative MAX
+    * per bucket over the day grid — the mergeability that makes
+    * sketches worth shipping at 100 TB (yesterday's sketch + today's
+    * partition = today's curve; the exact path would re-scan history
+    * or keep unbounded distinct state). Reported beside the exact
+    * cumulative count; same raw-estimator-only discipline as
+    * [[hllDistinct]] (no ln()-based corrections — documented), so the
+    * first days at tiny SF sit in the biased n < 3m regime and the
+    * rel_err column says so honestly.
+    *
+    * Scale shape: one events scan → (day, bucket) max-agg (grid-sized,
+    * map-side combine); the merge is a cum-max window over the
+    * 30×256-cell grid, never the data. */
+  def hllCumulative(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val toks = t(spark, dir, "events")
+      .select(expr(s"ts DIV ${dayNs}L").as("day"),
+        col("event_id").cast("string").as("tok")).staged
+    val h = Portable.hash60(col("tok"))
+    val w = expr(s"h DIV $m")
+    val dayRegs = toks
+      .select(col("day"), pmod(h, lit(m.toLong)).as("bucket"), h.as("h"))
+      .withColumn("rho", when(w === 0, lit(53L))
+        .otherwise(lit(53L) - length(bin(w)).cast("long")))
+      .groupBy("day", "bucket").agg(max("rho").as("mreg"))
+    val days = toks.select("day").distinct()
+    val buckets = spark.range(m).select(col("id").as("bucket"))
+    val cumW = Window.partitionBy("bucket").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = days.crossJoin(broadcast(buckets))
+      .join(dayRegs, Seq("day", "bucket"), "left")
+      .withColumn("cmreg", max("mreg").over(cumW))
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val est = grid.groupBy("day")
+      .agg(sum(when(col("cmreg").isNotNull,
+        expr("shiftleft(1L, cast(53 - cmreg as int))"))).as("sum_present"),
+        sum(when(col("cmreg").isNotNull, 1L).otherwise(0L)).as("v"))
+      .withColumn("sum_int",
+        coalesce(col("sum_present"), lit(0L))
+          + (lit(m.toLong) - col("v")) * lit(1L << 53))
+      .select(col("day"), col("v").as("n_buckets_used"),
+        (lit(alpha * m * m) * lit((1L << 53).toDouble)
+          / col("sum_int").cast("double")).as("hll_est"))
+    val exact = toks.groupBy("day").agg(countDistinct("tok").as("n_day"))
+      .withColumn("n_exact_cum", sum("n_day").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("day", "n_exact_cum")
+    exact.join(est, "day")
+      .withColumn("rel_err",
+        (col("hll_est") - col("n_exact_cum").cast("double"))
+          / col("n_exact_cum").cast("double"))
+      .orderBy("day")
+  }
+
+  def hllCumulativeSql(p: Int = 8): String = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH toks AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+       |         CAST(event_id AS VARCHAR) AS tok
+       |  FROM events
+       |), hashed AS (
+       |  SELECT day, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+       |), dayregs AS (
+       |  SELECT day, h % $m AS bucket,
+       |         max(CASE WHEN h // $m = 0 THEN 53
+       |                  ELSE 53 - length(bin(h // $m)) END) AS mreg
+       |  FROM hashed GROUP BY day, bucket
+       |), grid AS (
+       |  SELECT d.day, b.bucket, r.mreg
+       |  FROM (SELECT DISTINCT day FROM toks) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS bucket) b
+       |  LEFT JOIN dayregs r ON d.day = r.day AND b.bucket = r.bucket
+       |), cum AS (
+       |  SELECT day, bucket,
+       |         max(mreg) OVER (PARTITION BY bucket ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmreg
+       |  FROM grid
+       |), est AS (
+       |  SELECT day,
+       |         CAST(sum(CASE WHEN cmreg IS NOT NULL
+       |                       THEN 1::BIGINT << (53 - cmreg) END) AS BIGINT) AS sum_present,
+       |         CAST(sum(CASE WHEN cmreg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM cum GROUP BY day
+       |), exact AS (
+       |  SELECT day, CAST(sum(count(DISTINCT tok)) OVER (ORDER BY day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_exact_cum
+       |  FROM toks GROUP BY day
+       |)
+       |SELECT e.day, x.n_exact_cum, e.v AS n_buckets_used,
+       |       ${alpha * m * m}::DOUBLE * ${(1L << 53).toDouble}::DOUBLE
+       |         / CAST(coalesce(e.sum_present, 0) + ($m - e.v) * (1::BIGINT << 53) AS DOUBLE)
+       |         AS hll_est,
+       |       (${alpha * m * m}::DOUBLE * ${(1L << 53).toDouble}::DOUBLE
+       |         / CAST(coalesce(e.sum_present, 0) + ($m - e.v) * (1::BIGINT << 53) AS DOUBLE)
+       |        - CAST(x.n_exact_cum AS DOUBLE)) / CAST(x.n_exact_cum AS DOUBLE) AS rel_err
+       |FROM est e JOIN exact x ON e.day = x.day
+       |ORDER BY e.day""".stripMargin
   }
 
   def hllDistinctSql(p: Int = 8): String = {
@@ -628,6 +731,7 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_winsorized" -> winsorizedStats,
     "agg_quantile_sketch" -> quantileSketch,
+    "agg_hll_cumulative" -> ((s, d) => hllCumulative(s, d)),
     "agg_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "sample_weighted" -> ((s, d) => weightedSample(s, d)),
     "agg_hll_groups" -> ((s, d) => hllGroups(s, d)),
@@ -639,6 +743,7 @@ object Sketches {
   val oracles: Map[String, String] = Map(
     "stat_winsorized" -> winsorizedStatsSql,
     "agg_quantile_sketch" -> quantileSketchSql,
+    "agg_hll_cumulative" -> hllCumulativeSql(),
     "agg_hll_distinct" -> hllDistinctSql(),
     "sample_weighted" -> weightedSampleSql(),
     "agg_hll_groups" -> hllGroupsSql(),

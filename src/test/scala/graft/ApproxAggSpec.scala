@@ -89,4 +89,43 @@ class ApproxAggSpec extends SparkSpec {
       .filter(full("cnt") =!= merged("cnt")).count() === 0L)
     assert(full.count() === merged.count())
   }
+
+  test("cumulative HLL: estimates track the exact curve and the final day merges to the whole") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val rows = graft.operators.Sketches.hllCumulative(spark, dir).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.length > 20) // ~30 days of data
+    // cum-max registers ⇒ the estimate is non-decreasing day over day
+    rows.map(_.getAs[Double]("hll_est")).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9)
+      case _ =>
+    }
+    // exact cumulative is the event count (ids unique) and ends at n
+    val n = graft.operators.Tables.t(spark, dir, "events").count()
+    assert(rows.last.getAs[Long]("n_exact_cum") === n)
+    // final-day estimate within the ~3/sqrt(m) band (m=256 → 18.75%)
+    assert(math.abs(rows.last.getAs[Double]("rel_err")) < 0.1875)
+    // the merged final day EQUALS a from-scratch single sketch of all
+    // ids: merge(day sketches) ≡ rebuild — the mergeability contract
+    val whole = graft.operators.Sketches.hllDistinct(spark, dir).collect()(0)
+    // different element universes (event ids vs order keys) — rebuild here:
+    val h = graft.functions.Portable.hash60(col("tok"))
+    val w = expr("h DIV 256")
+    val direct = graft.operators.Tables.t(spark, dir, "events")
+      .select(col("event_id").cast("string").as("tok"))
+      .select(pmod(h, lit(256L)).as("bucket"), h.as("h"))
+      .withColumn("rho", when(w === 0, lit(53L))
+        .otherwise(lit(53L) - length(bin(w)).cast("long")))
+      .groupBy("bucket").agg(max("rho").as("mreg"))
+      .agg(sum(expr("shiftleft(1L, cast(53 - mreg as int))")).as("sp"),
+        count(lit(1)).as("v")).collect()(0)
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sumInt = direct.getAs[Long]("sp") + (m - direct.getAs[Long]("v")) * (1L << 53)
+    val directEst = alpha * m * m * (1L << 53).toDouble / sumInt.toDouble
+    assert(math.abs(rows.last.getAs[Double]("hll_est") - directEst)
+      < 1e-9 * directEst)
+    assert(whole.getAs[Long]("n_exact") > 0) // hllDistinct still sane
+  }
 }

@@ -70,6 +70,7 @@ class RapidsReadinessSpec extends SparkSpec {
     * trigger appearing, or one silently disappearing, both fail). */
   private val flagged: Map[String, Set[String]] = Map(
     "agg_hll_distinct" -> Set("rdd-segment", "bin"),
+    "agg_hll_cumulative" -> Set("rdd-segment", "bin"),
     "agg_bitmap_distinct" -> Set("bit-count"),
     "agg_kmv_jaccard" -> Set("rdd-segment"),
     "agg_hll_groups" -> Set("rdd-segment", "bin"),
@@ -226,6 +227,7 @@ class RapidsReadinessSpec extends SparkSpec {
   private val persistFlagged: Map[String, Set[String]] = Map(
     "agg_bitmap_distinct" -> Set("bit-count"),
     "agg_hll_distinct" -> Set("bin"),
+    "agg_hll_cumulative" -> Set("bin"),
     "agg_hll_groups" -> Set("bin"),
     "dedup_containment" -> Set("higher-order-function"),
     "dedup_winnowing" -> Set("higher-order-function"),
