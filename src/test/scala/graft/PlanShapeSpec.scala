@@ -543,4 +543,39 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-"))).toSeq
     assert(bnlj.forall(_.contains("Cross BuildRight")), bnlj.mkString("\n"))
   }
+
+  test("pareto front: the exact sweep's global window sits above the grid-pruned survivors") {
+    // the single-partition window is acceptable ONLY because its input
+    // is the staircase-sized survivor set — the plan must show the
+    // bucket-staircase broadcast join feeding it, not the raw table
+    val p = planString(graft.operators.Analytics4.paretoFront(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("k-center: the scoring pass has no exchange (panel is literal, top-1 is TakeOrdered)") {
+    val corpus = graft.sim.Similarity.quantizedFrom(
+      spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")).localCheckpoint(true)
+    import org.apache.spark.sql.functions._
+    val lits = org.apache.spark.sql.functions.typedLit(Seq.fill(64)(1L))
+    val scored = corpus.withColumn("md",
+      col("nsq") + lit(5L) - lit(2L) * graft.functions.Portable.dotQ(col("q"), lits))
+      .orderBy(desc("md"), col("vec_id")).limit(1)
+    val p = planString(scored)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      p.take(1500))
+  }
+
+  test("delta merge: both partial aggs push their date predicate into the scan") {
+    val p = planString(graft.operators.Analytics4.deltaMerge(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || p.contains("LessThan(o_orderdate"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+  }
+
+  test("top paths: the path agg is partial+final, the top-k a TakeOrdered") {
+    val p = planString(graft.operators.Analytics4.topPaths(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
