@@ -665,7 +665,41 @@ object Pipeline {
        |  UNION ALL SELECT 'split_' || split, CAST(n AS BIGINT) FROM splits
        |) ORDER BY metric""".stripMargin
 
+  private val nShards = 64L
+
+  /** Reproducible-export shard manifest: every document assigned to one
+    * of 64 shards by a pure hash of its id (stable across runs,
+    * partitionings, and backfills — the `text_split_assign`
+    * discipline), each shard reporting docs, bytes, and an
+    * order-independent XOR checksum of per-doc content hashes. The
+    * manifest a 100 TB export ships so the consumer can verify every
+    * shard without re-reading the corpus; XOR (not a concatenated
+    * digest) is what keeps the checksum a commutative partial+final
+    * aggregate — no per-shard ordered fold, no collect.
+    *
+    * Scale shape: one scan + one 64-key agg with map-side combine. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents")
+      .select(
+        pmod(Portable.hash60(concat(lit("shard_"), col("doc_id").cast("string"))),
+          lit(nShards)).as("shard"),
+        col("n_chars"),
+        Portable.hash60(col("text")).as("chash"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        expr("bit_xor(chash)").as("xor_checksum"))
+      .orderBy("shard")
+  }
+
+  val shardManifestSql: String =
+    s"""SELECT ('0x' || substr(md5('shard_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |         % $nShards AS shard,
+       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS xor_checksum
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard_manifest" -> shardManifest,
     "pipeline_dataset_card" -> datasetCard,
     "pipeline_span_corruption" -> spanCorruption,
     "pipeline_fim_split" -> fimSplit,
@@ -679,6 +713,7 @@ object Pipeline {
     "pipeline_leakage_split" -> leakageSplit)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_shard_manifest" -> shardManifestSql,
     "pipeline_dataset_card" -> datasetCardSql,
     "pipeline_span_corruption" -> spanCorruptionSql,
     "pipeline_fim_split" -> fimSplitSql,

@@ -154,4 +154,27 @@ class CurationOpsSpec extends SparkSpec {
       "splits must partition the source set (disjoint by construction of the hash)")
     assert(r.map(_.getAs[Long]("n_docs")).sum === nDocs)
   }
+
+  test("shard manifest: conserves totals and the XOR checksums replay") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val got = Pipeline.shardManifest(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("xor_checksum")))).toMap
+    val docs = graft.operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val want = docs.groupBy(d => h60(s"shard_${d._1}") % 64L).map { case (s, ds) =>
+      s -> ((ds.length.toLong, ds.map(_._2).sum,
+        ds.map(d => h60(d._3)).reduce(_ ^ _)))
+    }
+    assert(got === want)
+    assert(got.values.map(_._1).sum === docs.length.toLong)
+  }
 }

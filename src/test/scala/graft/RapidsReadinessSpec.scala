@@ -29,6 +29,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "join_lateral_topn", "join_salted_skew", "join_semi_anti",
     "layout_compaction_bins", "layout_zorder_stats", "mm_media_meta",
     "pipeline_epoch_shuffle", "pipeline_source_cap",
+    "pipeline_shard_manifest",
     "q10_returned_items", "q11_part_value_share", "q12_priority_shipping",
     "q14_promo_effect", "q16_supplier_variety", "q17_small_qty_revenue",
     "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
