@@ -553,7 +553,35 @@ object Tpch3 {
       |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY nationkey""".stripMargin
 
+  /** Q13 (adapted — no o_comment column; the excluded order class is
+    * the 5-LOW priority tier): customer order-count distribution. The
+    * LEFT OUTER join is the point of the query — customers with zero
+    * qualifying orders must appear in the c_count = 0 bucket, which an
+    * inner join silently drops; `count(o_orderkey)` (null-skipping)
+    * turns the unmatched side into that zero. Two aggregations:
+    * customer-keyed, then the bounded count-of-counts histogram. */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"))
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  val customerDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_customer_distribution" -> customerDistribution,
     "q2_min_supplier" -> minSupplier,
     "q4_order_priority" -> orderPriority,
     "q7_volume_shipping" -> ((s, d) => volumeShipping(s, d)),
@@ -570,6 +598,7 @@ object Tpch3 {
     "q22_idle_customers" -> idleCustomers)
 
   val oracles: Map[String, String] = Map(
+    "q13_customer_distribution" -> customerDistributionSql,
     "q2_min_supplier" -> minSupplierSql,
     "q4_order_priority" -> orderPrioritySql,
     "q7_volume_shipping" -> volumeShippingSql(),

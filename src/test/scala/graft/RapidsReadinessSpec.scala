@@ -31,6 +31,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_epoch_shuffle", "pipeline_source_cap",
     "pipeline_shard_manifest",
     "q10_returned_items", "q11_part_value_share", "q12_priority_shipping",
+    "q13_customer_distribution",
     "q14_promo_effect", "q16_supplier_variety", "q17_small_qty_revenue",
     "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
     "q20_volume_suppliers", "q22_idle_customers", "q2_min_supplier",

@@ -87,4 +87,26 @@ class TpchSpec extends SparkSpec {
     assert(total <= all - withRecent,
       s"idle customers ($total) exceed dormant customers (${all - withRecent})")
   }
+
+  test("q13 keeps zero-order customers and the histogram conserves the customer set") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val out = graft.operators.Tpch3.customerDistribution(spark, dir).collect()
+      .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist")))
+    val t = graft.operators.Tables.t _
+    val nCust = t(spark, dir, "customer").count()
+    // the histogram partitions ALL customers — the left join's whole point
+    assert(out.map(_._2).sum === nCust)
+    // zero-bucket equals customers with no qualifying (non-5-LOW) order
+    val withQual = t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(out.toMap.getOrElse(0L, 0L) === nCust - withQual)
+    // ordering: custdist descending, c_count descending on ties
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 > b._1))
+      case _ =>
+    }
+  }
 }
