@@ -83,6 +83,21 @@ object Streaming {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** CDC fold: events as change records (key = user_id % keyMod,
+    * tombstone on event_type = 'error') reduced to the last-writer-wins
+    * state per key via max(struct(ts, event_id, …)) — (ts, event_id) is
+    * a unique total order, so the lexicographic struct max is the
+    * newest record under ANY micro-batch arrival order. Works on batch
+    * frames identically (the StreamingSpec parity assertion). */
+  def cdcSnapshot(events: DataFrame, keyMod: Long = 500L): DataFrame =
+    events
+      .select(expr(s"user_id % $keyMod").as("k"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", 0L).otherwise(1L).as("alive"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("k")
+      .agg(max(struct(col("ts"), col("event_id"), col("alive"), col("cents")))
+        .as("last"))
+
   final case class EventIn(event_id: Long, ts: Long, user_id: Long,
                            event_type: String, value: Double)
   final case class SessionOut(user_id: Long, session_start_ns: Long,

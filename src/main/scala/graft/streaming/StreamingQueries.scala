@@ -473,7 +473,47 @@ object StreamingQueries {
       |WHERE (a.window_start + 3600) * 1000 <= wmf.ms
       |ORDER BY a.window_start, a.event_type""".stripMargin
 
+  /** Streaming CDC apply (the Debezium-consumer shape): the event
+    * stream read as change records — entity key = user_id % 500,
+    * tombstone when event_type = 'error', otherwise an upsert carrying
+    * the value in cents — folded to the LAST-WRITER-WINS snapshot by a
+    * streaming complete-mode aggregation of max(struct(ts, event_id,
+    * …)): (ts, event_id) is a unique total order, so the lexicographic
+    * struct max IS the newest record, arriving in any micro-batch
+    * order. Tombstoned keys are absent from the snapshot. The
+    * streaming twin of the batch `s5_upsert_union`/`s13_update_merge`
+    * LWW family.
+    *
+    * Scale shape: state is one struct per entity key (bounded by key
+    * cardinality, the CDC invariant), merged commutatively — no
+    * per-batch shuffle growth, no ordered replay requirement. */
+  def streamCdcApply(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val name = unique("stream_cdc")
+    val snap = Streaming.cdcSnapshot(Streaming.readEventsStream(spark, dir))
+    Streaming.runToMemory(spark, snap, name, outputMode = "complete")
+    spark.table(name)
+      .filter(col("last.alive") === 1L)
+      .select(col("k"), col("last.ts").as("last_ts"),
+        col("last.cents").as("last_cents"))
+      .orderBy("k")
+  }
+
+  val streamCdcApplySql: String =
+    """WITH cdc AS (
+      |  SELECT user_id % 500 AS k, epoch_ns(ts) AS ts, event_id,
+      |         CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS alive,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY user_id % 500
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT k, ts AS last_ts, cents AS last_cents
+      |FROM cdc WHERE rn = 1 AND alive = 1
+      |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_apply" -> streamCdcApply,
     "stream_rate_limited" -> streamRateLimited,
     "stream_late_data" -> streamLateData,
     "stream_tumbling_agg" -> streamTumblingAgg,
@@ -486,6 +526,7 @@ object StreamingQueries {
     "stream_static_join" -> streamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    "stream_cdc_apply" -> streamCdcApplySql,
     "stream_rate_limited" -> streamRateLimitedSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_outer_join" -> streamOuterJoinSql,

@@ -130,6 +130,42 @@ class StreamingSpec extends SparkSpec {
     assert(latest(2L) === Streaming.UserRunningOut(2L, 2L, 1L, 7.0))
   }
 
+  test("cdc apply: last-writer-wins with tombstones, invariant to batch arrival order") {
+    import StreamingSpec.Ev
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ms = MemoryStream[Ev]
+    // key 1 (= user 1): upsert v=10 @t1, delete @t2, upsert v=20 @t3 —
+    // delivered OUT of timestamp order across batches
+    // key 2 (= user 2): upsert v=5 @t1, delete @t9 → tombstoned
+    ms.addData(Seq(
+      Ev(30L, 3000L, 1L, "purchase", 20.0, "{}"),
+      Ev(90L, 9000L, 2L, "error", 0.0, "{}")))
+    ms.addData(Seq(
+      Ev(10L, 1000L, 1L, "view", 10.0, "{}"),
+      Ev(20L, 2000L, 1L, "error", 0.0, "{}"),
+      Ev(11L, 1000L, 2L, "purchase", 5.0, "{}")))
+    Streaming.runToMemory(spark,
+      Streaming.cdcSnapshot(ms.toDF(), keyMod = 500L),
+      "cdc_out", outputMode = "complete")
+    val snap = spark.table("cdc_out")
+      .select(col("k"), col("last.alive").as("alive"), col("last.cents").as("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(snap(1L) === ((1L, 2000L)))   // newest = t3 upsert, 20.00
+    assert(snap(2L) === ((0L, 0L)))      // newest = tombstone
+    // and the streamed fold equals the batch fold of the same rows
+    val batch = Streaming.cdcSnapshot(Seq(
+      Ev(30L, 3000L, 1L, "purchase", 20.0, "{}"),
+      Ev(90L, 9000L, 2L, "error", 0.0, "{}"),
+      Ev(10L, 1000L, 1L, "view", 10.0, "{}"),
+      Ev(20L, 2000L, 1L, "error", 0.0, "{}"),
+      Ev(11L, 1000L, 2L, "purchase", 5.0, "{}")).toDF(), keyMod = 500L)
+      .select(col("k"), col("last.alive"), col("last.cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch === snap)
+  }
+
   test("file-based events stream processes the real table incrementally") {
     val stream = Streaming.readEventsStream(spark, sf("sf0.001"))
     assert(stream.isStreaming)
