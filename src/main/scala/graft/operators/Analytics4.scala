@@ -7,15 +7,21 @@ import org.apache.spark.sql.types.DecimalType
 import graft.operators.Tables.t
 import graft.Cache.CacheOps
 
-/** Fourth analytics batch: the 2-D skyline (Pareto front) operator and
-  * per-node local clustering coefficients on the co-purchase graph.
+/** Fourth analytics batch: the 2-D skyline (Pareto front), graph
+  * centralities (local clustering coefficient, HITS, landmark
+  * closeness), the experimentation suite (CUPED, SRM, power/MDE,
+  * one-way ANOVA), operational reports (multi-window SLO burn rate,
+  * week-over-week movement, partition-skew audit), path mining, and
+  * incremental aggregate maintenance.
   *
   * Reference context: the reference engine (/root/reference/src/) has no
   * analytics surface; these are SURVEY §2.4 harness-capability queries.
   * Exactness discipline as everywhere on the board: prices quantize to
   * integer cents up front, every aggregate is an order-independent
   * integer sum/min/max/count, ratios are integer `DIV` at a documented
-  * scale, and output orders are total (value, then id).
+  * scale, moments widen to DECIMAL(38,0) with doubles only in one
+  * identical IEEE expression per column, and output orders are total
+  * (value, then id).
   */
 object Analytics4 {
 
