@@ -37,6 +37,7 @@ object SparkEntry {
     (text.Bpe.queries, text.Bpe.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
     (text.Pipeline.queries, text.Pipeline.oracles),
+    (text.UrlCuration.queries, text.UrlCuration.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Similarity.queries, sim.Similarity.oracles),
     (sim.Clustering.queries, sim.Clustering.oracles),

@@ -51,7 +51,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "sub_correlated_scalar", "sub_exists", "sub_in_semijoin",
     "t10_op_chain_seq", "t2_batch_lookup_join", "t5_reserve_min_agg",
     "t6_hazard_flags", "t7_install_merge",
-    "text_pii_redact", "text_split_assign", "ts_asof_join",
+    "text_pii_redact", "text_split_assign",
+    "url_parse_domains", "url_domain_stats", "url_exact_dedup",
+    "url_domain_blocklist", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
     "ts_cusum_changepoints", "ts_lag_autocorr",
     "ts_seasonal_profile", "ts_seasonal_anomaly", "ts_ohlc_bars",
@@ -213,6 +215,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_trigram_stats" -> Set("higher-order-function"),
     "text_repetition_stats" -> Set("higher-order-function"),
     "window_active_users" -> Set("rdd-segment"),
+    // the cap's priority frame is .staged (ranking + totals consumers);
+    // everything in it is string/hash builtins, clean under persist
+    "url_domain_cap" -> Set("rdd-segment"),
     "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function", "rdd-segment"))
 
