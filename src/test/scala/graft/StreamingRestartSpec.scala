@@ -131,4 +131,77 @@ class StreamingRestartSpec extends SparkSpec {
     } finally savedProvider.fold(spark.conf.unset(providerKey))(
       spark.conf.set(providerKey, _))
   }
+
+  test("CDC apply restarted from checkpoint equals the uninterrupted fold") {
+    import spark.implicits._
+    // The recovery leg of stream_cdc_apply's arrival-order-invariance
+    // claim: the LWW fold (max over the (ts, event_id) total order) must
+    // come out IDENTICAL when the stream is killed mid-history and
+    // restarted from its checkpoint — leg-1 state must carry over (not
+    // reset), leg-1 input must not replay, and a leg-2 record OLDER than
+    // the held state must lose exactly as it would have in one run.
+    val base = Files.createTempDirectory("graft_cdc_restart").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(srcDir))
+    def writeBatch(name: String, rows: Seq[Streaming.EventIn]): Unit = {
+      val stage = s"$base/stage_$name"
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(srcDir, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def snapshotOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.filter(col("last.alive") === 1L)
+        .select(col("k"), col("last.ts"), col("last.cents")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // complete-mode foreachBatch: every micro-batch emits the full
+    // snapshot; the last one wins (memory sinks refuse recovery)
+    def runLeg(): Map[Long, (Long, Long)] = {
+      val buf = scala.collection.mutable.Map[Long, (Long, Long)]()
+      val events = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Streaming.EventIn].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      val q = Streaming.cdcSnapshot(events).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val snap = snapshotOf(df)
+          buf.synchronized { buf.clear(); buf ++= snap }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.toMap
+    }
+    val b1 = Seq(
+      Streaming.EventIn(1L, 1000L, 1L, "view", 10.0),
+      Streaming.EventIn(2L, 2000L, 1L, "view", 20.0), // k1 newest in leg 1
+      Streaming.EventIn(3L, 500L, 2L, "view", 5.0),
+      Streaming.EventIn(4L, 500L, 3L, "error", 0.0)) // k3 tombstoned
+    writeBatch("b1.parquet", b1)
+    val leg1 = runLeg()
+    assert(leg1 === Map(1L -> (2000L, 2000L), 2L -> (500L, 500L)),
+      s"leg 1 snapshot wrong: $leg1")
+
+    // kill + restart from the SAME checkpoint with out-of-order arrivals
+    val b2 = Seq(
+      Streaming.EventIn(5L, 1500L, 1L, "view", 99.0), // OLDER than held k1 state
+      Streaming.EventIn(6L, 3000L, 2L, "error", 0.0), // tombstones k2
+      Streaming.EventIn(7L, 100L, 4L, "view", 7.0)) // new key
+    writeBatch("b2.parquet", b2)
+    val leg2 = runLeg()
+    assert(leg2.get(1L) === Some((2000L, 2000L)),
+      "k1 must keep leg-1's newer record — held state lost or leg 1 replayed")
+    assert(!leg2.contains(2L), "k2's leg-2 tombstone must apply")
+    assert(leg2.get(4L) === Some((100L, 700L)))
+
+    // the uninterrupted-run oracle: one batch fold over ALL records
+    val uninterrupted = snapshotOf(Streaming.cdcSnapshot((b1 ++ b2).toDF()))
+    assert(leg2 === uninterrupted,
+      s"recovery diverged from the uninterrupted fold: $leg2 vs $uninterrupted")
+  }
 }
