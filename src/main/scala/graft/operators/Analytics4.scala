@@ -944,7 +944,151 @@ object Analytics4 {
        |GROUP BY 1 ORDER BY suppkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Landmark betweenness centrality (Brandes on the fixed panel)
+  // ---------------------------------------------------------------------
+
+  private val betweennessRounds = 4
+
+  /** Landmark betweenness centrality — Brandes' dependency accumulation
+    * (Brandes 2001) restricted to the same fixed 8-landmark panel as
+    * [[closeness]]: the top-20 nodes by how much shortest-path "flow"
+    * from the landmarks passes THROUGH them, the bridge/broker signal
+    * closeness and degree both miss. Exact all-pairs betweenness is
+    * V·E work (off the table at scale); the landmark restriction is the
+    * standard estimator (Brandes–Pich 2007) and reuses the frontier-only
+    * BFS machinery.
+    *
+    * Forward pass: the [[closeness]] delta-BFS carrying σ (shortest-path
+    * counts) alongside dist — a node reached first in round r gets
+    * σ = Σ σ(frontier predecessors), summed in the same per-round
+    * (lm, node) aggregate, so the whole forward cost is still k·2E.
+    * Backward pass: per depth r (descending), each node v at depth r
+    * accumulates over its DAG successors w at depth r+1
+    * `δ(v) = Σ (σ(v)·(1000 + δ(w))) DIV σ(w)` — Brandes' recurrence in
+    * milli-scaled INTEGER arithmetic (both engines floor-divide
+    * identically; doubles would hash-diverge under reordered sums).
+    * Each backward round is one equi-join of two adjacent depth levels
+    * with the edge list + a (lm, node) agg — k·2E again, K rounds total.
+    * σ ≤ maxdeg^K fits BIGINT comfortably at K = 4; a deeper panel
+    * would switch δ to log-space.
+    *
+    * bc(v) = Σ_landmarks δ(v), landmarks themselves excluded (depth-0
+    * never enters a backward round) — reported per node with how many
+    * landmarks route through it.
+    */
+  def betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sim.GraphOps.edges(spark, dir).staged
+    val landmarks = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 1)
+      .orderBy("node").limit(closenessLandmarks)
+      .select(col("node").as("lm"))
+    val d0 = landmarks.select(col("lm"), col("lm").as("node"),
+      lit(0L).as("dist"), lit(1L).as("sigma")).staged
+    var settled = Seq(d0)
+    var frontier = d0
+    for (r <- 1 to betweennessRounds) {
+      val prop = e.join(frontier, e("src") === frontier("node"))
+        .select(col("lm"), col("dst").as("node"), col("sigma"))
+        .groupBy("lm", "node").agg(sum("sigma").as("sigma"))
+      val fresh = prop
+        .join(settled.reduce(_ unionAll _), Seq("lm", "node"), "left_anti")
+        .select(col("lm"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
+        .staged
+      settled :+= fresh
+      frontier = fresh
+    }
+    val sAll = settled.reduce(_ unionAll _).staged // 2K level reads below
+    def level(r: Int) = sAll.filter(col("dist") === r.toLong)
+    var deltas = Seq.empty[DataFrame]
+    var deltaNext: Option[DataFrame] = None
+    for (r <- (betweennessRounds - 1) to 1 by -1) {
+      val w0 = level(r + 1).select(col("lm").as("wlm"),
+        col("node").as("wnode"), col("sigma").as("wsigma"))
+      val w = deltaNext match {
+        case Some(dn) => w0.join(dn.select(col("lm").as("wlm"),
+            col("node").as("wnode"), col("delta").as("wdelta")),
+            Seq("wlm", "wnode"), "left")
+          .select(col("wlm"), col("wnode"), col("wsigma"),
+            coalesce(col("wdelta"), lit(0L)).as("wdelta"))
+        case None => w0.withColumn("wdelta", lit(0L))
+      }
+      val v = level(r).select(col("lm").as("vlm"),
+        col("node").as("vnode"), col("sigma").as("vsigma"))
+      // renamed edge columns: under persist mode the staged frames keep
+      // lineage, so e("dst") would be ambiguous against w's ancestry
+      val eb = e.select(col("src").as("esrc"), col("dst").as("edst"))
+      val dr = v.join(eb, col("esrc") === col("vnode"))
+        .join(w, col("wlm") === col("vlm") && col("wnode") === col("edst"))
+        .select(col("vlm").as("lm"), col("vnode").as("node"),
+          expr("(vsigma * (1000 + wdelta)) DIV wsigma").as("term"))
+        .groupBy("lm", "node").agg(sum("term").as("delta"))
+        .staged // next round's w-join + the final union
+      deltas :+= dr
+      deltaNext = Some(dr)
+    }
+    deltas.reduce(_ unionAll _)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_landmarks"), sum("delta").as("bc_milli"))
+      .filter(col("bc_milli") > 0L)
+      .orderBy(desc("bc_milli"), col("node"))
+      .limit(20)
+      .select(col("node"), col("n_landmarks"), col("bc_milli"))
+  }
+
+  def betweennessSql: String = {
+    val fwd = (1 to betweennessRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT d.lm, e.dst AS node, CAST(sum(d.sigma) AS BIGINT) AS sigma
+         |  FROM edges e JOIN s${r - 1} d ON e.src = d.node AND d.dist = ${r - 1}
+         |  GROUP BY 1, 2
+         |), s$r AS (
+         |  SELECT * FROM s${r - 1}
+         |  UNION ALL
+         |  SELECT p.lm, p.node, CAST($r AS BIGINT) AS dist, p.sigma FROM p$r p
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s
+         |                    WHERE s.lm = p.lm AND s.node = p.node)
+         |)"""
+    }.mkString(",\n")
+    val sK = s"s$betweennessRounds"
+    val bwd = ((betweennessRounds - 1) to 1 by -1).map { r =>
+      val wSrc =
+        if (r == betweennessRounds - 1)
+          s"SELECT lm, node, sigma, CAST(0 AS BIGINT) AS delta FROM $sK WHERE dist = ${r + 1}"
+        else
+          s"""SELECT s.lm, s.node, s.sigma, coalesce(d.delta, 0) AS delta
+             |  FROM $sK s LEFT JOIN d${r + 1} d ON d.lm = s.lm AND d.node = s.node
+             |  WHERE s.dist = ${r + 1}""".stripMargin
+      s"""w$r AS (
+         |  $wSrc
+         |), d$r AS (
+         |  SELECT v.lm, v.node,
+         |         CAST(sum((v.sigma * (1000 + w.delta)) // w.sigma) AS BIGINT) AS delta
+         |  FROM $sK v JOIN edges e ON e.src = v.node
+         |  JOIN w$r w ON w.lm = v.lm AND w.node = e.dst
+         |  WHERE v.dist = $r GROUP BY 1, 2
+         |)"""
+    }.mkString(",\n")
+    val unionDeltas = ((betweennessRounds - 1) to 1 by -1)
+      .map(r => s"SELECT * FROM d$r").mkString(" UNION ALL ")
+    s"""WITH ${graft.sim.GraphOps.edgesSql},
+       |lms AS (
+       |  SELECT DISTINCT src AS lm FROM edges WHERE src % 2 = 1
+       |  ORDER BY lm LIMIT $closenessLandmarks
+       |), s0 AS (
+       |  SELECT lm, lm AS node, CAST(0 AS BIGINT) AS dist,
+       |         CAST(1 AS BIGINT) AS sigma FROM lms
+       |),
+       |$fwd,
+       |$bwd
+       |SELECT node, count(*) AS n_landmarks, CAST(sum(delta) AS BIGINT) AS bc_milli
+       |FROM ($unionDeltas)
+       |GROUP BY node HAVING CAST(sum(delta) AS BIGINT) > 0
+       |ORDER BY bc_milli DESC, node LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_betweenness" -> ((s, d) => betweenness(s, d)),
     "window_pareto_front" -> ((s, d) => paretoFront(s, d)),
     "graph_clustering_coeff" -> ((s, d) => clusteringCoeff(s, d)),
     "graph_hits" -> ((s, d) => hits(s, d)),
@@ -960,6 +1104,7 @@ object Analytics4 {
     "ts_period_over_period" -> ((s, d) => periodOverPeriod(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "graph_betweenness" -> betweennessSql,
     "window_pareto_front" -> paretoFrontSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_hits" -> hitsSql,

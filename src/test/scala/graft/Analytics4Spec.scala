@@ -206,6 +206,51 @@ class Analytics4Spec extends SparkSpec {
     assert(got.length === 8)
   }
 
+  test("betweenness: replays from plain-Scala fixed-point Brandes on the panel") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.betweenness(spark, dir).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_landmarks"),
+        r.getAs[Long]("bc_milli")))
+    val pairs = Tables.t(spark, dir, "lineitem")
+      .select((col("l_partkey") * 2).cast("long"),
+        (col("l_suppkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val lms = adj.keySet.filter(_ % 2 == 1).toSeq.sorted.take(8)
+    val acc = scala.collection.mutable.Map[Long, (Long, Long)]() // node -> (lms, Σδ)
+    for (lm <- lms) {
+      // forward BFS carrying shortest-path counts
+      var dist = Map(lm -> 0L)
+      val sigma = scala.collection.mutable.Map(lm -> 1L)
+      var frontier = Seq(lm)
+      for (d <- 1L to 4L) {
+        val reached = scala.collection.mutable.Map[Long, Long]()
+        for (u <- frontier; v <- adj(u) if !dist.contains(v))
+          reached(v) = reached.getOrElse(v, 0L) + sigma(u)
+        dist ++= reached.keys.map(_ -> d)
+        reached.foreach { case (v, s) => sigma(v) = s }
+        frontier = reached.keys.toSeq
+      }
+      // backward dependency accumulation, fixed-point Brandes rule
+      val delta = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      val rows = scala.collection.mutable.Map[Long, Long]() // nodes that got a δ row
+      for (r <- 3L to 1L by -1L) {
+        val dr = scala.collection.mutable.Map[Long, Long]()
+        for ((v, dv) <- dist if dv == r; w <- adj(v) if dist.get(w).contains(r + 1L))
+          dr(v) = dr.getOrElse(v, 0L) + (sigma(v) * (1000L + delta(w))) / sigma(w)
+        dr.foreach { case (v, x) => delta(v) = x; rows(v) = x }
+      }
+      rows.foreach { case (n, x) =>
+        val (c, s) = acc.getOrElse(n, (0L, 0L)); acc(n) = (c + 1L, s + x)
+      }
+    }
+    val want = acc.toSeq.collect { case (n, (c, s)) if s > 0 => (n, c, s) }
+      .sortBy(x => (-x._3, x._1)).take(20)
+    assert(got.toSeq === want)
+    assert(got.nonEmpty)
+  }
+
   test("power/MDE: sizing identity holds and zero-imputation covers the grid") {
     val dir = sf("sf0.001")
     val rows = Analytics4.powerMde(spark, dir).collect()

@@ -115,6 +115,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_clustering_coeff" -> Set("rdd-segment"),
     "graph_hits" -> Set("rdd-segment"),
     "graph_closeness" -> Set("rdd-segment"),
+    "graph_betweenness" -> Set("rdd-segment"),
     "graph_random_walk" -> Set("rdd-segment"),
     "stat_cuped" -> Set("rdd-segment"),
     "ts_slo_burn" -> Set("rdd-segment"),
