@@ -45,9 +45,20 @@ object Cache {
       s"$ConfKey=$other; expected checkpoint|persist")
   }
 
+  /** Iterative-drain per-round lineage cut — ALWAYS `localCheckpoint`,
+    * in BOTH modes (the scaladoc's iterative-drain rule): a per-round
+    * frame reassigned in a driver loop nests every prior round's plan,
+    * so under `persist` analysis cost grows with the round count (and
+    * quadratically where a round self-joins, e.g. label doubling) —
+    * measured 16× on the anisotropy report, 5–6× on k-core / doubling
+    * CC before these call sites switched from `.staged` to `.cutRound`.
+    * Identical to `.staged` under the default `checkpoint` mode. */
+  def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
   /** Postfix form so call sites chain like the builder API they sit in:
     * `df.select(...).staged`. */
   implicit final class CacheOps(private val df: DataFrame) extends AnyVal {
     def staged: DataFrame = stage(df)
+    def cutRound: DataFrame = cut(df)
   }
 }

@@ -994,11 +994,11 @@ object Analytics4 {
       val fresh = prop
         .join(settled.reduce(_ unionAll _), Seq("lm", "node"), "left_anti")
         .select(col("lm"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
-        .staged
+        .cutRound // per-round drain cut (Cache scaladoc)
       settled :+= fresh
       frontier = fresh
     }
-    val sAll = settled.reduce(_ unionAll _).staged // 2K level reads below
+    val sAll = settled.reduce(_ unionAll _).cutRound // 2K level reads below
     def level(r: Int) = sAll.filter(col("dist") === r.toLong)
     var deltas = Seq.empty[DataFrame]
     var deltaNext: Option[DataFrame] = None
@@ -1023,7 +1023,7 @@ object Analytics4 {
         .select(col("vlm").as("lm"), col("vnode").as("node"),
           expr("(vsigma * (1000 + wdelta)) DIV wsigma").as("term"))
         .groupBy("lm", "node").agg(sum("term").as("delta"))
-        .staged // next round's w-join + the final union
+        .cutRound // next round's w-join + the final union; drain cut
       deltas :+= dr
       deltaNext = Some(dr)
     }

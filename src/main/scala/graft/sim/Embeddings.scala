@@ -334,7 +334,11 @@ object GraphOps {
     * round cost is monotonically decreasing at any scale. */
   def kcore(spark: SparkSession, dir: String, k: Int = 4, rounds: Int = 4): DataFrame = {
     var e = edges(spark, dir).staged
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
+      // drain cut at the top of each round (Cache scaladoc): plans nest
+      // otherwise; cutting the PREVIOUS round keeps the last round's
+      // semi-join shape visible in the final plan (PlanShapeSpec)
+      if (r > 1) e = e.cutRound
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
       // the edge list is symmetric, so one degree table serves both
@@ -503,6 +507,7 @@ object GraphOps {
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.select("node", "dist").unionAll(prop)
         .groupBy("node").agg(min("dist").as("dist"))
+        .cutRound // per-round drain cut
     }
     nodes.join(dist, Seq("node"), "left")
       .select(coalesce(col("dist"), lit(-1L)).as("dist"))
@@ -558,6 +563,7 @@ object GraphOps {
         .select(col("dst").as("node"), col("label"))
       labels = labels.select("node", "label").unionAll(prop)
         .groupBy("node").agg(min("label").as("label"))
+        .cutRound // per-round drain cut
     }
     labels.groupBy("label").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_components"))
@@ -610,6 +616,7 @@ object GraphOps {
         .join(merged.select(col("node").as("ln"), col("label").as("l2")).alias("j"),
           col("m.label") === col("j.ln"))
         .select(col("m.node").as("node"), col("j.l2").as("label"))
+        .cutRound // per-round drain cut — the label self-join SQUARES the tree
     }
     labels.groupBy("label").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_components"))

@@ -89,6 +89,7 @@ object Pca {
       v = w.crossJoin(broadcast(mw))
         .select(col("i").as("d"),
           (expr(s"((CAST(w AS DECIMAL(38,0)) + mw) * $S) DIV mw") - S).as("v"))
+        .cutRound // per-round drain cut (Cache scaladoc): plans nest otherwise
     }
     v
   }

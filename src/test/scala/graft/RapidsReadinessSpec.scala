@@ -259,6 +259,13 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
+    // graph drains: per-round Cache.cut lineage cuts (round 12 —
+    // measured 3-16x persist-mode inflation from nested round plans)
+    "graph_betweenness" -> Set("rdd-segment"),
+    "graph_bfs_layers" -> Set("rdd-segment"),
+    "graph_concomp" -> Set("rdd-segment"),
+    "graph_concomp_doubling" -> Set("rdd-segment"),
+    "graph_kcore" -> Set("rdd-segment"),
     "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
     "pipeline_span_corruption" -> Set("higher-order-function"),
@@ -302,9 +309,12 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_opq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_opq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function"),
-    "sim_pca_power" -> Set("higher-order-function"),
-    "sim_pca_explained" -> Set("higher-order-function"),
-    "sim_anisotropy_report" -> Set("higher-order-function"),
+    // the power-iteration loop's per-round cuts are mode-independent
+    // drain cuts (Cache.cut) since round 12; pca_power's output derives
+    // wholly from the cut iterate, so the upstream HOF is behind it
+    "sim_pca_power" -> Set("rdd-segment"),
+    "sim_pca_explained" -> Set("higher-order-function", "rdd-segment"),
+    "sim_anisotropy_report" -> Set("higher-order-function", "rdd-segment"),
     "sim_random_projection" -> Set("higher-order-function"),
     "stat_spearman" -> Set("higher-order-function"),
     "stat_ols_fit" -> Set("higher-order-function"),
@@ -400,7 +410,13 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_opq_topk", "sim_opq_recall",
         "sim_ivfbq_topk", "sim_ivfbq_recall",
         "sim_ivf_probe_curve",
-        "sim_semdedup", "text_bpe_counts"))
+        "sim_semdedup", "text_bpe_counts",
+        // round-12 drain cuts: the graph/PCA round loops now cut
+        // per round in both modes (Cache.cut scaladoc; 3-16x
+        // persist-mode inflation measured before the cuts)
+        "graph_betweenness", "graph_bfs_layers", "graph_concomp",
+        "graph_concomp_doubling", "graph_kcore",
+        "sim_pca_power", "sim_pca_explained", "sim_anisotropy_report"))
     } finally p.sharedState.cacheManager.clearCache()
   }
 
