@@ -25,6 +25,7 @@ object SparkEntry {
     (operators.Analytics3.queries, operators.Analytics3.oracles),
     (operators.Behavior.queries, operators.Behavior.oracles),
     (operators.Analytics4.queries, operators.Analytics4.oracles),
+    (operators.Analytics5.queries, operators.Analytics5.oracles),
     (operators.TpchMore.queries, operators.TpchMore.oracles),
     (operators.Tpch3.queries, operators.Tpch3.oracles),
     (operators.Temporal.queries, operators.Temporal.oracles),

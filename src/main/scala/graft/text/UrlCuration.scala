@@ -254,17 +254,159 @@ object UrlCuration {
        |FROM pd GROUP BY 1 ORDER BY verdict""".stripMargin
   }
 
+  // ---- canonicalization dedup (noisy variants of the same page) -------
+
+  /** The clean url decorated with deterministic crawl noise — the forms
+    * a real frontier emits for the SAME page: tracking query params,
+    * fragments, uppercase hosts, explicit default ports, trailing
+    * slashes. One variant per doc, keyed on doc_id, so the canonical
+    * form of every noisy url is EXACTLY the clean url the fixture
+    * derived — [[canonicalDedup]]'s collapse is therefore checkable.
+    * Engine-mirrored like [[withUrls]]: the noise is fixture, the
+    * canonicalizer is the operator. */
+  private[graft] def withNoisyUrls(spark: SparkSession, dir: String): DataFrame = {
+    val p = parseUrls(spark, dir)
+    val v = pmod(h("unoise_", col("doc_id")), lit(6L))
+    val port = when(col("scheme") === "https", ":443").otherwise(":80")
+    val path = expr("substring(url, length(scheme) + length(host) + 4)")
+    val noisy = when(v === 0L, col("url"))
+      .when(v === 1L, concat(col("url"), lit("?utm_source=feed&utm_medium=rss")))
+      .when(v === 2L, concat(col("url"), lit("#sec-"),
+        substring(md5(concat(lit("ufrag_"), col("doc_id"))), 1, 4)))
+      .when(v === 3L, concat(col("scheme"), lit("://"), upper(col("host")), port, path))
+      .when(v === 4L, concat(col("url"), lit("/")))
+      .otherwise(concat(col("url"), lit("/?utm_campaign=c")))
+    p.select(col("doc_id"), col("n_chars"), noisy.as("raw_url"))
+  }
+
+  private val noisySqlCte: String =
+    s"""noisy AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE ${hSql("unoise_", "CAST(doc_id AS VARCHAR)")} % 6
+       |      WHEN 0 THEN url
+       |      WHEN 1 THEN url || '?utm_source=feed&utm_medium=rss'
+       |      WHEN 2 THEN url || '#sec-' || substr(md5('ufrag_' || CAST(doc_id AS VARCHAR)), 1, 4)
+       |      WHEN 3 THEN scheme || '://' || upper(host) ||
+       |                  (CASE WHEN scheme = 'https' THEN ':443' ELSE ':80' END) ||
+       |                  substr(url, length(scheme) + length(host) + 4)
+       |      WHEN 4 THEN url || '/'
+       |      ELSE url || '/?utm_campaign=c' END AS raw_url
+       |  FROM pd )""".stripMargin
+
+  /** URL canonicalization + dedup at canonical granularity: strip the
+    * fragment, strip `utm_*` tracking params (plus any dangling `?`/`&`),
+    * lowercase the host, drop the scheme's default port, drop trailing
+    * slashes, then re-derive the registered domain from the CANONICAL
+    * host and report raw-vs-canonical distinct counts per domain. The
+    * whole canonicalizer is codegen'd string ops in the scan's map
+    * stage; the dedup is the same two-level hash agg as
+    * [[urlExactDedup]] — at 100 TB this replaces the exact-url pass,
+    * catching the ~5/6 of crawl urls that differ only in noise. */
+  def canonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val canon = withNoisyUrls(spark, dir)
+      .withColumn("u1", regexp_replace(col("raw_url"), "#.*$", ""))
+      .withColumn("u2", regexp_replace(regexp_replace(
+        col("u1"), "utm_[a-z]+=[^&#]*&?", ""), "[?&]+$", ""))
+      .withColumn("scheme", regexp_extract(col("u2"), "^([a-z]+)://", 1))
+      .withColumn("hostport", regexp_extract(col("u2"), "://([^/?#]+)", 1))
+      .withColumn("chost",
+        when(col("scheme") === "https", regexp_replace(lower(col("hostport")), ":443$", ""))
+          .otherwise(regexp_replace(lower(col("hostport")), ":80$", "")))
+      .withColumn("canon_url", regexp_replace(
+        concat(col("scheme"), lit("://"), col("chost"),
+          expr("substring(u2, length(scheme) + length(hostport) + 4)")),
+        "/+$", ""))
+      .withColumn("registered_domain",
+        when(col("chost").endsWith(".co.uk"),
+          regexp_extract(col("chost"), "([^.]+\\.co\\.uk)$", 1))
+          .otherwise(regexp_extract(col("chost"), "([^.]+\\.[^.]+)$", 1)))
+    canon.groupBy("registered_domain", "canon_url")
+      .agg(count(lit(1)).as("n_in_url"), countDistinct(col("raw_url")).as("n_raw"))
+      .groupBy("registered_domain")
+      .agg(sum("n_in_url").as("n_docs"),
+        sum("n_raw").as("n_raw_urls"),
+        count(lit(1)).as("n_canon_urls"),
+        (sum("n_raw") - count(lit(1))).as("n_noise_collapsed"))
+      .orderBy("registered_domain")
+  }
+
+  val canonicalDedupSql: String =
+    s"""WITH $urlSqlCte,
+       |$noisySqlCte,
+       |c1 AS (SELECT doc_id, raw_url,
+       |         regexp_replace(regexp_replace(regexp_replace(raw_url, '#.*$$', ''),
+       |           'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$$', '') AS u2
+       |       FROM noisy),
+       |c2 AS (SELECT doc_id, raw_url, u2,
+       |         regexp_extract(u2, '^([a-z]+)://', 1) AS scheme,
+       |         regexp_extract(u2, '://([^/?#]+)', 1) AS hostport
+       |       FROM c1),
+       |c3 AS (SELECT *, CASE WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$$', '')
+       |                      ELSE regexp_replace(lower(hostport), ':80$$', '') END AS chost
+       |       FROM c2),
+       |c4 AS (SELECT doc_id, raw_url,
+       |         regexp_replace(scheme || '://' || chost ||
+       |           substr(u2, length(scheme) + length(hostport) + 4), '/+$$', '') AS canon_url,
+       |         CASE WHEN chost LIKE '%.co.uk' THEN regexp_extract(chost, '([^.]+\\.co\\.uk)$$', 1)
+       |              ELSE regexp_extract(chost, '([^.]+\\.[^.]+)$$', 1) END AS registered_domain
+       |       FROM c3),
+       |per_url AS (SELECT registered_domain, canon_url, count(*) AS n_in_url,
+       |                   count(DISTINCT raw_url) AS n_raw
+       |            FROM c4 GROUP BY 1, 2)
+       |SELECT registered_domain, CAST(sum(n_in_url) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_raw) AS BIGINT) AS n_raw_urls, count(*) AS n_canon_urls,
+       |       CAST(sum(n_raw) - count(*) AS BIGINT) AS n_noise_collapsed
+       |FROM per_url GROUP BY 1 ORDER BY registered_domain""".stripMargin
+
+  // ---- per-domain language mix (boilerplate/spam-farm signal) ---------
+
+  /** Per-domain language mix: count per (domain, lang), then language
+    * entropy per domain — a domain serving many languages at similar
+    * mass is usually machine-generated boilerplate; a curation team
+    * reads this next to [[domainStats]] before setting caps. Surprisal
+    * quantized to whole bits via the repo's integer-log2 trick
+    * (`length(bin((n·2²⁰) DIV k)) − 1`, cf. text_char_entropy), so the
+    * output is exact BIGINT in both engines; h_mbits ≈ 1000·(H + 20).
+    * Shape: one (domain, lang) hash agg (~domains × ~200 langs), a
+    * domain-window over that tiny frame, one domain agg. */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = parseUrls(spark, dir)
+      .groupBy("registered_domain", "lang").agg(count(lit(1)).as("k"))
+    val w = Window.partitionBy("registered_domain")
+    byLang.withColumn("n", sum("k").over(w))
+      .groupBy("registered_domain")
+      .agg(max("n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        expr("(1000 * sum(k * (length(bin((n * 1048576) DIV k)) - 1))) DIV max(n)")
+          .as("h_mbits"),
+        expr("(1000 * max(k)) DIV max(n)").as("top_share_pm"))
+      .orderBy("registered_domain")
+  }
+
+  val langMixSql: String =
+    s"""WITH $urlSqlCte,
+       |by_lang AS (SELECT registered_domain, lang, count(*) AS k FROM pd GROUP BY 1, 2),
+       |with_n AS (SELECT *, sum(k) OVER (PARTITION BY registered_domain) AS n FROM by_lang)
+       |SELECT registered_domain, CAST(max(n) AS BIGINT) AS n_docs, count(*) AS n_langs,
+       |       CAST((1000 * sum(k * (length(bin((n * 1048576) // k)) - 1))) // max(n) AS BIGINT) AS h_mbits,
+       |       CAST((1000 * max(k)) // max(n) AS BIGINT) AS top_share_pm
+       |FROM with_n GROUP BY 1 ORDER BY registered_domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_parse_domains" -> parseDomains,
     "url_domain_stats" -> domainStats,
     "url_domain_cap" -> domainCap,
     "url_exact_dedup" -> urlExactDedup,
-    "url_domain_blocklist" -> domainBlocklist)
+    "url_domain_blocklist" -> domainBlocklist,
+    "url_canonical_dedup" -> canonicalDedup,
+    "url_lang_mix" -> langMix)
 
   val oracles: Map[String, String] = Map(
     "url_parse_domains" -> parseDomainsSql,
     "url_domain_stats" -> domainStatsSql,
     "url_domain_cap" -> domainCapSql,
     "url_exact_dedup" -> urlExactDedupSql,
-    "url_domain_blocklist" -> domainBlocklistSql)
+    "url_domain_blocklist" -> domainBlocklistSql,
+    "url_canonical_dedup" -> canonicalDedupSql,
+    "url_lang_mix" -> langMixSql)
 }

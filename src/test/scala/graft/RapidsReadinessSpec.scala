@@ -53,7 +53,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "t6_hazard_flags", "t7_install_merge",
     "text_pii_redact", "text_split_assign",
     "url_parse_domains", "url_domain_stats", "url_exact_dedup",
-    "url_domain_blocklist", "ts_asof_join",
+    "url_domain_blocklist", "url_canonical_dedup", "ts_asof_join",
     "ts_asof_join_native", "ts_asof_tolerance", "ts_downsample_locf",
     "ts_cusum_changepoints", "ts_lag_autocorr",
     "ts_seasonal_profile", "ts_seasonal_anomaly", "ts_ohlc_bars",
@@ -103,6 +103,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_bfs_layers" -> Set("rdd-segment"),
     "graph_concomp" -> Set("rdd-segment"),
     "graph_concomp_doubling" -> Set("rdd-segment"),
+    "graph_label_prop" -> Set("rdd-segment"),
     "graph_modularity" -> Set("rdd-segment"),
     "window_growth_accounting" -> Set("rdd-segment"),
     "ts_backtest_snaive" -> Set("rdd-segment"),
@@ -219,6 +220,7 @@ class RapidsReadinessSpec extends SparkSpec {
     // the cap's priority frame is .staged (ranking + totals consumers);
     // everything in it is string/hash builtins, clean under persist
     "url_domain_cap" -> Set("rdd-segment"),
+    "url_lang_mix" -> Set("bin"),
     "sim_hard_negatives" -> Set("custom-expression", "higher-order-function"),
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function", "rdd-segment"))
 
@@ -259,9 +261,11 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
+    "url_lang_mix" -> Set("bin"),
     // graph drains: per-round Cache.cut lineage cuts (round 12 —
     // measured 3-16x persist-mode inflation from nested round plans)
     "graph_betweenness" -> Set("rdd-segment"),
+    "graph_label_prop" -> Set("rdd-segment"),
     "graph_bfs_layers" -> Set("rdd-segment"),
     "graph_concomp" -> Set("rdd-segment"),
     "graph_concomp_doubling" -> Set("rdd-segment"),
@@ -415,7 +419,7 @@ class RapidsReadinessSpec extends SparkSpec {
         // per round in both modes (Cache.cut scaladoc; 3-16x
         // persist-mode inflation measured before the cuts)
         "graph_betweenness", "graph_bfs_layers", "graph_concomp",
-        "graph_concomp_doubling", "graph_kcore",
+        "graph_concomp_doubling", "graph_kcore", "graph_label_prop",
         "sim_pca_power", "sim_pca_explained", "sim_anisotropy_report"))
     } finally p.sharedState.cacheManager.clearCache()
   }

@@ -78,6 +78,72 @@ class UrlCurationSpec extends SparkSpec {
     assert(rows.getOrElse("blocked_tld", 0L) === ioDocs)
   }
 
+  test("canonicalizer replay: every noisy url canonicalizes back to the clean url") {
+    val clean = UrlCuration.withUrls(spark, dir).select("doc_id", "url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val noisy = UrlCuration.withNoisyUrls(spark, dir).select("doc_id", "raw_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(noisy.keySet === clean.keySet)
+    // plain-Scala canonicalizer — same steps as the operator, no Spark
+    def canon(u0: String): String = {
+      val u1 = u0.replaceAll("#.*$", "")
+      val u2 = u1.replaceAll("utm_[a-z]+=[^&#]*&?", "").replaceAll("[?&]+$", "")
+      val scheme = u2.takeWhile(_ != ':')
+      val hostport = u2.drop(scheme.length + 3).takeWhile(c => c != '/' && c != '?' && c != '#')
+      val defPort = if (scheme == "https") ":443" else ":80"
+      val chost = {
+        val h = hostport.toLowerCase
+        if (h.endsWith(defPort)) h.dropRight(defPort.length) else h
+      }
+      (scheme + "://" + chost + u2.drop(scheme.length + 3 + hostport.length))
+        .replaceAll("/+$", "")
+    }
+    noisy.foreach { case (id, raw) =>
+      assert(canon(raw) === clean(id), s"doc $id: $raw -> ${canon(raw)} != ${clean(id)}")
+    }
+    // the fixture actually injects noise (most docs get a non-identity variant)
+    assert(noisy.count { case (id, raw) => raw != clean(id) } > noisy.size / 2)
+  }
+
+  test("canonical dedup: per-domain canonical urls equal exact-dedup's clean urls") {
+    val canon = UrlCuration.canonicalDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_raw_urls"),
+        r.getAs[Long]("n_canon_urls"), r.getAs[Long]("n_noise_collapsed"))).toMap
+    val exact = UrlCuration.urlExactDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"))).toMap
+    assert(canon.keySet === exact.keySet)
+    canon.foreach { case (dom, (nDocs, nRaw, nCanon, collapsed)) =>
+      assert(nDocs === exact(dom)._1, s"$dom docs")
+      // canonicalization undoes the noise exactly: canonical granularity
+      // == clean-url granularity
+      assert(nCanon === exact(dom)._2, s"$dom canonical vs clean urls")
+      assert(collapsed === nRaw - nCanon)
+      assert(nRaw >= nCanon)
+    }
+    assert(canon.values.map(_._4).sum > 0L, "noise never collapsed anything")
+  }
+
+  test("lang mix replay: integer-quantized entropy and top share") {
+    val got = UrlCuration.langMix(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+        r.getAs[Long]("h_mbits"), r.getAs[Long]("top_share_pm"))).toMap
+    val docs = UrlCuration.parseUrls(spark, dir)
+      .select("registered_domain", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byDom = docs.groupBy(_._1)
+    assert(got.keySet === byDom.keySet)
+    byDom.foreach { case (dom, rows) =>
+      val ks = rows.groupBy(_._2).map(_._2.length.toLong).toSeq
+      val n = ks.sum
+      def bits(k: Long): Long = java.lang.Long.toBinaryString(n * 1048576L / k).length.toLong - 1L
+      val hMbits = 1000L * ks.map(k => k * bits(k)).sum / n
+      val (gn, gl, gh, gts) = got(dom)
+      assert(gn === n); assert(gl === ks.size.toLong)
+      assert(gh === hMbits, s"$dom entropy")
+      assert(gts === 1000L * ks.max / n)
+    }
+  }
+
   test("domain stats: totals consistent with the corpus") {
     val r = UrlCuration.domainStats(spark, dir).collect()
     val totChars = r.map(_.getAs[Long]("total_chars")).sum
