@@ -83,9 +83,105 @@ object Analytics5 {
        |GROUP BY csize ORDER BY csize""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Personalized PageRank on the fixed landmark panel
+  // ---------------------------------------------------------------------
+
+  private val pprLandmarks = 8
+  private val pprRounds = 3
+  private val pprTopK = 5
+  private val PprS = 1000000000000L // rank scale (1e12, cf. GraphOps)
+
+  /** Personalized PageRank (Page et al. 1999 §6; the random-walk-with-
+    * restart relevance measure behind "related items" and seed-based
+    * recommendation) from the SAME fixed 8-landmark supplier panel as
+    * closeness/betweenness: all restart mass returns to the one source
+    * landmark, so rank(lm, v) scores v's relevance TO lm rather than
+    * global popularity — per landmark, the top-[[pprTopK]] nodes.
+    *
+    * Scaled-integer arithmetic end to end (BIGINT at 1e12 like
+    * `graph_pagerank`): r₀(lm, lm) = S; each round
+    * r'(lm, v) = 0.15·S·[v = lm] + 0.85·Σ_{u→v} r(lm, u) DIV deg(u),
+    * with the 85/100 factor applied AFTER the per-(lm, v) sum (one
+    * floor division per cell, not per contribution). Integer DIV keeps
+    * both engines bit-identical under any summation order.
+    *
+    * Scale shape: state is (lm, node, rank) — and it stays SPARSE: mass
+    * only reaches nodes within `rounds` hops of a landmark, so the
+    * state is bounded by the panel's K-hop ball, not k·V. Each round is
+    * one edges⋈ranks equi-join on the source node + one (lm, dst)
+    * partial+final BIGINT agg — k·2E join fanout per round, the
+    * `graph_pagerank` layout with a landmark column along for the ride.
+    * K is small and fixed, so the loop runs as ONE job with chained
+    * shuffles (the measured-cheaper choice from `graph_pagerank`; an
+    * open-ended convergence loop would add per-round cuts). The final
+    * per-landmark top-k plans as a WindowGroupLimit partial top-k. */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.edges(spark, dir).staged // reused every round
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val landmarks = e.select(col("src").as("lm")).distinct()
+      .filter(col("lm") % 2 === 1) // suppliers are odd-encoded
+      .orderBy("lm").limit(pprLandmarks)
+    val teleport = landmarks
+      .select(col("lm"), col("lm").as("node"),
+        lit(15L * PprS / 100L).as("r"))
+    var ranks = landmarks
+      .select(col("lm"), col("lm").as("node"), lit(PprS).as("rank"))
+    for (_ <- 1 to pprRounds) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("lm"), col("dst").as("node"), expr("rank DIV deg").as("c"))
+      ranks = contrib.groupBy("lm", "node").agg(sum("c").as("in_sum"))
+        .select(col("lm"), col("node"), expr("85 * in_sum DIV 100").as("r"))
+        .unionAll(teleport)
+        .groupBy("lm", "node").agg(sum("r").as("rank"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lm").orderBy(desc("rank"), col("node"))
+    ranks.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= pprTopK)
+      .select(expr("(lm - 1) DIV 2").as("suppkey"), col("node"),
+        col("rank"), col("rk").cast("long").as("rk"))
+      .orderBy("suppkey", "rk")
+  }
+
+  def personalizedPageRankSql: String = {
+    val rounds = (1 to pprRounds).map { i =>
+      s"""a$i AS (
+         |  SELECT lm, node, 85 * sum(c) // 100 AS r FROM (
+         |    SELECT r.lm, e.dst AS node, r.rank // d.deg AS c
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |         JOIN deg d ON e.src = d.src
+         |  ) GROUP BY lm, node
+         |),
+         |r$i AS (
+         |  SELECT lm, node, CAST(sum(r) AS BIGINT) AS rank FROM (
+         |    SELECT lm, node, r FROM a$i
+         |    UNION ALL
+         |    SELECT lm, lm AS node, (15 * $PprS) // 100 AS r FROM lms
+         |  ) GROUP BY lm, node
+         |)"""
+    }.mkString(",\n")
+    s"""WITH ${GraphOps.edgesSql},
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |lms AS (
+       |  SELECT DISTINCT src AS lm FROM edges WHERE src % 2 = 1
+       |  ORDER BY lm LIMIT $pprLandmarks
+       |),
+       |r0 AS (SELECT lm, lm AS node, CAST($PprS AS BIGINT) AS rank FROM lms),
+       |$rounds
+       |SELECT (lm - 1) // 2 AS suppkey, node, rank, rk FROM (
+       |  SELECT lm, node, rank,
+       |         row_number() OVER (PARTITION BY lm ORDER BY rank DESC, node) AS rk
+       |  FROM r$pprRounds)
+       |WHERE rk <= $pprTopK ORDER BY suppkey, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_label_prop" -> ((s, d) => labelPropagation(s, d)))
+    "graph_label_prop" -> ((s, d) => labelPropagation(s, d)),
+    "graph_ppr" -> ((s, d) => personalizedPageRank(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "graph_label_prop" -> labelPropagationSql())
+    "graph_label_prop" -> labelPropagationSql(),
+    "graph_ppr" -> personalizedPageRankSql)
 }

@@ -84,6 +84,47 @@ object Bpe {
       .filter(col("sym") =!= col("nxt"))
       .groupBy("sym", "nxt").agg(sum(col("wcnt")).as("cnt"))
 
+  /** Character-split expression deriving each form's symbol array. */
+  private val symsExpr =
+    expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+
+  /** The shared training loop over a form table (w, wcnt, syms):
+    * `rounds` merge rounds exactly as [[bpeCounts]] runs them, extracted
+    * so the tokenizer-artifact queries ([[bpeMerges]], [[bpeVocab]])
+    * provably share the loop. When `recordMerges` is set, each round's
+    * winning pair is kept as a 1-row staged frame (two consumers: the
+    * rewrite join and the merge report) and returned alongside the
+    * final form table; otherwise the plan is bit-identical to the
+    * original inline loop. */
+  private[graft] def trainForms(forms0: DataFrame, recordMerges: Boolean)
+      : (DataFrame, Seq[DataFrame]) = {
+    // null-safe: with bx/by null (empty `best`), both `when` predicates
+    // are null → every symbol takes the keep branch → round is a no-op
+    val rewrite = expr(
+      """aggregate(syms, cast(array() as array<string>),
+        |  (acc, s) -> case
+        |    when size(acc) = 0 then array(s)
+        |    when element_at(acc, -1) = bx and s = by
+        |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
+        |    else concat(acc, array(s)) end)""".stripMargin)
+    var forms = forms0
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val won = pairStats(forms)
+        .orderBy(desc("cnt"), col("sym"), col("nxt")).limit(1)
+      val best = if (recordMerges) won.staged else won
+      if (recordMerges)
+        merges += best.select(lit(r.toLong).as("rank"),
+          col("sym").as("bx"), col("nxt").as("by"), col("cnt"))
+      forms = forms
+        .join(broadcast(best.select(col("sym").as("bx"), col("nxt").as("by"))),
+          lit(true), "left")
+        .select(col("w"), col("wcnt"), rewrite.as("syms"))
+        .localCheckpoint(false)
+    }
+    (forms, merges.result())
+  }
+
   /** Core on any (doc_id, text) frame — see [[bpeCounts]]. */
   private[graft] def bpeCountsFrom(docs: DataFrame): DataFrame = {
     // occurrences folded to (doc_id, w, occ): one corpus shuffle, read
@@ -96,27 +137,10 @@ object Bpe {
     // merge-round loop state: lineage cut per round is the point (round
     // k's plan must not nest all rounds < k), so `forms` stays
     // localCheckpoint under every Cache mode — see graft.Cache
-    var forms = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
-      .select(col("w"), col("wcnt"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    val forms0 = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
+      .select(col("w"), col("wcnt"), symsExpr.as("syms"))
       .localCheckpoint(false)
-    // null-safe: with bx/by null (empty `best`), both `when` predicates
-    // are null → every symbol takes the keep branch → round is a no-op
-    val rewrite = expr(
-      """aggregate(syms, cast(array() as array<string>),
-        |  (acc, s) -> case
-        |    when size(acc) = 0 then array(s)
-        |    when element_at(acc, -1) = bx and s = by
-        |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
-        |    else concat(acc, array(s)) end)""".stripMargin)
-    for (_ <- 1 to rounds) {
-      val best = pairStats(forms)
-        .orderBy(desc("cnt"), col("sym"), col("nxt")).limit(1)
-        .select(col("sym").as("bx"), col("nxt").as("by"))
-      forms = forms.join(broadcast(best), lit(true), "left")
-        .select(col("w"), col("wcnt"), rewrite.as("syms"))
-        .localCheckpoint(false)
-    }
+    val (forms, _) = trainForms(forms0, recordMerges = false)
     // apply the learned vocabulary ONCE: occurrences ⋈ rewritten forms.
     // Explicit broadcast: the checkpointed form table carries no stats
     // (sizeInBytes defaults to huge), so the hint — not the optimizer —
@@ -130,18 +154,68 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // Tokenizer artifacts: the merge table and the vocabulary report
+  // ---------------------------------------------------------------------
+
+  /** The form table built directly from token counts — same values as
+    * [[bpeCountsFrom]]'s occ-derived form (Σ per-doc occ ≡ corpus
+    * count), without materializing doc-level occurrences the artifact
+    * queries never need. */
+  private[graft] def formTable(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+      .select(col("w"), col("wcnt"), symsExpr.as("syms"))
+      .localCheckpoint(false)
+
+  /** The learned merge table (rank, bx, by, cnt) — the tokenizer
+    * artifact a release ships (merges.txt with ranks): round r's winning
+    * adjacent pair and its corpus-wide frequency at the moment it won.
+    * Spark counts pairs FORM-level weighted by corpus count; the oracle
+    * counts OCCURRENCE-level — so this query's `cnt` match is a direct
+    * proof of the Sennrich form/occurrence equivalence the whole BPE
+    * family rests on (the token-count queries prove it only indirectly
+    * through downstream totals). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(t(spark, dir, "documents"))
+
+  private[graft] def bpeMergesFrom(docs: DataFrame): DataFrame = {
+    val (_, merges) = trainForms(formTable(docs), recordMerges = true)
+    merges.reduce(_ unionAll _).orderBy("rank")
+  }
+
+  /** Token-frequency vocabulary report under the learned merges: the
+    * top-30 tokens by corpus occurrences after all `rounds` rewrites —
+    * what a tokenizer release publishes next to the merge table. One
+    * explode of the rewritten FORM table weighted by corpus counts (the
+    * Zipf-small state, never the corpus) + one token-keyed agg; top-k
+    * plans as TakeOrderedAndProject. */
+  def bpeVocab(spark: SparkSession, dir: String, topK: Int = 30): DataFrame =
+    bpeVocabFrom(t(spark, dir, "documents"), topK)
+
+  private[graft] def bpeVocabFrom(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val (forms, _) = trainForms(formTable(docs), recordMerges = false)
+    forms.select(explode(col("syms")).as("token"), col("wcnt"))
+      .groupBy("token").agg(sum("wcnt").as("occurrences"))
+      .orderBy(desc("occurrences"), col("token")).limit(topK)
+  }
+
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
-  val bpeCountsSql: String = {
-    val roundCtes = (1 to rounds).map { r =>
+  /** Occurrence-level training rounds as CTEs (p/b/s per round); with
+    * `cntInBest` the b-CTEs also carry the winning pair's count for the
+    * merge report. */
+  private def sqlRounds(cntInBest: Boolean): String =
+    (1 to rounds).map { r =>
+      val cnt = if (cntInBest) ", count(*) AS cnt" else ""
       s"""p$r AS (
          |  SELECT doc_id, wid, pos, sym,
          |         lead(sym) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS nxt,
          |         lag(sym)  OVER (PARTITION BY doc_id, wid ORDER BY pos) AS prv
          |  FROM s${r - 1}),
          |b$r AS (
-         |  SELECT sym AS bx, nxt AS by FROM p$r
+         |  SELECT sym AS bx, nxt AS by$cnt FROM p$r
          |  WHERE nxt IS NOT NULL AND sym <> nxt
          |  GROUP BY sym, nxt ORDER BY count(*) DESC, sym, nxt LIMIT 1),
          |s$r AS MATERIALIZED (
@@ -151,14 +225,19 @@ object Bpe {
          |  FROM p$r, b$r b
          |  WHERE NOT coalesce(prv = b.bx AND sym = b.by, FALSE))""".stripMargin
     }.mkString(",\n")
-    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+
+  private val corpusCtes: String =
+    s"""tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |words AS (
        |  SELECT doc_id, u.i - 1 AS wid, toks[u.i] AS w
        |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
        |s0 AS MATERIALIZED (
        |  SELECT doc_id, wid, v.i - 1 AS pos, w[v.i] AS sym
-       |  FROM words, unnest(generate_series(1, length(w))) AS v(i)),
-       |$roundCtes,
+       |  FROM words, unnest(generate_series(1, length(w))) AS v(i))""".stripMargin
+
+  val bpeCountsSql: String =
+    s"""WITH $corpusCtes,
+       |${sqlRounds(cntInBest = false)},
        |base AS (
        |  SELECT doc_id, count(*) AS n_chars,
        |         CAST(max(wid) + 1 AS BIGINT) AS n_words
@@ -167,11 +246,31 @@ object Bpe {
        |FROM s$rounds s JOIN base ON s.doc_id = base.doc_id
        |GROUP BY s.doc_id, base.n_words, base.n_chars
        |ORDER BY s.doc_id""".stripMargin
+
+  val bpeMergesSql: String = {
+    val union = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, bx, by, cnt FROM b$r"
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $corpusCtes,
+       |${sqlRounds(cntInBest = true)}
+       |$union
+       |ORDER BY rank""".stripMargin
   }
 
+  def bpeVocabSql(topK: Int = 30): String =
+    s"""WITH $corpusCtes,
+       |${sqlRounds(cntInBest = false)}
+       |SELECT sym AS token, count(*) AS occurrences
+       |FROM s$rounds GROUP BY 1
+       |ORDER BY occurrences DESC, token LIMIT $topK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_counts" -> bpeCounts)
+    "text_bpe_counts" -> bpeCounts,
+    "text_bpe_merges" -> bpeMerges,
+    "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "text_bpe_counts" -> bpeCountsSql)
+    "text_bpe_counts" -> bpeCountsSql,
+    "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_vocab" -> bpeVocabSql())
 }

@@ -112,6 +112,38 @@ class GraphTextOpsSpec extends SparkSpec {
       (3L, 2L, 8L, 4L)))
   }
 
+  test("BPE merge table matches the hand-simulated merge sequence with counts") {
+    import spark.implicits._
+    // same fixture as the counts test; the six merges simulated by hand
+    // there, now with the count each pair had the round it won: round-1
+    // pair counts are he 4, el 4, lo 3, wo 4, or 3, rl 2, ld 4, rd 1,
+    // ol 1 — max 4 ties (el, he, ld, wo), lexicographic picks el; and
+    // so on down the sequence.
+    val docs = Seq(
+      (1L, "hello hello world"),
+      (2L, "hello world word"),
+      (3L, "held wold")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.bpeMergesFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, "e", "l", 4L), (2L, "h", "el", 4L), (3L, "w", "o", 4L),
+      (4L, "hel", "l", 3L), (5L, "hell", "o", 3L), (6L, "l", "d", 3L)))
+  }
+
+  test("BPE vocab report matches hand-derived token frequencies") {
+    import spark.implicits._
+    // final tokenizations: hello→[hello]×3, world→[wo,r,ld]×2,
+    // word→[wo,r,d], held→[hel,d], wold→[wo,ld]
+    val docs = Seq(
+      (1L, "hello hello world"),
+      (2L, "hello world word"),
+      (3L, "held wold")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.bpeVocabFrom(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(
+      ("wo", 4L), ("hello", 3L), ("ld", 3L), ("r", 3L), ("d", 2L), ("hel", 1L)))
+  }
+
   test("BPE training stops gracefully when no mergeable pair exists") {
     import spark.implicits._
     // every word is single-symbol or pure same-symbol runs ("aa" gives

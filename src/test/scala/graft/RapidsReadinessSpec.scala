@@ -112,6 +112,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "graph_jaccard_neighbors" -> Set("rdd-segment"),
     "graph_kcore" -> Set("rdd-segment"),
     "graph_pagerank" -> Set("rdd-segment"),
+    "graph_ppr" -> Set("rdd-segment"),
     "graph_triangles" -> Set("rdd-segment"),
     "graph_clustering_coeff" -> Set("rdd-segment"),
     "graph_hits" -> Set("rdd-segment"),
@@ -194,6 +195,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
     "text_bpe_counts" -> Set("rdd-segment"),
+    "text_bpe_merges" -> Set("rdd-segment"),
+    "text_bpe_vocab" -> Set("rdd-segment"),
     // the tokenizer HOF sits UPSTREAM of the tf/bigram stage barrier, so
     // checkpoint mode sees only the post-barrier bin (LM weights)
     "text_nb_quality" -> Set("bin", "rdd-segment"),
@@ -332,6 +335,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_bm25_rank" -> Set("higher-order-function"),
     "text_keyword_rake" -> Set("higher-order-function"),
     "text_bpe_counts" -> Set("higher-order-function", "rdd-segment"),
+    "text_bpe_merges" -> Set("higher-order-function", "rdd-segment"),
+    "text_bpe_vocab" -> Set("rdd-segment"),
     "text_char_entropy" -> Set("bin"),
     "text_cosine_pairs" -> Set("higher-order-function"),
     "text_countmin_est" -> Set("higher-order-function"),
@@ -414,7 +419,8 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_opq_topk", "sim_opq_recall",
         "sim_ivfbq_topk", "sim_ivfbq_recall",
         "sim_ivf_probe_curve",
-        "sim_semdedup", "text_bpe_counts",
+        "sim_semdedup", "text_bpe_counts", "text_bpe_merges",
+        "text_bpe_vocab",
         // round-12 drain cuts: the graph/PCA round loops now cut
         // per round in both modes (Cache.cut scaladoc; 3-16x
         // persist-mode inflation measured before the cuts)
