@@ -32,35 +32,28 @@ object Analytics5 {
     * toward the smaller label, so the fixed round count is exactly
     * reproducible — the DuckDB oracle unrolls the same rounds.
     *
-    * Scale shape (the LPA that survives 100 TB): the self-vote is a
-    * SELF-LOOP edge added to the staged edge list once, so each
-    * round's label frame has exactly ONE consumer — the whole K-round
-    * loop chains as a single job with no per-round materialization
-    * (the naive self-vote-as-union form consumes `labels` twice per
-    * round and must cut lineage each round: measured 7.97 s vs 3.4 s
-    * here at sf0.1). Per round ONE edge⋈labels equi-join, a
-    * (node, label) count agg, and a per-node max — all
-    * partial-aggregable BIGINT shuffles keyed on node; no per-round
-    * frame ever exceeds |E|+|V|. Output is the community-size
-    * histogram (label identities are fixture node ids — sizes are the
-    * portable signal). */
+    * Scale shape (the LPA that survives 100 TB): per round ONE
+    * edge⋈labels equi-join, a (node, label) count agg, and a per-node
+    * max — all partial-aggregable BIGINT shuffles keyed on node; no
+    * per-round frame ever exceeds |E|. Lineage is cut per round
+    * ([[graft.Cache.CacheOps.cutRound]]) like the CC iterations.
+    * Output is the community-size histogram (label identities are
+    * fixture node ids — sizes are the portable signal). */
   def labelPropagation(spark: SparkSession, dir: String,
                        rounds: Int = lpaRounds): DataFrame = {
-    val e0 = GraphOps.edges(spark, dir)
-    val nodes = e0.select(col("src").as("node")).distinct()
-    // self-loops carry the self-vote through the same join as the
-    // neighbor votes — semantically identical to the union form
-    val e = e0.unionAll(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .staged // reused every round
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    val e = GraphOps.edges(spark, dir).staged // reused every round
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
-      labels = e.join(labels, e("src") === labels("node"))
+      val prop = e.join(labels, e("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
+      labels = labels.select("node", "label").unionAll(prop)
         .groupBy("node", "label").agg(count(lit(1)).as("c"))
         .select(col("node"), (col("c") * ScoreK - col("label")).as("score"))
         .groupBy("node").agg(max("score").as("m"))
         .select(col("node"),
           expr(s"((m + ${ScoreK - 1}L) DIV ${ScoreK}L) * ${ScoreK}L - m").as("label"))
+        .cutRound // per-round drain cut
     }
     labels.groupBy("label").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_communities"))
@@ -108,13 +101,10 @@ object Analytics5 {
     *
     * Scaled-integer arithmetic end to end (BIGINT at 1e12 like
     * `graph_pagerank`): r₀(lm, lm) = S; each round
-    * r'(lm, v) = 0.15·S·[v = lm] + Σ_{u→v} 0.85·(r(lm, u) DIV deg(u)),
-    * with the 85/100 damping applied PER CONTRIBUTION so the teleport
-    * row rides the SAME (lm, node) aggregate — one shuffle per round,
-    * not two (the sum-then-damp form needs a second union+agg to merge
-    * the teleport mass: measured 6.0 s vs 4.1 s here at sf0.1).
-    * Integer DIV keeps both engines bit-identical under any summation
-    * order.
+    * r'(lm, v) = 0.15·S·[v = lm] + 0.85·Σ_{u→v} r(lm, u) DIV deg(u),
+    * with the 85/100 factor applied AFTER the per-(lm, v) sum (one
+    * floor division per cell, not per contribution). Integer DIV keeps
+    * both engines bit-identical under any summation order.
     *
     * Scale shape: state is (lm, node, rank) — and it stays SPARSE: mass
     * only reaches nodes within `rounds` hops of a landmark, so the
@@ -132,19 +122,19 @@ object Analytics5 {
     val landmarks = e.select(col("src").as("lm")).distinct()
       .filter(col("lm") % 2 === 1) // suppliers are odd-encoded
       .orderBy("lm").limit(pprLandmarks)
-      .staged // 8 rows, consumed K+1 times (teleport per round + r0)
     val teleport = landmarks
       .select(col("lm"), col("lm").as("node"),
-        lit(15L * PprS / 100L).as("c"))
+        lit(15L * PprS / 100L).as("r"))
     var ranks = landmarks
       .select(col("lm"), col("lm").as("node"), lit(PprS).as("rank"))
     for (_ <- 1 to pprRounds) {
-      ranks = e.join(ranks, e("src") === ranks("node"))
+      val contrib = e.join(ranks, e("src") === ranks("node"))
         .join(deg, "src")
-        .select(col("lm"), col("dst").as("node"),
-          expr("85 * (rank DIV deg) DIV 100").as("c"))
+        .select(col("lm"), col("dst").as("node"), expr("rank DIV deg").as("c"))
+      ranks = contrib.groupBy("lm", "node").agg(sum("c").as("in_sum"))
+        .select(col("lm"), col("node"), expr("85 * in_sum DIV 100").as("r"))
         .unionAll(teleport)
-        .groupBy("lm", "node").agg(sum("c").as("rank"))
+        .groupBy("lm", "node").agg(sum("r").as("rank"))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lm").orderBy(desc("rank"), col("node"))
@@ -157,13 +147,18 @@ object Analytics5 {
 
   def personalizedPageRankSql: String = {
     val rounds = (1 to pprRounds).map { i =>
-      s"""r$i AS (
-         |  SELECT lm, node, CAST(sum(c) AS BIGINT) AS rank FROM (
-         |    SELECT r.lm, e.dst AS node, 85 * (r.rank // d.deg) // 100 AS c
+      s"""a$i AS (
+         |  SELECT lm, node, 85 * sum(c) // 100 AS r FROM (
+         |    SELECT r.lm, e.dst AS node, r.rank // d.deg AS c
          |    FROM edges e JOIN r${i - 1} r ON e.src = r.node
          |         JOIN deg d ON e.src = d.src
+         |  ) GROUP BY lm, node
+         |),
+         |r$i AS (
+         |  SELECT lm, node, CAST(sum(r) AS BIGINT) AS rank FROM (
+         |    SELECT lm, node, r FROM a$i
          |    UNION ALL
-         |    SELECT lm, lm AS node, (15 * $PprS) // 100 AS c FROM lms
+         |    SELECT lm, lm AS node, (15 * $PprS) // 100 AS r FROM lms
          |  ) GROUP BY lm, node
          |)"""
     }.mkString(",\n")

@@ -51,14 +51,16 @@ class Analytics5Spec extends SparkSpec {
     val lms = adj.keys.filter(_ % 2 == 1).toSeq.sorted.take(8)
     var ranks: Map[(Long, Long), Long] = lms.map(lm => (lm, lm) -> S).toMap
     for (_ <- 1 to 3) {
-      // same integer op order as the operator: damping applied PER
-      // CONTRIBUTION (85·(rank DIV deg) DIV 100), then one per-(lm,
-      // node) sum that also absorbs the teleport row
-      val next = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+      // same integer op order as the operator: per-contribution
+      // rank DIV deg, per-(lm, node) sum, THEN 85·Σ DIV 100, teleport
+      // added by the union-sum
+      val contrib = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
       ranks.foreach { case ((lm, u), r) =>
-        val c = 85L * (r / adj(u).size) / 100L
-        adj(u).foreach(v => next((lm, v)) += c)
+        val c = r / adj(u).size
+        adj(u).foreach(v => contrib((lm, v)) += c)
       }
+      val next = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+      contrib.foreach { case (k, s) => next(k) = 85L * s / 100L }
       lms.foreach(lm => next((lm, lm)) += T)
       ranks = next.toMap
     }

@@ -266,10 +266,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_neardup_pairs" -> Set("bit-count"),
     "url_lang_mix" -> Set("bin"),
     // graph drains: per-round Cache.cut lineage cuts (round 12 —
-    // measured 3-16x persist-mode inflation from nested round plans).
-    // graph_label_prop left this list when its self-loop rewrite made
-    // the round loop single-consumer (no per-round cut needed).
+    // measured 3-16x persist-mode inflation from nested round plans)
     "graph_betweenness" -> Set("rdd-segment"),
+    "graph_label_prop" -> Set("rdd-segment"),
     "graph_bfs_layers" -> Set("rdd-segment"),
     "graph_concomp" -> Set("rdd-segment"),
     "graph_concomp_doubling" -> Set("rdd-segment"),
@@ -426,7 +425,7 @@ class RapidsReadinessSpec extends SparkSpec {
         // per round in both modes (Cache.cut scaladoc; 3-16x
         // persist-mode inflation measured before the cuts)
         "graph_betweenness", "graph_bfs_layers", "graph_concomp",
-        "graph_concomp_doubling", "graph_kcore",
+        "graph_concomp_doubling", "graph_kcore", "graph_label_prop",
         "sim_pca_power", "sim_pca_explained", "sim_anisotropy_report"))
     } finally p.sharedState.cacheManager.clearCache()
   }
