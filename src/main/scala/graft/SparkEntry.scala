@@ -45,6 +45,7 @@ object SparkEntry {
     (sim.Pq.queries, sim.Pq.oracles),
     (sim.Pca.queries, sim.Pca.oracles),
     (sim.Embeddings.queries, sim.Embeddings.oracles),
+    (sim.Mmr.queries, sim.Mmr.oracles),
     (sim.GraphOps.queries, sim.GraphOps.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (aria.AriaQueries.queries, aria.AriaQueries.oracles),

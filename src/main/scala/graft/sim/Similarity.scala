@@ -44,7 +44,7 @@ object Similarity {
     quantizedFrom(t(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
 
-  private val quantizedSql: String =
+  private[sim] val quantizedSql: String =
     """q AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
@@ -56,7 +56,7 @@ object Similarity {
       |  FROM q
       |)""".stripMargin
 
-  private val dotSql =
+  private[sim] val dotSql =
     s"CAST(list_sum(list_transform(generate_series(1, $dims), i -> a.qv[i] * b.qv[i])) AS BIGINT)"
 
   /** Brute-force exact cosine top-k: queries = vec_id < 8 against the full

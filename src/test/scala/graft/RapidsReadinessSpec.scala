@@ -160,6 +160,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sample_kcenter" -> Set("rdd-segment"),
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
+    // the greedy loop's final .staged barrier is the whole visible plan
+    "sim_mmr_rerank" -> Set("rdd-segment"),
     "sim_mrl_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_incremental" -> Set("custom-expression", "rdd-segment"),
     "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment"),
@@ -306,6 +308,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
     "sim_mrl_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_incremental" -> Set("custom-expression", "higher-order-function"),
+    "sim_mmr_rerank" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_pairs" -> Set("custom-expression", "higher-order-function"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
