@@ -313,17 +313,83 @@ object Classify {
        |FROM s""".stripMargin
   }
 
+  /** Threshold grid for [[qualitySweep]], in milli-bits per scored
+    * token. Fixed so the oracle enumerates the same grid. */
+  private val sweepTaus =
+    Seq(-2000L, -1000L, -500L, -200L, -100L, 0L, 100L, 200L, 500L, 1000L, 2000L)
+
+  /** Quality-filter threshold sweep — the tuning report a curation
+    * pipeline runs BEFORE fixing the filter: for each candidate
+    * threshold τ (milli-bits per scored token), how many documents and
+    * tokens survive `margin ≥ τ·tokens`, and how many of the survivors
+    * carry the heuristic good label. Retention is compared by CROSS
+    * MULTIPLICATION (`1000·margin ≥ τ·tokens`) — no per-doc division,
+    * which both avoids the Spark-DIV-vs-DuckDB-// signed-floor gap the
+    * [[nbQuality]] scaladoc documents and keeps the comparison exact.
+    *
+    * Scale shape: one ×|grid| map-side explode of the scored-docs frame
+    * that collapses to ≤|grid| cells per partition before the final
+    * ≤|grid|-row shuffle (the `stat_bootstrap_ci` explode pattern);
+    * corpus-level totals ride a 1-row broadcast. Thresholds that retain
+    * nothing simply have no row — both engines agree. */
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    val s = nbQuality(spark, dir)
+      .select(col("label"), col("n_scored_tokens"), col("margin_bits"))
+      .staged // consumers: the sweep explode + the totals row
+    val tot = s.agg(count(lit(1)).as("total_docs"),
+      sum("n_scored_tokens").as("total_tokens"))
+    s.select(col("label"), col("n_scored_tokens"), col("margin_bits"),
+        explode(array(sweepTaus.map(lit(_)): _*)).as("tau_mbits"))
+      .filter(col("margin_bits") * 1000L >= col("tau_mbits") * col("n_scored_tokens"))
+      .groupBy("tau_mbits")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_scored_tokens").as("n_tokens"),
+        sum(when(col("label") === "good", 1L).otherwise(0L)).as("n_good"))
+      .crossJoin(broadcast(tot))
+      .select(col("tau_mbits"), col("n_docs"), col("n_tokens"), col("n_good"),
+        expr("(1000 * n_docs) DIV total_docs").as("doc_permille"),
+        expr("(1000 * n_tokens) DIV total_tokens").as("token_permille"))
+      .orderBy("tau_mbits")
+  }
+
+  val qualitySweepSql: String = {
+    val grid = sweepTaus.mkString("[", ", ", "]")
+    s"""WITH sc AS (
+       |$nbQualitySql
+       |),
+       |grid AS (SELECT CAST(unnest($grid) AS BIGINT) AS tau_mbits),
+       |ret AS (
+       |  SELECT g.tau_mbits,
+       |         count(*) AS n_docs,
+       |         CAST(sum(s.n_scored_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN s.label = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+       |  FROM sc s JOIN grid g
+       |    ON s.margin_bits * 1000 >= g.tau_mbits * s.n_scored_tokens
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT count(*) AS total_docs,
+       |         CAST(sum(n_scored_tokens) AS BIGINT) AS total_tokens
+       |  FROM sc)
+       |SELECT tau_mbits, n_docs, n_tokens, n_good,
+       |       (1000 * n_docs) // total_docs AS doc_permille,
+       |       (1000 * n_tokens) // total_tokens AS token_permille
+       |FROM ret CROSS JOIN tot
+       |ORDER BY tau_mbits""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_nb_quality" -> nbQuality,
     "text_nb_confusion" -> nbConfusion,
     "text_nb_calibration" -> nbCalibration,
     "text_bigram_perplexity" -> bigramPerplexity,
-    "text_zipf_fit" -> zipfFit)
+    "text_zipf_fit" -> zipfFit,
+    "pipeline_quality_sweep" -> qualitySweep)
 
   val oracles: Map[String, String] = Map(
     "text_nb_quality" -> nbQualitySql,
     "text_nb_confusion" -> nbConfusionSql,
     "text_nb_calibration" -> nbCalibrationSql,
     "text_bigram_perplexity" -> bigramPerplexitySql,
-    "text_zipf_fit" -> zipfFitSql)
+    "text_zipf_fit" -> zipfFitSql,
+    "pipeline_quality_sweep" -> qualitySweepSql)
 }

@@ -251,6 +251,32 @@ class Analytics2Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("quality sweep is the scorer's own retention rollup; retention is monotone in tau") {
+    val dir = sf("sf0.001")
+    val scored = Classify.nbQuality(spark, dir).collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("n_scored_tokens"),
+        r.getAs[Long]("margin_bits")))
+    val totalDocs = scored.length.toLong
+    val totalToks = scored.map(_._2).sum
+    val taus = Seq(-2000L, -1000L, -500L, -200L, -100L, 0L, 100L, 200L, 500L, 1000L, 2000L)
+    val want = taus.flatMap { tau =>
+      val kept = scored.filter { case (_, n, m) => m * 1000L >= tau * n }
+      if (kept.isEmpty) None else Some(tau -> (kept.length.toLong,
+        kept.map(_._2).sum, kept.count(_._1 == "good").toLong,
+        1000L * kept.length / totalDocs, 1000L * kept.map(_._2).sum / totalToks))
+    }.toMap
+    val got = Classify.qualitySweep(spark, dir).collect()
+      .map(r => r.getAs[Long]("tau_mbits") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_good"),
+        r.getAs[Long]("doc_permille"), r.getAs[Long]("token_permille"))).toMap
+    assert(got === want)
+    // a stricter threshold can only shrink the surviving set
+    val docs = taus.flatMap(got.get(_).map(_._1))
+    assert(docs === docs.sorted.reverse, s"retention not monotone: $docs")
+    // tau = -2000 milli-bits/token is below any per-token margin here: keeps all
+    assert(got(-2000L)._1 === totalDocs)
+  }
+
   test("seasonal profile: deviations telescope to zero; every argmax hod is peaked") {
     val byType = Analytics2.seasonalProfile(spark, sf("sf0.001")).collect()
       .groupBy(_.getAs[String]("event_type"))

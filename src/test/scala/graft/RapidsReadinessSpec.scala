@@ -137,6 +137,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
     "pipeline_pack_sequences" -> Set("higher-order-function"),
     "pipeline_mix_resample" -> Set("higher-order-function"),
+    "pipeline_quality_sweep" -> Set("rdd-segment"),
     "dq_category_pmi" -> Set("bin"),
     "q15_top_supplier" -> Set("rdd-segment"),
     "rec_copurchase_lift" -> Set("rdd-segment"),
@@ -286,6 +287,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
     "pipeline_mix_resample" -> Set("higher-order-function"),
     "pipeline_pack_sequences" -> Set("higher-order-function"),
+    "pipeline_quality_sweep" -> Set("higher-order-function", "bin"),
     "retrieval_rrf_fusion" -> Set("custom-expression", "higher-order-function"),
     "sample_cluster_balanced" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sample_kcenter" -> Set("custom-expression", "higher-order-function"),
