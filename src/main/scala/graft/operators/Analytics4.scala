@@ -409,6 +409,79 @@ object Analytics4 {
        |FROM arms CROSS JOIN pooled ORDER BY arm""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Sequential test monitoring (SPRT)
+  // ---------------------------------------------------------------------
+
+  /** ln(1.1), ln(0.9), ln(19) as FIXED double literals — never computed
+    * via each engine's libm (whose last-ulp rounding may differ); with
+    * the logs pinned, the llr is pure integer-weighted double +/×,
+    * identical IEEE in both engines. */
+  private val lnP1P0 = 0.09531017980432493
+  private val lnQ1Q0 = -0.10536051565782628
+  private val lnBound = 2.9444389791664403 // α = β = 0.05
+
+  /** Sequential-test monitor — Wald's SPRT trajectory (Wald 1945; the
+    * always-valid-monitoring shape of Johari et al. 2017) over the
+    * running A/B assignment stream: under H0 each event lands in arm B
+    * (user_id % 2 = 1) with p₀ = 0.5, under H1 with p₁ = 0.55; after
+    * each day the cumulative log-likelihood ratio
+    * `llr = k·ln(p₁/p₀) + (N−k)·ln(q₁/q₀)` is checked against the
+    * ±ln(19) Wald bounds (α = β = 0.05). The report is the full
+    * 30-day trajectory with the per-day decision — what a live
+    * experiment dashboard renders, and the sequential complement to
+    * the fixed-horizon `stat_srm` / `stat_power_mde` reports. On the
+    * fixture's fair split the llr drifts negative and settles on
+    * accept_h0 — the monitor proving the absence of imbalance.
+    *
+    * Scale shape: one events scan → (day) partial+final agg (30 cells
+    * regardless of data size) → cumulative window over the 30-row
+    * daily frame (single-partition window over a GRID, never over the
+    * corpus). The llr doubles are exact-identical: integer cumulative
+    * counts times pinned literals. */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    t(spark, dir, "events")
+      .select(expr(s"ts DIV ${dayNs}L").as("day"),
+        when(expr("user_id % 2") === 1L, 1L).otherwise(0L).as("b"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_day"), sum("b").as("k_day"))
+      .select(col("day"), sum("n_day").over(w).as("n_total"),
+        sum("k_day").over(w).as("n_b"))
+      .withColumn("llr",
+        col("n_b") * lit(lnP1P0) + (col("n_total") - col("n_b")) * lit(lnQ1Q0))
+      .withColumn("decision",
+        when(col("llr") >= lnBound, "accept_h1")
+          .when(col("llr") <= -lnBound, "accept_h0")
+          .otherwise("continue"))
+      .orderBy("day")
+  }
+
+  def sprtMonitorSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_ns(ts) // $dayNs AS day,
+       |         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b
+       |  FROM events
+       |), d AS (
+       |  SELECT day, count(*) AS n_day, CAST(sum(b) AS BIGINT) AS k_day
+       |  FROM e GROUP BY day
+       |), c AS (
+       |  SELECT day,
+       |         CAST(sum(n_day) OVER (ORDER BY day) AS BIGINT) AS n_total,
+       |         CAST(sum(k_day) OVER (ORDER BY day) AS BIGINT) AS n_b
+       |  FROM d
+       |), s AS (
+       |  SELECT day, n_total, n_b,
+       |         n_b * CAST('$lnP1P0' AS DOUBLE)
+       |           + (n_total - n_b) * CAST('$lnQ1Q0' AS DOUBLE) AS llr
+       |  FROM c
+       |)
+       |SELECT day, n_total, n_b, llr,
+       |       CASE WHEN llr >= CAST('$lnBound' AS DOUBLE) THEN 'accept_h1'
+       |            WHEN llr <= -CAST('$lnBound' AS DOUBLE) THEN 'accept_h0'
+       |            ELSE 'continue' END AS decision
+       |FROM s ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Multi-window SLO burn rate
   // ---------------------------------------------------------------------
 
@@ -1093,6 +1166,7 @@ object Analytics4 {
     "graph_clustering_coeff" -> ((s, d) => clusteringCoeff(s, d)),
     "graph_hits" -> ((s, d) => hits(s, d)),
     "stat_cuped" -> ((s, d) => cuped(s, d)),
+    "stat_sprt_monitor" -> ((s, d) => sprtMonitor(s, d)),
     "ts_slo_burn" -> ((s, d) => sloBurn(s, d)),
     "window_top_paths" -> ((s, d) => topPaths(s, d)),
     "stat_srm" -> ((s, d) => srmCheck(s, d)),
@@ -1109,6 +1183,7 @@ object Analytics4 {
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_hits" -> hitsSql,
     "stat_cuped" -> cupedSql,
+    "stat_sprt_monitor" -> sprtMonitorSql,
     "ts_slo_burn" -> sloBurnSql,
     "window_top_paths" -> topPathsSql,
     "stat_srm" -> srmCheckSql,

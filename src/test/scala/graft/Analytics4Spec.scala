@@ -392,4 +392,32 @@ class Analytics4Spec extends SparkSpec {
     assert(got.toSeq === want)
     assert(got.nonEmpty)
   }
+
+  test("sprt monitor replays from a serial cumulative-llr simulation") {
+    val dir = sf("sf0.001")
+    val got = Analytics4.sprtMonitor(spark, dir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("llr"),
+        r.getAs[String]("decision"))).toSeq
+    val evs = Tables.t(spark, dir, "events")
+      .select(expr("ts DIV 86400000000000").cast("long"),
+        expr("user_id % 2").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val daily = evs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, es) => (d, es.size.toLong, es.count(_._2 == 1L).toLong) }
+    var (n, k) = (0L, 0L)
+    val want = daily.map { case (d, nd, kd) =>
+      n += nd; k += kd
+      val llr = k * 0.09531017980432493 + (n - k) * -0.10536051565782628
+      val dec = if (llr >= 2.9444389791664403) "accept_h1"
+      else if (llr <= -2.9444389791664403) "accept_h0" else "continue"
+      (d, n, k, llr, dec)
+    }
+    assert(got === want)
+    // the fixture's split is fair: drift is negative, and once the
+    // cumulative N is past the Wald bound region the monitor settles
+    assert(got.last._5 === "accept_h0")
+    // cumulative counts are monotone by construction
+    assert(got.map(_._2) === got.map(_._2).sorted)
+  }
 }

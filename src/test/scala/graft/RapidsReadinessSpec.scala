@@ -68,6 +68,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "window_running_sum", "window_sessionize", "window_streaks",
     "window_topk_per_group", "window_value_family", "window_hazard_curve",
     "window_pareto_front", "window_top_paths", "stat_srm", "stat_power_mde",
+    "stat_sprt_monitor",
     "agg_delta_merge", "dq_partition_skew", "ts_period_over_period")
 
   /** Expected fallback triggers per flagged query (exact sets — a new
