@@ -578,4 +578,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = planString(graft.operators.Analytics4.topPaths(spark, sf("sf0.001")))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("mmr rerank: corpus work is the broadcast-panel partial top-C only") {
+    // persist mode keeps the full logical plan visible through the
+    // stage barriers (checkpoint mode's LogicalRDD would hide it)
+    val ps = spark.newSession()
+    ps.conf.set(graft.Cache.ConfKey, "persist")
+    try {
+      val p = planString(graft.sim.Mmr.mmrRerank(ps, sf("sf0.001")))
+      // candidate generation: per-map-task top-C before any shuffle
+      assert(p.contains("WindowGroupLimit"), p.take(3000))
+      // the query panel (vec_id < 8) broadcasts; the corpus streams
+      assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    } finally ps.sharedState.cacheManager.clearCache()
+  }
+
+  test("sprt monitor: corpus collapses to the day grid via partial+final agg") {
+    val p = planString(graft.operators.Analytics4.sprtMonitor(spark, sf("sf0.001")))
+    // partial agg before the exchange: the window never sees the corpus
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
 }
