@@ -1,6 +1,6 @@
 package graft.aria
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.Workload
 import graft.model.{AriaConfig, EpochStats}
@@ -186,8 +186,15 @@ object Aria {
     // on and partitions high.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.min(prevParts.toInt, 2).toString)
+    // ... but the clamp must SCALE WITH THE TABLE: at reference size two
+    // tasks cover the batch, while a decade-scale table split two ways
+    // puts tens of millions of rows in one shuffle task and thrashes the
+    // heap (the 10,000× drain attempt died on spill space before this
+    // sized up). One task per ~10M table keys keeps the epoch tiny for
+    // the reference config and data-proportional at scale.
+    val scaledParts = math.max(2L,
+      math.min(prevParts.toLong, cfg.tableKeys.toLong / 10000000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", scaledParts.toString)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try runLoop(spark, cfg)
     finally {
@@ -207,8 +214,20 @@ object Aria {
     val stats = Seq.newBuilder[EpochStats]
     var epoch = 0
     var remaining = cfg.nTxns.toLong
+    // the frames superseded two assignments ago: by the time epoch k's
+    // collect() has run, epoch k's input frames are materialized blocks
+    // and the epoch k−1 frames are unreachable from any live plan —
+    // drop their blocks, or the drain accumulates one table-sized block
+    // set PER EPOCH (the 10,000×-batch attempt filled 78 GB of spill
+    // this way; at reference size the leak is invisible).
+    var prevTable: DataFrame = null
+    var prevOps: DataFrame = null
     while (remaining > 0 && epoch < cfg.maxEpochs) {
       val r = runEpoch(table, ops, epoch, remaining, cfg)
+      if (prevTable ne null) GraftBridge.dropCheckpointBlocks(prevTable)
+      if (prevOps ne null) GraftBridge.dropCheckpointBlocks(prevOps)
+      prevTable = table
+      prevOps = ops
       table = r.table.localCheckpoint(false)
       ops = r.retryOps.localCheckpoint(false)
       stats += r.stats

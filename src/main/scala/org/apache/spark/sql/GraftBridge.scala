@@ -25,4 +25,19 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drop the block storage behind a `localCheckpoint`ed Dataset.
+    *
+    * `Dataset.localCheckpoint` wraps the checkpointed RDD in a
+    * `LogicalRDD`; the blocks live until that RDD is garbage-collected,
+    * so an iterative drain that checkpoints per epoch accumulates one
+    * table-sized block set PER EPOCH unless the superseded frame's
+    * blocks are dropped explicitly. Only call this once every plan that
+    * could read the frame has materialized — a local checkpoint is
+    * non-reliable, so dropped blocks are unrecoverable by design. */
+  def dropCheckpointBlocks(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: execution.LogicalRDD => r.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }
