@@ -661,6 +661,57 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Threshold grid for [[thresholdCurve]], Jaccard in permille. */
+  private val curveTaus = Seq(200L, 300L, 400L, 500L, 600L, 700L, 800L, 900L)
+
+  /** Dedup threshold-tuning curve — the report a pipeline runs BEFORE
+    * fixing its near-dup similarity cutoff (the dedup-side sibling of
+    * `pipeline_quality_sweep`): for each candidate Jaccard threshold τ,
+    * how many verified pairs survive and how many distinct documents
+    * participate in at least one such pair (the upper bound on docs a
+    * dedup pass at τ would touch). Thresholds compare the SAME doubles
+    * both engines already agree on for `dedup_jaccard_pairs`, against
+    * `τ/1000` computed identically, so the filter is exact.
+    *
+    * Scale shape: rides the memoized verified-pairs frame (bucketed
+    * candidate generation — never all-pairs); the ×|grid| explode is
+    * map-side over the candidate-bounded pair set and collapses to
+    * ≤|grid| cells (pairs) plus a (τ, doc) distinct agg bounded by
+    * grid × participating docs. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val p = jaccardPairs(spark, dir)
+      .select(col("a"), col("b"), col("jaccard"),
+        explode(array(curveTaus.map(lit(_)): _*)).as("tau_permille"))
+      .filter(col("jaccard") >= col("tau_permille").cast("double") / lit(1000.0d))
+      .staged // consumers: the pair count and the distinct-doc count
+    val nPairs = p.groupBy("tau_permille").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = p
+      .select(col("tau_permille"), explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("tau_permille").agg(countDistinct("d").as("n_dup_docs"))
+    nPairs.join(nDocs, Seq("tau_permille")).orderBy("tau_permille")
+  }
+
+  def thresholdCurveSql: String = {
+    val pairs = jaccardPairsSql().replace("ORDER BY a, b", "")
+    val grid = curveTaus.mkString("[", ", ", "]")
+    s"""WITH cand AS ($pairs),
+       |grid AS (SELECT CAST(unnest($grid) AS BIGINT) AS tau_permille),
+       |kept AS (
+       |  SELECT g.tau_permille, c.a, c.b
+       |  FROM cand c JOIN grid g
+       |    ON c.jaccard >= CAST(g.tau_permille AS DOUBLE) / 1000.0
+       |),
+       |np AS (SELECT tau_permille, count(*) AS n_pairs FROM kept GROUP BY 1),
+       |nd AS (
+       |  SELECT tau_permille, count(DISTINCT d) AS n_dup_docs FROM (
+       |    SELECT tau_permille, a AS d FROM kept
+       |    UNION ALL SELECT tau_permille, b FROM kept)
+       |  GROUP BY 1)
+       |SELECT tau_permille, n_pairs, n_dup_docs
+       |FROM np JOIN nd USING (tau_permille)
+       |ORDER BY tau_permille""".stripMargin
+  }
+
   /** Near-dup clustering: ROUNDS iterations of min-label propagation
     * over the (symmetric) LSH candidate graph — turns candidate pairs
     * into dedup groups with a canonical representative (min doc_id).
@@ -1085,6 +1136,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_simhash_incremental" -> simhashIncremental,
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => thresholdCurve(s, d)),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_edit_verify" -> ((s, d) => editVerify(s, d)),
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
@@ -1104,6 +1156,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_incremental" -> simhashIncrementalSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql(),
+    "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_containment" -> containmentPairsSql(),
     "dedup_edit_verify" -> editVerifySql(),
     "dedup_repeated_spans" -> repeatedSpansSql())

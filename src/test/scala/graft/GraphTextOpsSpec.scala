@@ -202,6 +202,27 @@ class GraphTextOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup threshold curve is the verified pairs' own rollup, monotone in tau") {
+    val dir = sf("sf0.001")
+    val pairs = graft.dedup.Dedup.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val taus = Seq(200L, 300L, 400L, 500L, 600L, 700L, 800L, 900L)
+    val want = taus.flatMap { tau =>
+      val kept = pairs.filter(_._3 >= tau.toDouble / 1000.0)
+      if (kept.isEmpty) None
+      else Some(tau -> (kept.length.toLong,
+        kept.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+    }.toMap
+    val got = graft.dedup.Dedup.thresholdCurve(spark, dir).collect()
+      .map(r => r.getAs[Long]("tau_permille") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dup_docs"))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // raising the threshold can only drop pairs and participants
+    val ps = taus.flatMap(got.get(_).map(_._1))
+    assert(ps === ps.sorted.reverse, s"pair counts not monotone: $ps")
+  }
+
   test("containment is asymmetric: a planted quoted doc scores one-way only") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cont").toString

@@ -84,6 +84,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_decontaminate" -> Set("rdd-segment"),
     "dedup_incremental" -> Set("rdd-segment"),
     "dedup_jaccard_pairs" -> Set("rdd-segment"),
+    "dedup_threshold_curve" -> Set("rdd-segment"),
     "dedup_containment" -> Set("rdd-segment"),
     "dedup_winnowing" -> Set("higher-order-function", "rdd-segment"),
     // the tokenize HOF sits upstream of the chunk-frame barrier
@@ -255,6 +256,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_golden_record" -> Set("higher-order-function"),
     "dedup_incremental" -> Set("higher-order-function"),
     "dedup_jaccard_pairs" -> Set("higher-order-function"),
+    "dedup_threshold_curve" -> Set("higher-order-function"),
     "dedup_minhash_bands" -> Set("higher-order-function"),
     "dedup_minhash_candidates" -> Set("higher-order-function"),
     "dedup_minhash_est" -> Set("higher-order-function"),
