@@ -203,33 +203,50 @@ object Aria {
     }
   }
 
+  /** Decade-scale configs take the eager cascade-and-free path below;
+    * the reference-size drain keeps its measured lazy-checkpoint
+    * latency profile (the block sets it leaks are kilobytes). */
+  private def eagerHygiene(cfg: AriaConfig): Boolean =
+    cfg.tableKeys >= 5000000
+
   private def runLoop(spark: SparkSession, cfg: AriaConfig): RunResult = {
     // lazy localCheckpoints: lineage is truncated identically, but the
     // materialization folds into the next epoch's first job instead of
     // costing a dedicated job per checkpoint (2 fewer jobs/epoch).
     var table = Workload.kvTable(spark, cfg.tableKeys, cfg.seed)
-      .localCheckpoint(false)
+      .localCheckpoint(eager = eagerHygiene(cfg))
     var ops = Workload.txnOps(spark, cfg.nTxns, cfg.maxOps, cfg.writePct,
-      cfg.keysMax, cfg.seed).localCheckpoint(false)
+      cfg.keysMax, cfg.seed).localCheckpoint(eager = eagerHygiene(cfg))
     val stats = Seq.newBuilder[EpochStats]
     var epoch = 0
     var remaining = cfg.nTxns.toLong
-    // the frames superseded two assignments ago: by the time epoch k's
-    // collect() has run, epoch k's input frames are materialized blocks
-    // and the epoch k−1 frames are unreachable from any live plan —
-    // drop their blocks, or the drain accumulates one table-sized block
-    // set PER EPOCH (the 10,000×-batch attempt filled 78 GB of spill
-    // this way; at reference size the leak is invisible).
-    var prevTable: DataFrame = null
-    var prevOps: DataFrame = null
     while (remaining > 0 && epoch < cfg.maxEpochs) {
       val r = runEpoch(table, ops, epoch, remaining, cfg)
-      if (prevTable ne null) GraftBridge.dropCheckpointBlocks(prevTable)
-      if (prevOps ne null) GraftBridge.dropCheckpointBlocks(prevOps)
-      prevTable = table
-      prevOps = ops
-      table = r.table.localCheckpoint(false)
-      ops = r.retryOps.localCheckpoint(false)
+      if (eagerHygiene(cfg)) {
+        // decade-scale tables: cascade EAGERLY and free the superseded
+        // generation at once. Lazy checkpoints defer every install to
+        // whatever job finally reads the table — the whole epoch chain
+        // then materializes inside one job with every generation's
+        // blocks pinned (the 10,000×-batch attempt accumulated 78 GB of
+        // spill and died). Eager per-epoch materialization bounds live
+        // storage at two generations; the two extra jobs per epoch are
+        // noise against a decade-scale epoch. Dropping is safe ONLY
+        // because the new checkpoint has just materialized — a local
+        // checkpoint is non-reliable, so blocks must never be dropped
+        // while a lazy plan could still read them.
+        val nt = r.table.localCheckpoint(eager = true)
+        val no = r.retryOps.localCheckpoint(eager = true)
+        GraftBridge.dropCheckpointBlocks(table)
+        GraftBridge.dropCheckpointBlocks(ops)
+        table = nt
+        ops = no
+      } else {
+        // reference-size batches: lazy checkpoints fold materialization
+        // into the next epoch's first job (2 fewer jobs/epoch, measured)
+        // and the handful of tiny block sets is not worth reclaiming.
+        table = r.table.localCheckpoint(false)
+        ops = r.retryOps.localCheckpoint(false)
+      }
       stats += r.stats
       remaining = r.stats.aborted
       epoch += 1
