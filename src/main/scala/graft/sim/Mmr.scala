@@ -27,9 +27,11 @@ import graft.Cache.CacheOps
   * the selected set, per-query argmax window), so the DuckDB oracle
   * replays it exactly as chained CTEs. The per-round `selected` frame
   * has three consumers (anti-join, max-sim join, union) and is
-  * `.staged` — with 4 fixed rounds over ≤Q·S-row frames the
-  * iterative-drain cutRound rule (graft.Cache) isn't needed; IMR
-  * nesting depth is bounded at 4.
+  * reassigned in a driver loop — the iterative-drain rule
+  * (graft.Cache): `.cutRound` in BOTH cache modes. A `.staged` variant
+  * measured 13.1 s under persist mode vs the 1.7 s checkpoint floor
+  * (the nested per-round IMR chain), the exact inflation the rule
+  * exists to prevent.
   *
   * Exactness: relevance and pair similarities are the family's
   * portable fixed-point cosine (integer dot products, one final IEEE
@@ -42,7 +44,11 @@ object Mmr {
   private val nCand = 12   // candidate pool per query
   private val nSelect = 5  // greedy picks per query
 
-  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus-sized stage alone — the top-C pool via the cosineTopK
+    * plan (broadcast panel + WindowGroupLimit). Package-visible so
+    * PlanShapeSpec can pin that shape (the greedy loop's final lineage
+    * cut hides it from the full query's plan). */
+  private[graft] def candidates(spark: SparkSession, dir: String): DataFrame = {
     val qn = Similarity.quantizedFrom(
       t(spark, dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
@@ -50,8 +56,7 @@ object Mmr {
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
     val corpus = qn.select(col("vec_id").as("cand_id"), col("q").as("qb"),
       col("nsq").as("nb"))
-    // top-C pool: the cosineTopK plan (broadcast panel + WindowGroupLimit)
-    val cands = corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
+    corpus.join(broadcast(queries), col("query_id") =!= col("cand_id"))
       .withColumn("rel",
         Portable.dotQ(col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
@@ -60,6 +65,13 @@ object Mmr {
           .orderBy(desc("rel"), col("cand_id"))).as("rn"))
       .filter(col("rn") <= nCand)
       .select("query_id", "cand_id", "rel")
+  }
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val qn = Similarity.quantizedFrom(
+      t(spark, dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id")))
+    val cands = candidates(spark, dir)
       .staged // consumers: pair-sim build + every greedy round
     // candidate vectors: one broadcast-probe of the corpus, Q·C rows out
     val cv = qn
@@ -106,7 +118,7 @@ object Mmr {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("cand_id"), col("rel"),
           lit(s.toLong).as("mmr_rank"))
-      selected = selected.unionAll(picked).staged
+      selected = selected.unionAll(picked).cutRound
     }
     selected.orderBy("query_id", "mmr_rank")
   }

@@ -580,17 +580,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("mmr rerank: corpus work is the broadcast-panel partial top-C only") {
-    // persist mode keeps the full logical plan visible through the
-    // stage barriers (checkpoint mode's LogicalRDD would hide it)
-    val ps = spark.newSession()
-    ps.conf.set(graft.Cache.ConfKey, "persist")
-    try {
-      val p = planString(graft.sim.Mmr.mmrRerank(ps, sf("sf0.001")))
-      // candidate generation: per-map-task top-C before any shuffle
-      assert(p.contains("WindowGroupLimit"), p.take(3000))
-      // the query panel (vec_id < 8) broadcasts; the corpus streams
-      assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    } finally ps.sharedState.cacheManager.clearCache()
+    // asserted on the candidate stage directly — the greedy loop's
+    // per-round lineage cuts hide it from the full query's plan
+    val p = planString(graft.sim.Mmr.candidates(spark, sf("sf0.001")))
+    // candidate generation: per-map-task top-C before any shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    // the query panel (vec_id < 8) broadcasts; the corpus streams
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
   test("sprt monitor: corpus collapses to the day grid via partial+final agg") {

@@ -313,7 +313,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_lsh_signatures" -> Set("custom-expression", "higher-order-function"),
     "sim_mrl_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_incremental" -> Set("custom-expression", "higher-order-function"),
-    "sim_mmr_rerank" -> Set("custom-expression", "higher-order-function"),
+    // greedy rounds cut per round (graft.Cache iterative-drain rule);
+    // the final cut is the whole visible plan in both modes
+    "sim_mmr_rerank" -> Set("rdd-segment"),
     "sim_neardup_pairs" -> Set("custom-expression", "higher-order-function"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -427,6 +429,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_opq_topk", "sim_opq_recall",
         "sim_ivfbq_topk", "sim_ivfbq_recall",
         "sim_ivf_probe_curve",
+        "sim_mmr_rerank",
         "sim_semdedup", "text_bpe_counts", "text_bpe_merges",
         "text_bpe_vocab",
         // round-12 drain cuts: the graph/PCA round loops now cut
