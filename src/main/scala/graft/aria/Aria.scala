@@ -193,7 +193,7 @@ object Aria {
     // sized up). One task per ~10M table keys keeps the epoch tiny for
     // the reference config and data-proportional at scale.
     val scaledParts = math.max(2L,
-      math.min(prevParts.toLong, cfg.tableKeys.toLong / 10000000L + 1L))
+      math.min(prevParts.toLong, cfg.tableKeys.toLong / KeysPerShuffleTask + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", scaledParts.toString)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try runLoop(spark, cfg)
@@ -203,11 +203,26 @@ object Aria {
     }
   }
 
+  /** Table keys one shuffle task can hold without thrashing the heap —
+    * the partition-scaling constant for [[run]]'s clamp (sized from the
+    * 10,000×-drain spill failure: tens of millions of rows in one task
+    * died; one task per ~10M keys recovered it). */
+  private val KeysPerShuffleTask = 10000000L
+
+  /** Tables whose per-generation checkpoint blocks are big enough that
+    * leaking one set per epoch matters — derived from (half of)
+    * [[KeysPerShuffleTask]]: well before a table needs more shuffle
+    * tasks, its generations already need eager reclamation. Configs in
+    * between (≥ this, < KeysPerShuffleTask) get eager hygiene while
+    * still fitting one task — that ordering is deliberate: hygiene must
+    * engage BEFORE partition scaling, never after. */
+  private val EagerHygieneKeys = KeysPerShuffleTask / 2
+
   /** Decade-scale configs take the eager cascade-and-free path below;
     * the reference-size drain keeps its measured lazy-checkpoint
     * latency profile (the block sets it leaks are kilobytes). */
   private def eagerHygiene(cfg: AriaConfig): Boolean =
-    cfg.tableKeys >= 5000000
+    cfg.tableKeys >= EagerHygieneKeys
 
   private def runLoop(spark: SparkSession, cfg: AriaConfig): RunResult = {
     // lazy localCheckpoints: lineage is truncated identically, but the

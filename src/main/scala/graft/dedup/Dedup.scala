@@ -168,12 +168,15 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  val minhashCandidatesSql: String =
-    s"""WITH bands AS (${minhashBandsSql().replace("ORDER BY doc_id, band", "")})
+  val minhashCandidatesSql: String = {
+    require(minhashBandsSql().endsWith("ORDER BY doc_id, band"),
+      "minhashBandsSql no longer ends with its ORDER BY — update minhashCandidatesSql's composition")
+    s"""WITH bands AS (${minhashBandsSql().stripSuffix("ORDER BY doc_id, band")})
        |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
        |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
        |WHERE l.doc_id < r.doc_id
        |GROUP BY a, b ORDER BY a, b""".stripMargin
+  }
 
   /** INCREMENTAL dedup candidates — the nightly-ingest shape: only the
     * DELTA batch (docs whose split hash lands in [90,100), standing in
@@ -545,6 +548,12 @@ object Dedup {
   }
 
   def jaccardPairsSql(threshold: Double = 0.2): String =
+    jaccardPairsSqlBody(threshold) + "\nORDER BY a, b"
+
+  /** The pair query WITHOUT its trailing ORDER BY — for composition
+    * inside CTEs ([[thresholdCurveSql]]), where post-hoc string surgery
+    * on the ordered form would be a silent no-op after any reformat. */
+  private def jaccardPairsSqlBody(threshold: Double): String =
     s"""$shingleTableSql,
        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM st),
        |rare AS (
@@ -563,8 +572,7 @@ object Dedup {
        |       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
        |FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id
        |           JOIN sizes sb ON pairs.b = sb.doc_id
-       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
-       |ORDER BY a, b""".stripMargin
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold""".stripMargin
 
   /** Directed n-gram CONTAINMENT pairs: containment(src→dst) =
     * |sh(src) ∩ sh(dst)| / |sh(src)| over the df-capped rare-shingle
@@ -692,7 +700,7 @@ object Dedup {
   }
 
   def thresholdCurveSql: String = {
-    val pairs = jaccardPairsSql().replace("ORDER BY a, b", "")
+    val pairs = jaccardPairsSqlBody(0.2)
     val grid = curveTaus.mkString("[", ", ", "]")
     s"""WITH cand AS ($pairs),
        |grid AS (SELECT CAST(unnest($grid) AS BIGINT) AS tau_permille),
@@ -759,7 +767,9 @@ object Dedup {
   }
 
   val nearDupClustersSql: String = {
-    val base = minhashCandidatesSql.replace("ORDER BY a, b", "")
+    require(minhashCandidatesSql.endsWith("ORDER BY a, b"),
+      "minhashCandidatesSql no longer ends with its ORDER BY — update nearDupClustersSql's composition")
+    val base = minhashCandidatesSql.stripSuffix("ORDER BY a, b")
     val rounds = (1 to clusterRounds).map { i =>
       s"""l$i AS (
          |  SELECT l.doc_id,

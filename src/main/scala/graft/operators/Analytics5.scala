@@ -19,10 +19,21 @@ object Analytics5 {
     * score = c·K − label packs the vote count and the tie-break into
     * one BIGINT so the per-node winner is a plain `max`. Requires
     * K > max node id (node ids here are ≤ ~1.3e10 even on the 64×
-    * fixture; K = 1e12 leaves c ≤ ~1e6 before BIGINT range matters).
-    * A key universe beyond K would switch to `max(struct(c, -label))`
-    * — same single-agg shape, engine-native ordering. */
+    * fixture; K = 1e12 leaves c ≤ [[MaxVoteCount]] ≈ 9.2e6 before
+    * BIGINT range matters). A key universe beyond K would switch to
+    * `max(struct(c, -label))` — same single-agg shape, engine-native
+    * ordering. The bound is GUARDED, not assumed: a (node, label) vote
+    * count past it raises instead of silently wrapping (Spark non-ANSI
+    * would wrap; DuckDB promotes to HUGEINT — a divergence, not a
+    * crash, so the wrap would otherwise surface only as a hash
+    * mismatch). One branch per post-agg row — vote rows, not edges. */
   private val ScoreK = 1000000000000L
+
+  /** Largest packable vote count: c·K − label must stay under
+    * Long.MaxValue for any label < K. Web-scale head nodes CAN exceed
+    * this (≥9.2M same-label neighbors) — that corpus switches to the
+    * struct form per the note above. */
+  private val MaxVoteCount = Long.MaxValue / ScoreK - 1
 
   /** Synchronous label propagation (Raghavan 2007) — community
     * detection next to the CC/modularity family: each round every node
@@ -49,7 +60,10 @@ object Analytics5 {
         .select(col("dst").as("node"), col("label"))
       labels = labels.select("node", "label").unionAll(prop)
         .groupBy("node", "label").agg(count(lit(1)).as("c"))
-        .select(col("node"), (col("c") * ScoreK - col("label")).as("score"))
+        .select(col("node"), when(col("c") > MaxVoteCount, raise_error(lit(
+            s"graph_label_prop: a (node, label) vote count exceeds the " +
+              s"c*K-label packing bound $MaxVoteCount; use max(struct(c, -label))")))
+          .otherwise(col("c") * ScoreK - col("label")).as("score"))
         .groupBy("node").agg(max("score").as("m"))
         .select(col("node"),
           expr(s"((m + ${ScoreK - 1}L) DIV ${ScoreK}L) * ${ScoreK}L - m").as("label"))

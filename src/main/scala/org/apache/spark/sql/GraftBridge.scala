@@ -34,10 +34,20 @@ object GraftBridge {
     * table-sized block set PER EPOCH unless the superseded frame's
     * blocks are dropped explicitly. Only call this once every plan that
     * could read the frame has materialized — a local checkpoint is
-    * non-reliable, so dropped blocks are unrecoverable by design. */
+    * non-reliable, so dropped blocks are unrecoverable by design.
+    *
+    * Accepts ONLY a frame whose plan root IS the checkpoint's
+    * `LogicalRDD` (what `localCheckpoint` returns). A derived/composite
+    * frame is refused: traversing its whole tree would unpersist every
+    * checkpoint it references — including blocks shared with other
+    * still-live consumers, unrecoverably. */
   def dropCheckpointBlocks(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case r: execution.LogicalRDD => r.rdd.unpersist(blocking = false)
-      case _ =>
+      case other => throw new IllegalArgumentException(
+        "dropCheckpointBlocks: plan root is " + other.nodeName +
+          ", not a LogicalRDD — pass the frame localCheckpoint() returned, " +
+          "not a frame derived from it (a tree-wide unpersist could drop " +
+          "checkpoint blocks shared with other consumers)")
     }
 }
