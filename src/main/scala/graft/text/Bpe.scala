@@ -96,17 +96,24 @@ object Bpe {
     * rewrite join and the merge report) and returned alongside the
     * final form table; otherwise the plan is bit-identical to the
     * original inline loop. */
+  /** One merge application over a form row's symbol array: replaces
+    * [.., bx] + by with [.., bx·by] left-to-right (non-overlapping
+    * because bx ≠ by). Null-safe: with bx/by null (empty `best`), both
+    * `when` predicates are null → every symbol takes the keep branch →
+    * the round is a no-op. Shared by the training loop and the
+    * merge-table REPLAY in [[bpeEncodeFrom]] — sharing it is what makes
+    * "encode ≡ train on the training corpus" an identity, not a
+    * coincidence. */
+  private val rewrite = expr(
+    """aggregate(syms, cast(array() as array<string>),
+      |  (acc, s) -> case
+      |    when size(acc) = 0 then array(s)
+      |    when element_at(acc, -1) = bx and s = by
+      |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
+      |    else concat(acc, array(s)) end)""".stripMargin)
+
   private[graft] def trainForms(forms0: DataFrame, recordMerges: Boolean)
       : (DataFrame, Seq[DataFrame]) = {
-    // null-safe: with bx/by null (empty `best`), both `when` predicates
-    // are null → every symbol takes the keep branch → round is a no-op
-    val rewrite = expr(
-      """aggregate(syms, cast(array() as array<string>),
-        |  (acc, s) -> case
-        |    when size(acc) = 0 then array(s)
-        |    when element_at(acc, -1) = bx and s = by
-        |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
-        |    else concat(acc, array(s)) end)""".stripMargin)
     var forms = forms0
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
@@ -200,6 +207,92 @@ object Bpe {
       .orderBy(desc("occurrences"), col("token")).limit(topK)
   }
 
+  // ---------------------------------------------------------------------
+  // Encode: APPLY the learned tokenizer (the step every training run
+  // takes after merges.txt ships)
+  // ---------------------------------------------------------------------
+
+  /** Released-vocabulary size for [[bpeEncode]]: the top-K tokens by
+    * corpus occurrences are "in vocab"; any other symbol the merges
+    * produce falls back to characters (the byte-fallback convention —
+    * single characters are always representable). Deliberately small so
+    * the fixture corpus actually EXERCISES the OOV path. */
+  val releasedVocabK = 50
+
+  /** Re-tokenize the corpus under the LEARNED merge table — the encode
+    * step of a shipped BPE tokenizer: greedy lowest-rank-first merge
+    * application at FORM level (rank r applies only after ranks < r,
+    * exactly how a release consumer replays merges.txt), then
+    * token accounting under the released top-[[releasedVocabK]] vocab
+    * with character fallback for out-of-vocab symbols.
+    *
+    * Output: one row per document plus a corpus-total row
+    * (doc_id = −1, via ROLLUP) — (doc_id, n_bpe_tokens, n_oov_tokens,
+    * n_final_tokens) where n_final counts in-vocab symbols as 1 token
+    * and each OOV symbol as its character count.
+    *
+    * The encode path REPLAYS the recorded merge table rank-by-rank over
+    * a fresh form table rather than reusing training's final state —
+    * a genuinely separate application path, so its agreement with the
+    * occurrence-level oracle (and, transitively, with `text_bpe_counts`)
+    * proves the shipped artifact round-trips: learn → merges.txt →
+    * encode reproduces the training segmentation on the training
+    * corpus.
+    *
+    * Scale: the replay is `rounds` broadcast joins over the Zipf-small
+    * form table; the released vocab is a K-row broadcast; the only
+    * corpus-sized work is the one occurrence shuffle and the final
+    * occ ⋈ form-stats broadcast join — same shape as [[bpeCounts]]. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrom(t(spark, dir, "documents"))
+
+  private[graft] def bpeEncodeFrom(docs: DataFrame,
+                                   vocabK: Int = releasedVocabK): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
+      .staged
+    val forms0 = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
+      .select(col("w"), col("wcnt"), symsExpr.as("syms"))
+      .localCheckpoint(false)
+    // learn — keep only the merge-table artifact, discard the trained state
+    val (_, merges) = trainForms(forms0, recordMerges = true)
+    // encode — replay the artifact in rank order over a fresh form table
+    var encoded = forms0
+    for (m <- merges) {
+      encoded = encoded
+        .join(broadcast(m.select(col("bx"), col("by"))), lit(true), "left")
+        .select(col("w"), col("wcnt"), rewrite.as("syms"))
+        .localCheckpoint(false)
+    }
+    val vocab = encoded.select(explode(col("syms")).as("token"), col("wcnt"))
+      .groupBy("token").agg(sum("wcnt").as("occurrences"))
+      .orderBy(desc("occurrences"), col("token")).limit(vocabK)
+      .select(col("token"), lit(1L).as("iv"))
+    // per-form accounting under the released vocab (form-level ×
+    // corpus-count weighting — the Sennrich equivalence again)
+    val formStats = encoded
+      .select(col("w"), explode(col("syms")).as("sym"))
+      .join(broadcast(vocab), col("sym") === col("token"), "left")
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_sym"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov_sym"),
+        sum(when(col("iv").isNull, length(col("sym")).cast("long"))
+          .otherwise(1L)).as("n_final_sym"))
+    occ
+      .join(broadcast(formStats), Seq("w"))
+      // rollup(Column), not rollup(String): the String overload resolves
+      // through Dataset.col, whose dataset-id tag trips
+      // DetectAmbiguousSelfJoin against the staged occ lineage
+      .rollup(col("doc_id"))
+      .agg(sum(col("occ") * col("n_sym")).as("n_bpe_tokens"),
+        sum(col("occ") * col("n_oov_sym")).as("n_oov_tokens"),
+        sum(col("occ") * col("n_final_sym")).as("n_final_tokens"))
+      .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        col("n_bpe_tokens"), col("n_oov_tokens"), col("n_final_tokens"))
+      .orderBy("doc_id")
+  }
+
   private val tokSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
@@ -264,13 +357,39 @@ object Bpe {
        |FROM s$rounds GROUP BY 1
        |ORDER BY occurrences DESC, token LIMIT $topK""".stripMargin
 
+  /** Occurrence-level encode oracle: s`rounds` IS the encoded corpus
+    * (one row per final token), so the vocab, the OOV flags, and the
+    * fallback expansion are direct aggregations over it — the whole
+    * form-level replay on the Spark side must tie out against this. */
+  val bpeEncodeSql: String =
+    s"""WITH $corpusCtes,
+       |${sqlRounds(cntInBest = false)},
+       |voc AS (
+       |  SELECT sym AS token FROM s$rounds GROUP BY sym
+       |  ORDER BY count(*) DESC, sym LIMIT $releasedVocabK
+       |),
+       |tok AS (
+       |  SELECT s.doc_id,
+       |         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov,
+       |         CASE WHEN v.token IS NULL THEN length(s.sym) ELSE 1 END AS fin
+       |  FROM s$rounds s LEFT JOIN voc v ON s.sym = v.token
+       |)
+       |SELECT coalesce(doc_id, -1) AS doc_id,
+       |       count(*) AS n_bpe_tokens,
+       |       CAST(sum(oov) AS BIGINT) AS n_oov_tokens,
+       |       CAST(sum(fin) AS BIGINT) AS n_final_tokens
+       |FROM tok GROUP BY ROLLUP(doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_counts" -> bpeCounts,
     "text_bpe_merges" -> bpeMerges,
-    "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)))
+    "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
+    "text_bpe_encode" -> bpeEncode)
 
   val oracles: Map[String, String] = Map(
     "text_bpe_counts" -> bpeCountsSql,
     "text_bpe_merges" -> bpeMergesSql,
-    "text_bpe_vocab" -> bpeVocabSql())
+    "text_bpe_vocab" -> bpeVocabSql(),
+    "text_bpe_encode" -> bpeEncodeSql)
 }

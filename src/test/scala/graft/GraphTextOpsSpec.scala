@@ -144,6 +144,47 @@ class GraphTextOpsSpec extends SparkSpec {
       ("wo", 4L), ("hello", 3L), ("ld", 3L), ("r", 3L), ("d", 2L), ("hel", 1L)))
   }
 
+  test("BPE encode replays the merge table onto the hand corpus with OOV byte-fallback") {
+    import spark.implicits._
+    // same fixture; final tokenizations (see vocab test): hello→[hello]×3,
+    // world→[wo,r,ld]×2, word→[wo,r,d], held→[hel,d], wold→[wo,ld].
+    // Released vocab top-2 by (occurrences desc, token asc): wo(4),
+    // then hello/ld/r tie at 3 → "hello" wins. OOV symbols fall back to
+    // characters: r→1, ld→2, d→1, hel→3.
+    val docs = Seq(
+      (1L, "hello hello world"),
+      (2L, "hello world word"),
+      (3L, "held wold")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.bpeEncodeFrom(docs, vocabK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (-1L, 16L, 9L, 21L), // corpus-total rollup row
+      (1L, 5L, 2L, 6L),    // [hello,hello,wo,r,ld]: r+ld OOV → 3+1+2
+      (2L, 7L, 4L, 8L),    // [hello,wo,r,ld,wo,r,d]: r,ld,r,d OOV
+      (3L, 4L, 3L, 7L)))   // [hel,d,wo,ld]: hel,d,ld OOV → 1+3+1+2
+  }
+
+  test("BPE encode ties out against the trained counts and the full vocabulary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the shipped-artifact round-trip: replaying merges.txt re-produces
+    // the training segmentation, so encode's per-doc n_bpe_tokens must
+    // equal bpeCounts' and the corpus-total row must equal the summed
+    // full-vocabulary occurrences.
+    val docs = Seq(
+      (1L, "hello hello world"),
+      (2L, "hello world word"),
+      (3L, "held wold")).toDF("doc_id", "text")
+    val enc = graft.text.Bpe.bpeEncodeFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val counts = graft.text.Bpe.bpeCountsFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    counts.foreach { case (doc, n) => assert(enc(doc) === n) }
+    val vocabTotal = graft.text.Bpe.bpeVocabFrom(docs, topK = 1000)
+      .agg(sum("occurrences")).head().getLong(0)
+    assert(enc(-1L) === vocabTotal)
+  }
+
   test("BPE training stops gracefully when no mergeable pair exists") {
     import spark.implicits._
     // every word is single-symbol or pure same-symbol runs ("aa" gives
