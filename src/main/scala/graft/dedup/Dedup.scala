@@ -827,6 +827,148 @@ object Dedup {
        |FROM grams GROUP BY span HAVING count(*) >= 2
        |ORDER BY n_docs DESC, span""".stripMargin
 
+  /** Seed k-gram width for the MAXIMAL-span family below. */
+  private[graft] val spanSeedK = 8
+
+  /** MAXIMAL duplicated-substring spans (the ExactSubstr half of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): per document, the maximal token intervals covered by
+    * duplicated substrings of length ≥ k — a 200-token passage shared
+    * between two documents reports as ONE ~200-token span, not 193
+    * overlapping k-grams ([[repeatedSpans]]' fixed-gram under-merge).
+    *
+    * Suffix-array-free formulation that survives 100 TB: (1) every
+    * k-gram OCCURRENCE (doc, position) — positions kept, duplicates
+    * within a doc kept: a substring repeated twice in ONE doc is
+    * duplicated corpus-wide by Lee et al.'s definition; (2) a gram is
+    * duplicated iff its global occurrence count ≥ 2 — a partial-agg
+    * count keyed on the gram, never a pair join, so there is NO
+    * candidate-pair explosion anywhere in this operator and no df cap
+    * is needed (a million-fold boilerplate gram costs one count cell
+    * and linear join-back fanout); (3) seed extension: consecutive
+    * covered start positions merge left/right into maximal intervals —
+    * a per-doc gaps-and-islands window (all seed intervals have width
+    * k and arrive sorted, so a new island begins exactly when
+    * pos − lag(pos) ≥ k). The result is the union of duplicated-k-gram
+    * intervals: every maximal duplicated substring of length L ≥ k
+    * contributes its L−k+1 consecutive seeds and collapses to one
+    * interval; overlapping matches AGAINST DIFFERENT sources merge into
+    * one mask interval — the span-granularity over-approximation the
+    * paper's span-removal step works on.
+    *
+    * Shuffles: one on the gram (count + join-back reuse the exchange),
+    * one on doc_id for the window — both linear. The raw gram string is
+    * the key for oracle readability; at 100 TB it would be hashed first
+    * (same dataflow), cf. [[repeatedSpans]]. */
+  def substringSpans(spark: SparkSession, dir: String, k: Int = spanSeedK): DataFrame =
+    substringSpansFrom(tokensFrame(spark, dir), k)
+      .orderBy("doc_id", "span_start")
+
+  /** Tokenized corpus with the hard projection barrier every
+    * position-exploding consumer needs (cf. [[repeatedSpans]]). */
+  private def tokensFrame(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .staged
+
+  /** Core on a (doc_id, toks) frame: (doc_id, span_start, span_tokens),
+    * 1-based token positions, unordered (callers sort). */
+  private[graft] def substringSpansFrom(toks: DataFrame, k: Int): DataFrame = {
+    val grams = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          concat_ws(" ", slice(col("toks"), i, lit(k))).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .staged // two consumers: the occurrence count and the join-back
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("gram")
+    val covered = grams.join(dup, Seq("gram")).select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    covered
+      .withColumn("ni",
+        when(coalesce(col("pos") - lag("pos", 1).over(byDoc), lit(k.toLong)) >= k, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("ni").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k.toLong) - min("pos")).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  private def substringSpanCtes(k: Int): String =
+    s"""tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |         array_to_string(toks[u.i:u.i+${k - 1}], ' ') AS gram
+       |  FROM tk, unnest(generate_series(1, len(toks) - ${k - 1})) AS u(i)
+       |  WHERE len(toks) >= $k
+       |),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+       |cov AS (SELECT g.doc_id, g.pos FROM g JOIN dup ON g.gram = dup.gram),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), $k) >= $k
+       |              THEN 1 ELSE 0 END AS ni
+       |  FROM cov),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |         max(pos) + $k - min(pos) AS span_tokens
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
+  def substringSpansSql(k: Int = spanSeedK): String =
+    s"""WITH ${substringSpanCtes(k)}
+       |SELECT doc_id, span_start, CAST(span_tokens AS BIGINT) AS span_tokens
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** Per-document duplicated-token share at SPAN granularity — the
+    * per-doc report the span-removal / doc-dropping policy reads:
+    * (doc_id, n_tokens, n_spans, dup_tokens, dup_permille), every doc
+    * present (zero rows for clean docs). dup_permille is integer
+    * (1000·dup DIV total) so both engines agree exactly. Composes
+    * [[substringSpansFrom]] with one doc-keyed agg + a doc-keyed left
+    * join against token counts — both linear, keyed on doc_id. */
+  def substringShare(spark: SparkSession, dir: String, k: Int = spanSeedK): DataFrame =
+    substringShareFrom(tokensFrame(spark, dir), k)
+
+  private[graft] def substringShareFrom(toks: DataFrame, k: Int): DataFrame = {
+    val perDoc = substringSpansFrom(toks, k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          expr("1000L * coalesce(dup_tokens, 0L) DIV n_tokens"))
+          .otherwise(0L).as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
+  def substringShareSql(k: Int = spanSeedK): String =
+    s"""WITH ${substringSpanCtes(k)},
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       |       CASE WHEN len(tk.toks) > 0
+       |            THEN 1000 * coalesce(p.dup_tokens, 0) // len(tk.toks)
+       |            ELSE 0 END AS dup_permille
+       |FROM tk LEFT JOIN per_doc p ON tk.doc_id = p.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
   /** Golden-record survivorship — the master-data step AFTER duplicate
     * detection: each multi-member near-dup cluster collapses to one
     * canonical record (the cluster representative, i.e. the propagated
@@ -1149,7 +1291,9 @@ object Dedup {
     "dedup_threshold_curve" -> ((s, d) => thresholdCurve(s, d)),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_edit_verify" -> ((s, d) => editVerify(s, d)),
-    "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)))
+    "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
+    "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
+    "dedup_substring_share" -> ((s, d) => substringShare(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql(),
@@ -1169,5 +1313,7 @@ object Dedup {
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_containment" -> containmentPairsSql(),
     "dedup_edit_verify" -> editVerifySql(),
-    "dedup_repeated_spans" -> repeatedSpansSql())
+    "dedup_repeated_spans" -> repeatedSpansSql(),
+    "dedup_substring_spans" -> substringSpansSql(),
+    "dedup_substring_share" -> substringShareSql())
 }

@@ -106,6 +106,50 @@ class BehaviorSpec extends SparkSpec {
     assert(reported === manual, s"wau($midDay): $reported != $manual")
   }
 
+  test("substring spans: a planted 200-token shared passage reports as ONE maximal span") {
+    import spark.implicits._
+    // the Lee et al. maximal-extension property the fixed-8-gram
+    // detector lacks: a long shared passage must collapse to a single
+    // span per doc, not 193 overlapping 8-grams. Surrounding tokens are
+    // unique per doc, so boundary-straddling grams occur once and the
+    // covered-start runs are exactly the passage interiors.
+    val shared = (1 to 200).map(i => s"s$i")
+    val doc1 = (1 to 20).map(i => s"a$i") ++ shared ++ (21 to 40).map(i => s"a$i")
+    val doc2 = (1 to 35).map(i => s"b$i") ++ shared ++ (36 to 50).map(i => s"b$i")
+    val toks = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "toks")
+    val got = graft.dedup.Dedup.substringSpansFrom(toks, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 21L, 200L), (2L, 36L, 200L)))
+  }
+
+  test("substring spans: a WITHIN-doc repeat is duplicated corpus-wide and reports both copies") {
+    import spark.implicits._
+    val block = (1 to 20).map(i => s"s$i")
+    val doc = block ++ (1 to 30).map(i => s"c$i") ++ block
+    val toks = Seq((3L, doc)).toDF("doc_id", "toks")
+    val got = graft.dedup.Dedup.substringSpansFrom(toks, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // covered starts 1..13 and 51..63 → two maximal 20-token spans
+    assert(got === Set((3L, 1L, 20L), (3L, 51L, 20L)))
+  }
+
+  test("substring share: per-doc duplicated-token permille, clean docs report zero") {
+    import spark.implicits._
+    val shared = (1 to 200).map(i => s"s$i")
+    val doc1 = (1 to 20).map(i => s"a$i") ++ shared ++ (21 to 40).map(i => s"a$i")
+    val doc2 = (1 to 35).map(i => s"b$i") ++ shared ++ (36 to 50).map(i => s"b$i")
+    val doc4 = (1 to 30).map(i => s"d$i")
+    val toks = Seq((1L, doc1), (2L, doc2), (4L, doc4)).toDF("doc_id", "toks")
+    val got = graft.dedup.Dedup.substringShareFrom(toks, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 240L, 1L, 200L, 833L), // 1000*200 DIV 240
+      (2L, 250L, 1L, 200L, 800L),
+      (4L, 30L, 0L, 0L, 0L)))
+  }
+
   test("golden record: only multi-member clusters, canonical present, sizes consistent") {
     val rows = graft.dedup.Dedup.goldenRecord(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty, "sf0.01 has near-dup clusters; survivorship must surface them")

@@ -97,6 +97,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_minhash_est" -> Set("rdd-segment"),
     "dedup_neardup_clusters" -> Set("rdd-segment"),
     "dedup_repeated_spans" -> Set("higher-order-function", "rdd-segment"),
+    // gram explode's HOF sits upstream of the staged grams barrier, so
+    // checkpoint mode sees only the rdd segment
+    "dedup_substring_spans" -> Set("rdd-segment"),
+    "dedup_substring_share" -> Set("rdd-segment"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
@@ -263,6 +267,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_minhash_est" -> Set("higher-order-function"),
     "dedup_neardup_clusters" -> Set("higher-order-function"),
     "dedup_repeated_spans" -> Set("higher-order-function"),
+    "dedup_substring_spans" -> Set("higher-order-function"),
+    "dedup_substring_share" -> Set("higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "higher-order-function"),
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
