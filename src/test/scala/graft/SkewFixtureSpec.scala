@@ -38,6 +38,41 @@ class SkewFixtureSpec extends SparkSpec {
       == stockDistinct * 4)
   }
 
+  test("hot-node fixture: one supplier endpoint on ~1/3 of edges, degree scales ×factor") {
+    // write factor-1 and factor-2 fixtures and compare the DERIVED
+    // graph: the hot node's degree must scale with the data while its
+    // edge share stays constant — the property that distinguishes one
+    // global head node from `factor` medium ones.
+    val out1 = java.nio.file.Files.createTempDirectory("hotnode1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("hotnode2").toString
+    SkewFixture.hotNodeLineitem(spark, sf("sf0.001"), factor = 1)
+      .write.mode("overwrite").parquet(s"$out1/lineitem.parquet")
+    SkewFixture.hotNodeLineitem(spark, sf("sf0.001"), factor = 2)
+      .write.mode("overwrite").parquet(s"$out2/lineitem.parquet")
+    val hotNode = SkewFixture.HotSupp * 2 + 1
+    def stats(dir: String): (Long, Long) = {
+      val e = graft.sim.GraphOps.edges(spark, dir)
+      (e.count(), e.filter(col("src") === hotNode).count())
+    }
+    val (e1, h1) = stats(out1)
+    val (e2, h2) = stats(out2)
+    assert(h2 === h1 * 2, "hot degree must scale exactly ×factor")
+    val share1 = 2.0 * h1 / e1
+    val share2 = 2.0 * h2 / e2
+    // sf0.001's cold projection is dense (10 suppliers) and dedups
+    // hard, inflating the share vs the measurement fixture's sf0.1
+    // (34.0% there, ~53% here) — pin a sane band, not the sf0.1 value
+    assert(share1 > 0.25 && share1 < 0.60,
+      s"hot endpoint share $share1 drifted from the designed ~1/3")
+    assert(math.abs(share1 - share2) < 0.02,
+      "share must stay constant across factors (one GLOBAL head node)")
+    // the hot node is the minimal odd id → lands in the 8-supplier
+    // landmark panel of ppr/betweenness/closeness by construction
+    val minOdd = graft.sim.GraphOps.edges(spark, out1)
+      .filter(col("src") % 2 === 1).agg(min("src")).head().getLong(0)
+    assert(minOdd === hotNode)
+  }
+
   test("flag assignment is deterministic and replica-consistent") {
     val again = SkewFixture.skewedLineitem(spark, sf("sf0.001"), factor = 4)
     assert(fx.exceptAll(again).isEmpty && again.exceptAll(fx).isEmpty)
