@@ -954,6 +954,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Lee et al.'s removal POLICY threshold: only duplicated spans of
+    * ≥ 50 tokens are cut (short boilerplate matches are left alone —
+    * the paper's ExactSubstr setting). */
+  private[graft] val removalMinSpan = 50
+
+  /** Span-removal accounting under the ≥[[removalMinSpan]]-token
+    * policy: per document (n_tokens, removed_tokens, kept_tokens) plus
+    * a corpus-total ROLLUP row (doc_id = −1) — the before/after budget
+    * a substring-dedup run reports. Spans are disjoint maximal
+    * intervals, so removed ≤ total by construction. Same two linear
+    * shuffles as the span kernel plus one doc-keyed agg. */
+  def substringRemoval(spark: SparkSession, dir: String, k: Int = spanSeedK,
+                       minSpan: Int = removalMinSpan): DataFrame =
+    substringRemovalFrom(tokensFrame(spark, dir), k, minSpan)
+
+  private[graft] def substringRemovalFrom(toks: DataFrame, k: Int,
+                                          minSpan: Int): DataFrame = {
+    val removed = substringSpansFrom(toks, k)
+      .filter(col("span_tokens") >= minSpan)
+      .groupBy("doc_id").agg(sum("span_tokens").as("removed"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+      .join(removed, Seq("doc_id"), "left")
+      .rollup(col("doc_id")) // Column form — see Bpe.bpeEncodeFrom
+      .agg(sum("nt").as("n_tokens"),
+        sum(coalesce(col("removed"), lit(0L))).as("removed_tokens"))
+      .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
+        col("n_tokens"), col("removed_tokens"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def substringRemovalSql(k: Int = spanSeedK, minSpan: Int = removalMinSpan): String =
+    s"""WITH ${substringSpanCtes(k)},
+       |rem AS (
+       |  SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS removed
+       |  FROM spans WHERE span_tokens >= $minSpan GROUP BY doc_id),
+       |pd AS (
+       |  SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS nt,
+       |         coalesce(rem.removed, 0) AS removed
+       |  FROM tk LEFT JOIN rem ON tk.doc_id = rem.doc_id)
+       |SELECT coalesce(doc_id, -1) AS doc_id,
+       |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |       CAST(sum(removed) AS BIGINT) AS removed_tokens,
+       |       CAST(sum(nt) - sum(removed) AS BIGINT) AS kept_tokens
+       |FROM pd GROUP BY ROLLUP(doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def substringShareSql(k: Int = spanSeedK): String =
     s"""WITH ${substringSpanCtes(k)},
        |per_doc AS (
@@ -1293,7 +1340,8 @@ object Dedup {
     "dedup_edit_verify" -> ((s, d) => editVerify(s, d)),
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
     "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
-    "dedup_substring_share" -> ((s, d) => substringShare(s, d)))
+    "dedup_substring_share" -> ((s, d) => substringShare(s, d)),
+    "dedup_substring_removal" -> ((s, d) => substringRemoval(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql(),
@@ -1315,5 +1363,6 @@ object Dedup {
     "dedup_edit_verify" -> editVerifySql(),
     "dedup_repeated_spans" -> repeatedSpansSql(),
     "dedup_substring_spans" -> substringSpansSql(),
-    "dedup_substring_share" -> substringShareSql())
+    "dedup_substring_share" -> substringShareSql(),
+    "dedup_substring_removal" -> substringRemovalSql())
 }

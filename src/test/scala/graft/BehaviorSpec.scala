@@ -150,6 +150,27 @@ class BehaviorSpec extends SparkSpec {
       (4L, 30L, 0L, 0L, 0L)))
   }
 
+  test("substring removal: only spans past the 50-token policy threshold are cut") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 60-token passage (removed) AND a 20-token
+    // passage (duplicated but under the policy threshold — kept);
+    // doc 5 is clean. Total row rolls up at doc_id = -1.
+    val long = (1 to 60).map(i => s"L$i")
+    val short = (1 to 20).map(i => s"S$i")
+    val doc1 = (1 to 10).map(i => s"a$i") ++ long ++ (11 to 20).map(i => s"a$i") ++ short
+    val doc2 = (1 to 10).map(i => s"b$i") ++ long ++ (11 to 20).map(i => s"b$i") ++ short
+    val doc5 = (1 to 25).map(i => s"e$i")
+    val toks = Seq((1L, doc1), (2L, doc2), (5L, doc5)).toDF("doc_id", "toks")
+    val got = graft.dedup.Dedup.substringRemovalFrom(toks, k = 8, minSpan = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (-1L, 225L, 120L, 105L),
+      (1L, 100L, 60L, 40L),
+      (2L, 100L, 60L, 40L),
+      (5L, 25L, 0L, 25L)))
+  }
+
   test("golden record: only multi-member clusters, canonical present, sizes consistent") {
     val rows = graft.dedup.Dedup.goldenRecord(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty, "sf0.01 has near-dup clusters; survivorship must surface them")

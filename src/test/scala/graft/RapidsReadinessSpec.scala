@@ -101,6 +101,7 @@ class RapidsReadinessSpec extends SparkSpec {
     // checkpoint mode sees only the rdd segment
     "dedup_substring_spans" -> Set("rdd-segment"),
     "dedup_substring_share" -> Set("rdd-segment"),
+    "dedup_substring_removal" -> Set("rdd-segment"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
@@ -269,6 +270,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_repeated_spans" -> Set("higher-order-function"),
     "dedup_substring_spans" -> Set("higher-order-function"),
     "dedup_substring_share" -> Set("higher-order-function"),
+    "dedup_substring_removal" -> Set("higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "higher-order-function"),
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
