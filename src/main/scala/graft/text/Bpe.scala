@@ -88,14 +88,6 @@ object Bpe {
   private val symsExpr =
     expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
 
-  /** The shared training loop over a form table (w, wcnt, syms):
-    * `rounds` merge rounds exactly as [[bpeCounts]] runs them, extracted
-    * so the tokenizer-artifact queries ([[bpeMerges]], [[bpeVocab]])
-    * provably share the loop. When `recordMerges` is set, each round's
-    * winning pair is kept as a 1-row staged frame (two consumers: the
-    * rewrite join and the merge report) and returned alongside the
-    * final form table; otherwise the plan is bit-identical to the
-    * original inline loop. */
   /** One merge application over a form row's symbol array: replaces
     * [.., bx] + by with [.., bx·by] left-to-right (non-overlapping
     * because bx ≠ by). Null-safe: with bx/by null (empty `best`), both
@@ -112,6 +104,14 @@ object Bpe {
       |      then concat(slice(acc, 1, size(acc) - 1), array(concat(bx, by)))
       |    else concat(acc, array(s)) end)""".stripMargin)
 
+  /** The shared training loop over a form table (w, wcnt, syms):
+    * `rounds` merge rounds exactly as [[bpeCounts]] runs them, extracted
+    * so the tokenizer-artifact queries ([[bpeMerges]], [[bpeVocab]])
+    * provably share the loop. When `recordMerges` is set, each round's
+    * winning pair is kept as a 1-row staged frame (two consumers: the
+    * rewrite join and the merge report) and returned alongside the
+    * final form table; otherwise the plan is bit-identical to the
+    * original inline loop. */
   private[graft] def trainForms(forms0: DataFrame, recordMerges: Boolean)
       : (DataFrame, Seq[DataFrame]) = {
     var forms = forms0
@@ -246,18 +246,10 @@ object Bpe {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeFrom(t(spark, dir, "documents"))
 
-  private[graft] def bpeEncodeFrom(docs: DataFrame,
-                                   vocabK: Int = releasedVocabK): DataFrame = {
-    val occ = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
-      .staged
-    val forms0 = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
-      .select(col("w"), col("wcnt"), symsExpr.as("syms"))
-      .localCheckpoint(false)
-    // learn — keep only the merge-table artifact, discard the trained state
-    val (_, merges) = trainForms(forms0, recordMerges = true)
-    // encode — replay the artifact in rank order over a fresh form table
+  /** Replay a recorded merge table (the `merges` frames of
+    * [[trainForms]]) in rank order over a form table — the shipped-
+    * artifact application loop both encode paths share. */
+  private def replayMerges(forms0: DataFrame, merges: Seq[DataFrame]): DataFrame = {
     var encoded = forms0
     for (m <- merges) {
       encoded = encoded
@@ -265,12 +257,23 @@ object Bpe {
         .select(col("w"), col("wcnt"), rewrite.as("syms"))
         .localCheckpoint(false)
     }
-    val vocab = encoded.select(explode(col("syms")).as("token"), col("wcnt"))
+    encoded
+  }
+
+  /** Released top-`vocabK` vocabulary of an encoded form table, as a
+    * broadcastable (token, iv) membership frame. */
+  private def releasedVocab(encoded: DataFrame, vocabK: Int): DataFrame =
+    encoded.select(explode(col("syms")).as("token"), col("wcnt"))
       .groupBy("token").agg(sum("wcnt").as("occurrences"))
       .orderBy(desc("occurrences"), col("token")).limit(vocabK)
       .select(col("token"), lit(1L).as("iv"))
-    // per-form accounting under the released vocab (form-level ×
-    // corpus-count weighting — the Sennrich equivalence again)
+
+  /** Token accounting of (doc_id, w, occ) occurrences under an encoded
+    * form table and a released vocab: per-doc rows + corpus-total
+    * ROLLUP row. Form-level × corpus-count weighting — the Sennrich
+    * equivalence again. */
+  private def accountUnderVocab(occ: DataFrame, encoded: DataFrame,
+                                vocab: DataFrame): DataFrame = {
     val formStats = encoded
       .select(col("w"), explode(col("syms")).as("sym"))
       .join(broadcast(vocab), col("sym") === col("token"), "left")
@@ -291,6 +294,71 @@ object Bpe {
       .select(coalesce(col("doc_id"), lit(-1L)).as("doc_id"),
         col("n_bpe_tokens"), col("n_oov_tokens"), col("n_final_tokens"))
       .orderBy("doc_id")
+  }
+
+  private[graft] def bpeEncodeFrom(docs: DataFrame,
+                                   vocabK: Int = releasedVocabK): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
+      .staged
+    val forms0 = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
+      .select(col("w"), col("wcnt"), symsExpr.as("syms"))
+      .localCheckpoint(false)
+    // learn — keep only the merge-table artifact, discard the trained state
+    val (_, merges) = trainForms(forms0, recordMerges = true)
+    // encode — replay the artifact in rank order over a fresh form table
+    val encoded = replayMerges(forms0, merges)
+    accountUnderVocab(occ, encoded, releasedVocab(encoded, vocabK))
+  }
+
+  /** HELD-OUT encode — the deployment case [[bpeEncode]]'s same-corpus
+    * tie-out cannot exercise: merges and the released vocab are learned
+    * on the TRAIN split only (the canonical hash split,
+    * [[TextAnalysis.splitHash]] < 80) and applied to the VAL split
+    * (80 ≤ h < 90), whose unseen words stay character-split wherever no
+    * learned merge matches and whose symbols can be genuinely
+    * out-of-vocabulary — REAL byte-fallback accounting, not the
+    * structural zero the training corpus gives. Output shape matches
+    * [[bpeEncode]] (per-val-doc rows + ROLLUP total).
+    *
+    * Scale: identical to [[bpeEncode]] — training state is the train
+    * split's Zipf-small form table, the val corpus pays one occurrence
+    * shuffle, and the replay/vocab are broadcasts. */
+  /** Held-out released-vocab size: the harness val split's encoded
+    * symbol inventory is exactly 30 (24 letters + the 6 merged forms),
+    * so any K ≥ 30 would make OOV structurally zero; 24 leaves the
+    * train corpus's six rarest symbols out-of-vocabulary (rare letters
+    * — the merged forms are all high-frequency by construction), so
+    * every val doc pays real single-char fallback on the fixture
+    * (1,119 OOV tokens across all 63 val docs at sf0.01). The
+    * multi-char fallback arm is pinned by the hand-corpus spec, whose
+    * vocabK=2 forces merged-form OOV. */
+  val heldoutVocabK = 24
+
+  def bpeEncodeHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val h = TextAnalysis.splitHash(col("doc_id"))
+    bpeEncodeAcross(docs.filter(h < 80), docs.filter(h >= 80 && h < 90),
+      heldoutVocabK)
+  }
+
+  private[graft] def bpeEncodeAcross(trainDocs: DataFrame, evalDocs: DataFrame,
+                                     vocabK: Int = releasedVocabK): DataFrame = {
+    // artifacts from the TRAIN corpus: merge table + released vocab
+    // (vocab from the trained state — identical to replaying the merges
+    // over the train forms, which trainForms' loop just did)
+    val (trained, merges) = trainForms(formTable(trainDocs), recordMerges = true)
+    val vocab = releasedVocab(trained, vocabK)
+    // EVAL corpus: fresh form table (unseen words included), replay
+    val occ = evalDocs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
+      .staged
+    val evalForms0 = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
+      .select(col("w"), col("wcnt"), symsExpr.as("syms"))
+      .localCheckpoint(false)
+    accountUnderVocab(occ, replayMerges(evalForms0, merges), vocab)
   }
 
   private val tokSql =
@@ -319,8 +387,10 @@ object Bpe {
          |  WHERE NOT coalesce(prv = b.bx AND sym = b.by, FALSE))""".stripMargin
     }.mkString(",\n")
 
-  private val corpusCtes: String =
-    s"""tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+  /** Occurrence-level corpus CTEs; `where` restricts the document set
+    * (held-out oracle trains on a split). */
+  private def corpusCtes(where: String = ""): String =
+    s"""tk AS (SELECT doc_id, $tokSql AS toks FROM documents$where),
        |words AS (
        |  SELECT doc_id, u.i - 1 AS wid, toks[u.i] AS w
        |  FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
@@ -329,7 +399,7 @@ object Bpe {
        |  FROM words, unnest(generate_series(1, length(w))) AS v(i))""".stripMargin
 
   val bpeCountsSql: String =
-    s"""WITH $corpusCtes,
+    s"""WITH ${corpusCtes()},
        |${sqlRounds(cntInBest = false)},
        |base AS (
        |  SELECT doc_id, count(*) AS n_chars,
@@ -344,14 +414,14 @@ object Bpe {
     val union = (1 to rounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS rank, bx, by, cnt FROM b$r"
     }.mkString("\n       UNION ALL\n       ")
-    s"""WITH $corpusCtes,
+    s"""WITH ${corpusCtes()},
        |${sqlRounds(cntInBest = true)}
        |$union
        |ORDER BY rank""".stripMargin
   }
 
   def bpeVocabSql(topK: Int = 30): String =
-    s"""WITH $corpusCtes,
+    s"""WITH ${corpusCtes()},
        |${sqlRounds(cntInBest = false)}
        |SELECT sym AS token, count(*) AS occurrences
        |FROM s$rounds GROUP BY 1
@@ -362,7 +432,7 @@ object Bpe {
     * fallback expansion are direct aggregations over it — the whole
     * form-level replay on the Spark side must tie out against this. */
   val bpeEncodeSql: String =
-    s"""WITH $corpusCtes,
+    s"""WITH ${corpusCtes()},
        |${sqlRounds(cntInBest = false)},
        |voc AS (
        |  SELECT sym AS token FROM s$rounds GROUP BY sym
@@ -381,15 +451,66 @@ object Bpe {
        |FROM tok GROUP BY ROLLUP(doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Held-out oracle: the train chain (tk/words/s0 + learning rounds)
+    * restricted to the train split, the released vocab from the
+    * train-encoded corpus, then an APPLY-ONLY chain (q/v CTEs — no b
+    * of its own, each round cross-joins the train chain's b$r) over the
+    * val split, accounted like [[bpeEncodeSql]]. */
+  val bpeEncodeHeldoutSql: String = {
+    val h = TextAnalysis.splitHashSql
+    val applyRounds = (1 to rounds).map { r =>
+      s"""q$r AS (
+         |  SELECT doc_id, wid, pos, sym,
+         |         lead(sym) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS nxt,
+         |         lag(sym)  OVER (PARTITION BY doc_id, wid ORDER BY pos) AS prv
+         |  FROM v${r - 1}),
+         |v$r AS MATERIALIZED (
+         |  SELECT doc_id, wid, pos,
+         |         CASE WHEN sym = b.bx AND coalesce(nxt = b.by, FALSE)
+         |              THEN sym || nxt ELSE sym END AS sym
+         |  FROM q$r, b$r b
+         |  WHERE NOT coalesce(prv = b.bx AND sym = b.by, FALSE))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${corpusCtes(s" WHERE $h < 80")},
+       |${sqlRounds(cntInBest = false)},
+       |voc AS (
+       |  SELECT sym AS token FROM s$rounds GROUP BY sym
+       |  ORDER BY count(*) DESC, sym LIMIT $heldoutVocabK
+       |),
+       |tkv AS (SELECT doc_id, $tokSql AS toks FROM documents
+       |        WHERE $h >= 80 AND $h < 90),
+       |wordsv AS (
+       |  SELECT doc_id, u.i - 1 AS wid, toks[u.i] AS w
+       |  FROM tkv, unnest(generate_series(1, len(toks))) AS u(i)),
+       |v0 AS MATERIALIZED (
+       |  SELECT doc_id, wid, vv.i - 1 AS pos, w[vv.i] AS sym
+       |  FROM wordsv, unnest(generate_series(1, length(w))) AS vv(i)),
+       |$applyRounds,
+       |tok AS (
+       |  SELECT s.doc_id,
+       |         CASE WHEN vc.token IS NULL THEN 1 ELSE 0 END AS oov,
+       |         CASE WHEN vc.token IS NULL THEN length(s.sym) ELSE 1 END AS fin
+       |  FROM v$rounds s LEFT JOIN voc vc ON s.sym = vc.token
+       |)
+       |SELECT coalesce(doc_id, -1) AS doc_id,
+       |       count(*) AS n_bpe_tokens,
+       |       CAST(sum(oov) AS BIGINT) AS n_oov_tokens,
+       |       CAST(sum(fin) AS BIGINT) AS n_final_tokens
+       |FROM tok GROUP BY ROLLUP(doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_counts" -> bpeCounts,
     "text_bpe_merges" -> bpeMerges,
     "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
-    "text_bpe_encode" -> bpeEncode)
+    "text_bpe_encode" -> bpeEncode,
+    "text_bpe_encode_heldout" -> bpeEncodeHeldout)
 
   val oracles: Map[String, String] = Map(
     "text_bpe_counts" -> bpeCountsSql,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_vocab" -> bpeVocabSql(),
-    "text_bpe_encode" -> bpeEncodeSql)
+    "text_bpe_encode" -> bpeEncodeSql,
+    "text_bpe_encode_heldout" -> bpeEncodeHeldoutSql)
 }

@@ -185,6 +185,25 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(enc(-1L) === vocabTotal)
   }
 
+  test("BPE held-out encode: unseen words stay character-split and score real OOV") {
+    import spark.implicits._
+    // train on the familiar 3-doc fixture (merges: el, h+el, wo, hel+l,
+    // hell+o, l+d; vocab {wo, hello, ld, r, d, hel}); encode a held-out
+    // doc with the unseen word "hollo": hello→[hello] (full merge
+    // chain), word→[wo,r,d] (rank-3 only), hollo→[h,o,l,l,o] (no merge
+    // matches — stays char-split, all five chars out-of-vocab).
+    val train = Seq(
+      (1L, "hello hello world"),
+      (2L, "hello world word"),
+      (3L, "held wold")).toDF("doc_id", "text")
+    val eval = Seq((10L, "hello word hollo")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.bpeEncodeAcross(train, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (-1L, 9L, 5L, 9L),
+      (10L, 9L, 5L, 9L)))
+  }
+
   test("BPE training stops gracefully when no mergeable pair exists") {
     import spark.implicits._
     // every word is single-symbol or pure same-symbol runs ("aa" gives
