@@ -665,23 +665,33 @@ object Analytics4 {
     * DECIMAL(38,0) moments through one identical IEEE expression.
     *
     * Scale shape: one scan → k-keyed partial+final moment agg (5
-    * rows); everything after is k-row scalar math. */
+    * rows); everything after is k-row scalar math. Σ s_g²/n_g is a
+    * DOUBLE sum over the k group rows — the ONE place IEEE summation
+    * order could differ, so both engines fold the k terms in the SAME
+    * explicit event_type order (Spark: sort_array + aggregate; DuckDB:
+    * ordered list + list_reduce). A plain SQL `sum` there was measured
+    * FLAKY: DuckDB's parallel aggregation reassociates the 5-term
+    * double sum run-to-run, drifting the last ulp of f_stat. */
   def anovaF(spark: SparkSession, dir: String): DataFrame = {
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
     val g = t(spark, dir, "events")
       .select(col("event_type"), cents.cast(D).as("y"))
       .groupBy("event_type")
       .agg(count(lit(1)).cast(D).as("n"), sum("y").as("s"),
-        sum(col("y") * col("y")).as("ss")).staged
-    val tot = g.agg(sum("n").as("tn"), sum("s").as("ts"), sum("ss").as("tss"),
-      count(lit(1)).cast(D).as("k"))
+        sum(col("y") * col("y")).as("ss"))
     val dbl = (c: String) => col(c).cast("double")
-    // SSB = Σ s_g²/n_g − ts²/tn ; SSW = tss − Σ s_g²/n_g (doubles)
-    val withTot = g.crossJoin(broadcast(tot))
-    val parts = withTot
-      .agg(sum(dbl("s") * dbl("s") / dbl("n")).as("sq_over_n"),
-        first(dbl("tn")).as("tn"), first(dbl("ts")).as("ts"),
-        first(dbl("tss")).as("tss"), first(dbl("k")).as("k"))
+    // SSB = Σ s_g²/n_g − ts²/tn ; SSW = tss − Σ s_g²/n_g. The k-term
+    // double fold runs left-to-right over the event_type-sorted groups.
+    val parts = g
+      .agg(expr(
+        """aggregate(
+          |  sort_array(collect_list(struct(event_type, s, n))),
+          |  cast(0 as double),
+          |  (acc, x) -> acc + cast(x.s as double) * cast(x.s as double)
+          |                    / cast(x.n as double))""".stripMargin).as("sq_over_n"),
+        sum("n").cast("double").as("tn"), sum("s").cast("double").as("ts"),
+        sum("ss").cast("double").as("tss"),
+        count(lit(1)).cast("double").as("k"))
     parts.select(
       col("k").cast("long").as("k_groups"),
       col("tn").cast("long").as("n_rows"),
@@ -700,7 +710,12 @@ object Analytics4 {
       |             * CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS ss
       |  FROM events GROUP BY event_type
       |), parts AS (
-      |  SELECT sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS sq_over_n,
+      |  -- ordered fold, not sum(): parallel double aggregation
+      |  -- reassociates the k-term sum run-to-run (measured flaky)
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |                ORDER BY event_type)),
+      |           (acc, x) -> acc + x) AS sq_over_n,
       |         CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(s) AS DOUBLE) AS ts,
       |         CAST(sum(ss) AS DOUBLE) AS tss, CAST(count(*) AS DOUBLE) AS k
       |  FROM g

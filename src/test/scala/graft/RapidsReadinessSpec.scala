@@ -191,7 +191,10 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_random_projection" -> Set("higher-order-function"),
     "stat_spearman" -> Set("higher-order-function"),
     "stat_ols_fit" -> Set("higher-order-function"),
-    "stat_anova_f" -> Set("rdd-segment"),
+    // the k-term ordered double fold (determinism fix: parallel sum
+    // reassociation was flaky) is a HOF in both modes; the old staged
+    // barrier is gone with the crossJoin it served
+    "stat_anova_f" -> Set("higher-order-function"),
     "dq_chi2_independence" -> Set("rdd-segment"),
     "src_generator_pushdown" -> Set("custom-source"),
     "fn_catalog_v2" -> Set("jvm-invoke"),
@@ -250,6 +253,7 @@ class RapidsReadinessSpec extends SparkSpec {
     * several sets here are supersets of their checkpoint-mode sets.
     * Queries not listed are fully clean under persist mode. */
   private val persistFlagged: Map[String, Set[String]] = Map(
+    "stat_anova_f" -> Set("higher-order-function"), // ordered-fold determinism fix
     "agg_bitmap_distinct" -> Set("bit-count"),
     "agg_hll_distinct" -> Set("bin"),
     "agg_hll_cumulative" -> Set("bin"),
