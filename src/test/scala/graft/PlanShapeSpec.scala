@@ -210,6 +210,26 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("substring spans: no pair join anywhere — gram count + equi join-back only") {
+    // the scale property of the ExactSubstr family: candidate
+    // generation is a COUNT keyed on the gram, never a pair-producing
+    // self-join, so no df cap is needed and no hot gram can explode
+    val p = planString(graft.dedup.Dedup.substringSpans(spark, sf("sf0.001")))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the island merge is a doc-partitioned window, not a global sort
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("bpe encode: the corpus-sized accounting join broadcasts the form stats") {
+    // the occurrence table is the only corpus-sized frame; the form
+    // stats / vocab sides must stay broadcast so encode never shuffles
+    // the corpus a second time
+    val p = planString(graft.text.Bpe.bpeEncode(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("ArrayDotLong participates in codegen (no CodegenFallback)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Portable
