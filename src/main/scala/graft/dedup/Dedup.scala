@@ -872,21 +872,23 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .staged
 
-  /** Core on a (doc_id, toks) frame: (doc_id, span_start, span_tokens),
-    * 1-based token positions, unordered (callers sort). */
-  private[graft] def substringSpansFrom(toks: DataFrame, k: Int): DataFrame = {
-    val grams = toks
+  /** (doc_id, pos, gram) k-gram occurrence rows of a (doc_id, toks)
+    * frame — positions kept, within-doc repeats kept. */
+  private def gramOccurrences(toks: DataFrame, k: Int): DataFrame =
+    toks
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - (k - 1)),
         i => struct(i.cast("long").as("pos"),
           concat_ws(" ", slice(col("toks"), i, lit(k))).as("gram")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-      .staged // two consumers: the occurrence count and the join-back
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2)
-      .select("gram")
-    val covered = grams.join(dup, Seq("gram")).select("doc_id", "pos")
+
+  /** Merge covered k-gram START positions (doc_id, pos) into maximal
+    * token intervals: all seed intervals have width k and arrive
+    * sorted, so a new island begins exactly when pos − lag(pos) ≥ k —
+    * one doc-keyed window. Shared by the duplicated-substring and
+    * contamination-mask families. */
+  private[graft] def maximalSpans(covered: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     covered
       .withColumn("ni",
@@ -898,6 +900,18 @@ object Dedup {
       .agg(min("pos").as("span_start"),
         (max("pos") + lit(k.toLong) - min("pos")).as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** Core on a (doc_id, toks) frame: (doc_id, span_start, span_tokens),
+    * 1-based token positions, unordered (callers sort). */
+  private[graft] def substringSpansFrom(toks: DataFrame, k: Int): DataFrame = {
+    val grams = gramOccurrences(toks, k)
+      .staged // two consumers: the occurrence count and the join-back
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select("gram")
+    val covered = grams.join(dup, Seq("gram")).select("doc_id", "pos")
+    maximalSpans(covered, k)
   }
 
   private def substringSpanCtes(k: Int): String =
@@ -1000,6 +1014,91 @@ object Dedup {
        |       CAST(sum(nt) - sum(removed) AS BIGINT) AS kept_tokens
        |FROM pd GROUP BY ROLLUP(doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Span-level eval-set contamination MASK on the train side — the
+    * decontamination step itself, not the audit: for every TRAIN-split
+    * document, the maximal token intervals covered by k-grams that
+    * also appear anywhere in the TEST split (the benchmark set), with
+    * per-doc contaminated-token share — exactly what gets cut before
+    * training so eval answers don't leak in (GPT-3 appendix C /
+    * Lee et al. §6 procedure; the existing `dedup_decontaminate` is
+    * the per-TEST-doc gram-count audit, the opposite direction).
+    *
+    * Scale: masking needs only MEMBERSHIP, so the train occurrences
+    * LEFT-SEMI join the distinct eval gram set — no row multiplication
+    * exists anywhere, so unlike the audit query no df cap is needed: a
+    * boilerplate gram shared by every doc costs one probe per
+    * occurrence, not f_test·f_train rows. The eval gram set is
+    * benchmark-sized (broadcastable at real scale). Then the shared
+    * island window merges covered starts into maximal spans. */
+  def contaminationMask(spark: SparkSession, dir: String, k: Int = spanSeedK): DataFrame = {
+    val toks = tokensFrame(spark, dir)
+    val h = TextAnalysis.splitHash(col("doc_id"))
+    contaminationMaskFrom(toks.filter(h < 80), toks.filter(h >= 90), k)
+  }
+
+  private[graft] def contaminationMaskFrom(trainToks: DataFrame,
+                                           evalToks: DataFrame, k: Int): DataFrame = {
+    val evalGrams = gramOccurrences(evalToks, k).select("gram").distinct()
+    val covered = gramOccurrences(trainToks, k)
+      .join(evalGrams, Seq("gram"), "leftsemi")
+      .select("doc_id", "pos")
+    val perDoc = maximalSpans(covered, k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("contaminated_tokens"))
+    trainToks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("contaminated_tokens"), lit(0L)).as("contaminated_tokens"),
+        when(col("n_tokens") > 0,
+          expr("1000L * coalesce(contaminated_tokens, 0L) DIV n_tokens"))
+          .otherwise(0L).as("contaminated_permille"))
+      .orderBy("doc_id")
+  }
+
+  def contaminationMaskSql(k: Int = spanSeedK): String = {
+    val h = TextAnalysis.splitHashSql
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |tr AS (SELECT doc_id, toks FROM tk WHERE $h < 80),
+       |g AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+       |         array_to_string(toks[u.i:u.i+${k - 1}], ' ') AS gram
+       |  FROM tr, unnest(generate_series(1, len(toks) - ${k - 1})) AS u(i)
+       |  WHERE len(toks) >= $k
+       |),
+       |ev AS (
+       |  SELECT DISTINCT array_to_string(toks[u.i:u.i+${k - 1}], ' ') AS gram
+       |  FROM tk, unnest(generate_series(1, len(toks) - ${k - 1})) AS u(i)
+       |  WHERE $h >= 90 AND len(toks) >= $k
+       |),
+       |cov AS (SELECT g.doc_id, g.pos FROM g JOIN ev ON g.gram = ev.gram),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), $k) >= $k
+       |              THEN 1 ELSE 0 END AS ni
+       |  FROM cov),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |         max(pos) + $k - min(pos) AS span_tokens
+       |  FROM isl2 GROUP BY doc_id, island),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |         CAST(sum(span_tokens) AS BIGINT) AS contaminated_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT tr.doc_id, CAST(len(tr.toks) AS BIGINT) AS n_tokens,
+       |       coalesce(p.n_spans, 0) AS n_spans,
+       |       coalesce(p.contaminated_tokens, 0) AS contaminated_tokens,
+       |       CASE WHEN len(tr.toks) > 0
+       |            THEN 1000 * coalesce(p.contaminated_tokens, 0) // len(tr.toks)
+       |            ELSE 0 END AS contaminated_permille
+       |FROM tr LEFT JOIN per_doc p ON tr.doc_id = p.doc_id
+       |ORDER BY tr.doc_id""".stripMargin
+  }
 
   def substringShareSql(k: Int = spanSeedK): String =
     s"""WITH ${substringSpanCtes(k)},
@@ -1341,7 +1440,8 @@ object Dedup {
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
     "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
     "dedup_substring_share" -> ((s, d) => substringShare(s, d)),
-    "dedup_substring_removal" -> ((s, d) => substringRemoval(s, d)))
+    "dedup_substring_removal" -> ((s, d) => substringRemoval(s, d)),
+    "dedup_contamination_mask" -> ((s, d) => contaminationMask(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_cdc_chunks" -> cdcChunksSql(),
@@ -1364,5 +1464,6 @@ object Dedup {
     "dedup_repeated_spans" -> repeatedSpansSql(),
     "dedup_substring_spans" -> substringSpansSql(),
     "dedup_substring_share" -> substringShareSql(),
-    "dedup_substring_removal" -> substringRemovalSql())
+    "dedup_substring_removal" -> substringRemovalSql(),
+    "dedup_contamination_mask" -> contaminationMaskSql())
 }

@@ -171,6 +171,34 @@ class BehaviorSpec extends SparkSpec {
       (5L, 25L, 0L, 25L)))
   }
 
+  test("contamination mask: eval passages mark maximal train spans, train-only dups do not") {
+    import spark.implicits._
+    // train doc 1 embeds a 40-token passage that also appears in an
+    // EVAL doc → one maximal 40-token span at its position; train docs
+    // 2 and 3 share a passage with EACH OTHER but not with eval → NOT
+    // contamination (that's the dedup family's business, not the
+    // decontamination mask's); doc 4 is clean.
+    val evalPassage = (1 to 40).map(i => s"E$i")
+    val trainOnly = (1 to 20).map(i => s"T$i")
+    val train = Seq(
+      (1L, (1 to 10).map(i => s"a$i") ++ evalPassage ++ (11 to 20).map(i => s"a$i")),
+      (2L, trainOnly ++ (1 to 15).map(i => s"b$i")),
+      (3L, (1 to 15).map(i => s"c$i") ++ trainOnly),
+      (4L, (1 to 25).map(i => s"d$i"))).toDF("doc_id", "toks")
+    val eval = Seq(
+      (100L, (1 to 5).map(i => s"x$i") ++ evalPassage ++ (6 to 10).map(i => s"x$i"))
+    ).toDF("doc_id", "toks")
+    val got = graft.dedup.Dedup.contaminationMaskFrom(train, eval, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 60L, 1L, 40L, 666L), // one maximal span, 1000*40 DIV 60
+      (2L, 35L, 0L, 0L, 0L),
+      (3L, 35L, 0L, 0L, 0L),
+      (4L, 25L, 0L, 0L, 0L)))
+  }
+
   test("golden record: only multi-member clusters, canonical present, sizes consistent") {
     val rows = graft.dedup.Dedup.goldenRecord(spark, sf("sf0.01")).collect()
     assert(rows.nonEmpty, "sf0.01 has near-dup clusters; survivorship must surface them")

@@ -102,6 +102,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_substring_spans" -> Set("rdd-segment"),
     "dedup_substring_share" -> Set("rdd-segment"),
     "dedup_substring_removal" -> Set("rdd-segment"),
+    // the eval-gram side is un-staged (single consumer), so its
+    // transform/slice HOF stays visible even in checkpoint mode
+    "dedup_contamination_mask" -> Set("rdd-segment", "higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
@@ -276,6 +279,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_substring_spans" -> Set("higher-order-function"),
     "dedup_substring_share" -> Set("higher-order-function"),
     "dedup_substring_removal" -> Set("higher-order-function"),
+    "dedup_contamination_mask" -> Set("higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "higher-order-function"),
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
