@@ -314,17 +314,121 @@ object Multimodal {
        |SELECT a, b, hamming FROM scored WHERE hamming <= $maxHamming
        |ORDER BY a, b""".stripMargin
 
+  // ——— Real-codec arm: javax.imageio PNG through the same pipeline ———
+  //
+  // FakeCodec keeps the decode pipeline oracle-comparable; this arm
+  // proves the SAME Spark shape (binaryFile ingest → typed mapPartitions
+  // decode → relational summary) holds for a REAL decoder, not only the
+  // stub. The fixture is a set of genuine PNGs written by
+  // javax.imageio with a CLOSED-FORM pixel pattern
+  // (r,g,b)(x,y,k) = ((7x+13y+29k)%256, (3x+11y+17k)%256, (5x+2y+23k)%256)
+  // so the DuckDB oracle recomputes every expected channel sum from
+  // arithmetic — the decoded sums tie out only if the codec round-trip
+  // is bit-exact (PNG is lossless; TYPE_INT_RGB write → read preserves
+  // every sample). Nothing is copied from the decoder into the oracle.
+
+  private val realPngCount = 12
+  private def realPngDims(k: Int): (Int, Int) = (16 + 3 * k, 16 + (5 * k) % 24)
+  private def realPngRgb(k: Int, x: Int, y: Int): Int = {
+    val r = (7 * x + 13 * y + 29 * k) % 256
+    val g = (3 * x + 11 * y + 17 * k) % 256
+    val b = (5 * x + 2 * y + 23 * k) % 256
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Write the PNG fixture once per JVM (bench warms it untimed, so the
+    * timed pass measures binaryFile read + decode, like the src_* rows). */
+  private[multimodal] def realPngFixture(): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mm_real_png"
+    graft.sources.Formats.writeOnce(s"mm_png|$path") {
+      val dir = new java.io.File(path)
+      dir.mkdirs()
+      (0 until realPngCount).foreach { k =>
+        val (w, h) = realPngDims(k)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, realPngRgb(k, x, y)); x += 1 }
+          y += 1
+        }
+        val ok = javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(dir, f"img_$k%02d.png"))
+        require(ok, s"no PNG writer for fixture image $k")
+      }
+    }
+    path
+  }
+
+  final case class RealDecodedRow(
+      media_id: Long, width: Long, height: Long, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Real decode: binaryFile scan → per-partition ImageIO decode →
+    * per-image channel sums. The `dir` arg is unused (the fixture is
+    * sf-independent) but kept for the uniform query signature. */
+  def realDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = realPngFixture()
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (p, bytes) =>
+          val k = "img_(\\d+)\\.png$".r.findFirstMatchIn(p)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"unexpected fixture file $p"))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          RealDecodedRow(k, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Oracle: the closed-form pixel pattern summed in pure SQL — ties out
+    * only if write→read through the real codec is bit-exact. */
+  val realDecodeSql: String =
+    s"""WITH dims AS (
+       |  SELECT k::BIGINT AS k, 16 + 3*k AS w, 16 + (5*k) % 24 AS h
+       |  FROM range($realPngCount) t(k)),
+       |px AS (
+       |  SELECT k, w, h, unnest(generate_series(0, w*h - 1)) AS i FROM dims),
+       |xy AS (SELECT k, w, h, i % w AS x, i // w AS y FROM px)
+       |SELECT k AS media_id, any_value(w) AS width, any_value(h) AS height,
+       |       count(*) AS n_pixels,
+       |       CAST(sum((7*x + 13*y + 29*k) % 256) AS BIGINT) AS sum_r,
+       |       CAST(sum((3*x + 11*y + 17*k) % 256) AS BIGINT) AS sum_g,
+       |       CAST(sum((5*x + 2*y + 23*k) % 256) AS BIGINT) AS sum_b
+       |FROM xy GROUP BY k ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta,
     "mm_decode_summary" -> decodeSummary,
     "mm_resize_meta" -> resizeMeta,
     "mm_frame_sample" -> frameSample,
-    "mm_neardup_pairs" -> mediaNearDupPairs)
+    "mm_neardup_pairs" -> mediaNearDupPairs,
+    "mm_decode_real" -> realDecode)
 
   val oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
     "mm_decode_summary" -> decodeSummarySql,
     "mm_resize_meta" -> resizeMetaSql,
     "mm_frame_sample" -> frameSampleSql,
-    "mm_neardup_pairs" -> mediaNearDupPairsSql)
+    "mm_neardup_pairs" -> mediaNearDupPairsSql,
+    "mm_decode_real" -> realDecodeSql)
 }

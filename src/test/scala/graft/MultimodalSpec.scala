@@ -58,4 +58,25 @@ class MultimodalSpec extends SparkSpec {
       assert(hit.get._3 <= 2, s"planted pair flipped more than one chunk: $hit")
     }
   }
+
+  test("real codec arm: ImageIO round-trip reproduces the closed-form sums") {
+    val rows = Multimodal.realDecode(spark, sf("sf0.001")).collect()
+    assert(rows.length === 12)
+    // recompute the expected channel sums from the pixel pattern itself
+    // (independent of both the decoder and the DuckDB oracle)
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val (w, h) = (16 + 3 * k, 16 + (5 * k) % 24)
+      assert(r.getLong(1) === w.toLong && r.getLong(2) === h.toLong)
+      assert(r.getLong(3) === w.toLong * h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (7 * x + 13 * y + 29 * k) % 256
+        sg += (3 * x + 11 * y + 17 * k) % 256
+        sb += (5 * x + 2 * y + 23 * k) % 256
+      }
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) === ((sr, sg, sb)),
+        s"channel sums diverge for image $k — codec round-trip not bit-exact")
+    }
+  }
 }
