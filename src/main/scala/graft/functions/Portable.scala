@@ -54,4 +54,12 @@ object Portable {
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") /
       (sqrt(normSqQ(a).cast("double")) * sqrt(normSqQ(b).cast("double")))
+
+  /** Unicode NFC canonical composition — a native codegen'd expression
+    * (Spark has no normalization builtin). DuckDB: `nfc_normalize(x)`;
+    * both implement Unicode TR15, so outputs are byte-identical. */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
+  }
 }

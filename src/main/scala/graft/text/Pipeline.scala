@@ -698,6 +698,59 @@ object Pipeline {
        |       bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS xor_checksum
        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
 
+  private val ShuffleSeed = 42
+  private val ShuffleShards = 8
+  // hash60 is uniform on [0, 2^60); fixed-width key ranges ARE the
+  // shards, so no sampling pass is needed to find range bounds
+  private val ShuffleShardWidth = (1L << 60) / ShuffleShards
+
+  /** Deterministic global training-order shuffle — the step that turns a
+    * curated corpus into a randomized training stream. Every doc gets a
+    * seeded hash sort key (the permutation); fixed-bound ranges of the
+    * key space are the output shards (uniform keys → balanced shards
+    * WITHOUT `repartitionByRange`'s driver sampling job, which is both
+    * an extra scan and a nondeterminism source); within a shard the
+    * order is (key, doc_id). One shuffle, per-shard local sorts, no
+    * global sort — each output shard writes independently, which is the
+    * only layout that holds at 100 TB.
+    *
+    * The report pins the EXACT permutation, not just membership: the
+    * per-shard checksum xors a hash of (position, doc_id), so any
+    * reordering — even a swap of two adjacent docs — flips it. */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        Portable.hash60(concat(lit(s"shuf${ShuffleSeed}_"),
+          col("doc_id").cast("string"))).as("key"))
+      .withColumn("shard", expr(s"key div ${ShuffleShardWidth}L"))
+    val w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    docs
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("ock", Portable.hash60(concat(
+        col("pos").cast("string"), lit("_"), col("doc_id").cast("string"))))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        expr("bit_xor(ock)").as("order_checksum"))
+      .orderBy("shard")
+  }
+
+  val globalShuffleSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, len(${TextAnalysis.tokSql})::BIGINT AS n_tok,
+       |         ('0x' || substr(md5('shuf${ShuffleSeed}_' || doc_id), 1, 15))::BIGINT AS key
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_tok, key, key // $ShuffleShardWidth AS shard FROM k
+       |), p AS (
+       |  SELECT shard, doc_id, n_tok,
+       |         row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+       |  FROM s
+       |)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       bit_xor(('0x' || substr(md5(pos || '_' || doc_id), 1, 15))::BIGINT) AS order_checksum
+       |FROM p GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shard_manifest" -> shardManifest,
     "pipeline_dataset_card" -> datasetCard,
@@ -710,7 +763,8 @@ object Pipeline {
     "pipeline_mix_resample" -> mixResample,
     "pipeline_source_cap" -> sourceCap,
     "pipeline_dsir_select" -> dsirSelect,
-    "pipeline_leakage_split" -> leakageSplit)
+    "pipeline_leakage_split" -> leakageSplit,
+    "pipeline_global_shuffle" -> globalShuffle)
 
   val oracles: Map[String, String] = Map(
     "pipeline_shard_manifest" -> shardManifestSql,
@@ -724,5 +778,6 @@ object Pipeline {
     "pipeline_mix_resample" -> mixResampleSql,
     "pipeline_source_cap" -> sourceCapSql,
     "pipeline_dsir_select" -> dsirSelectSql,
-    "pipeline_leakage_split" -> leakageSplitSql)
+    "pipeline_leakage_split" -> leakageSplitSql,
+    "pipeline_global_shuffle" -> globalShuffleSql)
 }

@@ -573,7 +573,60 @@ object TextAnalysis {
       |             AS BIGINT) * 1000) // len(text) > 100 AS is_code
       |FROM documents WHERE len(text) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Unicode NFC normalization pass — the mandatory pre-hash step of any
+    * multilingual dedup pipeline ('é' composed vs 'e'+combining-acute
+    * are one text to curation but two byte strings to every hash/
+    * shingle operator). Runs through the native [[graft.functions
+    * .NfcNormalize]] codegen expression (Spark has no normalization
+    * builtin; a UDF would fall out of whole-stage codegen).
+    *
+    * The corpus is ASCII (already NFC), so the query SELF-PLANTS
+    * decomposed text: docs with doc_id % 5 == 0 get every 'a' replaced
+    * by 'a'+U+0301; NFC must re-compose those to 'á' (U+00E1), shrink
+    * the code-point count by exactly the number of planted marks, and
+    * leave every other doc byte-identical. Per-lang report pins the
+    * normalized bytes via an xor'd content hash — the DuckDB oracle
+    * recomputes the whole pass with its own `nfc_normalize()` (both
+    * engines implement Unicode TR15, so bytes match exactly).
+    *
+    * Scale shape: pure map stage + one small aggregate; the expression
+    * short-circuits ASCII rows (byte==char count) so at 100 TB only the
+    * genuinely decomposed fraction pays the normalize. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L,
+          regexp_replace(col("text"), lit("a"), lit("a\u0301")))
+          .otherwise(col("text")).as("t"))
+    planted
+      .withColumn("nt", Portable.nfc(col("t")))
+      .withColumn("h", Portable.hash60(col("nt")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") =!= col("t"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("t")).cast("long")).as("chars_before"),
+        sum(length(col("nt")).cast("long")).as("chars_after"),
+        expr("bit_xor(h)").as("xor_norm_hash"))
+      .orderBy("lang")
+  }
+
+  val unicodeNormalizeSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN regexp_replace(text, 'a', 'a' || chr(769), 'g')
+      |              ELSE text END AS t
+      |  FROM documents
+      |), n AS (SELECT lang, t, nfc_normalize(t) AS nt FROM planted)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |       CAST(sum(length(t)) AS BIGINT) AS chars_before,
+      |       CAST(sum(length(nt)) AS BIGINT) AS chars_after,
+      |       bit_xor(('0x' || substr(md5(nt), 1, 15))::BIGINT) AS xor_norm_hash
+      |FROM n GROUP BY 1 ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unicode_normalize" -> unicodeNormalize,
     "text_code_ratio" -> codeRatio,
     "text_heavy_hitters" -> heavyHitters,
     "text_token_counts" -> tokenCounts,
@@ -589,6 +642,7 @@ object TextAnalysis {
     "text_split_assign" -> splitAssign)
 
   val oracles: Map[String, String] = Map(
+    "text_unicode_normalize" -> unicodeNormalizeSql,
     "text_code_ratio" -> codeRatioSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_token_counts" -> tokenCountsSql,

@@ -26,4 +26,30 @@ class ExtensionsSpec extends SparkSpec {
         |) WHERE d <= 0""".stripMargin).head().getLong(0)
     assert(bad === 0L)
   }
+
+  test("nfc_normalize is callable from SQL and implements Unicode NFC") {
+    graft.plans.GraftExtensions.register(spark)
+    val decomposed = "a\u0301b" // 'a' + combining acute + 'b' (3 code points)
+    val composed = "\u00e1b"    // precomposed 'a-acute' + 'b' (2 code points)
+    // decomposed composes; ASCII passes untouched; already-composed text
+    // is returned as-is; null propagates
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS c, " +
+        s"length(nfc_normalize('$decomposed')) AS n, " +
+        "nfc_normalize('plain ascii') AS a, " +
+        s"nfc_normalize('$composed') AS e, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS z").head()
+    assert(r.getString(0) === composed)
+    assert(r.getInt(1) === 2)
+    assert(r.getString(2) === "plain ascii")
+    assert(r.getString(3) === composed)
+    assert(r.isNullAt(4))
+    // the Column-side helper agrees with the SQL path over generated rows
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(
+      concat(lit("x"), col("id").cast("string"), lit(decomposed)).as("s"))
+    val viaCol = df.select(graft.functions.Portable.nfc(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    assert(viaCol.forall(s => s.endsWith(composed) && !s.contains("\u0301")))
+  }
 }

@@ -112,4 +112,51 @@ class PackingSpec extends SparkSpec {
       p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("global shuffle: conservation, balance, and the exact permutation checksum") {
+    val rows = Pipeline.globalShuffle(spark, dir).collect()
+    val nDocs = t(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(rows.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 8))
+    // uniform keys → no shard may dominate (loose 3x-mean bound)
+    val max = rows.map(_.getAs[Long]("n_docs")).max
+    assert(max <= 3 * nDocs / rows.length,
+      s"shard imbalance: max=$max over ${rows.length} shards of $nDocs docs")
+    // reconstruct the permutation independently in plain Scala (same md5
+    // convention as Portable.hash60) and tie out every shard checksum
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val ids = t(spark, dir, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    val width = (1L << 60) / 8
+    val expected = ids.map(id => (h60(s"shuf42_$id"), id))
+      .groupBy { case (k, _) => k / width }
+      .view.mapValues { g =>
+        g.sortBy(identity).zipWithIndex
+          .map { case ((_, id), i) => h60(s"${i + 1}_$id") }
+          .reduce(_ ^ _)
+      }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("order_checksum") === expected(r.getAs[Long]("shard")),
+        s"permutation checksum mismatch in shard ${r.getAs[Long]("shard")}")
+    }
+  }
+
+  test("global shuffle is partitioning-independent (no sampling pass)") {
+    val a = Pipeline.globalShuffle(spark, dir).collect().map(_.toSeq)
+    val b = Pipeline.globalShuffle(spark, dir).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // the corpus-sized exchange must be the window's hash partitioning on
+    // the computed shard id — fixed-bound ranges need no sampling pass.
+    // (the only rangepartitioning allowed is the 8-row presentation sort)
+    val plan = Pipeline.globalShuffle(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      "corpus exchange must hash-partition on the computed shard id")
+    assert("rangepartitioning".r.findAllIn(plan).size <= 1,
+      "global shuffle must use fixed-bound shards, not sampled range partitioning")
+  }
 }
