@@ -116,7 +116,7 @@ object RapidsAudit {
         // fallback form of the same thing
         case "Invoke" | "ApplyFunctionExpression" => out += "jvm-invoke"
         case "ScalaAggregator" | "ScalaUDAF" => out += "scala-udaf"
-        case "ArrayDotLong" => out += "custom-expression"
+        case "ArrayDotLong" | "NfcNormalize" => out += "custom-expression"
         case "Bin" => out += "bin"
         case "BitwiseCount" => out += "bit-count"
         case "Percentile" => out += "exact-percentile"

@@ -133,12 +133,14 @@ class RapidsReadinessSpec extends SparkSpec {
     "ts_slo_burn" -> Set("rdd-segment"),
     "join_bloom_prune" -> Set("rdd-segment"),
     "layout_skip_compare" -> Set("rdd-segment"),
+    "mm_decode_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
     "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
+    "pipeline_global_shuffle" -> Set("higher-order-function"),
     "pipeline_chunk_overlap" -> Set("higher-order-function"),
     "pipeline_span_corruption" -> Set("higher-order-function"),
     "pipeline_dataset_card" -> Set("higher-order-function", "rdd-segment"),
@@ -224,6 +226,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_zipf_fit" -> Set("higher-order-function", "bin"),
     "text_cosine_pairs" -> Set("rdd-segment"),
     "text_countmin_est" -> Set("rdd-segment"),
+    "text_unicode_normalize" -> Set("custom-expression"),
     "text_fingerprint" -> Set("higher-order-function"),
     "text_heavy_hitters" -> Set("higher-order-function"),
     "text_lang_id" -> Set("higher-order-function"),
@@ -285,6 +288,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
     "fn_array_ops" -> Set("higher-order-function"),
     "dq_category_pmi" -> Set("bin"),
+    "mm_decode_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
@@ -303,6 +307,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "pipeline_dataset_card" -> Set("higher-order-function"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("higher-order-function"),
+    "pipeline_global_shuffle" -> Set("higher-order-function"),
     "pipeline_dsir_select" -> Set("bin", "higher-order-function"),
     "pipeline_leakage_split" -> Set("higher-order-function"),
     "pipeline_length_buckets" -> Set("higher-order-function", "bin"),
@@ -370,6 +375,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_char_entropy" -> Set("bin"),
     "text_cosine_pairs" -> Set("higher-order-function"),
     "text_countmin_est" -> Set("higher-order-function"),
+    "text_unicode_normalize" -> Set("custom-expression"),
     "text_fingerprint" -> Set("higher-order-function"),
     "text_heavy_hitters" -> Set("higher-order-function"),
     "text_lang_id" -> Set("higher-order-function"),
