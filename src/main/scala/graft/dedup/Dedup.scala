@@ -100,6 +100,45 @@ object Dedup {
   private def uhA(i: Int): Long = 2L * i + 3L
   private def uhB(i: Int): Long = 104729L * i + 12345L
 
+  /** Per-ROW minhash band buckets from a materialized token-array
+    * column — the no-shuffle form of the signature pipeline, built for
+    * STREAMING ingest (a streaming plan cannot `.staged`-materialize,
+    * and the batch form's per-doc groupBy would be a per-batch shuffle
+    * the map-only form doesn't need).
+    *
+    * Values are identical to [[minhashBands]]: same shingles, same
+    * universal-hash family, same band md5s — min over the shingle array
+    * equals the grouped min over exploded shingle rows. Expression
+    * shape guards (each would silently re-run work under
+    * CollapseProject inlining):
+    *  - shingles are hashed ONCE via an inner `transform` (hash60 per
+    *    shingle, not per (shingle, i) — the "16× fewer md5s" batch
+    *    property, kept);
+    *  - the k mins accumulate in ONE `aggregate` pass with an array
+    *    accumulator (`zip_with` against a constant-folded (aᵢ,bᵢ)
+    *    struct array), so the shingle array is referenced exactly once;
+    *  - the signature feeds the band folds through a one-element-array
+    *    `transform` wrap, so the aggregate is referenced exactly once
+    *    (a bare alias would inline—and re-run—it per band). */
+  private[graft] def bandStructs(toks: Column, k: Int = 16, bands: Int = 4): Column = {
+    val rows = k / bands
+    val abArr = array((0 until k).map(i =>
+      struct(lit(uhA(i)).as("a"), lit(uhB(i)).as("b"))): _*)
+    val hashed = transform(shingles(toks), s => pmod(Portable.hash60(s), lit(P)))
+    // P is an exclusive upper bound of every pmod value — a valid +∞ seed
+    val sig = aggregate(hashed, array_repeat(lit(P), k),
+      (acc, hp) => zip_with(abArr, acc, (ab, cur) =>
+        least(cur, pmod(ab.getField("a") * hp + ab.getField("b"), lit(P)))))
+    element_at(
+      transform(array(sig), sigv =>
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.cast("int").as("band"),
+            md5(concat_ws(",", (0 until rows).map(r =>
+              element_at(sigv, b.cast("int") * rows + r + 1).cast("string")): _*))
+              .as("bucket")))),
+      1)
+  }
+
   /** Per-doc k-column minhash signatures: one shuffle (the per-doc
     * groupBy of k parallel min-aggregates). Shared by the banding,
     * candidate and estimator paths. */

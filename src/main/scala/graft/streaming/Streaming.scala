@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface: the reference's epoch loop is a
@@ -208,6 +208,55 @@ object Streaming {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class BandIn(bkey: String, band: Int, doc_id: Long)
+  final case class NearDupPair(a: Long, b: Long, band: Int)
+
+  /** Stateful LSH bucket index for dedup-on-ingest: one ListState of
+    * member doc ids per (band, bucket) key. A newly arrived doc emits a
+    * candidate pair against every member already in its bucket (and
+    * against earlier arrivals of the same batch), then joins the state —
+    * so every unordered pair sharing the bucket is emitted EXACTLY once
+    * per band, regardless of arrival order or batch boundaries
+    * (pairs are (min,max)-normalized; one doc has one bucket per band,
+    * so no within-band double-emission is possible).
+    *
+    * Scale: state is the band-bucket inverted index itself — the same
+    * object the batch path joins against, held incrementally. Production
+    * bounds per-bucket membership with a df cap (a saturated bucket
+    * means the band is degenerate, not informative) and expires stale
+    * members via TTL; both knobs drop pairs the batch oracle keeps, so
+    * the harness form is uncapped over the bounded fixture. */
+  class NearDupProcessor extends StatefulProcessor[String, BandIn, NearDupPair] {
+    @transient private var members: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BandIn],
+                                 timers: TimerValues): Iterator[NearDupPair] = {
+      val arrived = rows.toArray.sortBy(_.doc_id)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (members.exists()) members.get().foreach(seen += _)
+      val out = Seq.newBuilder[NearDupPair]
+      arrived.foreach { d =>
+        seen.foreach { x =>
+          if (x != d.doc_id)
+            out += NearDupPair(math.min(x, d.doc_id), math.max(x, d.doc_id), d.band)
+        }
+        seen += d.doc_id
+        members.appendValue(d.doc_id)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Candidate near-dup pairs over a stream of band-bucket rows. */
+  def nearDupStream(bands: Dataset[BandIn]): Dataset[NearDupPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(_.bkey)
+      .transformWithState(new NearDupProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Micro-batch sink driver (foreachBatch): the Spark idiom for the

@@ -512,7 +512,67 @@ object StreamingQueries {
       |FROM cdc WHERE rn = 1 AND alive = 1
       |ORDER BY k""".stripMargin
 
+  /** LSH near-dup detection ON INGEST — the nightly-crawl shape run as a
+    * real stream: documents arrive in 4 micro-batches (pre-tokenized —
+    * tokenization is the stateless ingest-boundary map), each doc's
+    * minhash band buckets are computed PER ROW in-stream (no per-batch
+    * shuffle for signatures; [[graft.dedup.Dedup.bandStructs]]), and a
+    * `transformWithState` bucket index emits a candidate pair the moment
+    * the second member of any (band, bucket) arrives. Emitted pairs are
+    * (min,max)-normalized and per-band unique, so the run's output
+    * aggregated by pair equals the BATCH LSH candidate join exactly —
+    * the oracle is `dedup_minhash_candidates`' own SQL. */
+  def streamNearDup(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val path = s"/tmp/graft_fixtures/docs_tok_split_${new java.io.File(dir).getName}"
+    graft.sources.Formats.writeOnce(s"toksplit|$path") {
+      val docs = graft.operators.Tables.t(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      def writeSplit(m: Int, destName: String, modMs: Long): Unit = {
+        val stage = s"${path}_stage_$m"
+        docs.filter(pmod(col("doc_id"), lit(4L)) === m.toLong)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = java.nio.file.Paths.get(path, destName)
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(modMs))
+        val st = new java.io.File(stage)
+        st.listFiles().foreach(_.delete()); st.delete()
+      }
+      (0 until 4).foreach(m =>
+        writeSplit(m, s"ingest$m.parquet", 1000000000000L + m * 60000L))
+    }
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("toks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val name = unique("stream_neardup")
+    val bands = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(path)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.bandStructs(col("toks"))).as("bb"))
+      .select(concat_ws("|", col("bb.band"), col("bb.bucket")).as("bkey"),
+        col("bb.band").as("band"), col("doc_id"))
+      .as[Streaming.BandIn]
+    Streaming.runToMemory(spark,
+      Streaming.nearDupStream(bands).toDF(), name, outputMode = "append")
+    spark.table(name)
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_bands"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_neardup" -> streamNearDup,
     "stream_cdc_apply" -> streamCdcApply,
     "stream_rate_limited" -> streamRateLimited,
     "stream_late_data" -> streamLateData,
@@ -526,6 +586,7 @@ object StreamingQueries {
     "stream_static_join" -> streamStaticJoin)
 
   val oracles: Map[String, String] = Map(
+    "stream_neardup" -> graft.dedup.Dedup.minhashCandidatesSql,
     "stream_cdc_apply" -> streamCdcApplySql,
     "stream_rate_limited" -> streamRateLimitedSql,
     "stream_late_data" -> streamLateDataSql,

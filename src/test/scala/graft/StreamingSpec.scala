@@ -256,4 +256,18 @@ class StreamingBatchParitySpec extends SparkSpec {
     assert(cmp.forall { case (b, s) => s <= b })
     assert(cmp.exists { case (b, s) => s < b }, "nothing was dropped anywhere")
   }
+
+  test("streaming LSH near-dup equals the batch candidate join, across batches") {
+    val dir = sf("sf0.001")
+    val streamed = graft.streaming.StreamingQueries.streamNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.dedup.Dedup.minhashCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch, "stream pair set diverges from the batch LSH join")
+    assert(batch.nonEmpty)
+    // the state machine must matter: at least one pair crosses a
+    // micro-batch boundary (members arrive in different doc_id%4 files)
+    assert(streamed.keys.exists { case (a, b) => a % 4 != b % 4 },
+      "no cross-batch pair — the stateful bucket index was never exercised")
+  }
 }
