@@ -500,17 +500,66 @@ object Bpe {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer fertility per language — the multilingual-bias report
+    * every tokenizer release ships (Ács 2019; a language whose
+    * tokens-per-word ratio runs high pays more sequence length per
+    * sentence, i.e. gets less model for the same budget). Per lang:
+    * word/char/BPE-token mass under the same-corpus learned merges,
+    * fertility = BPE tokens per word, chars-per-token = compression.
+    * Ratios are divisions of identical integers → bit-equal doubles.
+    *
+    * Scale: [[bpeCountsFrom]]'s dataflow (one occurrence shuffle,
+    * form-level training state, broadcast apply join) plus one 5-row
+    * language aggregate. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    bpeCountsFrom(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens"))
+      .orderBy("lang")
+  }
+
+  val tokenFertilitySql: String =
+    s"""WITH ${corpusCtes()},
+       |${sqlRounds(cntInBest = false)},
+       |base AS (
+       |  SELECT doc_id, count(*) AS n_chars,
+       |         CAST(max(wid) + 1 AS BIGINT) AS n_words
+       |  FROM s0 GROUP BY doc_id),
+       |enc AS (SELECT doc_id, count(*) AS n_bpe FROM s$rounds GROUP BY doc_id),
+       |perdoc AS (
+       |  SELECT d.lang, base.n_words, base.n_chars, enc.n_bpe
+       |  FROM base JOIN enc USING (doc_id)
+       |  JOIN documents d USING (doc_id))
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS BIGINT) AS fertility,
+       |       CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS BIGINT) AS chars_per_token
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_counts" -> bpeCounts,
     "text_bpe_merges" -> bpeMerges,
     "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "text_bpe_encode" -> bpeEncode,
-    "text_bpe_encode_heldout" -> bpeEncodeHeldout)
+    "text_bpe_encode_heldout" -> bpeEncodeHeldout,
+    "text_token_fertility" -> tokenFertility)
 
   val oracles: Map[String, String] = Map(
     "text_bpe_counts" -> bpeCountsSql,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_vocab" -> bpeVocabSql(),
     "text_bpe_encode" -> bpeEncodeSql,
-    "text_bpe_encode_heldout" -> bpeEncodeHeldoutSql)
+    "text_bpe_encode_heldout" -> bpeEncodeHeldoutSql,
+    "text_token_fertility" -> tokenFertilitySql)
 }

@@ -242,14 +242,29 @@ object Retrieval {
   /** Document-frequency cap for the all-pairs similarity index, as a
     * CORPUS FRACTION: terms (word bigrams) present in more than 1/100th
     * of all documents are excluded. A term in f documents fans out
-    * O(f²) pair rows, so the cap is what bounds the inverted-index join
-    * — and it must scale with the corpus (an absolute cap silently
-    * empties the index once every term's df outgrows it; a fractional
-    * cap keeps exactly the discriminative tail at any scale). This is
-    * the standard stop-term/prefix filter of Bayardo et al.'s all-pairs
-    * similarity search; the excluded terms carry negligible idf weight
-    * anyway. */
+    * O(f²) pair rows, so the cap is what bounds the inverted-index join.
+    * TWO conditions, each necessary (the round-13 8× full-board run is
+    * the evidence):
+    *  - the FRACTIONAL cap (df·100 ≤ n) is the semantic stop-term
+    *    filter — it keeps exactly the discriminative tail at any scale
+    *    (the excluded terms carry negligible idf weight anyway);
+    *  - the ABSOLUTE ceiling (df ≤ [[dfCeiling]]) is the join-work
+    *    bound the fractional cap alone does NOT give: df may grow to
+    *    n/100, making worst-case per-term pair work (n/100)² —
+    *    quadratic in the corpus. The 8× board measured exactly that:
+    *    the fractional bound loosened 50 → 400, per-term pair work grew
+    *    548× (1.07M → 585.6M products) and the query ran 40× — the one
+    *    superlinear plan on the 313-query board. With the ceiling the
+    *    pair stage is ≤ df_ceiling² per term — linear in term count.
+    * This is the standard stop-term guard of Bayardo et al.'s all-pairs
+    * similarity search; terms between the two bounds at web scale are
+    * the lossy trade (prefix filtering is the lossless alternative). */
   val maxDfDivisor = 100
+
+  /** Absolute df ceiling — equals the fractional bound at sf0.1
+    * (n=5000 → 50), so harness results are unchanged at every verify
+    * SF; it binds only when the corpus grows. */
+  val dfCeiling = 50
 
   /** All-pairs document cosine similarity over TF-IDF unit vectors —
     * the lexical analog of the embedding near-dup path: sparse vectors
@@ -284,7 +299,7 @@ object Retrieval {
     val n = docs.agg(count(lit(1)).as("n"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
-      .filter(col("df") * maxDfDivisor <= col("n"))
+      .filter(col("df") * maxDfDivisor <= col("n") && col("df") <= dfCeiling)
     val w = tf.join(df, "term")
       .withColumn("w", col("tf") * expr("(n * 100) DIV df"))
     val nsq = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
@@ -323,6 +338,7 @@ object Retrieval {
        |dfc AS (
        |  SELECT term, count(*) AS df FROM tfc GROUP BY term
        |  HAVING count(*) * $maxDfDivisor <= (SELECT n FROM n)
+       |     AND count(*) <= $dfCeiling
        |),
        |w AS (
        |  SELECT doc_id, term, tf * ((n.n * 100) // df) AS w

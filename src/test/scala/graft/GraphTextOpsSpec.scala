@@ -425,4 +425,26 @@ class GraphTextOpsSpec extends SparkSpec {
     assert(got.toSeq === want)
     assert(got.nonEmpty)
   }
+
+  test("token fertility: per-lang masses tie out against the per-doc BPE counts") {
+    val dir = sf("sf0.001")
+    val rows = graft.text.Bpe.tokenFertility(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_bpe_tokens"))
+      // every word is ≥1 token; every token is ≥1 char; merges happened
+      assert(t >= w && c >= t, s"impossible masses in ${r.getString(0)}: w=$w c=$c t=$t")
+      assert(r.getAs[Double]("fertility") === t.toDouble / w)
+      assert(r.getAs[Double]("chars_per_token") === c.toDouble / t)
+      assert(r.getAs[Double]("chars_per_token") > 1.0,
+        "no merge fired anywhere — chars/token stuck at 1")
+    }
+    // conservation: per-lang masses sum to the per-doc report's totals
+    val perDoc = graft.text.Bpe.bpeCounts(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_bpe_tokens")).sum ===
+      perDoc.map(_.getAs[Long]("n_bpe_tokens")).sum)
+    assert(rows.map(_.getAs[Long]("n_words")).sum ===
+      perDoc.map(_.getAs[Long]("n_words")).sum)
+  }
 }

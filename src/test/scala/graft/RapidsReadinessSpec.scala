@@ -212,6 +212,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "stat_winsorized" -> Set("rdd-segment"),
     "sub_scalar_agg_max" -> Set("rdd-segment"),
     "text_bm25_rank" -> Set("rdd-segment"),
+    "text_token_fertility" -> Set("rdd-segment"),
     "text_bpe_counts" -> Set("rdd-segment"),
     "text_bpe_merges" -> Set("rdd-segment"),
     "text_bpe_vocab" -> Set("rdd-segment"),
@@ -367,6 +368,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_semdedup" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "text_bm25_rank" -> Set("higher-order-function"),
     "text_keyword_rake" -> Set("higher-order-function"),
+    "text_token_fertility" -> Set("higher-order-function", "rdd-segment"),
     "text_bpe_counts" -> Set("higher-order-function", "rdd-segment"),
     "text_bpe_merges" -> Set("higher-order-function", "rdd-segment"),
     "text_bpe_vocab" -> Set("rdd-segment"),
@@ -456,7 +458,8 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_ivfbq_topk", "sim_ivfbq_recall",
         "sim_ivf_probe_curve",
         "sim_mmr_rerank",
-        "sim_semdedup", "text_bpe_counts", "text_bpe_merges",
+        "sim_semdedup", "text_token_fertility",
+        "text_bpe_counts", "text_bpe_merges",
         "text_bpe_vocab", "text_bpe_encode", "text_bpe_encode_heldout",
         // round-12 drain cuts: the graph/PCA round loops now cut
         // per round in both modes (Cache.cut scaladoc; 3-16x
