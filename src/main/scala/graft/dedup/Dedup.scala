@@ -696,7 +696,7 @@ object Dedup {
   }
 
   def editVerifySql(threshold: Double = 0.2): String = {
-    val pairs = jaccardPairsSql(threshold).replace("ORDER BY a, b", "")
+    val pairs = jaccardPairsSqlBody(threshold)
     s"""WITH cand AS ($pairs),
        |pre AS (SELECT doc_id, substr(text, 1, $editPrefix) AS pre FROM documents)
        |SELECT c.a, c.b, c.jaccard,
