@@ -228,13 +228,32 @@ object Aria {
     // lazy localCheckpoints: lineage is truncated identically, but the
     // materialization folds into the next epoch's first job instead of
     // costing a dedicated job per checkpoint (2 fewer jobs/epoch).
-    var table = Workload.kvTable(spark, cfg.tableKeys, cfg.seed)
+    val table = Workload.kvTable(spark, cfg.tableKeys, cfg.seed)
       .localCheckpoint(eager = eagerHygiene(cfg))
-    var ops = Workload.txnOps(spark, cfg.nTxns, cfg.maxOps, cfg.writePct,
+    val ops = Workload.txnOps(spark, cfg.nTxns, cfg.maxOps, cfg.writePct,
       cfg.keysMax, cfg.seed).localCheckpoint(eager = eagerHygiene(cfg))
+    runFrom(spark, cfg, table, ops, startEpoch = 0, remaining0 = cfg.nTxns.toLong)
+  }
+
+  /** Resume (or start) the drain from EXPLICIT state — the durability
+    * boundary a production drain needs: every epoch's (table, retry
+    * batch) pair is a complete, self-contained snapshot of the machine
+    * (epochs are deterministic functions of it), so persisting the two
+    * frames to parquet at any epoch boundary and calling this on the
+    * read-back resumes the drain to a bit-identical final table even in
+    * a fresh session after driver loss. Spark's own resilience covers
+    * task/executor failure WITHIN an epoch; this covers everything
+    * above it. [[run]] is exactly this from the generated epoch-0
+    * state. `remaining0` = txns in `ops0`'s batch (its distinct-tid
+    * count; passed in because the caller always knows it and the loop
+    * must not pay a count job to rediscover it). */
+  def runFrom(spark: SparkSession, cfg: AriaConfig, table0: DataFrame,
+              ops0: DataFrame, startEpoch: Int, remaining0: Long): RunResult = {
+    var table = table0
+    var ops = ops0
     val stats = Seq.newBuilder[EpochStats]
-    var epoch = 0
-    var remaining = cfg.nTxns.toLong
+    var epoch = startEpoch
+    var remaining = remaining0
     while (remaining > 0 && epoch < cfg.maxEpochs) {
       val r = runEpoch(table, ops, epoch, remaining, cfg)
       if (eagerHygiene(cfg)) {

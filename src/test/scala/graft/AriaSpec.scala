@@ -102,6 +102,30 @@ class AriaSpec extends SparkSpec {
     assert(diffs.isEmpty, s"table rows diverge at keys: ${diffs.take(5)}")
   }
 
+  test("drain restart: parquet-persisted mid-drain state resumes bit-identically") {
+    val c = cfg
+    val full = Aria.run(spark, c)
+    // epoch 0 exactly as the loop runs it, then persist the machine
+    // state (table + retry batch) through parquet — the durability
+    // boundary a driver loss would force
+    val table0 = Workload.kvTable(spark, c.tableKeys, c.seed)
+    val ops0 = Workload.txnOps(spark, c.nTxns, c.maxOps, c.writePct, c.keysMax, c.seed)
+    val r0 = Aria.runEpoch(table0, ops0, 0, c.nTxns, c)
+    assert(r0.stats.aborted > 0, "fixture must abort in epoch 0 for the test to mean anything")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_aria_restart"
+    r0.table.write.mode("overwrite").parquet(s"$dir/table")
+    r0.retryOps.write.mode("overwrite").parquet(s"$dir/ops")
+    val resumed = Aria.runFrom(spark, c,
+      spark.read.parquet(s"$dir/table"),
+      spark.read.parquet(s"$dir/ops"),
+      startEpoch = 1, remaining0 = r0.stats.aborted)
+    // identical final table and identical epoch trajectory
+    assert(collectTable(resumed.table) === collectTable(full.table),
+      "resumed drain diverged from the uninterrupted run")
+    assert((r0.stats +: resumed.stats) === full.stats,
+      s"epoch trajectory diverged: ${r0.stats +: resumed.stats} vs ${full.stats}")
+  }
+
   test("no-reorder mode matches serial-replay simulator") { runBoth(reorder = false) }
   test("reorder mode matches serial-replay simulator") { runBoth(reorder = true) }
 
