@@ -416,7 +416,91 @@ object Multimodal {
        |       CAST(sum((5*x + 2*y + 23*k) % 256) AS BIGINT) AS sum_b
        |FROM xy GROUP BY k ORDER BY media_id""".stripMargin
 
+  // ——— Real-codec AUDIO arm: javax.sound.sampled WAV, same design ———
+  //
+  // The image arm proves the pipeline for PNG; this proves it for a
+  // second modality with a different JDK codec (AudioSystem). Fixture:
+  // genuine RIFF/WAVE files of 8-bit unsigned mono PCM whose sample
+  // stream is the closed form u(i,k) = (37·i + 11·k) mod 256 — WAV PCM
+  // is uncompressed, so decode must return exactly those bytes, and the
+  // DuckDB oracle recomputes every amplitude sum from arithmetic.
+
+  private val realWavCount = 8
+  private def realWavFrames(k: Int): Int = 256 + 32 * k
+  private def realWavSample(k: Int, i: Int): Int = (37 * i + 11 * k) % 256
+
+  private[multimodal] def realWavFixture(): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mm_real_wav"
+    graft.sources.Formats.writeOnce(s"mm_wav|$path") {
+      val dir = new java.io.File(path)
+      dir.mkdirs()
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+        /*signed=*/ false, /*bigEndian=*/ false)
+      (0 until realWavCount).foreach { k =>
+        val n = realWavFrames(k)
+        val bytes = Array.tabulate[Byte](n)(i => realWavSample(k, i).toByte)
+        val in = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+        val ok = javax.sound.sampled.AudioSystem.write(in,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE,
+          new java.io.File(dir, f"clip_$k%02d.wav"))
+        require(ok > 0, s"no WAV writer for fixture clip $k")
+      }
+    }
+    path
+  }
+
+  final case class RealAudioRow(
+      media_id: Long, n_frames: Long, sample_rate: Long,
+      sum_amp: Long, sum_sq: Long)
+
+  /** Real audio decode: binaryFile scan → AudioSystem per partition →
+    * per-clip amplitude sums (8-bit unsigned PCM → [0,255] ints). */
+  def realAudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = realWavFixture()
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (p, bytes) =>
+          val k = "clip_(\\d+)\\.wav$".r.findFirstMatchIn(p)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"unexpected fixture file $p"))
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+            s"unexpected decoded format $fmt")
+          val data = ais.readAllBytes()
+          var (sa, sq) = (0L, 0L)
+          var i = 0
+          while (i < data.length) {
+            val u = data(i) & 0xff
+            sa += u; sq += u.toLong * u
+            i += 1
+          }
+          RealAudioRow(k, data.length.toLong, fmt.getSampleRate.toLong, sa, sq)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val realAudioDecodeSql: String =
+    s"""WITH clips AS (
+       |  SELECT k::BIGINT AS k, 256 + 32*k AS n FROM range($realWavCount) t(k)),
+       |smp AS (
+       |  SELECT k, n, unnest(generate_series(0, n - 1)) AS i FROM clips),
+       |amp AS (SELECT k, n, (37*i + 11*k) % 256 AS u FROM smp)
+       |SELECT k AS media_id, any_value(n) AS n_frames,
+       |       CAST(8000 AS BIGINT) AS sample_rate,
+       |       CAST(sum(u) AS BIGINT) AS sum_amp,
+       |       CAST(sum(u*u) AS BIGINT) AS sum_sq
+       |FROM amp GROUP BY k ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_audio_real" -> realAudioDecode,
     "mm_media_meta" -> mediaMeta,
     "mm_decode_summary" -> decodeSummary,
     "mm_resize_meta" -> resizeMeta,
@@ -425,6 +509,7 @@ object Multimodal {
     "mm_decode_real" -> realDecode)
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_audio_real" -> realAudioDecodeSql,
     "mm_media_meta" -> mediaMetaSql,
     "mm_decode_summary" -> decodeSummarySql,
     "mm_resize_meta" -> resizeMetaSql,

@@ -79,4 +79,21 @@ class MultimodalSpec extends SparkSpec {
         s"channel sums diverge for image $k — codec round-trip not bit-exact")
     }
   }
+
+  test("real audio arm: WAV round-trip reproduces the closed-form sample sums") {
+    val rows = Multimodal.realAudioDecode(spark, sf("sf0.001")).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val n = 256 + 32 * k
+      assert(r.getLong(1) === n.toLong && r.getLong(2) === 8000L)
+      var (sa, sq) = (0L, 0L)
+      for (i <- 0 until n) {
+        val u = (37 * i + 11 * k) % 256
+        sa += u; sq += u.toLong * u
+      }
+      assert((r.getLong(3), r.getLong(4)) === ((sa, sq)),
+        s"amplitude sums diverge for clip $k — PCM round-trip not bit-exact")
+    }
+  }
 }

@@ -134,6 +134,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "join_bloom_prune" -> Set("rdd-segment"),
     "layout_skip_compare" -> Set("rdd-segment"),
     "mm_decode_real" -> Set("object-node", "jvm-invoke"),
+    "mm_decode_audio_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
@@ -290,6 +291,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "fn_array_ops" -> Set("higher-order-function"),
     "dq_category_pmi" -> Set("bin"),
     "mm_decode_real" -> Set("object-node", "jvm-invoke"),
+    "mm_decode_audio_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
