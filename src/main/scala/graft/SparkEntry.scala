@@ -36,6 +36,7 @@ object SparkEntry {
     (text.TextAnalysis.queries, text.TextAnalysis.oracles),
     (text.Classify.queries, text.Classify.oracles),
     (text.Bpe.queries, text.Bpe.oracles),
+    (text.Unigram.queries, text.Unigram.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
     (text.Pipeline.queries, text.Pipeline.oracles),
     (text.UrlCuration.queries, text.UrlCuration.oracles),

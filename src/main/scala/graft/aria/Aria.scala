@@ -222,7 +222,7 @@ object Aria {
     * the reference-size drain keeps its measured lazy-checkpoint
     * latency profile (the block sets it leaks are kilobytes). */
   private def eagerHygiene(cfg: AriaConfig): Boolean =
-    cfg.tableKeys >= EagerHygieneKeys
+    cfg.forceEagerHygiene || cfg.tableKeys >= EagerHygieneKeys
 
   private def runLoop(spark: SparkSession, cfg: AriaConfig): RunResult = {
     // lazy localCheckpoints: lineage is truncated identically, but the
@@ -251,6 +251,11 @@ object Aria {
               ops0: DataFrame, startEpoch: Int, remaining0: Long): RunResult = {
     var table = table0
     var ops = ops0
+    // Frames the loop checkpointed ITSELF are provably droppable
+    // checkpoint roots; the caller's generation-0 frames may be anything
+    // (runLoop hands in checkpoints, a resume hands in parquet reads
+    // with no blocks to free) — probe those instead of asserting.
+    var loopOwned = false
     val stats = Seq.newBuilder[EpochStats]
     var epoch = startEpoch
     var remaining = remaining0
@@ -270,8 +275,10 @@ object Aria {
         // while a lazy plan could still read them.
         val nt = r.table.localCheckpoint(eager = true)
         val no = r.retryOps.localCheckpoint(eager = true)
-        GraftBridge.dropCheckpointBlocks(table)
-        GraftBridge.dropCheckpointBlocks(ops)
+        Seq(table, ops).foreach { f =>
+          if (loopOwned || GraftBridge.isCheckpointRoot(f))
+            GraftBridge.dropCheckpointBlocks(f)
+        }
         table = nt
         ops = no
       } else {
@@ -281,6 +288,7 @@ object Aria {
         table = r.table.localCheckpoint(false)
         ops = r.retryOps.localCheckpoint(false)
       }
+      loopOwned = true
       stats += r.stats
       remaining = r.stats.aborted
       epoch += 1

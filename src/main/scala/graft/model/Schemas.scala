@@ -43,4 +43,7 @@ final case class AriaConfig(
     tableKeys: Int = 199999,
     reorder: Boolean = false,
     seed: Long = 42L,
-    maxEpochs: Int = 64)
+    maxEpochs: Int = 64,
+    // engage the decade-scale eager checkpoint-and-free path regardless of
+    // tableKeys — lets tests exercise the eager drain at small fixtures
+    forceEagerHygiene: Boolean = false)

@@ -341,8 +341,9 @@ object Multimodal {
   private[multimodal] def realPngFixture(): String = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_mm_real_png"
     graft.sources.Formats.writeOnce(s"mm_png|$path") {
-      val dir = new java.io.File(path)
-      dir.mkdirs()
+      // fresh dir: the binaryFile scan globs everything here, so stale
+      // files from an older fixture shape would surface as phantom rows
+      val dir = graft.sources.Formats.freshDir(path)
       (0 until realPngCount).foreach { k =>
         val (w, h) = realPngDims(k)
         val img = new java.awt.image.BufferedImage(
@@ -432,8 +433,7 @@ object Multimodal {
   private[multimodal] def realWavFixture(): String = {
     val path = s"${sys.props("java.io.tmpdir")}/graft_mm_real_wav"
     graft.sources.Formats.writeOnce(s"mm_wav|$path") {
-      val dir = new java.io.File(path)
-      dir.mkdirs()
+      val dir = graft.sources.Formats.freshDir(path)
       val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
         /*signed=*/ false, /*bigEndian=*/ false)
       (0 until realWavCount).foreach { k =>

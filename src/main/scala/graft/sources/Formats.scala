@@ -22,6 +22,24 @@ object Formats {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val inFlight =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Recreate `path` as an EMPTY directory. Hand-assembled fixtures
+    * (ImageIO/WAV writers, staged stream splits) don't get parquet's
+    * Overwrite semantics — without this, a renamed or shrunk fixture
+    * leaves stale files that a directory-globbing scan picks up as
+    * phantom rows (looks like a codec bug; ADVICE r13). */
+  private[graft] def freshDir(path: String): java.io.File = {
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    dir
+  }
+
   private[graft] def writeOnce(key: String)(write: => Unit): Unit =
     if (!writtenFixtures.contains(key)) {
       // the key is recorded only AFTER the write succeeds: a throwing

@@ -236,16 +236,23 @@ object Streaming {
     override def handleInputRows(key: String, rows: Iterator[BandIn],
                                  timers: TimerValues): Iterator[NearDupPair] = {
       val arrived = rows.toArray.sortBy(_.doc_id)
-      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // LinkedHashSet: O(1) membership for the re-delivery guard below,
+      // insertion-ordered iteration for deterministic pair emission
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
       if (members.exists()) members.get().foreach(seen += _)
       val out = Seq.newBuilder[NearDupPair]
       arrived.foreach { d =>
-        seen.foreach { x =>
-          if (x != d.doc_id)
+        // idempotent under re-delivery: a doc_id already indexed (from a
+        // replayed batch, an at-least-once source, or a within-batch
+        // duplicate row) is neither re-paired nor re-appended — appending
+        // twice would double-count it in every later mate's shared_bands
+        if (!seen.contains(d.doc_id)) {
+          seen.foreach { x =>
             out += NearDupPair(math.min(x, d.doc_id), math.max(x, d.doc_id), d.band)
+          }
+          seen += d.doc_id
+          members.appendValue(d.doc_id)
         }
-        seen += d.doc_id
-        members.appendValue(d.doc_id)
       }
       out.result().iterator
     }

@@ -414,7 +414,7 @@ object StreamingQueries {
     val path = s"/tmp/graft_fixtures/events_late_split_${new java.io.File(dir).getName}"
     graft.sources.Formats.writeOnce(s"latesplit|$path") {
       val ev = graft.operators.Tables.t(spark, dir, "events")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      graft.sources.Formats.freshDir(path): Unit
       def writeSplit(mods: Seq[Int], destName: String, modMs: Long): Unit = {
         val stage = s"${path}_stage_${mods.mkString("_")}"
         ev.filter(pmod(col("event_id"), lit(4L)).isin(mods.map(_.toLong): _*))
@@ -532,7 +532,7 @@ object StreamingQueries {
       val docs = graft.operators.Tables.t(spark, dir, "documents")
         .select(col("doc_id"),
           graft.text.TextAnalysis.tokens(col("text")).as("toks"))
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      graft.sources.Formats.freshDir(path): Unit
       def writeSplit(m: Int, destName: String, modMs: Long): Unit = {
         val stage = s"${path}_stage_$m"
         docs.filter(pmod(col("doc_id"), lit(4L)) === m.toLong)

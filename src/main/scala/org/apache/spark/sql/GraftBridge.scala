@@ -41,6 +41,13 @@ object GraftBridge {
     * frame is refused: traversing its whole tree would unpersist every
     * checkpoint it references — including blocks shared with other
     * still-live consumers, unrecoverably. */
+  /** Whether [[dropCheckpointBlocks]] would accept this frame — true
+    * iff the plan root is a checkpoint `LogicalRDD`. A resumed drain's
+    * first-generation frames may be parquet reads (no blocks to free);
+    * callers use this to skip the drop instead of catching. */
+  def isCheckpointRoot(df: Dataset[_]): Boolean =
+    df.queryExecution.analyzed.isInstanceOf[execution.LogicalRDD]
+
   def dropCheckpointBlocks(df: Dataset[_]): Unit =
     df.queryExecution.analyzed match {
       case r: execution.LogicalRDD => r.rdd.unpersist(blocking = false)

@@ -126,6 +126,29 @@ class AriaSpec extends SparkSpec {
       s"epoch trajectory diverged: ${r0.stats +: resumed.stats} vs ${full.stats}")
   }
 
+  test("drain restart resumes under EAGER hygiene from a parquet read-back") {
+    // the durability boundary is advertised precisely for decade-scale
+    // (eager-hygiene) configs — resume must not try to drop checkpoint
+    // blocks behind the caller's parquet frames (ADVICE r13)
+    val c = cfg.copy(forceEagerHygiene = true)
+    val full = Aria.run(spark, c)
+    val table0 = Workload.kvTable(spark, c.tableKeys, c.seed)
+    val ops0 = Workload.txnOps(spark, c.nTxns, c.maxOps, c.writePct, c.keysMax, c.seed)
+    val r0 = Aria.runEpoch(table0, ops0, 0, c.nTxns, c)
+    assert(r0.stats.aborted > 0, "fixture must abort in epoch 0 for the test to mean anything")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_aria_restart_eager"
+    r0.table.write.mode("overwrite").parquet(s"$dir/table")
+    r0.retryOps.write.mode("overwrite").parquet(s"$dir/ops")
+    val resumed = Aria.runFrom(spark, c,
+      spark.read.parquet(s"$dir/table"),
+      spark.read.parquet(s"$dir/ops"),
+      startEpoch = 1, remaining0 = r0.stats.aborted)
+    assert(collectTable(resumed.table) === collectTable(full.table),
+      "eager-hygiene resumed drain diverged from the uninterrupted run")
+    assert((r0.stats +: resumed.stats) === full.stats,
+      s"epoch trajectory diverged: ${r0.stats +: resumed.stats} vs ${full.stats}")
+  }
+
   test("no-reorder mode matches serial-replay simulator") { runBoth(reorder = false) }
   test("reorder mode matches serial-replay simulator") { runBoth(reorder = true) }
 

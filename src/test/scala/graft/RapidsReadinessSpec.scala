@@ -219,6 +219,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_bpe_vocab" -> Set("rdd-segment"),
     "text_bpe_encode" -> Set("rdd-segment"),
     "text_bpe_encode_heldout" -> Set("rdd-segment"),
+    "text_unigram_train" -> Set("rdd-segment"),
+    "text_unigram_encode" -> Set("higher-order-function", "rdd-segment"),
+    "text_unigram_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
     // the tokenizer HOF sits UPSTREAM of the tf/bigram stage barrier, so
     // checkpoint mode sees only the post-barrier bin (LM weights)
     "text_nb_quality" -> Set("bin", "rdd-segment"),
@@ -376,6 +379,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_bpe_vocab" -> Set("rdd-segment"),
     "text_bpe_encode" -> Set("higher-order-function", "rdd-segment"),
     "text_bpe_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
+    "text_unigram_train" -> Set("rdd-segment"),
+    "text_unigram_encode" -> Set("higher-order-function", "rdd-segment"),
+    "text_unigram_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
     "text_char_entropy" -> Set("bin"),
     "text_cosine_pairs" -> Set("higher-order-function"),
     "text_countmin_est" -> Set("higher-order-function"),
@@ -463,6 +469,8 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_semdedup", "text_token_fertility",
         "text_bpe_counts", "text_bpe_merges",
         "text_bpe_vocab", "text_bpe_encode", "text_bpe_encode_heldout",
+        "text_unigram_train", "text_unigram_encode",
+        "text_unigram_encode_heldout",
         // round-12 drain cuts: the graph/PCA round loops now cut
         // per round in both modes (Cache.cut scaladoc; 3-16x
         // persist-mode inflation measured before the cuts)

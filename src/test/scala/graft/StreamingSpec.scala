@@ -257,6 +257,36 @@ class StreamingBatchParitySpec extends SparkSpec {
     assert(cmp.exists { case (b, s) => s < b }, "nothing was dropped anywhere")
   }
 
+  test("near-dup bucket index is idempotent under re-delivered doc ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Streaming.BandIn]
+    val out = Streaming.nearDupStream(ms.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("neardup_redeliver")
+      .outputMode("append").start()
+    // batch 1: docs 1,2 share bucket (band 0) — doc 2 arrives TWICE in-batch
+    ms.addData(Seq(
+      Streaming.BandIn("0|x", 0, 1L),
+      Streaming.BandIn("0|x", 0, 2L),
+      Streaming.BandIn("0|x", 0, 2L)))
+    q.processAllAvailable()
+    // batch 2: doc 1 RE-DELIVERED (at-least-once replay), plus new doc 3
+    ms.addData(Seq(
+      Streaming.BandIn("0|x", 0, 1L),
+      Streaming.BandIn("0|x", 0, 3L)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_redeliver")
+      .groupBy("a", "b").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every unordered pair exactly once — no double-count from either the
+    // within-batch duplicate of doc 2 or the cross-batch replay of doc 1
+    assert(pairs === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L),
+      s"pair multiset wrong: $pairs")
+  }
+
   test("streaming LSH near-dup equals the batch candidate join, across batches") {
     val dir = sf("sf0.001")
     val streamed = graft.streaming.StreamingQueries.streamNearDup(spark, dir)
