@@ -142,10 +142,15 @@ object Dedup {
   /** Per-doc k-column minhash signatures: one shuffle (the per-doc
     * groupBy of k parallel min-aggregates). Shared by the banding,
     * candidate and estimator paths. */
-  private[graft] def minhashSignatures(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+  private[graft] def minhashSignatures(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    signaturesOf(shingleTable(spark, dir), k)
+
+  /** Signature pipeline over ANY (doc_id, sh) shingle table — the
+    * downstream the word-gram and char-gram arms share. */
+  private def signaturesOf(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(pmod(lit(uhA(i)) * col("hp") + lit(uhB(i)), lit(P))).as(s"mh$i"))
-    shingleTable(spark, dir)
+    sh
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), pmod(Portable.hash60(col("shingle")), lit(P)).as("hp"))
       .groupBy("doc_id")
@@ -211,6 +216,98 @@ object Dedup {
     require(minhashBandsSql().endsWith("ORDER BY doc_id, band"),
       "minhashBandsSql no longer ends with its ORDER BY — update minhashCandidatesSql's composition")
     s"""WITH bands AS (${minhashBandsSql().stripSuffix("ORDER BY doc_id, band")})
+       |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
+       |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+       |WHERE l.doc_id < r.doc_id
+       |GROUP BY a, b ORDER BY a, b""".stripMargin
+  }
+
+  // ———————————————————————————————————————————————————————————————————
+  // CJK-safe shingling: space-free scripts have no word boundaries, so
+  // the word-3-gram arm degenerates (one giant "word" → one shingle →
+  // everything or nothing collides). The fix every multilingual dedup
+  // pipeline ships (e.g. CCNet/RefinedWeb practice): character n-grams
+  // over the whitespace-stripped text for those scripts, word n-grams
+  // elsewhere, one shared minhash/band/join downstream.
+  // ———————————————————————————————————————————————————————————————————
+
+  /** Character n-gram width for the space-free arm — 5 chars carries
+    * roughly the same content as a word trigram in CJK text. */
+  private val charGramN = 5
+
+  /** Distinct char n-grams of an ALREADY-MATERIALIZED whitespace-
+    * stripped string column (same CollapseProject discipline as
+    * [[shingles]]: the column must be a concrete attribute or the
+    * strip re-runs per element). Short strings yield themselves. */
+  private def charShingles(cs: Column): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(lit(1), length(cs) - (charGramN - 1))),
+        i => substring(cs, i, lit(charGramN))))
+
+  /** Script-aware shingle table: char n-grams for space-free-script
+    * docs (the fixture's `lang` column stands in for script detection —
+    * production keys this off a whitespace-ratio or Unicode-block test,
+    * the same per-row decision), word 3-grams otherwise. */
+  private def cjkShingleTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"),
+        regexp_replace(lower(col("text")), "\\s+", "").as("cs"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .staged
+      .select(col("doc_id"),
+        when(col("lang") === "zh", charShingles(col("cs")))
+          .otherwise(shingles(col("toks"))).as("sh"))
+
+  private val cjkShingleTableSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, $tokSql AS toks,
+       |         regexp_replace(lower(text), '\\s+', '', 'g') AS cs
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |         CASE WHEN lang = 'zh' THEN
+       |           list_distinct(list_transform(
+       |             generate_series(1, greatest(1, length(cs) - ${charGramN - 1})),
+       |             i -> substr(cs, i, $charGramN)))
+       |         ELSE $shinglesSql END AS sh
+       |  FROM tk)""".stripMargin
+
+  /** LSH candidate pairs under script-aware shingling — word-gram and
+    * char-gram docs flow through the SAME signature/band/join pipeline
+    * ([[minhashCandidates]]'s exact shape), so space-free scripts dedup
+    * at parity with no second code path downstream of the shingle
+    * table. Cross-script pairs are structurally possible but collide
+    * only if their shingle STRINGS genuinely overlap. */
+  def minhashCandidatesCjk(spark: SparkSession, dir: String): DataFrame = {
+    val b = bandFold(signaturesOf(cjkShingleTable(spark, dir), 16), 16, 4).staged
+    val l = b.select(col("doc_id").as("a"), col("band"), col("bucket"))
+    val r = b.select(col("doc_id").as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("shared_bands"))
+      .orderBy("a", "b")
+  }
+
+  val minhashCandidatesCjkSql: String = {
+    val minExprs = (0 until 16).map(i =>
+      s"min((${uhA(i)} * hp + ${uhB(i)}) % $P) AS mh$i").mkString(",\n|         ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM mh"
+    }.mkString("\n|  UNION ALL ")
+    s"""$cjkShingleTableSql,
+       |sh AS (SELECT doc_id, unnest(st.sh) AS shingle FROM st),
+       |hp AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P) AS hp FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |         $minExprs
+       |  FROM hp GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandSelects
+       |)
        |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
        |FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
        |WHERE l.doc_id < r.doc_id
@@ -1467,6 +1564,7 @@ object Dedup {
     "dedup_exact" -> exact,
     "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
     "dedup_minhash_candidates" -> minhashCandidates,
+    "dedup_minhash_cjk" -> minhashCandidatesCjk,
     "dedup_minhash_est" -> ((s, d) => minhashEstimates(s, d)),
     "dedup_incremental" -> incrementalCandidates,
     "dedup_simhash" -> simhash,
@@ -1491,6 +1589,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_minhash_bands" -> minhashBandsSql(),
     "dedup_minhash_candidates" -> minhashCandidatesSql,
+    "dedup_minhash_cjk" -> minhashCandidatesCjkSql,
     "dedup_minhash_est" -> minhashEstimatesSql(),
     "dedup_incremental" -> incrementalCandidatesSql,
     "dedup_simhash" -> simhashSql,

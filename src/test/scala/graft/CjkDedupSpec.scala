@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Script-aware (CJK-safe) minhash shingling: planted space-free
+  * duplicates must be recovered through the banded path, and the word
+  * arm must behave exactly as before for space-delimited docs. */
+class CjkDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a documents table to a temp dir so the (spark, dir) query
+    * surface runs unchanged. */
+  private def fixture(rows: Seq[(Long, String, String)]): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_cjk_spec"
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // genuinely space-free CJK strings (CJK Unified Ideographs block)
+  private val cjkBase =
+    "数据库系统的查询优化器负责把逻辑计划转换成物理计划并且估计每个算子的代价然后选择最优的执行路径"
+  private val cjkNear = // same text, small edit in the middle
+    "数据库系统的查询优化器负责把逻辑计划转换成执行计划并且估计每个算子的代价然后选择最优的执行路径"
+  private val cjkOther =
+    "分布式计算框架通过把作业切分成任务并在集群节点上并行执行来获得横向扩展能力同时容错机制保证失败重试"
+
+  test("planted space-free duplicates are recovered; word arm unaffected") {
+    val dir = fixture(Seq(
+      (1L, cjkBase, "zh"),
+      (2L, cjkBase, "zh"),            // exact dup of 1
+      (3L, cjkNear, "zh"),            // near dup of 1 (one-char edit window)
+      (4L, cjkOther, "zh"),           // unrelated CJK
+      (5L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+      (7L, "completely different english text about query planners and joins", "en")))
+    val pairs = Dedup.minhashCandidatesCjk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact CJK dup: all 4 bands collide
+    assert(pairs.get((1L, 2L)).contains(4L), s"exact cjk dup missed: $pairs")
+    // near CJK dup: shares most char 5-grams → at least one band collides
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"near cjk dup missed: $pairs")
+    // unrelated CJK doc pairs with nothing
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated cjk doc collided: $pairs")
+    // the word arm still pairs the english dups
+    assert(pairs.get((5L, 6L)).contains(4L), s"english dup missed: $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 7L || p._2 == 7L),
+      s"unrelated english doc collided: $pairs")
+  }
+
+  test("word-only corpora: script-aware candidates equal the word-arm candidates") {
+    // no zh docs → the CASE always takes the word branch, so the output
+    // must be IDENTICAL to the plain word-gram pipeline
+    val dir = sf("sf0.001")
+    val docs = graft.operators.Tables.t(spark, dir, "documents")
+      .filter(col("lang") =!= "zh")
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_cjk_spec_nozh"
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val a = Dedup.minhashCandidatesCjk(spark, tmp).collect().toSeq
+    val b = Dedup.minhashCandidates(spark, tmp).collect().toSeq
+    assert(a === b, "script-aware arm changed word-doc results")
+  }
+
+  test("space-free docs degenerate under the word arm and not under the char arm") {
+    // the motivating failure: the [a-z0-9] tokenizer treats ideographs
+    // as separators, so EVERY space-free doc tokenizes to the empty
+    // array, shingles to [""], and collides with every other one —
+    // unrelated docs report as full-strength duplicates. The char arm
+    // separates the genuinely-near pair from the unrelated doc.
+    val dir = fixture(Seq(
+      (1L, cjkBase, "zh"), (2L, cjkNear, "zh"), (3L, cjkOther, "zh")))
+    val word = Dedup.minhashCandidates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(word === Map((1L, 2L) -> 4L, (1L, 3L) -> 4L, (2L, 3L) -> 4L),
+      s"word arm no longer shows the all-collide degeneracy: $word")
+    val char = Dedup.minhashCandidatesCjk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(char.contains((1L, 2L)), s"char arm missed the planted near pair: $char")
+    assert(!char.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"char arm paired the unrelated doc: $char")
+  }
+}

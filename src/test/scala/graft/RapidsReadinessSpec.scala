@@ -92,6 +92,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_bbit_minhash" -> Set("bit-count", "rdd-segment"),
     "dedup_minhash_bands" -> Set("higher-order-function", "rdd-segment"),
     "dedup_minhash_candidates" -> Set("rdd-segment"),
+    "dedup_minhash_cjk" -> Set("rdd-segment"),
     "dedup_edit_verify" -> Set("rdd-segment"),
     "dedup_golden_record" -> Set("rdd-segment"),
     "dedup_minhash_est" -> Set("rdd-segment"),
@@ -281,6 +282,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_threshold_curve" -> Set("higher-order-function"),
     "dedup_minhash_bands" -> Set("higher-order-function"),
     "dedup_minhash_candidates" -> Set("higher-order-function"),
+    "dedup_minhash_cjk" -> Set("higher-order-function"),
     "dedup_minhash_est" -> Set("higher-order-function"),
     "dedup_neardup_clusters" -> Set("higher-order-function"),
     "dedup_repeated_spans" -> Set("higher-order-function"),
