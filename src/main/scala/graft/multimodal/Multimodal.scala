@@ -499,7 +499,127 @@ object Multimodal {
        |       CAST(sum(u*u) AS BIGINT) AS sum_sq
        |FROM amp GROUP BY k ORDER BY media_id""".stripMargin
 
+  // ——— Real MULTI-FRAME arm: animated GIF via javax.imageio —————————
+  //
+  // mm_frame_sample exercises the frame axis on the stub codec; this is
+  // the real-codec twin: genuine multi-frame ANIMATED GIFs written and
+  // read through the JDK's GIF plugin (zero new deps), every k-th frame
+  // sampled, per-frame pixel sums against a closed-form oracle. The
+  // frames are TYPE_BYTE_INDEXED over an identity 256-gray palette —
+  // GIF stores palette indices losslessly, so the decoded sample at
+  // (x, y) must equal the written v(x,y,f,k) = (3x + 7y + 11f + 29k)
+  // mod 256 exactly; any quantization or palette remap breaks the tie.
+
+  private val realGifCount = 6
+  private def realGifDims(k: Int): (Int, Int) = (12 + 2 * k, 10 + (3 * k) % 8)
+  private def realGifFrames(k: Int): Int = 6 + k % 5
+  private def realGifVal(k: Int, f: Int, x: Int, y: Int): Int =
+    (3 * x + 7 * y + 11 * f + 29 * k) % 256
+  private val gifSampleEvery = 2
+
+  private[multimodal] def realGifFixture(): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mm_real_gif"
+    graft.sources.Formats.writeOnce(s"mm_gif|$path") {
+      val dir = graft.sources.Formats.freshDir(path)
+      val grays = Array.tabulate[Byte](256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      (0 until realGifCount).foreach { k =>
+        val (w, h) = realGifDims(k)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        val out = new java.io.File(dir, f"anim_$k%02d.gif")
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until realGifFrames(k)).foreach { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, realGifVal(k, f, x, y)); x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+      }
+    }
+    path
+  }
+
+  final case class RealFrameRow(
+      media_id: Long, frame_idx: Long, n_frames: Long,
+      width: Long, height: Long, sum_gray: Long)
+
+  /** Real multi-frame decode + sampling: binaryFile scan → per-partition
+    * ImageReader over the GIF frame sequence → every
+    * [[gifSampleEvery]]-th frame's gray-index sum. The frame loop runs
+    * INSIDE the decoder task (one media = one row fan-out), exactly how
+    * a video pipeline keyframe-samples at scale. */
+  def realFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = realGifFixture()
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (p, bytes) =>
+          val k = "anim_(\\d+)\\.gif$".r.findFirstMatchIn(p)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"unexpected fixture file $p"))
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          try {
+            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)))
+            val n = reader.getNumImages(true)
+            (0 until n by gifSampleEvery).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              RealFrameRow(k, f.toLong, n.toLong, w.toLong, h.toLong, sum)
+            }
+          } finally reader.dispose()
+        }
+      }
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val realFrameSampleSql: String =
+    s"""WITH gifs AS (
+       |  SELECT k::BIGINT AS k, 12 + 2*k AS w, 10 + (3*k) % 8 AS h,
+       |         6 + k % 5 AS nf
+       |  FROM range($realGifCount) t(k)),
+       |fr AS (
+       |  SELECT k, w, h, nf,
+       |         unnest(generate_series(0, nf - 1, $gifSampleEvery)) AS f
+       |  FROM gifs),
+       |px AS (
+       |  SELECT k, w, h, nf, f, unnest(generate_series(0, w*h - 1)) AS i
+       |  FROM fr),
+       |xy AS (SELECT k, nf, f, w, h, i % w AS x, i // w AS y FROM px)
+       |SELECT k AS media_id, f AS frame_idx, any_value(nf) AS n_frames,
+       |       any_value(w) AS width, any_value(h) AS height,
+       |       CAST(sum((3*x + 7*y + 11*f + 29*k) % 256) AS BIGINT) AS sum_gray
+       |FROM xy GROUP BY k, f ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_sample_real" -> realFrameSample,
     "mm_decode_audio_real" -> realAudioDecode,
     "mm_media_meta" -> mediaMeta,
     "mm_decode_summary" -> decodeSummary,
@@ -509,6 +629,7 @@ object Multimodal {
     "mm_decode_real" -> realDecode)
 
   val oracles: Map[String, String] = Map(
+    "mm_frame_sample_real" -> realFrameSampleSql,
     "mm_decode_audio_real" -> realAudioDecodeSql,
     "mm_media_meta" -> mediaMetaSql,
     "mm_decode_summary" -> decodeSummarySql,

@@ -96,4 +96,24 @@ class MultimodalSpec extends SparkSpec {
         s"amplitude sums diverge for clip $k — PCM round-trip not bit-exact")
     }
   }
+
+  test("real multi-frame arm: animated GIF frames round-trip bit-exactly") {
+    val rows = Multimodal.realFrameSample(spark, sf("sf0.001")).collect()
+    // 6 gifs with 6..10 frames sampled every 2nd: Σ ceil(nf/2) rows
+    val wantRows = (0 until 6).map(k => (6 + k % 5 + 1) / 2).sum
+    assert(rows.length === wantRows, s"row count ${rows.length} != $wantRows")
+    rows.foreach { r =>
+      val (k, f) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val (w, h) = (12 + 2 * k, 10 + (3 * k) % 8)
+      assert(f % 2 === 0, s"unsampled frame index $f emitted")
+      assert(r.getLong(2) === (6 + k % 5).toLong,
+        s"decoder saw a different frame count for gif $k: $r")
+      assert(r.getLong(3) === w.toLong && r.getLong(4) === h.toLong)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += (3 * x + 7 * y + 11 * f + 29 * k) % 256
+      assert(r.getLong(5) === sum,
+        s"frame checksum diverges for gif $k frame $f — palette round-trip not bit-exact")
+    }
+  }
 }

@@ -136,6 +136,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "layout_skip_compare" -> Set("rdd-segment"),
     "mm_decode_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_audio_real" -> Set("object-node", "jvm-invoke"),
+    "mm_frame_sample_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
@@ -297,6 +298,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dq_category_pmi" -> Set("bin"),
     "mm_decode_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_audio_real" -> Set("object-node", "jvm-invoke"),
+    "mm_frame_sample_real" -> Set("object-node", "jvm-invoke"),
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
