@@ -44,7 +44,11 @@ object Verify {
     // not turn into hard oracle errors.
     val ariaDir = Paths.get(outDir).toAbsolutePath.toString + "_oracle_inputs"
     val ariaDumpOk =
-      try { graft.aria.AriaQueries.persistEpoch0Inputs(spark, ariaDir); true }
+      try {
+        graft.aria.AriaQueries.persistEpoch0Inputs(spark, ariaDir)
+        graft.aria.AriaQueries.persistMultiInputs(spark, ariaDir)
+        true
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] aria epoch0 dump failed: ${e.getMessage}")
         false

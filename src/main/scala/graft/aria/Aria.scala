@@ -37,9 +37,16 @@ object Aria {
   /** T5 Reserve: per-key min-Tid read/write reservations for one epoch.
     * 0 = unreserved (the reference's zero sentinel). Input ops MUST already
     * be restricted to keys present in the table.
+    *
+    * `keyCols` instantiates the reference's 2-D `table_vec` ambition
+    * (database.h:20 — a vector of per-table hash maps it declares but
+    * never exercises): multi-table txns reserve per (tbl, key), which
+    * relationally is just a wider grouping key — same shuffle, same
+    * min-monoid, no second code path. Default = the reference's
+    * single-table behavior.
     */
-  def reserve(ops: DataFrame): DataFrame =
-    ops.groupBy("key").agg(
+  def reserve(ops: DataFrame, keyCols: Seq[String] = Seq("key")): DataFrame =
+    ops.groupBy(keyCols.map(col): _*).agg(
       min("tid").as("rts"),
       coalesce(min(when(col("isUpdate"), col("tid"))), lit(0)).as("wts"))
 
@@ -49,8 +56,9 @@ object Aria {
     * strictly smaller Tid. WAW: any write op sees a write reservation from
     * a strictly smaller Tid. (TrancM_func.cuh:126-164.)
     */
-  def analyze(ops: DataFrame, reservations: DataFrame): DataFrame = {
-    val j = ops.join(reservations, Seq("key"))
+  def analyze(ops: DataFrame, reservations: DataFrame,
+              keyCols: Seq[String] = Seq("key")): DataFrame = {
+    val j = ops.join(reservations, keyCols)
     j.groupBy("tid").agg(
       max(col("wts") =!= 0 && col("wts") < col("tid")).as("raw"),
       max(col("isUpdate") && col("rts") < col("tid")).as("war"),
@@ -80,7 +88,8 @@ object Aria {
     * one shuffle of the (small) winner set against the table; with AQE the
     * winner side broadcasts when small.
     */
-  def install(table: DataFrame, ops: DataFrame, decisions: DataFrame, seed: Long): DataFrame = {
+  def install(table: DataFrame, ops: DataFrame, decisions: DataFrame, seed: Long,
+              keyCols: Seq[String] = Seq("key")): DataFrame = {
     val committedWrites = ops
       .join(decisions.filter(!col("abort")).select("tid"), Seq("tid"))
       .filter(col("isUpdate"))
@@ -89,16 +98,17 @@ object Aria {
     // total; max(struct) is a commutative agg → partial+final aggregation,
     // one shuffle, no single-partition window.
     val winners = committedWrites
-      .groupBy("key")
+      .groupBy(keyCols.map(col): _*)
       .agg(max(struct(col("opIdx"), col("tid"), col("epoch"))).as("w"))
-      .select(col("key"), col("w.tid").as("tid"), col("w.epoch").as("epoch"),
-        col("w.opIdx").as("opIdx"))
+      .select(keyCols.map(col) ++ Seq(col("w.tid").as("tid"),
+        col("w.epoch").as("epoch"), col("w.opIdx").as("opIdx")): _*)
     val valued = (0 until 10).foldLeft(winners) { (df, i) =>
       df.withColumn(s"nf$i", Workload.writePayload(seed, i))
-    }.select(col("key") +: (0 until 10).map(i => col(s"nf$i")): _*)
+    }.select(keyCols.map(col) ++ (0 until 10).map(i => col(s"nf$i")): _*)
 
-    table.join(valued, Seq("key"), "left").select(
-      col("key") +: (0 until 10).map(i => coalesce(col(s"nf$i"), col(s"f$i")).as(s"f$i")): _*)
+    table.join(valued, keyCols, "left").select(
+      keyCols.map(col) ++ (0 until 10).map(i =>
+        coalesce(col(s"nf$i"), col(s"f$i")).as(s"f$i")): _*)
   }
 
   /** T8 Collect: keep aborted txns' ops, renumber Tids 1..m preserving
@@ -111,16 +121,18 @@ object Aria {
     * no global window: one map-side stage per epoch on the latency-bound
     * drain chain.
     */
-  def collect(ops: DataFrame, abortedTids: Array[Int]): DataFrame = {
-    val shape = ops.select(col("tid"), (col("epoch") + 1).as("epoch"),
-      col("opIdx"), col("key"), col("isUpdate"))
+  def collect(ops: DataFrame, abortedTids: Array[Int],
+              keyCols: Seq[String] = Seq("key")): DataFrame = {
+    val tail = keyCols.map(col) :+ col("isUpdate")
+    val shape = ops.select(col("tid") +: (col("epoch") + 1).as("epoch") +:
+      col("opIdx") +: tail: _*)
     if (abortedTids.isEmpty) shape.filter(lit(false))
     else {
       val renumber = map(abortedTids.sorted.zipWithIndex.flatMap {
         case (t, i) => Seq(lit(t), lit(i + 1)) }: _*)
       ops.filter(col("tid").isInCollection(abortedTids))
-        .select(element_at(renumber, col("tid")).as("tid"),
-          (col("epoch") + 1).as("epoch"), col("opIdx"), col("key"), col("isUpdate"))
+        .select(element_at(renumber, col("tid")).as("tid") +:
+          (col("epoch") + 1).as("epoch") +: col("opIdx") +: tail: _*)
     }
   }
 
@@ -138,20 +150,22 @@ object Aria {
     * read/write sets and installs nothing.
     */
   def runEpoch(table: DataFrame, opsIn: DataFrame, epoch: Int,
-               nTxnsInBatch: Long, cfg: AriaConfig): EpochResult = {
+               nTxnsInBatch: Long, cfg: AriaConfig,
+               keyCols: Seq[String] = Seq("key")): EpochResult = {
     // Execute: batch point lookups ≡ equi-join; ops on absent keys are
     // dropped entirely (never enter read/write sets, TrancM_func.cuh:32-34).
     // When the generator's keyspace is contained in the table keyspace
     // (keys 1..keysMax ⊆ 1..tableKeys, both dense), the presence filter
     // is statically a no-op — skip the per-epoch semi-join shuffle.
+    val shape = Seq("tid", "epoch", "opIdx") ++ keyCols :+ "isUpdate"
     val ops =
       if (cfg.keysMax <= cfg.tableKeys)
-        opsIn.select("tid", "epoch", "opIdx", "key", "isUpdate")
-      else opsIn.join(table.select("key"), Seq("key"), "leftsemi")
-        .select("tid", "epoch", "opIdx", "key", "isUpdate")
+        opsIn.select(shape.head, shape.tail: _*)
+      else opsIn.join(table.select(keyCols.map(col): _*), keyCols, "leftsemi")
+        .select(shape.head, shape.tail: _*)
 
-    val res = reserve(ops)
-    val verdicts = decide(analyze(ops, res), cfg.reorder)
+    val res = reserve(ops, keyCols)
+    val verdicts = decide(analyze(ops, res, keyCols), cfg.reorder)
     val decisions = verdicts.select("tid", "abort")
 
     // the only driver action of the epoch: the loop needs the abort set
@@ -159,8 +173,8 @@ object Aria {
     val abortedTids = decisions.filter(col("abort")).select("tid")
       .collect().map(_.getInt(0)).sorted
 
-    val newTable = install(table, ops, decisions, cfg.seed)
-    val retry = collect(ops, abortedTids)
+    val newTable = install(table, ops, decisions, cfg.seed, keyCols)
+    val retry = collect(ops, abortedTids, keyCols)
     val nAborted = abortedTids.length.toLong
     EpochResult(newTable, retry,
       EpochStats(epoch, nTxnsInBatch, nTxnsInBatch - nAborted, nAborted), abortedTids)

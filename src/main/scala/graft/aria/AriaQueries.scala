@@ -255,13 +255,137 @@ object AriaQueries {
        |FROM fin""".stripMargin
   }
 
+  // ——— Multi-table drain: the reference's 2-D table_vec instantiated ——
+  //
+  // database.h:20 declares `table_vec` — a vector of per-table hash maps
+  // the reference never exercises with more than one table. Here txns
+  // genuinely span tables: every phase keys on (tbl, key) through the
+  // SAME generalized Aria phases (keyCols = tbl::key — a wider grouping
+  // key, not a second engine), and install merges each table's rows
+  // independently. The query reports per-table final checksums plus the
+  // drain length; the oracle unrolls the whole multi-table drain as
+  // per-epoch CTEs over the persisted epoch-0 batch, recomputing every
+  // winning payload.
+
+  private[graft] val mtTables = 3
+  private[graft] val mtCfg = AriaConfig(nTxns = 60, maxOps = 12, writePct = 40,
+    keysMax = 800, tableKeys = 1000, seed = 42L, maxEpochs = 16)
+  private val mtKeyCols = Seq("tbl", "key")
+
+  private[graft] def runMulti(spark: SparkSession, cfg: AriaConfig = mtCfg,
+      nTables: Int = mtTables): (DataFrame, Seq[graft.model.EpochStats]) = {
+    var table = Workload.kvTables(spark, nTables, cfg.tableKeys, cfg.seed)
+      .localCheckpoint(false)
+    var ops = Workload.txnOpsMulti(spark, cfg.nTxns, cfg.maxOps,
+      cfg.writePct, cfg.keysMax, nTables, cfg.seed).localCheckpoint(false)
+    var remaining = cfg.nTxns.toLong
+    var epoch = 0
+    val stats = Seq.newBuilder[graft.model.EpochStats]
+    while (remaining > 0 && epoch < cfg.maxEpochs) {
+      val r = Aria.runEpoch(table, ops, epoch, remaining, cfg, mtKeyCols)
+      table = r.table.localCheckpoint(false)
+      ops = r.retryOps.localCheckpoint(false)
+      stats += r.stats
+      remaining = r.stats.aborted
+      epoch += 1
+    }
+    (table, stats.result())
+  }
+
+  /** Per-table summary of the drained multi-table state: row count,
+    * md5-portable checksum over (tbl, key, f0, f4, f9), and the drain
+    * length — the whole multi-table machine behind three columns. */
+  def multiTableSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (table, stats) = runMulti(spark)
+    table
+      .select(col("tbl"), graft.functions.Portable.hash60(
+        concat_ws("_", col("tbl"), col("key"), col("f0"), col("f4"), col("f9"))).as("h"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("table_checksum"))
+      .withColumn("epochs_to_drain", lit(stats.length.toLong))
+      .orderBy("tbl")
+  }
+
+  /** Persist the multi-table epoch-0 batch for the DuckDB oracle (table
+    * keys are dense tbl × 1..tableKeys — the oracle regenerates them). */
+  def persistMultiInputs(spark: SparkSession, outDir: String): Unit =
+    Workload.txnOpsMulti(spark, mtCfg.nTxns, mtCfg.maxOps, mtCfg.writePct,
+        mtCfg.keysMax, mtTables, mtCfg.seed)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aria_mt_ops")
+
+  /** Unrolled multi-table drain oracle: [[drainChainSql]]'s machine with
+    * (tbl, key) reservations/hazards/installs, ending in per-table
+    * checksums over regenerated dense keys. */
+  val multiTableSql: String = {
+    val dec = "(raw OR waw)"
+    val head =
+      s"""ops_mt_0 AS MATERIALIZED (
+         |  SELECT tid, epoch, opIdx, tbl, key, isUpdate
+         |  FROM read_parquet('__ARIA_DIR__/aria_mt_ops/*.parquet'))""".stripMargin
+    val epochs = (0 until unrollEpochs).flatMap { e =>
+      Seq(
+        s"""res_mt_$e AS (
+           |  SELECT tbl, key, min(tid) AS rts,
+           |         coalesce(min(CASE WHEN isUpdate THEN tid END), 0) AS wts
+           |  FROM ops_mt_$e GROUP BY tbl, key)""".stripMargin,
+        s"""flg_mt_$e AS MATERIALIZED (
+           |  SELECT tid, bool_or(wts <> 0 AND wts < tid) AS raw,
+           |         bool_or(isUpdate AND rts < tid) AS war,
+           |         bool_or(isUpdate AND wts <> 0 AND wts < tid) AS waw
+           |  FROM ops_mt_$e JOIN res_mt_$e USING (tbl, key) GROUP BY tid)""".stripMargin,
+        s"""ab_mt_$e AS MATERIALIZED (
+           |  SELECT tid, row_number() OVER (ORDER BY tid) AS new_tid
+           |  FROM flg_mt_$e WHERE $dec)""".stripMargin,
+        s"""ops_mt_${e + 1} AS MATERIALIZED (
+           |  SELECT ab.new_tid AS tid, o.epoch + 1 AS epoch, o.opIdx, o.tbl, o.key, o.isUpdate
+           |  FROM ops_mt_$e o JOIN ab_mt_$e ab ON o.tid = ab.tid)""".stripMargin)
+    }
+    val statRows = (0 until unrollEpochs).map { e =>
+      val txns = if (e == 0) mtCfg.nTxns.toString
+                 else s"(SELECT count(*) FROM ab_mt_${e - 1})"
+      s"SELECT $e AS epoch WHERE $txns > 0"
+    }
+    val cw = (0 until unrollEpochs).map { e =>
+      s"""SELECT o.tbl, o.key, o.epoch, o.tid, o.opIdx
+         |FROM ops_mt_$e o JOIN flg_mt_$e f USING (tid)
+         |WHERE NOT (f.raw OR f.waw) AND o.isUpdate""".stripMargin
+    }
+    def payload(i: Int): String =
+      s"""CASE WHEN w.key IS NULL THEN substr(md5('${mtCfg.seed}_load_' || k.tbl || '_' || k.key || '_$i'), 1, 10)
+         |     ELSE substr(md5('${mtCfg.seed}_write_' || w.epoch || '_' || w.tid || '_' || w.opIdx || '_$i'), 1, 10) END""".stripMargin
+    s"""WITH ${(head +: epochs).mkString(",\n")},
+       |stats_mt AS (${statRows.mkString("\nUNION ALL\n")}),
+       |cw_mt AS (${cw.mkString("\nUNION ALL\n")}),
+       |win_mt AS (
+       |  SELECT tbl, key, epoch, tid, opIdx,
+       |         row_number() OVER (PARTITION BY tbl, key ORDER BY epoch DESC, opIdx DESC) AS rn
+       |  FROM cw_mt),
+       |keys_mt AS (
+       |  SELECT t.t::INT AS tbl, (k.k + 1)::INT AS key
+       |  FROM range($mtTables) t(t), range(${mtCfg.tableKeys}) k(k)),
+       |fin_mt AS (
+       |  SELECT k.tbl, k.key,
+       |         ${payload(0)} AS f0,
+       |         ${payload(4)} AS f4,
+       |         ${payload(9)} AS f9
+       |  FROM keys_mt k
+       |  LEFT JOIN (SELECT * FROM win_mt WHERE rn = 1) w
+       |    ON k.tbl = w.tbl AND k.key = w.key)
+       |SELECT tbl, count(*)::BIGINT AS n_rows,
+       |       bit_xor(('0x' || substr(md5(tbl || '_' || key || '_' || f0 || '_' || f4 || '_' || f9), 1, 15))::BIGINT) AS table_checksum,
+       |       (SELECT count(*) FROM stats_mt)::BIGINT AS epochs_to_drain
+       |FROM fin_mt GROUP BY tbl ORDER BY tbl""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aria_multitable" -> multiTableSummary,
     "aria_epoch_stats" -> epochStats,
     "aria_reorder_comparison" -> reorderComparison,
     "aria_final_table" -> finalTableSummary,
     "aria_epoch0_verdicts" -> epoch0Verdicts)
 
   val oracles: Map[String, String] = Map(
+    "aria_multitable" -> multiTableSql,
     "aria_epoch0_verdicts" -> epoch0VerdictsSql,
     "aria_epoch_stats" -> epochStatsSql,
     "aria_reorder_comparison" -> reorderComparisonSql,

@@ -53,6 +53,31 @@ object Workload {
         Prng.bernoulliPct(writePct, lit(seed), lit("upd"), col("tid"), col("opIdx")).as("isUpdate"))
   }
 
+  /** Multi-table KV state — the reference's 2-D `table_vec`
+    * (database.h:20) instantiated: `nTables` tables of `nKeys` keys each
+    * as ONE frame with a `tbl` column (relationally, a vector of hash
+    * maps IS the disjoint union keyed by (tbl, key)). Payloads are
+    * seeded per (tbl, key) so tables are genuinely distinct. */
+  def kvTables(spark: SparkSession, nTables: Int, nKeys: Int, seed: Long): DataFrame = {
+    val base = spark.range(nTables.toLong * nKeys)
+      .select((col("id") / nKeys).cast("int").as("tbl"),
+        (pmod(col("id"), lit(nKeys.toLong)) + 1).cast("int").as("key"))
+    (0 until 10).foldLeft(base) { (df, i) =>
+      df.withColumn(s"f$i",
+        Prng.payloadField(lit(seed), lit("load"), col("tbl"), col("key"), lit(i)))
+    }
+  }
+
+  /** Multi-table op batch: [[txnOps]] plus a deterministic per-op table
+    * id — txns span tables, exactly the cross-table transactions the
+    * reference's `table_vec` declares room for. */
+  def txnOpsMulti(spark: SparkSession, nTxns: Int, maxOps: Int, writePct: Int,
+                  keysMax: Int, nTables: Int, seed: Long): DataFrame =
+    txnOps(spark, nTxns, maxOps, writePct, keysMax, seed)
+      .select(col("tid"), col("epoch"), col("opIdx"),
+        Prng.uniformInt(nTables, lit(seed), lit("tbl"), col("tid"), col("opIdx")).as("tbl"),
+        col("key"), col("isUpdate"))
+
   /** Deterministic new payload for a committed write — the Spark analog of
     * the reference's in-Execute value generation
     * (/root/reference/src/database/ycsb/TrancM_func.cuh:37-41). Keyed by

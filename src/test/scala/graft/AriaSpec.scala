@@ -149,6 +149,39 @@ class AriaSpec extends SparkSpec {
       s"epoch trajectory diverged: ${r0.stats +: resumed.stats} vs ${full.stats}")
   }
 
+  test("multi-table drain matches the serial-replay simulator") {
+    // composite keys (tbl, key) biject onto Int via tbl·C + key — hazard
+    // and install semantics depend only on key IDENTITY, so the plain
+    // simulator replays the multi-table machine exactly; write payloads
+    // are (epoch, tid, opIdx)-keyed and table-independent in both.
+    val nT = 3
+    val C = 100000
+    val c = cfg.copy(nTxns = 60, maxOps = 10)
+    val table0 = graft.gen.Workload.kvTables(spark, nT, c.tableKeys, c.seed)
+      .collect().map { r =>
+        (r.getInt(0) * C + r.getInt(1)) -> (2 to 11).map(r.getString).toIndexedSeq
+      }.toMap
+    val ops0 = graft.gen.Workload.txnOpsMulti(spark, c.nTxns, c.maxOps,
+        c.writePct, c.keysMax, nT, c.seed)
+      .collect().map(r =>
+        Op(r.getInt(0), r.getInt(2), r.getInt(3) * C + r.getInt(4), r.getBoolean(5)))
+      .toSeq
+    val sim = simulate(table0, ops0, c.seed, reorder = false)
+    val (sparkTableDf, stats) = graft.aria.AriaQueries.runMulti(spark, c, nT)
+    val sparkTable = sparkTableDf.collect().map { r =>
+      (r.getInt(0) * C + r.getInt(1)) -> (2 to 11).map(r.getString).toIndexedSeq
+    }.toMap
+    assert(stats.map(_.aborted).takeWhile(_ > 0) ===
+      sim.epochStats.map(_._3).takeWhile(_ > 0).take(stats.length),
+      s"multi-table abort trajectory diverges: ${stats.map(_.aborted)} vs ${sim.epochStats.map(_._3)}")
+    assert(sparkTable.size === sim.table.size)
+    val diffs = sparkTable.keySet.filter(k => sparkTable(k) != sim.table(k))
+    assert(diffs.isEmpty, s"multi-table rows diverge at composite keys: ${diffs.take(5)}")
+    // cross-table txns must actually occur for the test to mean anything
+    val spanning = ops0.groupBy(_.tid).values.count(_.map(_.key / C).distinct.size > 1)
+    assert(spanning > 0, "no transaction spans tables — fixture degenerate")
+  }
+
   test("no-reorder mode matches serial-replay simulator") { runBoth(reorder = false) }
   test("reorder mode matches serial-replay simulator") { runBoth(reorder = true) }
 
