@@ -133,6 +133,43 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Set((3L, 1L, 20L), (3L, 51L, 20L)))
   }
 
+  test("substring spans: the sub-k blind spot exists and cannot reach the removal policy") {
+    import spark.implicits._
+    // SENSITIVITY GATE (vs a true suffix array): the seed-based method
+    // detects duplicated substrings of length ≥ k ONLY — a 7-token
+    // shared passage produces zero 8-gram seeds, so it is invisible.
+    val tiny = (1 to 7).map(i => s"t$i")
+    val d1 = (1 to 12).map(i => s"a$i") ++ tiny ++ (13 to 24).map(i => s"a$i")
+    val d2 = (1 to 12).map(i => s"b$i") ++ tiny ++ (13 to 24).map(i => s"b$i")
+    val toks = Seq((1L, d1), (2L, d2)).toDF("doc_id", "toks")
+    assert(graft.dedup.Dedup.substringSpansFrom(toks, k = 8).collect().isEmpty,
+      "sub-k passage unexpectedly detected — blind spot documentation is stale")
+    // ...and exactly k is the detection frontier
+    val atK = (1 to 8).map(i => s"k$i")
+    val e1 = (1 to 12).map(i => s"c$i") ++ atK ++ (13 to 24).map(i => s"c$i")
+    val e2 = (1 to 12).map(i => s"d$i") ++ atK ++ (13 to 24).map(i => s"d$i")
+    val toksK = Seq((1L, e1), (2L, e2)).toDF("doc_id", "toks")
+    assert(graft.dedup.Dedup.substringSpansFrom(toksK, k = 8).collect().nonEmpty,
+      "k-length passage missed — detection frontier moved")
+    // IMMATERIALITY: the removal policy only acts on spans ≥ 50 tokens,
+    // and every duplicated passage of length L ≥ 50 ≥ k contributes all
+    // its L−k+1 seeds, so the method reports it at FULL length — the
+    // blind spot lies strictly below the policy threshold and can never
+    // change a removal decision. Witness at the boundary: a 50-token
+    // passage reports as one 50-token span and is removed whole.
+    val fifty = (1 to 50).map(i => s"f$i")
+    val g1 = (1 to 10).map(i => s"e$i") ++ fifty ++ (11 to 20).map(i => s"e$i")
+    val g2 = (1 to 10).map(i => s"g$i") ++ fifty ++ (11 to 20).map(i => s"g$i")
+    val toksF = Seq((1L, g1), (2L, g2)).toDF("doc_id", "toks")
+    val spans = graft.dedup.Dedup.substringSpansFrom(toksF, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 11L, 50L), (2L, 11L, 50L)),
+      s"50-token passage not reported at full length: $spans")
+    val removed = graft.dedup.Dedup.substringRemovalFrom(toksF, k = 8, minSpan = 50)
+      .filter($"doc_id" === 1L).collect().head
+    assert(removed.getLong(2) === 50L, s"policy removal incomplete: $removed")
+  }
+
   test("substring share: per-doc duplicated-token permille, clean docs report zero") {
     import spark.implicits._
     val shared = (1 to 200).map(i => s"s$i")
