@@ -504,11 +504,19 @@ object Analytics3 {
     }
     val rmat: IndexedSeq[Seq[Long]] =
       (1 to outDims).map(j => (1 to inDims).map(i => rij(j, i)))
+    // .staged is load-bearing TWICE over: (1) base feeds both join sides;
+    // (2) without the barrier CollapseProject re-inlines the q/y
+    // projections into the pair stage's zip_with args, recomputing the
+    // full 16×64 projection PER PAIR — 8× redundant work that the 64×
+    // scale study measured as a 103×-for-64×-data superlinear curve
+    // (90.2 s at 64×; staged: the projection runs once per corpus row)
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), graft.functions.Portable.quantize(col("embedding")).as("q"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("y", array(rmat.map(rj =>
         aggregate(zip_with(col("q"), typedLit(rj), (a, r) => a * r),
           lit(0L), (acc, x) => acc + x)): _*))
+      .staged
     val panel = base.filter(col("vec_id") < 8)
       .select(col("vec_id").as("pid"), col("q").as("pq"), col("y").as("py"))
     base.crossJoin(broadcast(panel))
