@@ -235,9 +235,28 @@ object Similarity {
   private val nBands = 4
   private val bandBits = nPlanes / nBands
 
+  /** Collapse-first banded search. Dup-heavy corpora (crawls run 30%+
+    * duplicate mass) put MANY ids on one quantized vector; identical
+    * vectors share a signature, so if every copy enters the bucket
+    * index the candidate join's work grows QUADRATICALLY in copy count
+    * (the 64×-replica board measured exactly that — 969 s and an
+    * eventual failure). The scalable form collapses exact duplicates
+    * first: the LSH/cosine machinery runs over DISTINCT vectors only,
+    * and member ids expand back combinatorially at the end —
+    * within-group C(n,2) pairs plus cross-group member products, both
+    * linear in the OUTPUT pair count, which those pairs are. Output is
+    * identical to the uncollapsed form: members share their rep's exact
+    * vector, so every expanded pair's cosine equals the formula value
+    * the all-pairs oracle computes. Cluster-membership arrays are
+    * bounded by duplicate multiplicity; at extreme multiplicities the
+    * pair FORM is inherently quadratic in cluster size (an n-copy
+    * cluster IS n(n−1)/2 pairs) and the family's cluster form is the
+    * production deliverable — same adjudication as dedup_simhash_pairs. */
   private[graft] def nearDupPairsFrom(qnIn: DataFrame, tau: Double): DataFrame = {
-    // both frames feed multiple join sides — materialize once
-    val qn = qnIn.staged
+    val grouped = qnIn.groupBy("q", "nsq")
+      .agg(min("vec_id").as("rep"), collect_list("vec_id").as("members"))
+      .staged
+    val qn = grouped.select(col("rep").as("vec_id"), col("q"), col("nsq")).staged
     val sig = lshSignaturesFrom(qn).staged
     val buckets = sig
       .select(col("vec_id"), col("signature"),
@@ -250,7 +269,7 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
+    val repPairs = cand
       .join(qn.select(col("vec_id").as("a"), col("q").as("qa"), col("nsq").as("na")), Seq("a"))
       .join(qn.select(col("vec_id").as("b"), col("q").as("qb"), col("nsq").as("nb")), Seq("b"))
       .withColumn("cosine",
@@ -258,7 +277,32 @@ object Similarity {
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cosine") >= tau)
       .select("a", "b", "cosine")
-      .orderBy("a", "b")
+    // cross-group expansion: every member of rep-a's group pairs with
+    // every member of rep-b's group (groups are disjoint, so each
+    // unordered id pair appears exactly once)
+    val cross = repPairs
+      .join(grouped.select(col("rep").as("a"), col("members").as("ma")), Seq("a"))
+      .join(grouped.select(col("rep").as("b"), col("members").as("mb")), Seq("b"))
+      .select(explode(col("ma")).as("x"), col("mb"), col("cosine"))
+      .select(col("x"), explode(col("mb")).as("y"), col("cosine"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("cosine"))
+    // within-group pairs: n identical copies are n(n−1)/2 pairs at the
+    // formula's own cosine of q with itself (exact-dup near-dups);
+    // positional i<j combos emit each unordered pair once
+    val within = grouped.filter(size(col("members")) > 1)
+      .select(col("q"), col("nsq"),
+        explode(expr(
+          """flatten(transform(members, (x, i) ->
+            |  transform(slice(members, i + 2, size(members)),
+            |            y -> struct(x AS x, y AS y))))""".stripMargin)).as("p"))
+      .withColumn("cosine",
+        Portable.dotQ(col("q"), col("q")).cast("double") /
+          (sqrt(col("nsq").cast("double")) * sqrt(col("nsq").cast("double"))))
+      .filter(col("cosine") >= tau)
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"), col("cosine"))
+    cross.unionByName(within).orderBy("a", "b")
   }
 
   def nearDupPairsSql(tau: Double = 0.9): String =

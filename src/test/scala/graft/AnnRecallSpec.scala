@@ -181,6 +181,54 @@ class AnnRecallSpec extends SparkSpec {
       s"bucketed path lost pairs: got=${got.toSeq} want=${want.toSeq}")
   }
 
+  test("near-dup collapse: exact-copy clusters expand to every member pair") {
+    // the dup-heavy regime the collapse-first rewrite exists for: exact
+    // copies share one quantized vector, so the banded search must run
+    // once per DISTINCT vector and the member expansion must recover
+    // every within-cluster pair (C(n,2)) and every cross-cluster member
+    // product — byte-identical to brute force over all ids.
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(30)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    // clusters: vector i gets (i % 4) + 1 exact copies (sizes 1..4);
+    // vector 900 below additionally near-dups base(0)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    var id = 0L
+    for (i <- base.indices; _ <- 0 until (i % 4) + 1) {
+      rows += ((id, base(i).toSeq)); id += 1
+    }
+    // a near (not exact) dup of base(0), forming a cross-GROUP pair
+    rows += ((900L, base(0).map(x => x + 0.005f * rnd.nextGaussian().toFloat).toSeq))
+    import spark.implicits._
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val tau = 0.95
+    val got = Similarity.nearDupPairsFrom(Similarity.quantizedFrom(emb), tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray
+    val qv = rows.map { case (i, v) => i -> quant(v) }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val ids = rows.map(_._1).sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      c = cos(qv(a), qv(b)) if c >= tau
+    } yield (a, b, c)).toArray
+    // sanity on the fixture itself: Σ C(n_i, 2) within-cluster pairs
+    // (sizes cycle 1,2,3,4 → 0+1+3+6 per cycled group of 4) + the one
+    // cross-cluster near-dup pairing with ALL of base(0)'s copies
+    val withins = base.indices.map(i => (i % 4) + 1).map(n => n * (n - 1) / 2).sum
+    assert(want.count { case (a, b, _) => a < 900 && b < 900 } === withins)
+    assert(want.count { case (_, b, _) => b === 900L } === 1,
+      "base(0) has exactly 1 copy (size-1 cluster); its near-dup pairs once")
+    assert(got.toSeq === want.toSeq,
+      s"collapse path diverged from brute force: got=${got.length} want=${want.length}")
+  }
+
   test("IVF nprobe=2 recall@5 vs brute force is reasonable on sf0.001") {
     val gtRaw = Similarity.cosineTopK(spark, sf("sf0.001"), k = 5)
     val gt = gtRaw.collect()
