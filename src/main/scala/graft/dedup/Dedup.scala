@@ -314,6 +314,42 @@ object Dedup {
        |GROUP BY a, b ORDER BY a, b""".stripMargin
   }
 
+  /** Script-aware token axis for the ExactSubstr family: single
+    * CHARACTERS of the whitespace-stripped lowercased text for
+    * space-free-script docs (span positions/widths then measure
+    * chars), word tokens elsewhere — the same lang-keyed arm selection
+    * as [[cjkShingleTable]]. The `[a-z0-9]+` tokenizer treats
+    * ideographs as separators, so under the word arm a genuinely
+    * space-free doc tokenizes to the EMPTY array and the span family
+    * is silently blind to it; the char axis restores parity with one
+    * shared occurrence-count + island-merge pipeline downstream. */
+  private def cjkTokensFrame(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("wtoks"),
+        regexp_replace(lower(col("text")), "\\s+", "").as("cs"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      // hard projection barrier, cf. tokensFrame (an inlined strip would
+      // re-run per extracted char)
+      .staged
+      .select(col("doc_id"),
+        when(col("lang") === "zh",
+          transform(sequence(lit(1), greatest(lit(1), length(col("cs")))),
+            i => substring(col("cs"), i, lit(1))))
+          .otherwise(col("wtoks")).as("toks"))
+
+  /** CJK-safe maximal duplicated-substring spans — the ExactSubstr arm
+    * of the script-aware family ([[minhashCandidatesCjk]] is the
+    * minhash arm): identical Lee-et-al. seed-and-merge dataflow as
+    * [[substringSpans]], but over the script's own token axis, so a
+    * shared space-free passage of ≥ k chars reports as one maximal
+    * char interval instead of vanishing into an empty word-token
+    * array. Positions are 1-based in the script's unit (chars for
+    * space-free docs, words otherwise). */
+  def substringSpansCjk(spark: SparkSession, dir: String, k: Int = spanSeedK): DataFrame =
+    substringSpansFrom(cjkTokensFrame(spark, dir), k)
+      .orderBy("doc_id", "span_start")
+
   /** INCREMENTAL dedup candidates — the nightly-ingest shape: only the
     * DELTA batch (docs whose split hash lands in [90,100), standing in
     * for "arrived since the last run") probes the band-bucket index;
@@ -1050,8 +1086,28 @@ object Dedup {
     maximalSpans(covered, k)
   }
 
-  private def substringSpanCtes(k: Int): String =
-    s"""tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+  /** The word-token tk CTE shared by the span family's oracles. */
+  private val wordTkCte: String =
+    s"tk AS (SELECT doc_id, $tokSql AS toks FROM documents)"
+
+  /** Script-aware tk CTE mirroring [[cjkTokensFrame]]: char tokens of
+    * the whitespace-stripped lowercased text for lang='zh', word tokens
+    * otherwise. */
+  private val cjkTkCte: String =
+    s"""tk0 AS (
+       |  SELECT doc_id, lang, $tokSql AS wtoks,
+       |         regexp_replace(lower(text), '\\s+', '', 'g') AS cs
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id,
+       |         CASE WHEN lang = 'zh' THEN
+       |           list_transform(generate_series(1, greatest(1, length(cs))),
+       |             i -> substr(cs, i, 1))
+       |         ELSE wtoks END AS toks
+       |  FROM tk0)""".stripMargin
+
+  private def substringSpanCtes(k: Int, tkCte: String = wordTkCte): String =
+    s"""$tkCte,
        |g AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
        |         array_to_string(toks[u.i:u.i+${k - 1}], ' ') AS gram
@@ -1076,6 +1132,11 @@ object Dedup {
 
   def substringSpansSql(k: Int = spanSeedK): String =
     s"""WITH ${substringSpanCtes(k)}
+       |SELECT doc_id, span_start, CAST(span_tokens AS BIGINT) AS span_tokens
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  def substringSpansCjkSql(k: Int = spanSeedK): String =
+    s"""WITH ${substringSpanCtes(k, cjkTkCte)}
        |SELECT doc_id, span_start, CAST(span_tokens AS BIGINT) AS span_tokens
        |FROM spans ORDER BY doc_id, span_start""".stripMargin
 
@@ -1576,6 +1637,7 @@ object Dedup {
     "dedup_edit_verify" -> ((s, d) => editVerify(s, d)),
     "dedup_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
     "dedup_substring_spans" -> ((s, d) => substringSpans(s, d)),
+    "dedup_substring_cjk" -> ((s, d) => substringSpansCjk(s, d)),
     "dedup_substring_share" -> ((s, d) => substringShare(s, d)),
     "dedup_substring_removal" -> ((s, d) => substringRemoval(s, d)),
     "dedup_contamination_mask" -> ((s, d) => contaminationMask(s, d)))
@@ -1601,6 +1663,7 @@ object Dedup {
     "dedup_edit_verify" -> editVerifySql(),
     "dedup_repeated_spans" -> repeatedSpansSql(),
     "dedup_substring_spans" -> substringSpansSql(),
+    "dedup_substring_cjk" -> substringSpansCjkSql(),
     "dedup_substring_share" -> substringShareSql(),
     "dedup_substring_removal" -> substringRemovalSql(),
     "dedup_contamination_mask" -> contaminationMaskSql())

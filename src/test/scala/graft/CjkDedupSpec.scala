@@ -84,4 +84,31 @@ class CjkDedupSpec extends SparkSpec {
     assert(!char.keys.exists(p => p._1 == 3L || p._2 == 3L),
       s"char arm paired the unrelated doc: $char")
   }
+
+  test("ExactSubstr char arm: shared space-free passage -> one maximal char span; word arm blind") {
+    // docs 1 and 2 embed the same 20-ideograph passage at different
+    // offsets inside otherwise-disjoint space-free text; docs 5/6 share
+    // a 10-word english prefix (the word arm's regression guard)
+    val shared = cjkBase.take(20)
+    val d1 = shared + cjkOther.take(15)             // passage at chars 1..20
+    val d2 = cjkOther.takeRight(15) + shared        // passage at chars 16..35
+    val dir = fixture(Seq(
+      (1L, d1, "zh"), (2L, d2, "zh"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa prime", "en")))
+    val got = Dedup.substringSpansCjk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // char spans: the 13 duplicated 8-gram seeds (20-8+1) merge into ONE
+    // maximal 20-char interval per doc at the right offset; word spans:
+    // the english 10-token shared prefix covers seed starts 1..3 -> one
+    // 10-token interval per doc
+    assert(got === Set((1L, 1L, 20L), (2L, 16L, 20L),
+      (5L, 1L, 10L), (6L, 1L, 10L)), s"spans: $got")
+    // the motivating blindness: under the word-token axis the ideograph
+    // docs tokenize to the empty array and report NO spans at all
+    val word = Dedup.substringSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(word === Set((5L, 1L, 10L), (6L, 1L, 10L)),
+      s"word arm span set changed: $word")
+  }
 }

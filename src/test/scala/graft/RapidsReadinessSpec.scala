@@ -101,6 +101,7 @@ class RapidsReadinessSpec extends SparkSpec {
     // gram explode's HOF sits upstream of the staged grams barrier, so
     // checkpoint mode sees only the rdd segment
     "dedup_substring_spans" -> Set("rdd-segment"),
+    "dedup_substring_cjk" -> Set("rdd-segment"),
     "dedup_substring_share" -> Set("rdd-segment"),
     "dedup_substring_removal" -> Set("rdd-segment"),
     // the eval-gram side is un-staged (single consumer), so its
@@ -288,6 +289,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_neardup_clusters" -> Set("higher-order-function"),
     "dedup_repeated_spans" -> Set("higher-order-function"),
     "dedup_substring_spans" -> Set("higher-order-function"),
+    "dedup_substring_cjk" -> Set("higher-order-function"),
     "dedup_substring_share" -> Set("higher-order-function"),
     "dedup_substring_removal" -> Set("higher-order-function"),
     "dedup_contamination_mask" -> Set("higher-order-function"),
