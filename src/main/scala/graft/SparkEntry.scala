@@ -37,6 +37,7 @@ object SparkEntry {
     (text.Classify.queries, text.Classify.oracles),
     (text.Bpe.queries, text.Bpe.oracles),
     (text.Unigram.queries, text.Unigram.oracles),
+    (text.WordPiece.queries, text.WordPiece.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
     (text.Pipeline.queries, text.Pipeline.oracles),
     (text.UrlCuration.queries, text.UrlCuration.oracles),

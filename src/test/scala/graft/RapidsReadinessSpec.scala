@@ -181,7 +181,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_mmr_rerank" -> Set("rdd-segment"),
     "sim_mrl_recall" -> Set("custom-expression", "higher-order-function"),
     "sim_neardup_incremental" -> Set("custom-expression", "rdd-segment"),
-    "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment"),
+    // collapse-first rewrite: the within-group C(n,2) expansion's
+    // flatten/transform HOF sits downstream of the grouped barrier
+    "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment", "higher-order-function"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -197,7 +199,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_pca_power" -> Set("rdd-segment"),
     "sim_pca_explained" -> Set("rdd-segment"),
     "sim_anisotropy_report" -> Set("rdd-segment"),
-    "sim_random_projection" -> Set("higher-order-function"),
+    // the staged barrier added by the 64x per-pair-recompute fix
+    "sim_random_projection" -> Set("higher-order-function", "rdd-segment"),
     "stat_spearman" -> Set("higher-order-function"),
     "stat_ols_fit" -> Set("higher-order-function"),
     // the k-term ordered double fold (determinism fix: parallel sum
@@ -225,6 +228,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_unigram_train" -> Set("rdd-segment"),
     "text_unigram_encode" -> Set("higher-order-function", "rdd-segment"),
     "text_unigram_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
+    "text_wordpiece_vocab" -> Set("higher-order-function", "rdd-segment"),
+    "text_wordpiece_encode" -> Set("higher-order-function", "rdd-segment"),
+    "text_wordpiece_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
     // the tokenizer HOF sits UPSTREAM of the tf/bigram stage barrier, so
     // checkpoint mode sees only the post-barrier bin (LM weights)
     "text_nb_quality" -> Set("bin", "rdd-segment"),
@@ -388,6 +394,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_unigram_train" -> Set("rdd-segment"),
     "text_unigram_encode" -> Set("higher-order-function", "rdd-segment"),
     "text_unigram_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
+    "text_wordpiece_vocab" -> Set("higher-order-function", "rdd-segment"),
+    "text_wordpiece_encode" -> Set("higher-order-function", "rdd-segment"),
+    "text_wordpiece_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
     "text_char_entropy" -> Set("bin"),
     "text_cosine_pairs" -> Set("higher-order-function"),
     "text_countmin_est" -> Set("higher-order-function"),
@@ -477,6 +486,9 @@ class RapidsReadinessSpec extends SparkSpec {
         "text_bpe_vocab", "text_bpe_encode", "text_bpe_encode_heldout",
         "text_unigram_train", "text_unigram_encode",
         "text_unigram_encode_heldout",
+        // wordpiece: Bpe.formTable's localCheckpoint persists in both modes
+        "text_wordpiece_vocab", "text_wordpiece_encode",
+        "text_wordpiece_encode_heldout",
         // round-12 drain cuts: the graph/PCA round loops now cut
         // per round in both modes (Cache.cut scaladoc; 3-16x
         // persist-mode inflation measured before the cuts)
