@@ -256,7 +256,9 @@ object Similarity {
     val grouped = qnIn.groupBy("q", "nsq")
       .agg(min("vec_id").as("rep"), collect_list("vec_id").as("members"))
       .staged
-    val qn = grouped.select(col("rep").as("vec_id"), col("q"), col("nsq")).staged
+    // pure column-prune of the staged frame — re-deriving it per
+    // consumer is free, a second checkpoint is not
+    val qn = grouped.select(col("rep").as("vec_id"), col("q"), col("nsq"))
     val sig = lshSignaturesFrom(qn).staged
     val buckets = sig
       .select(col("vec_id"), col("signature"),
