@@ -228,7 +228,8 @@ object Streaming {
     * means the band is degenerate, not informative) and expires stale
     * members via TTL; both knobs drop pairs the batch oracle keeps, so
     * the harness form is uncapped over the bounded fixture. */
-  class NearDupProcessor extends StatefulProcessor[String, BandIn, NearDupPair] {
+  class NearDupProcessor(cap: Int = Int.MaxValue)
+      extends StatefulProcessor[String, BandIn, NearDupPair] {
     @transient private var members: ListState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[Long]("members",
@@ -245,8 +246,12 @@ object Streaming {
         // idempotent under re-delivery: a doc_id already indexed (from a
         // replayed batch, an at-least-once source, or a within-batch
         // duplicate row) is neither re-paired nor re-appended — appending
-        // twice would double-count it in every later mate's shared_bands
-        if (!seen.contains(d.doc_id)) {
+        // twice would double-count it in every later mate's shared_bands.
+        // The df cap makes bucket membership FIRST-cap-BY-ARRIVAL: a
+        // saturated bucket indexes nothing further and emits nothing
+        // further — state AND output per bucket are bounded by C(cap, 2)
+        // no matter how duplicate-heavy the ingest is.
+        if (!seen.contains(d.doc_id) && seen.size < cap) {
           seen.foreach { x =>
             out += NearDupPair(math.min(x, d.doc_id), math.max(x, d.doc_id), d.band)
           }
@@ -263,6 +268,15 @@ object Streaming {
     import bands.sparkSession.implicits._
     bands.groupByKey(_.bkey)
       .transformWithState(new NearDupProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** As [[nearDupStream]] with the PRODUCTION df cap engaged: each
+    * (band, bucket) indexes only its first `cap` arrivals. */
+  def nearDupStreamCapped(bands: Dataset[BandIn], cap: Int): Dataset[NearDupPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(_.bkey)
+      .transformWithState(new NearDupProcessor(cap),
         TimeMode.None(), OutputMode.Append())
   }
 

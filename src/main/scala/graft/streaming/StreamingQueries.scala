@@ -522,7 +522,27 @@ object StreamingQueries {
     * (min,max)-normalized and per-band unique, so the run's output
     * aggregated by pair equals the BATCH LSH candidate join exactly —
     * the oracle is `dedup_minhash_candidates`' own SQL. */
-  def streamNearDup(spark0: SparkSession, dir: String): DataFrame = {
+  def streamNearDup(spark0: SparkSession, dir: String): DataFrame =
+    streamNearDupWith(spark0, dir, Int.MaxValue, "stream_neardup")
+
+  /** [[streamNearDup]] with the PRODUCTION per-bucket df cap engaged
+    * (first-[[streamDfCap]]-by-arrival membership): bucket state and
+    * emission are bounded by C(cap, 2) regardless of duplicate mass —
+    * the knob that keeps dedup-on-ingest safe under a dup flood (the
+    * dup-heavy 64× fixture saturates every bucket with 64-copy
+    * clusters; the uncapped form's 47.7 M emissions become ≤ 28 per
+    * bucket-band here). Arrival order is deterministic in the harness
+    * (ingest files ordered by doc_id % 4, ids ascending within a
+    * bucket-batch), so the DuckDB oracle states membership
+    * declaratively as a row_number window over the same order. */
+  def streamNearDupCapped(spark0: SparkSession, dir: String): DataFrame =
+    streamNearDupWith(spark0, dir, streamDfCap, "stream_neardup_capped")
+
+  /** Per-bucket membership cap for [[streamNearDupCapped]]. */
+  val streamDfCap = 8
+
+  private def streamNearDupWith(spark0: SparkSession, dir: String,
+                                cap: Int, label: String): DataFrame = {
     val spark = streamSession(spark0)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -556,7 +576,7 @@ object StreamingQueries {
       org.apache.spark.sql.types.StructField("toks",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType))))
-    val name = unique("stream_neardup")
+    val name = unique(label)
     val bands = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(path)
       .select(col("doc_id"),
@@ -564,15 +584,39 @@ object StreamingQueries {
       .select(concat_ws("|", col("bb.band"), col("bb.bucket")).as("bkey"),
         col("bb.band").as("band"), col("doc_id"))
       .as[Streaming.BandIn]
-    Streaming.runToMemory(spark,
-      Streaming.nearDupStream(bands).toDF(), name, outputMode = "append")
+    val streamed =
+      if (cap == Int.MaxValue) Streaming.nearDupStream(bands)
+      else Streaming.nearDupStreamCapped(bands, cap)
+    Streaming.runToMemory(spark, streamed.toDF(), name, outputMode = "append")
     spark.table(name)
       .groupBy("a", "b").agg(count(lit(1)).as("shared_bands"))
       .orderBy("a", "b")
   }
 
+  /** Oracle for the capped stream: bucket membership stated
+    * declaratively — the first [[streamDfCap]] docs per (band, bucket)
+    * in the stream's deterministic arrival order (ingest file =
+    * doc_id % 4, ids ascending within a bucket-batch), pairs among
+    * members only. */
+  val streamNearDupCappedSql: String = {
+    require(graft.dedup.Dedup.minhashBandsSql().endsWith("ORDER BY doc_id, band"),
+      "minhashBandsSql no longer ends with its ORDER BY — update streamNearDupCappedSql")
+    s"""WITH bands AS (${graft.dedup.Dedup.minhashBandsSql().stripSuffix("ORDER BY doc_id, band")}),
+       |ranked AS (
+       |  SELECT doc_id, band, bucket,
+       |         row_number() OVER (PARTITION BY band, bucket
+       |                            ORDER BY doc_id % 4, doc_id) AS rn
+       |  FROM bands),
+       |kept AS (SELECT doc_id, band, bucket FROM ranked WHERE rn <= $streamDfCap)
+       |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_bands
+       |FROM kept l JOIN kept r ON l.band = r.band AND l.bucket = r.bucket
+       |WHERE l.doc_id < r.doc_id
+       |GROUP BY a, b ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_neardup" -> streamNearDup,
+    "stream_neardup_capped" -> streamNearDupCapped,
     "stream_cdc_apply" -> streamCdcApply,
     "stream_rate_limited" -> streamRateLimited,
     "stream_late_data" -> streamLateData,
@@ -587,6 +631,7 @@ object StreamingQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_neardup" -> graft.dedup.Dedup.minhashCandidatesSql,
+    "stream_neardup_capped" -> streamNearDupCappedSql,
     "stream_cdc_apply" -> streamCdcApplySql,
     "stream_rate_limited" -> streamRateLimitedSql,
     "stream_late_data" -> streamLateDataSql,

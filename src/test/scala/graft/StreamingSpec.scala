@@ -287,6 +287,53 @@ class StreamingBatchParitySpec extends SparkSpec {
       s"pair multiset wrong: $pairs")
   }
 
+  test("df cap: a saturated bucket stops indexing and emitting at first-cap-by-arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Streaming.BandIn]
+    val out = Streaming.nearDupStreamCapped(ms.toDS(), cap = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("neardup_capped")
+      .outputMode("append").start()
+    // batch 1: four docs hit one bucket; only the first 3 (by doc_id)
+    // may index -> exactly C(3,2) pairs, doc 4 contributes nothing
+    ms.addData((1L to 4L).map(i => Streaming.BandIn("0|hot", 0, i)))
+    q.processAllAvailable()
+    // batch 2: two more arrivals at the saturated bucket -> nothing
+    ms.addData(Seq(Streaming.BandIn("0|hot", 0, 5L), Streaming.BandIn("0|hot", 0, 6L)))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"capped pairs: $pairs")
+  }
+
+  test("capped stream equals the first-cap-by-arrival batch form on the harness corpus") {
+    val dir = sf("sf0.001")
+    val k = graft.streaming.StreamingQueries.streamDfCap
+    val streamed = graft.streaming.StreamingQueries.streamNearDupCapped(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch statement of the same membership rule: first k per bucket in
+    // (doc_id % 4, doc_id) arrival order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket").orderBy(pmod(col("doc_id"), lit(4L)), col("doc_id"))
+    val kept = graft.dedup.Dedup.minhashBands(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("doc_id", "band", "bucket")
+    val batch = kept.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(kept.select(col("doc_id").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch, "capped stream diverges from the declarative membership rule")
+    // the cap must also be a true subset of the uncapped pair set
+    val uncapped = graft.dedup.Dedup.minhashCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.forall { case (p, n) => uncapped.get(p).exists(n <= _) })
+  }
+
   test("streaming LSH near-dup equals the batch candidate join, across batches") {
     val dir = sf("sf0.001")
     val streamed = graft.streaming.StreamingQueries.streamNearDup(spark, dir)
