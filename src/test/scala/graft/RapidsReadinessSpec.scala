@@ -231,6 +231,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_wordpiece_vocab" -> Set("higher-order-function", "rdd-segment"),
     "text_wordpiece_encode" -> Set("higher-order-function", "rdd-segment"),
     "text_wordpiece_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
+    "text_tokenizer_compare" -> Set("higher-order-function", "rdd-segment"),
     // the tokenizer HOF sits UPSTREAM of the tf/bigram stage barrier, so
     // checkpoint mode sees only the post-barrier bin (LM weights)
     "text_nb_quality" -> Set("bin", "rdd-segment"),
@@ -397,6 +398,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_wordpiece_vocab" -> Set("higher-order-function", "rdd-segment"),
     "text_wordpiece_encode" -> Set("higher-order-function", "rdd-segment"),
     "text_wordpiece_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
+    "text_tokenizer_compare" -> Set("higher-order-function", "rdd-segment"),
     "text_char_entropy" -> Set("bin"),
     "text_cosine_pairs" -> Set("higher-order-function"),
     "text_countmin_est" -> Set("higher-order-function"),
@@ -488,7 +490,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "text_unigram_encode_heldout",
         // wordpiece: Bpe.formTable's localCheckpoint persists in both modes
         "text_wordpiece_vocab", "text_wordpiece_encode",
-        "text_wordpiece_encode_heldout",
+        "text_wordpiece_encode_heldout", "text_tokenizer_compare",
         // round-12 drain cuts: the graph/PCA round loops now cut
         // per round in both modes (Cache.cut scaladoc; 3-16x
         // persist-mode inflation measured before the cuts)

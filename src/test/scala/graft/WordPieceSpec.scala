@@ -68,3 +68,32 @@ class WordPieceSpec extends SparkSpec {
     assert(v.exists(!_.getString(0).startsWith("##")), "no initial pieces")
   }
 }
+
+/** The bake-off report must tie out against the families it restates. */
+class TokenizerCompareSpec extends SparkSpec {
+  test("every arm's row equals its family's own rollup row") {
+    val dir = sf("sf0.001")
+    val rep = graft.text.TokenizerCompare.tokenizerCompare(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep.keySet === Set("chars", "bpe", "unigram", "wordpiece"))
+    val nWords = rep("chars")._1
+    assert(rep.values.forall(_._1 == nWords), "denominator differs across rows")
+    // chars row: Σ word lengths, zero UNK
+    import org.apache.spark.sql.functions._
+    val base = graft.operators.Tables.t(spark, dir, "documents")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(count(lit(1)), sum(length(col("w")).cast("long"))).head()
+    assert((rep("chars")._1, rep("chars")._2) === (base.getLong(0), base.getLong(1)))
+    assert(rep("chars")._3 === 0L)
+    // wordpiece row == the family's own corpus rollup
+    val wp = graft.text.WordPiece.wordpieceEncode(spark, dir).collect()
+      .find(_.getLong(0) == -1L).get
+    assert((rep("wordpiece")._2, rep("wordpiece")._3) === (wp.getLong(2), wp.getLong(3)))
+    // unigram row == the family's own corpus rollup
+    val un = graft.text.Unigram.unigramEncode(spark, dir).collect()
+      .find(_.getLong(0) == -1L).get
+    assert((rep("unigram")._2, rep("unigram")._3) === (un.getLong(2), un.getLong(3)))
+    // fertility is the stated integer formula
+    rep.values.foreach { case (w, t, _, f) => assert(f === 1000L * t / w) }
+  }
+}
