@@ -91,6 +91,43 @@ object Dedup {
       |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** SOFT dedup — reweight instead of drop: each doc's training weight
+    * is the inverse of its exact-dup cluster size (integer permille),
+    * so an n-copy cluster contributes ONE doc's worth of training mass
+    * spread over its copies instead of either n× (no dedup) or a
+    * biased survivor (hard dedup). `effective_tokens_milli` is the
+    * doc's post-reweight token mass — Σ over the corpus gives the
+    * effective training-set size a data card reports.
+    *
+    * Scale shape: one hash-keyed window (equivalently groupBy+join) —
+    * a single shuffle on the content hash; cluster sizes are counts,
+    * never materialized memberships, so dup-heavy corpora cost the
+    * same shuffle as dup-free ones (contrast the pair-form reports,
+    * which are output-bound by construction). */
+  def softWeights(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("content_hash")))
+      .select(col("doc_id"), col("cluster_size"),
+        expr("1000 DIV cluster_size").as("weight_permille"),
+        col("n_tokens"),
+        expr("(n_tokens * 1000) DIV cluster_size").as("effective_tokens_milli"))
+      .orderBy("doc_id")
+
+  val softWeightsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         count(*) OVER (PARTITION BY md5(text)) AS cluster_size,
+       |         CAST(len($tokSql) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, cluster_size,
+       |       1000 // cluster_size AS weight_permille,
+       |       n_tokens,
+       |       (n_tokens * 1000) // cluster_size AS effective_tokens_milli
+       |FROM d ORDER BY doc_id""".stripMargin
+
   // Universal-hash family for MinHash: mh_i = (a_i·(H mod p) + b_i) mod p
   // over ONE md5-derived base hash H per shingle — 16× fewer md5s than
   // hashing (i, shingle) pairs, and no explode over i (the 16 minhashes
@@ -1623,6 +1660,7 @@ object Dedup {
     "dedup_golden_record" -> goldenRecord,
     "dedup_neardup_clusters" -> nearDupClusters,
     "dedup_exact" -> exact,
+    "dedup_soft_weights" -> softWeights,
     "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
     "dedup_minhash_candidates" -> minhashCandidates,
     "dedup_minhash_cjk" -> minhashCandidatesCjk,
@@ -1649,6 +1687,7 @@ object Dedup {
     "dedup_golden_record" -> goldenRecordSql,
     "dedup_neardup_clusters" -> nearDupClustersSql,
     "dedup_exact" -> exactSql,
+    "dedup_soft_weights" -> softWeightsSql,
     "dedup_minhash_bands" -> minhashBandsSql(),
     "dedup_minhash_candidates" -> minhashCandidatesSql,
     "dedup_minhash_cjk" -> minhashCandidatesCjkSql,

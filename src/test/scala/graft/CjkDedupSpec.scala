@@ -85,6 +85,24 @@ class CjkDedupSpec extends SparkSpec {
       s"char arm paired the unrelated doc: $char")
   }
 
+  test("soft dedup: inverse-multiplicity weights and effective token mass") {
+    // 3 copies of one text (4 words), 1 unique text (6 words)
+    val tri = "alpha beta gamma delta"
+    val uni = "epsilon zeta eta theta iota kappa"
+    val dir = fixture(Seq((1L, tri, "en"), (2L, tri, "en"), (3L, tri, "en"),
+      (9L, uni, "en")))
+    val got = Dedup.softWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) === ((3L, 333L, 4L, 1333L)))
+    assert(got(2L) === got(1L) && got(3L) === got(1L),
+      "weights must not depend on which copy is looked at")
+    assert(got(9L) === ((1L, 1000L, 6L, 6000L)))
+    // Σ effective mass ≈ distinct-text mass (integer floor division):
+    // 3·1333 + 6000 = 9999 ~ 4·1000 + 6·1000 = 10000
+    assert(got.values.map(_._4).sum === 9999L)
+  }
+
   test("ExactSubstr char arm: shared space-free passage -> one maximal char span; word arm blind") {
     // docs 1 and 2 embed the same 20-ideograph passage at different
     // offsets inside otherwise-disjoint space-free text; docs 5/6 share

@@ -108,6 +108,7 @@ class RapidsReadinessSpec extends SparkSpec {
     // transform/slice HOF stays visible even in checkpoint mode
     "dedup_contamination_mask" -> Set("rdd-segment", "higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
+    "dedup_soft_weights" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
     "fn_array_ops" -> Set("higher-order-function"),
@@ -301,6 +302,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_substring_removal" -> Set("higher-order-function"),
     "dedup_contamination_mask" -> Set("higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
+    "dedup_soft_weights" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "higher-order-function"),
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
     "fn_array_ops" -> Set("higher-order-function"),
