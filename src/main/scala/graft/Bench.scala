@@ -113,6 +113,7 @@ object Bench {
       if (p > 1) { graft.aria.AriaQueries.evictDrains(spark)
         graft.sim.Clustering.evictTrained(spark)
         graft.sim.Pq.evictTrained(spark)
+        graft.sim.NnDescent.evictBuilt(spark)
         graft.dedup.Dedup.evictPairs(spark)
         // persist mode: cached plans are keyed on the ANALYZED PLAN, so
         // pass 2 rebuilding the same query would silently hit pass 1's

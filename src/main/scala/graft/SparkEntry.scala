@@ -44,6 +44,7 @@ object SparkEntry {
     (text.UrlCuration.queries, text.UrlCuration.oracles),
     (dedup.Dedup.queries, dedup.Dedup.oracles),
     (sim.Similarity.queries, sim.Similarity.oracles),
+    (sim.NnDescent.queries, sim.NnDescent.oracles),
     (sim.Clustering.queries, sim.Clustering.oracles),
     (sim.Pq.queries, sim.Pq.oracles),
     (sim.Pca.queries, sim.Pca.oracles),

@@ -1,0 +1,400 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Tables.t
+import graft.functions.Portable
+import graft.Cache.CacheOps
+
+/** Graph-based ANN: a k-NN graph built with NN-Descent (Dong, Moses &
+  * Li, WWW 2011) and searched with a fixed-width beam — the
+  * graph-traversal index family (the serving regime HNSW/NSG occupy)
+  * beside the quantization shelf (LSH / IVF / PQ / BQ in [[Similarity]]
+  * and [[Pq]]).
+  *
+  * Why NN-Descent and not HNSW: HNSW insertion is inherently
+  * sequential (each insert greedy-searches the graph built so far),
+  * which serializes on the driver. NN-Descent is join+agg shaped — its
+  * one primitive is "compare each point to its neighbors' neighbors",
+  * a self-join of the current graph — so every round is a bounded
+  * dataflow over the whole corpus at once, the same iteration
+  * discipline as `graph_label_prop` / k-means Lloyd rounds.
+  *
+  * Build (bounded rounds, deterministic):
+  *  - init: `degree` pseudo-random out-edges per vector from the
+  *    portable hash, `dst = (src + 1 + h(src,j) mod (n-1)) mod n` —
+  *    never self, reproducible in both engines. (vec_id is dense
+  *    0..n-1 by the testdata contract; at ingest scale a dense id is
+  *    assigned once, exactly like the TPC-H keys.)
+  *  - round: candidates = one hop through the UNDIRECTED graph
+  *    (u→v→w ⇒ u~w, Dong et al. §2.2's local join). Reverse edges are
+  *    capped at `degree` per node (their reverse SAMPLING, ρ=1 on a
+  *    bounded sample) so a hub cannot make the self-join quadratic:
+  *    candidate mass is ≤ n·(2·degree)² per round by construction.
+  *  - keep: exact quantized cosine on (old ∪ candidate) pairs, top
+  *    `degree` per node — integer dot products (Portable.quantize) so
+  *    both engines rank identically; ties broken by dst.
+  *
+  * Search: beam search from each panel query's own out-edges — expand
+  * the beam one undirected hop, re-score against the query, keep the
+  * best `beam`, `beamRounds` times (greedy best-first restricted to a
+  * per-round frontier; beam ∪ expansion is monotone so recall never
+  * drops with more rounds). The recall gate prices the whole path
+  * against the exact brute-force top-k like every other ANN arm.
+  *
+  * Scale shape: the build is per-round equi-joins + window top-k on
+  * the BIGINT vec id — shuffles bounded by n·(2·degree)² candidate
+  * rows; vectors ride one (src) + one (dst) equi-join against the
+  * id-keyed corpus. The search side is panel-sized (8 queries ×
+  * beam × degree candidates per round) with the corpus touched only
+  * through the candidate equi-join — the 100 TB posture is an
+  * in-memory graph (n·degree BIGINT pairs, ~128 GB/1e12 vectors at
+  * degree 16 after delta-encoding) probed per query, which is exactly
+  * what this dataflow degrades to when the panel is one query.
+  *
+  * Build-once-search-many is the real pipeline shape, so the built
+  * graph is memoized per (session, dir) like Clustering.train /
+  * Pq.codebooks; Bench evicts between passes.
+  */
+object NnDescent {
+
+  private val dims = 64
+  /** Graph out-degree K (also the reverse-edge cap). */
+  private val degree = 16
+  /** NN-Descent rounds — fixed budget; the recall gate prices it. */
+  private val buildRounds = 4
+  /** Beam width for the flagship top-k search. */
+  private val beamWidth = 16
+  private val beamRounds = 4
+  private val topK = 5
+  /** Budget axis of the beam curve (all ≥ topK: a beam narrower than
+    * k truncates the return set, which measures nothing). */
+  private val curveBeams = Seq(5L, 10L, 16L)
+
+  // ---------------------------------------------------------------- build
+
+  private def quantizedStaged(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedFrom(t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))).staged
+
+  private def scorePairs(pairs: DataFrame, qn: DataFrame): DataFrame = {
+    val a = qn.select(col("vec_id").as("src"), col("q").as("qa"), col("nsq").as("na"))
+    val b = qn.select(col("vec_id").as("dst"), col("q").as("qb"), col("nsq").as("nb"))
+    pairs.join(a, "src").join(b, "dst")
+      .select(col("src"), col("dst"),
+        (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+  }
+
+  private def keepBest(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(desc("cosine"), col("dst"))))
+      .filter(col("rn") <= degree).drop("rn")
+
+  /** One NN-Descent round over graph (src, dst, cosine). */
+  private def round(g: DataFrame, qn: DataFrame): DataFrame = {
+    // reverse edges capped at `degree` per node = Dong et al.'s reverse
+    // sampling; keeps the local join's candidate mass ≤ n·(2K)²
+    val rev = g
+      .select(col("dst").as("rsrc"), col("src").as("rdst"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rsrc").orderBy("rdst")))
+      .filter(col("rn") <= degree)
+      .select(col("rsrc").as("src"), col("rdst").as("dst"))
+    val und = g.select("src", "dst").union(rev).distinct()
+    val a = und.select(col("src"), col("dst").as("via"))
+    val b = und.select(col("src").as("via"), col("dst"))
+    val cand = a.join(b, "via")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    keepBest(scorePairs(cand.union(g.select("src", "dst")).distinct(), qn))
+  }
+
+  private val cache =
+    new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame, DataFrame)]]
+
+  /** Drop this session's memoized graphs (Bench, between passes). */
+  private[graft] def evictBuilt(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark); () }
+
+  /** (qn, graph, undirected graph), built once per (session, dir). */
+  private def built(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    cache.synchronized {
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
+      cache.getOrDefault(spark, Map.empty).get(dir) match {
+        case Some(g) => g
+        case None =>
+          val qn = quantizedStaged(spark, dir)
+          val nF = qn.agg(count(lit(1)).as("n"))
+          val init = qn.select(col("vec_id").as("src"))
+            .crossJoin(broadcast(nF))
+            .select(col("src"), col("n"),
+              explode(array((0 until degree).map(j => lit(j)): _*)).as("j"))
+            .select(col("src"),
+              pmod(col("src") + lit(1L) +
+                pmod(Portable.hash60(concat(lit("nnd_"), col("src"), lit("_"), col("j"))),
+                  col("n") - lit(1L)), col("n")).as("dst"))
+            .distinct()
+          var g = keepBest(scorePairs(init, qn)).cutRound
+          for (_ <- 1 to buildRounds)
+            // per-round lineage cut — iterative-drain rule (Cache.cut)
+            g = round(g, qn).cutRound
+          val und = g.select("src", "dst")
+            .union(g.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct().staged
+          val result = (qn, g, und)
+          cache.put(spark, cache.getOrDefault(spark, Map.empty) + (dir -> result))
+          result
+      }
+    }
+
+  /** The built k-NN graph itself — `degree` best-found neighbors per
+    * vector with their exact cosines (the artifact a serving system
+    * ships; also the direct oracle on the build, independent of any
+    * search path over it). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val (_, g, _) = built(spark, dir)
+    g.orderBy("src", "dst")
+  }
+
+  // --------------------------------------------------------------- search
+
+  /** Beam search over the built graph, one beam per (budget, query).
+    * Returns the final beams (beam, query_id, cand_id, cosine). */
+  private def beams(spark: SparkSession, dir: String, widths: Seq[Long],
+                    rounds: Int): DataFrame = {
+    val (qn, g, und) = built(spark, dir)
+    val panel = qn.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    val hop = und.select(col("src").as("cand_id"), col("dst").as("next_id"))
+    var bb = g.filter(col("src") < 8)
+      .select(explode(array(widths.map(lit): _*)).as("beam"),
+        col("src").as("query_id"), col("dst").as("cand_id"), col("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("beam", "query_id").orderBy(desc("cosine"), col("cand_id"))))
+      .filter(col("rn") <= col("beam")).drop("rn")
+    for (_ <- 1 to rounds) {
+      val expand = bb.select(col("beam"), col("query_id"), col("cand_id"))
+        .join(hop, "cand_id")
+        .filter(col("next_id") =!= col("query_id"))
+        .select(col("beam"), col("query_id"), col("next_id").as("cand_id"))
+      val pool = bb.select("beam", "query_id", "cand_id").union(expand).distinct()
+      val scored = pool
+        .join(qn.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+          col("nsq").as("nb")), "cand_id")
+        .join(broadcast(panel), "query_id")
+        .select(col("beam"), col("query_id"), col("cand_id"),
+          (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cosine"))
+      bb = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("beam", "query_id").orderBy(desc("cosine"), col("cand_id"))))
+        .filter(col("rn") <= col("beam")).drop("rn")
+        .cutRound
+    }
+    bb
+  }
+
+  /** Flagship graph-ANN search: beam-search top-k for the fixed query
+    * panel — same output shape as [[Similarity.cosineTopK]] so recall
+    * joins on (query_id, cand_id). */
+  def nnDescentTopK(spark: SparkSession, dir: String, k: Int = topK): DataFrame =
+    beams(spark, dir, Seq(beamWidth.toLong), beamRounds)
+      .select(col("query_id"), col("cand_id"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+
+  /** Recall@k of the graph path against the exact brute-force top-k —
+    * the gate that prices the (degree, rounds, beam) budget, beside
+    * the LSH/IVF/PQ/BQ gates. */
+  def nnDescentRecall(spark: SparkSession, dir: String, k: Int = topK): DataFrame = {
+    val exact = Similarity.cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val approx = nnDescentTopK(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
+  /** Budget–recall curve over beam width (5/10/16), beside the LSH
+    * probe curve and the IVF nprobe curve: one row per width, micro
+    * recall over the panel. On the harness corpus the curve saturates
+    * by width 5 — the report that PROVES the narrow beam is safe,
+    * which is the tuning decision a serving deployment makes. */
+  def beamCurve(spark: SparkSession, dir: String, k: Int = topK): DataFrame = {
+    val top = beams(spark, dir, curveBeams, beamRounds)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("beam", "query_id").orderBy(desc("cosine"), col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("beam"), col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    val exact = Similarity.cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val budgets = spark.range(1)
+      .select(explode(array(curveBeams.map(lit): _*)).as("beam"))
+    exact.crossJoin(broadcast(budgets))
+      .join(top, Seq("beam", "query_id", "cand_id"), "left")
+      .groupBy("beam")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("beam")
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  /** Unrolled build: CTE chain ending in `g$buildRounds` (src, dst,
+    * cosine) and `ub` (undirected). MATERIALIZED everywhere — the
+    * rounds reference each other several times and DuckDB would
+    * otherwise re-inline the whole prefix per reference. */
+  private def buildSql: String = {
+    def score(pairs: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT p.src, p.dst,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+         |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+         |  FROM $pairs p JOIN qn a ON a.vec_id = p.src JOIN qn b ON b.vec_id = p.dst)""".stripMargin
+    def keep(scored: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT src, dst, cosine FROM (
+         |    SELECT src, dst, cosine,
+         |           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |    FROM $scored) WHERE rn <= $degree)""".stripMargin
+    val init =
+      s"""nn AS MATERIALIZED (SELECT count(*) AS n FROM qn),
+         |init AS MATERIALIZED (
+         |  SELECT DISTINCT i.vec_id AS src,
+         |         (i.vec_id + 1 + (('0x' || substr(md5('nnd_' || i.vec_id || '_' || j.j), 1, 15))::BIGINT % (nn.n - 1))) % nn.n AS dst
+         |  FROM qn i
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${degree - 1})) AS j) j
+         |  CROSS JOIN nn),
+         |${score("init", "s0")},
+         |${keep("s0", "g0")}""".stripMargin
+    val rounds = (1 to buildRounds).map { r =>
+      s"""rv$r AS MATERIALIZED (
+         |  SELECT rsrc AS src, rdst AS dst FROM (
+         |    SELECT g.dst AS rsrc, g.src AS rdst,
+         |           row_number() OVER (PARTITION BY g.dst ORDER BY g.src) AS rn
+         |    FROM g${r - 1} g) WHERE rn <= $degree),
+         |u$r AS MATERIALIZED (
+         |  SELECT src, dst FROM g${r - 1} UNION SELECT src, dst FROM rv$r),
+         |c$r AS MATERIALIZED (
+         |  SELECT DISTINCT a.src, b.dst FROM u$r a JOIN u$r b ON a.dst = b.src
+         |  WHERE a.src <> b.dst),
+         |p$r AS MATERIALIZED (
+         |  SELECT src, dst FROM c$r UNION SELECT src, dst FROM g${r - 1}),
+         |${score(s"p$r", s"s$r")},
+         |${keep(s"s$r", s"g$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""$init,
+       |$rounds,
+       |ub AS MATERIALIZED (
+       |  SELECT src, dst FROM g$buildRounds
+       |  UNION SELECT dst AS src, src AS dst FROM g$buildRounds)""".stripMargin
+  }
+
+  /** Unrolled beam search with a `beam` budget column; ends in
+    * `cb$beamRounds` (beam, query_id, cand_id, cosine). */
+  private def beamSql(widths: Seq[Long]): String = {
+    val scoreBeam = (pairs: String, out: String) =>
+      s"""$out AS MATERIALIZED (
+         |  SELECT p.beam, p.query_id, p.cand_id,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+         |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+         |  FROM $pairs p JOIN qn a ON a.vec_id = p.query_id JOIN qn b ON b.vec_id = p.cand_id)""".stripMargin
+    val b0 =
+      s"""bud AS MATERIALIZED (SELECT CAST(unnest([${widths.mkString(", ")}]) AS BIGINT) AS beam),
+         |cb0 AS MATERIALIZED (
+         |  SELECT b.beam, t.query_id, t.cand_id, t.cosine
+         |  FROM (SELECT src AS query_id, dst AS cand_id, cosine,
+         |               row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         |        FROM g$buildRounds WHERE src < 8) t
+         |  JOIN bud b ON t.rn <= b.beam)""".stripMargin
+    val rounds = (1 to beamRounds).map { tt =>
+      s"""ce$tt AS MATERIALIZED (
+         |  SELECT beam, query_id, cand_id FROM (
+         |    SELECT DISTINCT p.beam, p.query_id, u.dst AS cand_id
+         |    FROM cb${tt - 1} p JOIN ub u ON u.src = p.cand_id
+         |    WHERE u.dst <> p.query_id)
+         |  UNION SELECT beam, query_id, cand_id FROM cb${tt - 1}),
+         |${scoreBeam(s"ce$tt", s"cs$tt")},
+         |cb$tt AS MATERIALIZED (
+         |  SELECT beam, query_id, cand_id, cosine FROM (
+         |    SELECT beam, query_id, cand_id, cosine,
+         |           row_number() OVER (PARTITION BY beam, query_id ORDER BY cosine DESC, cand_id) AS rn
+         |    FROM cs$tt) WHERE rn <= beam)""".stripMargin
+    }.mkString(",\n")
+    s"$b0,\n$rounds"
+  }
+
+  def knnGraphSql: String =
+    s"""WITH ${Similarity.quantizedSql},
+       |$buildSql
+       |SELECT src, dst, cosine FROM g$buildRounds ORDER BY src, dst""".stripMargin
+
+  def nnDescentTopKSql(k: Int = topK): String =
+    s"""WITH ${Similarity.quantizedSql},
+       |$buildSql,
+       |${beamSql(Seq(beamWidth.toLong))}
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM cb$beamRounds) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def nnDescentRecallSql(k: Int = topK): String =
+    s"""WITH exact AS (SELECT query_id, cand_id FROM (${Similarity.cosineTopKSql(k)})),
+       |approx AS (SELECT query_id, cand_id FROM (${nnDescentTopKSql(k)}))
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  def beamCurveSql(k: Int = topK): String =
+    s"""WITH ${Similarity.quantizedSql},
+       |$buildSql,
+       |${beamSql(curveBeams)},
+       |ctop AS MATERIALIZED (
+       |  SELECT beam, query_id, cand_id FROM (
+       |    SELECT beam, query_id, cand_id,
+       |           row_number() OVER (PARTITION BY beam, query_id ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM cb$beamRounds) WHERE rank <= $k),
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST(${Similarity.dotSql} AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < 8) WHERE rank <= $k)
+       |SELECT b.beam, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM bud b CROSS JOIN exact e
+       |LEFT JOIN ctop t ON t.beam = b.beam AND t.query_id = e.query_id
+       |  AND t.cand_id = e.cand_id
+       |GROUP BY b.beam ORDER BY b.beam""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_nndescent_graph" -> ((s, d) => knnGraph(s, d)),
+    "sim_nndescent_topk" -> ((s, d) => nnDescentTopK(s, d)),
+    "sim_nndescent_recall" -> ((s, d) => nnDescentRecall(s, d)),
+    "sim_nndescent_beam_curve" -> ((s, d) => beamCurve(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "sim_nndescent_graph" -> knnGraphSql,
+    "sim_nndescent_topk" -> nnDescentTopKSql(),
+    "sim_nndescent_recall" -> nnDescentRecallSql(),
+    "sim_nndescent_beam_curve" -> beamCurveSql())
+}

