@@ -618,7 +618,188 @@ object Multimodal {
        |       CAST(sum((3*x + 7*y + 11*f + 29*k) % 256) AS BIGINT) AS sum_gray
        |FROM xy GROUP BY k, f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ——— Real-pixel perceptual near-dup: aHash over DECODED pixels ————
+  //
+  // mm_neardup_pairs runs the banded perceptual search on the stub
+  // codec's content summaries; this is the real-pixel twin the round-14
+  // review asked for: genuine PNGs (same closed-form pattern as
+  // mm_decode_real), decoded by javax.imageio, mean-pooled to an 8×8
+  // grid, aHashed, and banded with the identical 4-piece pigeonhole.
+  // The fixture SELF-PLANTS near-dups: images 12..15 are copies of
+  // 0..3 with the top-left grid cell's red channel lifted by a
+  // saturating +96 — a local edit that perturbs ONE pooled cell, so
+  // the pair lands at Hamming ≤ 1 while every unrelated pair measures
+  // ≥ 16 (verified range; the ≤ 3 radius sits in the gap).
+  //
+  // Exactness: the aHash threshold is the integer cross-multiplication
+  // cell_sum · n_pixels > total_sum · cell_count — no division — so
+  // the decoded bits equal the oracle's closed-form bits only if the
+  // codec round-trip is bit-exact, making this both a near-dup query
+  // and a second pixel-level decoder check.
+
+  private val ndPlantCount = 4
+  private val ndGrid = 8 // 8×8 = 64 aHash bits
+  private val ndPieces = 4
+  private val ndPieceBits = 16
+  private val ndMaxHamming = 3
+
+  private[graft] def realNearDupFixture(): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_mm_real_neardup"
+    graft.sources.Formats.writeOnce(s"mm_nd|$path") {
+      val dir = graft.sources.Formats.freshDir(path)
+      (0 until realPngCount + ndPlantCount).foreach { id =>
+        val k = if (id < realPngCount) id else id - realPngCount
+        val planted = id >= realPngCount
+        val (w, h) = realPngDims(k)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = realPngRgb(k, x, y)
+            val out =
+              if (planted && (x * ndGrid) / w == 0 && (y * ndGrid) / h == 0) {
+                val r = math.min(((rgb >> 16) & 0xff) + 96, 255)
+                (r << 16) | (rgb & 0xffff)
+              } else rgb
+            img.setRGB(x, y, out)
+            x += 1
+          }
+          y += 1
+        }
+        val ok = javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(dir, f"nd_$id%02d.png"))
+        require(ok, s"no PNG writer for near-dup fixture image $id")
+      }
+    }
+    path
+  }
+
+  final case class PooledRow(
+      media_id: Long, n_pixels: Long, total: Long,
+      cell_sums: Array[Long], cell_counts: Array[Long])
+
+  /** Decode + pool: one pass over the pixels accumulating per-grid-cell
+    * luminance (r+g+b) sums and counts — the decoder knows nothing of
+    * the fixture pattern, it only reads pixels. */
+  private def pooled(spark: SparkSession): Dataset[PooledRow] = {
+    import spark.implicits._
+    val path = realNearDupFixture()
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (p, bytes) =>
+          val id = "nd_(\\d+)\\.png$".r.findFirstMatchIn(p)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"unexpected fixture file $p"))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](ndGrid * ndGrid)
+          val counts = new Array[Long](ndGrid * ndGrid)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+              val c = (y * ndGrid) / h * ndGrid + (x * ndGrid) / w
+              sums(c) += lum; counts(c) += 1; total += lum
+              x += 1
+            }
+            y += 1
+          }
+          PooledRow(id, w.toLong * h, total, sums, counts)
+        }
+      }
+  }
+
+  /** The 16 aHash bits of piece `kp` — integer cross-multiplication,
+    * statically unrolled like bqWord so the pack stays codegen'd. */
+  private def ndPiece(kp: Int): org.apache.spark.sql.Column =
+    (0 until ndPieceBits).map { j =>
+      val b = kp * ndPieceBits + j
+      when(element_at(col("cell_sums"), b + 1) * col("n_pixels") >
+        col("total") * element_at(col("cell_counts"), b + 1), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _).as(s"p$kp")
+
+  /** Near-dup image pairs within Hamming ≤ 3 of the real-pixel aHash,
+    * via the same 4-piece pigeonhole banding as [[mediaNearDupPairs]]
+    * (Hamming ≤ 3 over 4 pieces ⇒ some piece equal — the equi-join key
+    * that keeps this linear in matches at corpus scale). */
+  def realNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = pooled(spark).toDF()
+      .select(col("media_id") +: (0 until ndPieces).map(ndPiece): _*)
+      .staged // both join sides
+    val pieceNames = (0 until ndPieces).map(k => s"p$k")
+    val exploded = sig.select(col("media_id") +: pieceNames.map(col) :+
+      explode(array((0 until ndPieces).map(k =>
+        struct(lit(k).as("k"), col(s"p$k").as("piece"))): _*)).as("kp"): _*)
+      .select(col("media_id") +: pieceNames.map(col) :+
+        col("kp.k").as("k") :+ col("kp.piece").as("piece"): _*)
+    def side(tag: String) = exploded.select(
+      col("media_id").as(tag) +:
+        pieceNames.map(p => col(p).as(s"$tag$p")) :+
+        col("k") :+ col("piece"): _*)
+    val hamming = pieceNames.map(p =>
+      bit_count(col(s"a$p").bitwiseXOR(col(s"b$p")))).reduce(_ + _)
+    side("a").join(side("b"), Seq("k", "piece"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= ndMaxHamming)
+      .select("a", "b", "hamming").distinct()
+      .orderBy("a", "b")
+  }
+
+  /** Oracle: the closed-form pattern pooled and aHashed in pure SQL
+    * (exact all-pairs form — proves the banded path lossless AND the
+    * decode bit-exact in one tie-out). */
+  val realNearDupPairsSql: String =
+    s"""WITH imgs AS (
+       |  SELECT k::BIGINT AS media_id, k::BIGINT AS src_k, 0 AS planted,
+       |         16 + 3*k AS w, 16 + (5*k) % 24 AS h
+       |  FROM range($realPngCount) t(k)
+       |  UNION ALL
+       |  SELECT $realPngCount + k, k, 1, 16 + 3*k, 16 + (5*k) % 24
+       |  FROM range($ndPlantCount) t(k)),
+       |px AS (
+       |  SELECT media_id, src_k, planted, w, h,
+       |         unnest(generate_series(0, w*h - 1)) AS i
+       |  FROM imgs),
+       |lum AS (
+       |  SELECT media_id,
+       |         ((i // w) * $ndGrid) // h * $ndGrid + ((i % w) * $ndGrid) // w AS cell,
+       |         CASE WHEN planted = 1 AND ((i % w) * $ndGrid) // w = 0
+       |                   AND ((i // w) * $ndGrid) // h = 0
+       |              THEN least((7*(i % w) + 13*(i // w) + 29*src_k) % 256 + 96, 255)
+       |              ELSE (7*(i % w) + 13*(i // w) + 29*src_k) % 256 END
+       |         + (3*(i % w) + 11*(i // w) + 17*src_k) % 256
+       |         + (5*(i % w) + 2*(i // w) + 23*src_k) % 256 AS l
+       |  FROM px),
+       |cellsum AS (
+       |  SELECT media_id, cell, CAST(sum(l) AS BIGINT) AS cs, count(*) AS cc
+       |  FROM lum GROUP BY media_id, cell),
+       |tot AS (
+       |  SELECT media_id, CAST(sum(cs) AS BIGINT) AS total,
+       |         CAST(sum(cc) AS BIGINT) AS np
+       |  FROM cellsum GROUP BY media_id),
+       |bits AS (
+       |  SELECT c.media_id, c.cell,
+       |         CASE WHEN c.cs * t.np > t.total * c.cc THEN 1 ELSE 0 END AS bit
+       |  FROM cellsum c JOIN tot t USING (media_id))
+       |SELECT l.media_id AS a, r.media_id AS b,
+       |       CAST(sum(CASE WHEN l.bit <> r.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       |FROM bits l JOIN bits r ON l.cell = r.cell AND l.media_id < r.media_id
+       |GROUP BY l.media_id, r.media_id
+       |HAVING sum(CASE WHEN l.bit <> r.bit THEN 1 ELSE 0 END) <= $ndMaxHamming
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_neardup_real" -> realNearDupPairs,
     "mm_frame_sample_real" -> realFrameSample,
     "mm_decode_audio_real" -> realAudioDecode,
     "mm_media_meta" -> mediaMeta,
@@ -629,6 +810,7 @@ object Multimodal {
     "mm_decode_real" -> realDecode)
 
   val oracles: Map[String, String] = Map(
+    "mm_neardup_real" -> realNearDupPairsSql,
     "mm_frame_sample_real" -> realFrameSampleSql,
     "mm_decode_audio_real" -> realAudioDecodeSql,
     "mm_media_meta" -> mediaMetaSql,

@@ -59,6 +59,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real-pixel near-dup: planted image edits recovered, unrelated images far away") {
+    val df = Multimodal.realNearDupPairs(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "near-dup plan fell back to a cross product")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // images 12..15 are copies of 0..3 with the top-left pooled cell's
+    // red channel lifted — each pair must land within the radius, and
+    // NOTHING else may (measured: unrelated pairs sit at Hamming >= 16)
+    val want = (0L until 4L).map(k => (k, k + 12L)).toSet
+    assert(rows.map(p => (p._1, p._2)).toSet === want,
+      s"banded path returned ${rows.mkString(",")}")
+    rows.foreach(p => assert(p._3 <= 1, s"planted edit moved the aHash too far: $p"))
+    // decoder honesty: recompute one planted pair's pooled aHash from
+    // the fixture pixels directly through an independent ImageIO read
+    val dir = new java.io.File(Multimodal.realNearDupFixture())
+    def bits(f: String): Seq[Boolean] = {
+      val img = javax.imageio.ImageIO.read(new java.io.File(dir, f))
+      val w: Int = img.getWidth()
+      val h: Int = img.getHeight()
+      val cs = new Array[Long](64); val cc = new Array[Long](64); var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val l = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+        val c = (y * 8) / h * 8 + (x * 8) / w
+        cs(c) += l; cc(c) += 1; tot += l
+      }
+      (0 until 64).map(j => cs(j) * w * h > tot * cc(j))
+    }
+    val ham = bits("nd_02.png").zip(bits("nd_14.png")).count { case (a, b) => a != b }
+    val reported = rows.find(p => p._1 == 2L && p._2 == 14L).get._3
+    assert(ham === reported, s"reported hamming $reported != pixel-derived $ham")
+  }
+
   test("real codec arm: ImageIO round-trip reproduces the closed-form sums") {
     val rows = Multimodal.realDecode(spark, sf("sf0.001")).collect()
     assert(rows.length === 12)

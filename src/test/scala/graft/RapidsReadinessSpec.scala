@@ -142,6 +142,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
+    "mm_neardup_real" -> Set("bit-count", "rdd-segment"),
     "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
@@ -320,6 +321,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_decode_summary" -> Set("object-node", "jvm-invoke"),
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
+    "mm_neardup_real" -> Set("object-node", "jvm-invoke", "bit-count"),
     "url_lang_mix" -> Set("bin"),
     // graph drains: per-round Cache.cut lineage cuts (round 12 —
     // measured 3-16x persist-mode inflation from nested round plans)
