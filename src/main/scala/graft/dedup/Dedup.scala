@@ -128,6 +128,51 @@ object Dedup {
        |       (n_tokens * 1000) // cluster_size AS effective_tokens_milli
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Soft dedup over NEAR-dup clusters — the form SoftDeDup-style
+    * pipelines actually ship: [[softWeights]] reweights only
+    * byte-identical copies, while this extends inverse-multiplicity
+    * weighting to the LSH-verified near-dup components
+    * ([[nearDupClusters]]' bounded min-label propagation over the
+    * Jaccard-verified candidate graph). Every member of a near-dup
+    * cluster of size s keeps weight ⌊1000/s⌋ — the cluster's total
+    * training mass stays ≈ one document, but no variant is dropped,
+    * so a downstream sampler still sees the variants' diversity.
+    *
+    * Scale shape: rides the memoized clusters frame; the only additions
+    * are one count window over cluster_rep (a key-partitioned window —
+    * never corpus-wide) and the doc-keyed token-count join. */
+  def softWeightsNear(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir).select("doc_id", "cluster_rep")
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    clusters.join(docs, "doc_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_rep")))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        expr("1000 DIV cluster_size").as("weight_permille"),
+        col("n_tokens"),
+        expr("(n_tokens * 1000) DIV cluster_size").as("effective_tokens_milli"))
+      .orderBy("doc_id")
+  }
+
+  def softWeightsNearSql: String = {
+    require(nearDupClustersSql.endsWith("ORDER BY doc_id"),
+      "nearDupClustersSql no longer ends with its ORDER BY — update softWeightsNearSql's composition")
+    val cl = nearDupClustersSql.stripSuffix("ORDER BY doc_id")
+    s"""WITH cl AS ($cl),
+       |w AS (
+       |  SELECT cl.doc_id, cl.cluster_rep,
+       |         count(*) OVER (PARTITION BY cl.cluster_rep) AS cluster_size,
+       |         CAST(len($tokSql) AS BIGINT) AS n_tokens
+       |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_rep, cluster_size,
+       |       1000 // cluster_size AS weight_permille,
+       |       n_tokens,
+       |       (n_tokens * 1000) // cluster_size AS effective_tokens_milli
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   // Universal-hash family for MinHash: mh_i = (a_i·(H mod p) + b_i) mod p
   // over ONE md5-derived base hash H per shingle — 16× fewer md5s than
   // hashing (i, shingle) pairs, and no explode over i (the 16 minhashes
@@ -1661,6 +1706,7 @@ object Dedup {
     "dedup_neardup_clusters" -> nearDupClusters,
     "dedup_exact" -> exact,
     "dedup_soft_weights" -> softWeights,
+    "dedup_soft_weights_near" -> softWeightsNear,
     "dedup_minhash_bands" -> ((s, d) => minhashBands(s, d)),
     "dedup_minhash_candidates" -> minhashCandidates,
     "dedup_minhash_cjk" -> minhashCandidatesCjk,
@@ -1688,6 +1734,7 @@ object Dedup {
     "dedup_neardup_clusters" -> nearDupClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_soft_weights" -> softWeightsSql,
+    "dedup_soft_weights_near" -> softWeightsNearSql,
     "dedup_minhash_bands" -> minhashBandsSql(),
     "dedup_minhash_candidates" -> minhashCandidatesSql,
     "dedup_minhash_cjk" -> minhashCandidatesCjkSql,

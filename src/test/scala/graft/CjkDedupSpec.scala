@@ -103,6 +103,34 @@ class CjkDedupSpec extends SparkSpec {
     assert(got.values.map(_._4).sum === 9999L)
   }
 
+  test("near-dup soft weights: verified clusters reweighted, mass conserved, singletons untouched") {
+    // docs 1/2 are NEAR dups (not byte-identical: one word differs), doc
+    // 9 is unique — exact-hash soft weights must leave ALL of them at
+    // weight 1000 while the near-dup form folds 1 and 2 into one cluster
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val u = "completely different english text about query planners and joins"
+    val dir = fixture(Seq((1L, a, "en"), (2L, b, "en"), (9L, u, "en")))
+    val exact = Dedup.softWeights(spark, dir).collect()
+    exact.foreach(r => assert(r.getAs[Long]("weight_permille") === 1000L,
+      s"exact-hash arm must not see the near pair: $r"))
+    val near = Dedup.softWeightsNear(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Long]("cluster_size"),
+          r.getAs[Long]("weight_permille"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("effective_tokens_milli"))).toMap
+    assert(near(1L) === ((1L, 2L, 500L, 10L, 5000L)), s"got ${near(1L)}")
+    assert(near(2L) === ((1L, 2L, 500L, 10L, 5000L)), s"got ${near(2L)}")
+    assert(near(9L) === ((9L, 1L, 1000L, 9L, 9000L)), s"got ${near(9L)}")
+    // mass conservation: each cluster's total weight ∈ (1000 - size, 1000]
+    near.values.groupBy(_._1).foreach { case (rep, members) =>
+      val total = members.map(_._3).sum
+      val size = members.head._2
+      assert(total <= 1000L && total > 1000L - size,
+        s"cluster $rep mass $total outside (${1000 - size}, 1000]")
+    }
+  }
+
   test("ExactSubstr char arm: shared space-free passage -> one maximal char span; word arm blind") {
     // docs 1 and 2 embed the same 20-ideograph passage at different
     // offsets inside otherwise-disjoint space-free text; docs 5/6 share

@@ -109,6 +109,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_contamination_mask" -> Set("rdd-segment", "higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_soft_weights" -> Set("higher-order-function"),
+    // near-dup soft weights: clusters ride the staged candidate frames;
+    // the token-count side's transform/filter HOF is un-staged
+    "dedup_soft_weights_near" -> Set("rdd-segment", "higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "rdd-segment"),
     "dedup_simhash_pairs" -> Set("bit-count", "rdd-segment"),
     "fn_array_ops" -> Set("higher-order-function"),
@@ -311,6 +314,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "dedup_contamination_mask" -> Set("higher-order-function"),
     "dedup_simhash" -> Set("higher-order-function"),
     "dedup_soft_weights" -> Set("higher-order-function"),
+    "dedup_soft_weights_near" -> Set("higher-order-function"),
     "dedup_simhash_incremental" -> Set("bit-count", "higher-order-function"),
     "dedup_simhash_pairs" -> Set("bit-count", "higher-order-function"),
     "fn_array_ops" -> Set("higher-order-function"),
