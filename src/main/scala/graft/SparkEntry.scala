@@ -38,6 +38,7 @@ object SparkEntry {
     (text.Bpe.queries, text.Bpe.oracles),
     (text.Unigram.queries, text.Unigram.oracles),
     (text.WordPiece.queries, text.WordPiece.oracles),
+    (text.ByteBpe.queries, text.ByteBpe.oracles),
     (text.TokenizerCompare.queries, text.TokenizerCompare.oracles),
     (text.Retrieval.queries, text.Retrieval.oracles),
     (text.Pipeline.queries, text.Pipeline.oracles),

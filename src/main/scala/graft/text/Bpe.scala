@@ -367,7 +367,7 @@ object Bpe {
   /** Occurrence-level training rounds as CTEs (p/b/s per round); with
     * `cntInBest` the b-CTEs also carry the winning pair's count for the
     * merge report. */
-  private def sqlRounds(cntInBest: Boolean): String =
+  private[text] def sqlRounds(cntInBest: Boolean): String =
     (1 to rounds).map { r =>
       val cnt = if (cntInBest) ", count(*) AS cnt" else ""
       s"""p$r AS (

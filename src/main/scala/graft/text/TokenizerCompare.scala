@@ -16,6 +16,9 @@ import graft.Cache.CacheOps
   *  - `bpe`       — [[Bpe]]'s released-vocab encode; tokens = the
   *                  emitted stream AFTER byte-fallback, UNK = symbols
   *                  that fell back.
+  *  - `bytebpe`   — [[ByteBpe]]'s byte-axis encode (GPT-2 regime:
+  *                  case/punct-preserving pretokens, UTF-8 byte
+  *                  symbols); UNK structurally 0.
   *  - `unigram`   — [[Unigram]]'s Viterbi encode; UNK = character
   *                  fallback emissions (per-piece granularity).
   *  - `wordpiece` — [[WordPiece]]'s greedy encode; UNK = whole WORDS
@@ -40,6 +43,8 @@ object TokenizerCompare {
       .staged // feeds the chars row and every fertility denominator
     val armRows = Seq(
       ("bpe", Bpe.bpeEncodeFrom(docs), "n_final_tokens", "n_oov_tokens"),
+      ("bytebpe", ByteBpe.byteBpeEncodeFrom(docs),
+        "n_bytebpe_tokens", "n_unk_tokens"),
       ("unigram", Unigram.encodeAcross(docs, docs),
         "n_unigram_tokens", "n_unk_tokens"),
       ("wordpiece", WordPiece.encodeAcross(docs, docs),
@@ -68,6 +73,9 @@ object TokenizerCompare {
        |bpe AS (
        |  SELECT n_final_tokens AS n_tokens, n_oov_tokens AS n_unk
        |  FROM (${Bpe.bpeEncodeSql}) WHERE doc_id = -1),
+       |bb AS (
+       |  SELECT n_bytebpe_tokens AS n_tokens, n_unk_tokens AS n_unk
+       |  FROM (${ByteBpe.byteBpeEncodeSql}) WHERE doc_id = -1),
        |uni AS (
        |  SELECT n_unigram_tokens AS n_tokens, n_unk_tokens AS n_unk
        |  FROM (${Unigram.unigramEncodeSql}) WHERE doc_id = -1),
@@ -81,6 +89,8 @@ object TokenizerCompare {
        |         CAST(0 AS BIGINT) AS n_unk_tokens FROM base
        |  UNION ALL
        |  SELECT 'bpe', base.n_words, bpe.n_tokens, bpe.n_unk FROM base, bpe
+       |  UNION ALL
+       |  SELECT 'bytebpe', base.n_words, bb.n_tokens, bb.n_unk FROM base, bb
        |  UNION ALL
        |  SELECT 'unigram', base.n_words, uni.n_tokens, uni.n_unk FROM base, uni
        |  UNION ALL

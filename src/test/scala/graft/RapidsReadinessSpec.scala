@@ -236,6 +236,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_bpe_merges" -> Set("rdd-segment"),
     "text_bpe_vocab" -> Set("rdd-segment"),
     "text_bpe_encode" -> Set("rdd-segment"),
+    "text_bytebpe_encode" -> Set("rdd-segment"),
     "text_bpe_encode_heldout" -> Set("rdd-segment"),
     "text_unigram_train" -> Set("rdd-segment"),
     "text_unigram_encode" -> Set("higher-order-function", "rdd-segment"),
@@ -411,6 +412,9 @@ class RapidsReadinessSpec extends SparkSpec {
     "text_bpe_merges" -> Set("higher-order-function", "rdd-segment"),
     "text_bpe_vocab" -> Set("rdd-segment"),
     "text_bpe_encode" -> Set("higher-order-function", "rdd-segment"),
+    // bytebpe pretokens are regexp_extract_all (not an HOF); the form
+    // table's drain cut is the only trigger in both modes
+    "text_bytebpe_encode" -> Set("rdd-segment"),
     "text_bpe_encode_heldout" -> Set("higher-order-function", "rdd-segment"),
     "text_unigram_train" -> Set("rdd-segment"),
     "text_unigram_encode" -> Set("higher-order-function", "rdd-segment"),
@@ -508,6 +512,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_semdedup", "text_token_fertility",
         "text_bpe_counts", "text_bpe_merges",
         "text_bpe_vocab", "text_bpe_encode", "text_bpe_encode_heldout",
+        "text_bytebpe_encode",
         "text_unigram_train", "text_unigram_encode",
         "text_unigram_encode_heldout",
         // wordpiece: Bpe.formTable's localCheckpoint persists in both modes
