@@ -427,7 +427,18 @@ object Dedup {
     * shared space-free passage of ≥ k chars reports as one maximal
     * char interval instead of vanishing into an empty word-token
     * array. Positions are 1-based in the script's unit (chars for
-    * space-free docs, words otherwise). */
+    * space-free docs, words otherwise).
+    *
+    * Cross-axis gram space (same property [[minhashCandidatesCjk]]
+    * documents): char-axis and word-axis k-grams share one string
+    * space, so a zh doc whose stripped text contains ascii letters
+    * (chars 'a','b',… joined by spaces) can collide with an en doc of
+    * single-letter words and produce a cross-axis duplicate span. The
+    * oracle computes the identical collision, and the reference
+    * ExactSubstr (single token space per corpus) would not — a
+    * documented deviation, acceptable because real corpora don't carry
+    * ≥ k-gram runs of single-letter words, and a per-axis salt would
+    * buy the separation at the cost of one more concat per gram. */
   def substringSpansCjk(spark: SparkSession, dir: String, k: Int = spanSeedK): DataFrame =
     substringSpansFrom(cjkTokensFrame(spark, dir), k)
       .orderBy("doc_id", "span_start")

@@ -569,6 +569,17 @@ object StreamingQueries {
       }
       (0 until 4).foreach(m =>
         writeSplit(m, s"ingest$m.parquet", 1000000000000L + m * 60000L))
+      // the capped oracle's row_number(ORDER BY doc_id % 4, doc_id)
+      // states this ARRIVAL order declaratively — assert the invariant
+      // it rests on where the files are written: FileStreamSource picks
+      // files in mod-time order, so ingest m's stamp must strictly
+      // precede ingest m+1's (a reordered writer would silently break
+      // oracle equality, not fail the stream)
+      val stamps = (0 until 4).map(m => java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(path, s"ingest$m.parquet"))
+        .toMillis)
+      require(stamps == stamps.sorted && stamps.distinct.size == 4,
+        s"ingest fixture mod-times not strictly increasing: $stamps")
     }
     val sch = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",

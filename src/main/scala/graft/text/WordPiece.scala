@@ -59,11 +59,17 @@ object WordPiece {
     * matches (not even the single character), the word is `[UNK]`:
     * p jumps past the end, n is forced to 1. Finish emits
     * (n_tok, n_unk) with n_unk at WORD granularity. Expects columns
-    * `w` and `vm` (map piece → cnt; only key presence matters). */
+    * `w` and `vm` (map piece → cnt; only key presence matters).
+    * Empty `w` short-circuits to (0, 0): without the guard the inner
+    * descending sequence would be sequence(0, 1, -1) — a Spark
+    * boundary violation — on an input no tokenizer ever feeds it
+    * (TextAnalysis.tokens can't emit empty strings) but that this
+    * reusable Column must not throw on. */
   private[graft] val greedySeg: Column = {
     val key = s"if(i = 1, substring(w, i, l), concat('##', substring(w, i, l)))"
     expr(
-      s"""aggregate(
+      s"""if(length(w) = 0, named_struct('n_tok', 0L, 'n_unk', 0L),
+         |aggregate(
          |  sequence(1, length(w)),
          |  named_struct('p', 1, 'n', 0L, 'bad', false),
          |  (st, i) -> if(st.bad or i != st.p, st,
@@ -76,7 +82,7 @@ object WordPiece {
          |           b)),
          |      b -> if(b.p >= 0, b,
          |        named_struct('p', length(w) + 1, 'n', 1L, 'bad', true)))),
-         |  st -> named_struct('n_tok', st.n, 'n_unk', if(st.bad, 1L, 0L)))"""
+         |  st -> named_struct('n_tok', st.n, 'n_unk', if(st.bad, 1L, 0L))))"""
         .stripMargin)
   }
 

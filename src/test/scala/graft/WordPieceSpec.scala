@@ -46,6 +46,12 @@ class WordPieceSpec extends SparkSpec {
     assert(seg("x", Seq("##x")) === (1L, 1L), "continuation-only can't start a word")
   }
 
+  test("empty word short-circuits to (0, 0) instead of a sequence-boundary error") {
+    // unreachable via TextAnalysis.tokens, but the Column is
+    // private[graft]-reusable and must not throw on the edge
+    assert(seg("", Seq("a")) === (0L, 0L))
+  }
+
   test("harness fixture: real nonzero UNK and sane fertility at sf0.001") {
     val rows = WordPiece.wordpieceEncode(spark, sf("sf0.001")).collect()
     val total = rows.find(_.getLong(0) == -1L).get
