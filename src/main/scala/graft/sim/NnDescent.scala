@@ -268,6 +268,114 @@ object NnDescent {
       .orderBy("beam")
   }
 
+  // ------------------------------------------------------ insert path
+
+  /** Beam rounds for the insert search — one more than the panel
+    * search: insert starts from a FIXED entry set instead of the
+    * query's own neighborhood, so it pays an extra hop of travel. */
+  private val insertRounds = 5
+
+  private def splitH(c: org.apache.spark.sql.Column) =
+    graft.text.TextAnalysis.splitHash(c)
+
+  /** INSERT path — the HNSW-style maintenance step a serving system
+    * runs as new vectors arrive: each DELTA vector (the canonical
+    * hash split ≥ 90, standing in for "arrived since the index was
+    * built", like [[Pq]]'s and [[Similarity]]'s incremental arms)
+    * beam-searches the BASE graph from a fixed entry set (the
+    * `degree` smallest base ids) and emits its top-k attach edges —
+    * exactly the neighbor list an insert would link. The base graph
+    * is the session's built index PROJECTED to base→base edges (each
+    * base node keeps its best surviving neighbors) — the
+    * "index-before-the-delta" surface, reusing the memoized build
+    * instead of paying a second one.
+    *
+    * Scale shape: the entry set is model-sized (broadcast cross —
+    * |delta|·degree seed rows from one map stage); each round is one
+    * equi-join through the base adjacency + one scoring join against
+    * the id-keyed corpus + a (query)-windowed top-beam — all keyed
+    * shuffles, delta-sized, never corpus². The recall gate prices the
+    * whole path against the exact delta×base brute force. */
+  def nnDescentInsert(spark: SparkSession, dir: String, k: Int = topK): DataFrame = {
+    val (qn, g, _) = built(spark, dir)
+    val bg = g.filter(splitH(col("src")) < 90 && splitH(col("dst")) < 90)
+    val ubi = bg.select("src", "dst")
+      .union(bg.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().staged // read every insert round
+    val dq = qn.filter(splitH(col("vec_id")) >= 90)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    val ent = qn.filter(splitH(col("vec_id")) < 90)
+      .orderBy("vec_id").limit(degree)
+      .select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
+    val hop = ubi.select(col("src").as("cand_id"), col("dst").as("next_id"))
+    var bb = dq.crossJoin(broadcast(ent))
+      .select(col("query_id"), col("cand_id"),
+        (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))))
+      .filter(col("rn") <= beamWidth).drop("rn")
+    for (_ <- 1 to insertRounds) {
+      val expand = bb.select(col("query_id"), col("cand_id"))
+        .join(hop, "cand_id")
+        .select(col("query_id"), col("next_id").as("cand_id"))
+      val pool = bb.select("query_id", "cand_id").union(expand).distinct()
+      val scored = pool
+        .join(qn.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+          col("nsq").as("nb")), "cand_id")
+        .join(dq, "query_id")
+        .select(col("query_id"), col("cand_id"),
+          (Portable.dotQ(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cosine"))
+      bb = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id"))))
+        .filter(col("rn") <= beamWidth).drop("rn")
+        .cutRound
+    }
+    bb
+      .select(col("query_id"), col("cand_id"), col("cosine"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of the insert path vs the exact delta×base brute force —
+    * per delta vector, like every other ANN gate. */
+  def nnDescentInsertRecall(spark: SparkSession, dir: String, k: Int = topK): DataFrame = {
+    val qn = quantizedPlan(spark, dir)
+    val dq = qn.filter(splitH(col("vec_id")) >= 90)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    val base = qn.filter(splitH(col("vec_id")) < 90)
+      .select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
+    // exact side = delta×base brute force — at harness scale the whole
+    // delta split is the measurement panel; at 100 TB this side runs on
+    // a SAMPLED delta panel exactly like every other recall gate (the
+    // approximate side is the production path either way)
+    val exact = base.crossJoin(broadcast(dq))
+      .withColumn("cosine",
+        Portable.dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select(col("query_id"), col("cand_id"),
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
+          .as("rank"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id")
+    val approx = nnDescentInsert(spark, dir, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "cand_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_exact").cast("double"))
+      .orderBy("query_id")
+  }
+
   // --------------------------------------------------------------- oracle
 
   /** Unrolled build: CTE chain ending in `g$buildRounds` (src, dst,
@@ -359,6 +467,89 @@ object NnDescent {
     s"$b0,\n$rounds"
   }
 
+  /** Unrolled insert search over the base-projected graph; ends in
+    * `ib$insertRounds` (query_id, cand_id, cosine). */
+  private def insertSql: String = {
+    def sp(c: String) = s"(('0x' || substr(md5('split_' || $c), 1, 15))::BIGINT % 100)"
+    val scoreIns = (pairs: String, out: String) =>
+      s"""$out AS MATERIALIZED (
+         |  SELECT p.query_id, p.cand_id,
+         |         CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+         |           / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+         |  FROM $pairs p JOIN qn a ON a.vec_id = p.query_id JOIN qn b ON b.vec_id = p.cand_id)""".stripMargin
+    val head =
+      s"""bg AS MATERIALIZED (
+         |  SELECT src, dst FROM g$buildRounds
+         |  WHERE ${sp("src")} < 90 AND ${sp("dst")} < 90),
+         |ubi AS MATERIALIZED (
+         |  SELECT src, dst FROM bg UNION SELECT dst AS src, src AS dst FROM bg),
+         |dq AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, qv, nsq FROM qn WHERE ${sp("vec_id")} >= 90),
+         |ent AS MATERIALIZED (
+         |  SELECT vec_id, qv, nsq FROM qn WHERE ${sp("vec_id")} < 90
+         |  ORDER BY vec_id LIMIT $degree),
+         |ib0 AS MATERIALIZED (
+         |  SELECT query_id, cand_id, cosine FROM (
+         |    SELECT d.query_id, e.vec_id AS cand_id,
+         |           CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> d.qv[i] * e.qv[i])) AS BIGINT) AS DOUBLE)
+         |             / (sqrt(CAST(d.nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE))) AS cosine,
+         |           row_number() OVER (PARTITION BY d.query_id ORDER BY
+         |             CAST(CAST(list_sum(list_transform(generate_series(1, $dims), i -> d.qv[i] * e.qv[i])) AS BIGINT) AS DOUBLE)
+         |               / (sqrt(CAST(d.nsq AS DOUBLE)) * sqrt(CAST(e.nsq AS DOUBLE))) DESC, e.vec_id) AS rn
+         |    FROM dq d CROSS JOIN ent e) WHERE rn <= $beamWidth)""".stripMargin
+    val rounds = (1 to insertRounds).map { tt =>
+      s"""ie$tt AS MATERIALIZED (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT DISTINCT p.query_id, u.dst AS cand_id
+         |    FROM ib${tt - 1} p JOIN ubi u ON u.src = p.cand_id)
+         |  UNION SELECT query_id, cand_id FROM ib${tt - 1}),
+         |${scoreIns(s"ie$tt", s"is$tt")},
+         |ib$tt AS MATERIALIZED (
+         |  SELECT query_id, cand_id, cosine FROM (
+         |    SELECT query_id, cand_id, cosine,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+         |    FROM is$tt) WHERE rn <= $beamWidth)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  def nnDescentInsertSql(k: Int = topK): String =
+    s"""WITH ${Similarity.quantizedSql},
+       |$buildSql,
+       |$insertSql
+       |SELECT query_id, cand_id, cosine, rank FROM (
+       |  SELECT query_id, cand_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |  FROM ib$insertRounds) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def nnDescentInsertRecallSql(k: Int = topK): String = {
+    def sp(c: String) = s"(('0x' || substr(md5('split_' || $c), 1, 15))::BIGINT % 100)"
+    s"""WITH ${Similarity.quantizedSql},
+       |$buildSql,
+       |$insertSql,
+       |approx AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+       |    FROM ib$insertRounds) WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             CAST(${Similarity.dotSql} AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
+       |             b.vec_id) AS rank
+       |    FROM qn a JOIN qn b
+       |      ON ${sp("a.vec_id")} >= 90 AND ${sp("b.vec_id")} < 90)
+       |  WHERE rank <= $k)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   def knnGraphSql: String =
     s"""WITH ${Similarity.quantizedSql},
        |$buildSql
@@ -414,11 +605,15 @@ object NnDescent {
     "sim_nndescent_graph" -> ((s, d) => knnGraph(s, d)),
     "sim_nndescent_topk" -> ((s, d) => nnDescentTopK(s, d)),
     "sim_nndescent_recall" -> ((s, d) => nnDescentRecall(s, d)),
-    "sim_nndescent_beam_curve" -> ((s, d) => beamCurve(s, d)))
+    "sim_nndescent_beam_curve" -> ((s, d) => beamCurve(s, d)),
+    "sim_nndescent_insert" -> ((s, d) => nnDescentInsert(s, d)),
+    "sim_nndescent_insert_recall" -> ((s, d) => nnDescentInsertRecall(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sim_nndescent_graph" -> knnGraphSql,
     "sim_nndescent_topk" -> nnDescentTopKSql(),
     "sim_nndescent_recall" -> nnDescentRecallSql(),
-    "sim_nndescent_beam_curve" -> beamCurveSql())
+    "sim_nndescent_beam_curve" -> beamCurveSql(),
+    "sim_nndescent_insert" -> nnDescentInsertSql(),
+    "sim_nndescent_insert_recall" -> nnDescentInsertRecallSql())
 }

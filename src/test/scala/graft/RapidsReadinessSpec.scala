@@ -196,6 +196,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_nndescent_topk" -> Set("rdd-segment"),
     "sim_nndescent_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_nndescent_beam_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_nndescent_insert" -> Set("rdd-segment"),
+    "sim_nndescent_insert_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -380,6 +382,8 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_nndescent_topk" -> Set("rdd-segment"),
     "sim_nndescent_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_nndescent_beam_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_nndescent_insert" -> Set("rdd-segment"),
+    "sim_nndescent_insert_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivfpq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -509,6 +513,7 @@ class RapidsReadinessSpec extends SparkSpec {
         "sim_mmr_rerank",
         "sim_nndescent_graph", "sim_nndescent_topk",
         "sim_nndescent_recall", "sim_nndescent_beam_curve",
+        "sim_nndescent_insert", "sim_nndescent_insert_recall",
         "sim_semdedup", "text_token_fertility",
         "text_bpe_counts", "text_bpe_merges",
         "text_bpe_vocab", "text_bpe_encode", "text_bpe_encode_heldout",

@@ -81,7 +81,7 @@ class TokenizerCompareSpec extends SparkSpec {
     val dir = sf("sf0.001")
     val rep = graft.text.TokenizerCompare.tokenizerCompare(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(rep.keySet === Set("chars", "bpe", "unigram", "wordpiece"))
+    assert(rep.keySet === Set("chars", "bpe", "bytebpe", "unigram", "wordpiece"))
     val nWords = rep("chars")._1
     assert(rep.values.forall(_._1 == nWords), "denominator differs across rows")
     // chars row: Σ word lengths, zero UNK
@@ -99,6 +99,11 @@ class TokenizerCompareSpec extends SparkSpec {
     val un = graft.text.Unigram.unigramEncode(spark, dir).collect()
       .find(_.getLong(0) == -1L).get
     assert((rep("unigram")._2, rep("unigram")._3) === (un.getLong(2), un.getLong(3)))
+    // bytebpe row == the family's own corpus rollup; UNK structurally 0
+    val bb = graft.text.ByteBpe.byteBpeEncode(spark, dir).collect()
+      .find(_.getLong(0) == -1L).get
+    assert((rep("bytebpe")._2, rep("bytebpe")._3) ===
+      (bb.getAs[Long]("n_bytebpe_tokens"), 0L))
     // fertility is the stated integer formula
     rep.values.foreach { case (w, t, _, f) => assert(f === 1000L * t / w) }
   }
