@@ -344,18 +344,26 @@ object NnDescent {
       .orderBy("query_id", "rank")
   }
 
-  /** Recall@k of the insert path vs the exact delta×base brute force —
-    * per delta vector, like every other ANN gate. */
+  /** Measurement-panel size for the insert recall gate: the exact side
+    * is a brute-force scan per panel query, so the panel must be FIXED
+    * — a whole-delta exact side is delta×base ≈ corpus² and was
+    * measured superlinear at 64× (227 s) before this bound. 64 queries
+    * keeps the gate statistically meaningful and the exact side one
+    * bounded corpus scan, the same posture as the 8-query panel every
+    * other recall gate uses. */
+  private val insertPanel = 64
+
+  /** Recall@k of the insert path vs the exact panel×base brute force —
+    * per panel query (the [[insertPanel]] smallest delta ids), like
+    * every other ANN gate; the production path ([[nnDescentInsert]])
+    * still runs the WHOLE delta. */
   def nnDescentInsertRecall(spark: SparkSession, dir: String, k: Int = topK): DataFrame = {
     val qn = quantizedPlan(spark, dir)
     val dq = qn.filter(splitH(col("vec_id")) >= 90)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+      .orderBy("query_id").limit(insertPanel)
     val base = qn.filter(splitH(col("vec_id")) < 90)
       .select(col("vec_id").as("cand_id"), col("q").as("qb"), col("nsq").as("nb"))
-    // exact side = delta×base brute force — at harness scale the whole
-    // delta split is the measurement panel; at 100 TB this side runs on
-    // a SAMPLED delta panel exactly like every other recall gate (the
-    // approximate side is the production path either way)
     val exact = base.crossJoin(broadcast(dq))
       .withColumn("cosine",
         Portable.dotQ(col("qa"), col("qb")).cast("double") /
@@ -532,6 +540,9 @@ object NnDescent {
        |    SELECT query_id, cand_id,
        |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
        |    FROM ib$insertRounds) WHERE rank <= $k),
+       |pnl AS (
+       |  SELECT vec_id FROM qn WHERE ${sp("vec_id")} >= 90
+       |  ORDER BY vec_id LIMIT $insertPanel),
        |exact AS (
        |  SELECT query_id, cand_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
@@ -539,7 +550,7 @@ object NnDescent {
        |             CAST(${Similarity.dotSql} AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) DESC,
        |             b.vec_id) AS rank
        |    FROM qn a JOIN qn b
-       |      ON ${sp("a.vec_id")} >= 90 AND ${sp("b.vec_id")} < 90)
+       |      ON a.vec_id IN (SELECT vec_id FROM pnl) AND ${sp("b.vec_id")} < 90)
        |  WHERE rank <= $k)
        |SELECT e.query_id, count(*) AS n_exact,
        |       CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
