@@ -417,6 +417,81 @@ object Multimodal {
        |       CAST(sum((5*x + 2*y + 23*k) % 256) AS BIGINT) AS sum_b
        |FROM xy GROUP BY k ORDER BY media_id""".stripMargin
 
+  // ——— Real-pixel RESIZE arm: nearest-neighbor over decoded pixels ——
+  //
+  // mm_resize_meta computes the resize METADATA dataflow on the stub;
+  // this is the pixel half on the real codec: each fixture PNG is
+  // decoded and nearest-neighbor-downsampled to a fixed
+  // resizeTarget×resizeTarget thumbnail — out(X,Y) samples
+  // in((X·w)//T, (Y·h)//T), the integer-exact NN mapping — and the
+  // per-thumbnail channel sums are emitted. The DuckDB oracle applies
+  // the identical index mapping to the closed-form pattern, so the
+  // tie-out proves decode + resample arithmetic end to end (the last
+  // stub-only pixel path, closed).
+
+  private val resizeTarget = 16
+
+  final case class RealResizedRow(
+      media_id: Long, width: Long, height: Long, target: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Real decode + NN-downsample: binaryFile scan → per-partition
+    * ImageIO decode → thumbnail channel sums (the decoder knows only
+    * pixels, not the fixture pattern). */
+  def realResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = realPngFixture()
+    val t = resizeTarget
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (p, bytes) =>
+          val k = "img_(\\d+)\\.png$".r.findFirstMatchIn(p)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"unexpected fixture file $p"))
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var yy = 0
+          while (yy < t) {
+            var xx = 0
+            while (xx < t) {
+              val rgb = img.getRGB((xx * w) / t, (yy * h) / t)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          RealResizedRow(k, w.toLong, h.toLong, t.toLong, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Oracle: the closed-form pattern sampled through the identical
+    * nearest-neighbor index mapping, in pure SQL. */
+  val realResizeSql: String =
+    s"""WITH dims AS (
+       |  SELECT k::BIGINT AS k, 16 + 3*k AS w, 16 + (5*k) % 24 AS h
+       |  FROM range($realPngCount) t(k)),
+       |op AS (
+       |  SELECT k, w, h, unnest(generate_series(0, ${resizeTarget * resizeTarget - 1})) AS i
+       |  FROM dims),
+       |xy AS (
+       |  SELECT k, w, h,
+       |         ((i % $resizeTarget) * w) // $resizeTarget AS x,
+       |         ((i // $resizeTarget) * h) // $resizeTarget AS y
+       |  FROM op)
+       |SELECT k AS media_id, any_value(w) AS width, any_value(h) AS height,
+       |       CAST($resizeTarget AS BIGINT) AS target,
+       |       CAST(sum((7*x + 13*y + 29*k) % 256) AS BIGINT) AS sum_r,
+       |       CAST(sum((3*x + 11*y + 17*k) % 256) AS BIGINT) AS sum_g,
+       |       CAST(sum((5*x + 2*y + 23*k) % 256) AS BIGINT) AS sum_b
+       |FROM xy GROUP BY k ORDER BY media_id""".stripMargin
+
   // ——— Real-codec AUDIO arm: javax.sound.sampled WAV, same design ———
   //
   // The image arm proves the pipeline for PNG; this proves it for a
@@ -800,6 +875,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_neardup_real" -> realNearDupPairs,
+    "mm_resize_real" -> realResize,
     "mm_frame_sample_real" -> realFrameSample,
     "mm_decode_audio_real" -> realAudioDecode,
     "mm_media_meta" -> mediaMeta,
@@ -811,6 +887,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_neardup_real" -> realNearDupPairsSql,
+    "mm_resize_real" -> realResizeSql,
     "mm_frame_sample_real" -> realFrameSampleSql,
     "mm_decode_audio_real" -> realAudioDecodeSql,
     "mm_media_meta" -> mediaMetaSql,

@@ -113,6 +113,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real-pixel resize: NN thumbnail sums tie against an independent pixel sample") {
+    val rows = Multimodal.realResize(spark, sf("sf0.001")).collect()
+    assert(rows.length === 12)
+    rows.foreach { r =>
+      val k = r.getLong(0).toInt
+      val (w, h) = (16 + 3 * k, 16 + (5 * k) % 24)
+      assert(r.getLong(1) === w.toLong && r.getLong(2) === h.toLong)
+      assert(r.getLong(3) === 16L)
+      // recompute from the closed-form pattern through the same mapping
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        val (x, y) = ((xx * w) / 16, (yy * h) / 16)
+        sr += (7 * x + 13 * y + 29 * k) % 256
+        sg += (3 * x + 11 * y + 17 * k) % 256
+        sb += (5 * x + 2 * y + 23 * k) % 256
+      }
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) === ((sr, sg, sb)),
+        s"thumbnail sums diverge for image $k — decode or NN mapping broken")
+    }
+  }
+
   test("real audio arm: WAV round-trip reproduces the closed-form sample sums") {
     val rows = Multimodal.realAudioDecode(spark, sf("sf0.001")).collect()
     assert(rows.length === 8)

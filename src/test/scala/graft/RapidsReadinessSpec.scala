@@ -146,6 +146,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count", "rdd-segment"),
     "mm_neardup_real" -> Set("bit-count", "rdd-segment"),
+    "mm_resize_real" -> Set("object-node", "jvm-invoke"),
     "mm_resize_meta" -> Set("object-node", "jvm-invoke"),
     "pipeline_cluster_quality" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "pipeline_curation" -> Set("rdd-segment"),
@@ -329,6 +330,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "mm_frame_sample" -> Set("object-node", "jvm-invoke"),
     "mm_neardup_pairs" -> Set("bit-count"),
     "mm_neardup_real" -> Set("object-node", "jvm-invoke", "bit-count"),
+    "mm_resize_real" -> Set("object-node", "jvm-invoke"),
     "url_lang_mix" -> Set("bin"),
     // graph drains: per-round Cache.cut lineage cuts (round 12 —
     // measured 3-16x persist-mode inflation from nested round plans)
