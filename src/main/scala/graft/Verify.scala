@@ -47,6 +47,7 @@ object Verify {
       try {
         graft.aria.AriaQueries.persistEpoch0Inputs(spark, ariaDir)
         graft.aria.AriaQueries.persistMultiInputs(spark, ariaDir)
+        graft.aria.AriaQueries.persistFallbackInputs(spark, ariaDir)
         true
       }
       catch { case e: Throwable =>

@@ -102,6 +102,16 @@ object Aria {
       .agg(max(struct(col("opIdx"), col("tid"), col("epoch"))).as("w"))
       .select(keyCols.map(col) ++ Seq(col("w.tid").as("tid"),
         col("w.epoch").as("epoch"), col("w.opIdx").as("opIdx")): _*)
+    mergeWinners(table, winners, seed, keyCols)
+  }
+
+  /** Shared write-back tail of [[install]] and [[fallbackApply]]: value
+    * each per-key winning (epoch, tid, opIdx) op and left-join-merge it
+    * into the table snapshot. Writes to absent keys drop here (the left
+    * join keeps only table keys), matching the reference's skip of ops
+    * on missing keys. */
+  private def mergeWinners(table: DataFrame, winners: DataFrame, seed: Long,
+                           keyCols: Seq[String]): DataFrame = {
     val valued = (0 until 10).foldLeft(winners) { (df, i) =>
       df.withColumn(s"nf$i", Workload.writePayload(seed, i))
     }.select(keyCols.map(col) ++ (0 until 10).map(i => col(s"nf$i")): _*)
@@ -109,6 +119,27 @@ object Aria {
     table.join(valued, keyCols, "left").select(
       keyCols.map(col) ++ (0 until 10).map(i =>
         coalesce(col(s"nf$i"), col(s"f$i")).as(s"f$i")): _*)
+  }
+
+  /** Aria-paper fallback: apply a residual batch as one deterministic
+    * serial pass in Tid order — the relational image of "process the
+    * deferred transactions with deterministic (ordered-lock) execution,
+    * which commits every one of them". Serial execution txn-by-txn in
+    * Tid order, ops in op order, means the per-key winning write is
+    * simply max(tid, opIdx) over the batch's update ops — one
+    * partial+final agg shuffle plus the same merge join as [[install]];
+    * no per-txn iteration, no window, nothing batch-length-dependent.
+    * (Writes here are pure functions of (seed, epoch, tid, opIdx), so
+    * last-writer-wins IS the serial outcome; a read-dependent payload
+    * would need T10's per-key op-chain machinery instead.) */
+  def fallbackApply(table: DataFrame, ops: DataFrame, seed: Long,
+                    keyCols: Seq[String] = Seq("key")): DataFrame = {
+    val winners = ops.filter(col("isUpdate"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col("tid"), col("opIdx"), col("epoch"))).as("w"))
+      .select(keyCols.map(col) ++ Seq(col("w.tid").as("tid"),
+        col("w.epoch").as("epoch"), col("w.opIdx").as("opIdx")): _*)
+    mergeWinners(table, winners, seed, keyCols)
   }
 
   /** T8 Collect: keep aborted txns' ops, renumber Tids 1..m preserving
@@ -306,6 +337,28 @@ object Aria {
       stats += r.stats
       remaining = r.stats.aborted
       epoch += 1
+      // Contention-collapse fallback (cfg.fallbackCommitRate): min-Tid
+      // starvation at batch≈keyspace makes each further epoch commit a
+      // near-constant handful of txns — O(batch) epochs to drain (the
+      // reference avoids the regime only by its 150/20k operating
+      // point). When an epoch's commit rate drops below the threshold,
+      // apply the whole residual as ONE deterministic serial pass. The
+      // retry batch already carries the next epoch number and renumbered
+      // Tids, so the fallback epoch's stats row and payload keys line up
+      // with what [[collect]] produced.
+      if (remaining > 0 && cfg.fallbackCommitRate > 0 &&
+          r.stats.committed < cfg.fallbackCommitRate * r.stats.txns) {
+        val ft = fallbackApply(table, ops, cfg.seed)
+          .localCheckpoint(eager = eagerHygiene(cfg))
+        if (eagerHygiene(cfg))
+          Seq(table, ops).foreach { f =>
+            if (GraftBridge.isCheckpointRoot(f)) GraftBridge.dropCheckpointBlocks(f)
+          }
+        table = ft
+        stats += EpochStats(epoch, remaining, remaining, 0)
+        remaining = 0
+        epoch += 1
+      }
     }
     RunResult(table, stats.result())
   }

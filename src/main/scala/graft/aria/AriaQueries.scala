@@ -167,13 +167,10 @@ object AriaQueries {
   // and to keep DuckDB from re-expanding the parquet scan per reference.
   private val unrollEpochs = 12
 
-  private def drainChainSql(mode: String, reorder: Boolean): Seq[String] = {
+  private def drainChainSql(mode: String, reorder: Boolean,
+      opsSrc: String = defaultOpsSrc, nTxns0: Int = cfg.nTxns): Seq[String] = {
     val dec = if (reorder) "(waw OR (raw AND war))" else "(raw OR waw)"
-    val head = Seq(
-      s"""ops_${mode}_0 AS MATERIALIZED (
-         |  SELECT tid, epoch, opIdx, key, isUpdate
-         |  FROM read_parquet('__ARIA_DIR__/aria_epoch0_ops/*.parquet')
-         |  WHERE key IN (SELECT key FROM read_parquet('__ARIA_DIR__/aria_epoch0_keys/*.parquet')))""".stripMargin)
+    val head = Seq(s"ops_${mode}_0 AS MATERIALIZED (\n$opsSrc)")
     val epochs = (0 until unrollEpochs).flatMap { e =>
       Seq(
         s"""res_${mode}_$e AS (
@@ -193,7 +190,7 @@ object AriaQueries {
            |  FROM ops_${mode}_$e o JOIN ab_${mode}_$e ab ON o.tid = ab.tid)""".stripMargin)
     }
     val statRows = (0 until unrollEpochs).map { e =>
-      val txns = if (e == 0) cfg.nTxns.toString
+      val txns = if (e == 0) nTxns0.toString
                  else s"(SELECT count(*) FROM ab_${mode}_${e - 1})"
       val ab = s"(SELECT count(*) FROM ab_${mode}_$e)"
       s"""SELECT $e AS epoch, CAST($txns AS BIGINT) AS txns,
@@ -202,6 +199,13 @@ object AriaQueries {
     }
     head ++ epochs :+ s"stats_$mode AS (${statRows.mkString("\nUNION ALL\n")})"
   }
+
+  /** The single-table epoch-0 batch restricted to present keys — the
+    * default ops_0 source of [[drainChainSql]]. */
+  private def defaultOpsSrc: String =
+    """  SELECT tid, epoch, opIdx, key, isUpdate
+      |  FROM read_parquet('__ARIA_DIR__/aria_epoch0_ops/*.parquet')
+      |  WHERE key IN (SELECT key FROM read_parquet('__ARIA_DIR__/aria_epoch0_keys/*.parquet'))""".stripMargin
 
   val epochStatsSql: String =
     s"""WITH ${drainChainSql("nr", reorder = false).mkString(",\n")}
@@ -253,6 +257,107 @@ object AriaQueries {
        |SELECT count(*)::BIGINT AS n_rows,
        |       bit_xor(('0x' || substr(md5(key || '_' || f0 || '_' || f4 || '_' || f9), 1, 15))::BIGINT) AS table_checksum
        |FROM fin""".stripMargin
+  }
+
+  // ——— Contention-collapse fallback drain ————————————————————————————
+  //
+  // The one regime the reference engine cannot survive: batch≈keyspace,
+  // where min-Tid reservations starve and every epoch commits a
+  // near-constant handful (BASELINE.md "contention collapse"; the
+  // reference only avoids it by its 150-txn/20k-key operating point,
+  // Transction.h:24-33). Aria's paper answer is a deterministic
+  // fallback; here it is one per-key-ordered serial pass (max(tid,
+  // opIdx) winner + the install merge). The harness config drains
+  // 100 txns over 250 hot keys: epochs 0–2 run normal Aria (commit
+  // rates 30% → 12.9% → 8.2%), epoch 2 dips under the 10% threshold,
+  // and epoch 3 serially applies the 56-txn residual. The oracle
+  // unrolls the same machine and finds the trigger epoch in SQL.
+
+  private[graft] val fbCfg = AriaConfig(
+    nTxns = 100, maxOps = 12, writePct = 40,
+    keysMax = 250, tableKeys = 300, seed = 42L, maxEpochs = 32,
+    fallbackCommitRate = 0.10)
+
+  /** Per-epoch stats of the fallback drain plus the final-table checksum
+    * (constant columns) — trajectory and end state in one hash-matched
+    * result. Runs in a child session (Aria.run tunes session confs). */
+  def fallbackDrain(spark: SparkSession, dir: String): DataFrame = {
+    val run = Aria.run(spark.newSession(), fbCfg)
+    val sum = run.table
+      .select(graft.functions.Portable.hash60(
+        concat_ws("_", col("key"), col("f0"), col("f4"), col("f9"))).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("table_checksum"))
+      .head()
+    spark.createDataFrame(run.stats)
+      .withColumn("n_rows", lit(sum.getLong(0)))
+      .withColumn("table_checksum", lit(sum.getLong(1)))
+      .orderBy("epoch")
+  }
+
+  /** Persist the fallback config's epoch-0 batch (keysMax ≤ tableKeys,
+    * so no presence filter is needed; the oracle regenerates the dense
+    * key column itself). */
+  def persistFallbackInputs(spark: SparkSession, outDir: String): Unit =
+    Workload.txnOps(spark, fbCfg.nTxns, fbCfg.maxOps, fbCfg.writePct,
+        fbCfg.keysMax, fbCfg.seed)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/aria_fb_ops")
+
+  /** Unrolled fallback-drain oracle: run [[drainChainSql]]'s machine,
+    * find the first epoch whose commit rate dips under the threshold
+    * (with a nonempty residual), truncate the stats there, append the
+    * serial fallback epoch, and checksum the final table built from
+    * committed writes of epochs ≤ trigger plus last-writer-wins
+    * (tid, opIdx) over the residual batch. */
+  val fallbackDrainSql: String = {
+    val fbSrc =
+      """  SELECT tid, epoch, opIdx, key, isUpdate
+        |  FROM read_parquet('__ARIA_DIR__/aria_fb_ops/*.parquet')""".stripMargin
+    val thr = fbCfg.fallbackCommitRate
+    def payload(i: Int): String =
+      s"""CASE WHEN w.key IS NULL THEN substr(md5('${fbCfg.seed}_load_' || k.key || '_$i'), 1, 10)
+         |     ELSE substr(md5('${fbCfg.seed}_write_' || w.epoch || '_' || w.tid || '_' || w.opIdx || '_$i'), 1, 10) END""".stripMargin
+    val cw = (0 until unrollEpochs).map { e =>
+      s"""SELECT o.key, o.epoch, o.tid, o.opIdx
+         |FROM ops_fb_$e o JOIN flg_fb_$e f USING (tid)
+         |WHERE NOT (f.raw OR f.waw) AND o.isUpdate
+         |  AND $e <= coalesce((SELECT f FROM trig), ${unrollEpochs + 1})""".stripMargin
+    }
+    val fbw = (1 to unrollEpochs).map { e =>
+      s"""SELECT key, epoch, tid, opIdx FROM ops_fb_$e
+         |WHERE isUpdate AND $e = (SELECT f FROM trig) + 1""".stripMargin
+    }
+    s"""WITH ${drainChainSql("fb", reorder = false, fbSrc, fbCfg.nTxns).mkString(",\n")},
+       |trig AS (
+       |  SELECT min(epoch) AS f FROM stats_fb
+       |  WHERE aborted > 0 AND committed < $thr * txns),
+       |stats_fin AS (
+       |  SELECT epoch, txns, committed, aborted FROM stats_fb
+       |  WHERE epoch <= coalesce((SELECT f FROM trig), ${unrollEpochs + 1})
+       |  UNION ALL
+       |  SELECT s.epoch + 1, s.aborted, s.aborted, CAST(0 AS BIGINT)
+       |  FROM stats_fb s WHERE s.epoch = (SELECT f FROM trig)),
+       |cw_fb AS (${cw.mkString("\nUNION ALL\n")}),
+       |fbw AS (${fbw.mkString("\nUNION ALL\n")}),
+       |win_fb AS (
+       |  SELECT key, epoch, tid, opIdx,
+       |         row_number() OVER (PARTITION BY key
+       |           ORDER BY epoch DESC, tid DESC, opIdx DESC) AS rn
+       |  FROM (SELECT * FROM cw_fb UNION ALL SELECT * FROM fbw)),
+       |keys_fb AS (SELECT (k + 1)::INT AS key FROM range(${fbCfg.tableKeys}) t(k)),
+       |fin_fb AS (
+       |  SELECT k.key,
+       |         ${payload(0)} AS f0,
+       |         ${payload(4)} AS f4,
+       |         ${payload(9)} AS f9
+       |  FROM keys_fb k
+       |  LEFT JOIN (SELECT * FROM win_fb WHERE rn = 1) w ON k.key = w.key),
+       |sum_fb AS (
+       |  SELECT count(*)::BIGINT AS n_rows,
+       |         bit_xor(('0x' || substr(md5(key || '_' || f0 || '_' || f4 || '_' || f9), 1, 15))::BIGINT) AS table_checksum
+       |  FROM fin_fb)
+       |SELECT CAST(s.epoch AS INT) AS epoch, s.txns, s.committed, s.aborted,
+       |       m.n_rows, m.table_checksum
+       |FROM stats_fin s CROSS JOIN sum_fb m ORDER BY epoch""".stripMargin
   }
 
   // ——— Multi-table drain: the reference's 2-D table_vec instantiated ——
@@ -378,6 +483,7 @@ object AriaQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aria_fallback_drain" -> fallbackDrain,
     "aria_multitable" -> multiTableSummary,
     "aria_epoch_stats" -> epochStats,
     "aria_reorder_comparison" -> reorderComparison,
@@ -385,6 +491,7 @@ object AriaQueries {
     "aria_epoch0_verdicts" -> epoch0Verdicts)
 
   val oracles: Map[String, String] = Map(
+    "aria_fallback_drain" -> fallbackDrainSql,
     "aria_multitable" -> multiTableSql,
     "aria_epoch0_verdicts" -> epoch0VerdictsSql,
     "aria_epoch_stats" -> epochStatsSql,

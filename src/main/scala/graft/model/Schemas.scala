@@ -46,4 +46,11 @@ final case class AriaConfig(
     maxEpochs: Int = 64,
     // engage the decade-scale eager checkpoint-and-free path regardless of
     // tableKeys — lets tests exercise the eager drain at small fixtures
-    forceEagerHygiene: Boolean = false)
+    forceEagerHygiene: Boolean = false,
+    // Aria-paper fallback (§"Falling back to deterministic locking"):
+    // when an epoch's commit rate drops below this fraction, apply the
+    // residual batch as ONE deterministic per-key-ordered serial pass
+    // instead of grinding more min-Tid epochs. 0.0 (the default, and the
+    // reference's behavior — it has no fallback and survives only by its
+    // 150-txn/20k-key operating point, Transction.h:24-33) disables it.
+    fallbackCommitRate: Double = 0.0)

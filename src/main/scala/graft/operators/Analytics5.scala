@@ -7,9 +7,9 @@ import graft.sim.GraphOps
 
 /** Round-12 analytics additions — community detection over the shared
   * part↔supplier co-occurrence graph (graft.sim.GraphOps.edges; cf.
-  * reference kernel.cu:41's key universe for provenance of the id
-  * space — the graph surface itself is north-star scope, absent from
-  * the reference).
+  * reference Transction.h:28 / Transction_y.h:21 `keys_max` for
+  * provenance of the id space — the graph surface itself is
+  * north-star scope, absent from the reference).
   */
 object Analytics5 {
 

@@ -30,11 +30,21 @@ class AriaSpec extends SparkSpec {
   case class SimResult(table: Map[Int, IndexedSeq[String]],
                        epochStats: Seq[(Int, Long, Long)]) // (epoch, committed, aborted)
 
-  /** Plain-Scala Aria simulator. `ops0` = epoch-0 batch (tid asc, opIdx asc). */
+  /** Plain-Scala Aria simulator. `ops0` = epoch-0 batch (tid asc, opIdx asc).
+    * `fallbackCommitRate` > 0 enables the contention-collapse fallback:
+    * when an epoch's commit rate dips under it, the residual is replayed
+    * SERIALLY (renumbered tid order, op order) at the next epoch — the
+    * ground truth Aria.fallbackApply must reproduce. `nTxns0` = the full
+    * epoch-0 batch size including op-less txns (the engine's txns
+    * denominator); later epochs' denominators are the abort counts, where
+    * the two conventions already agree (aborted txns always carry ops). */
   def simulate(table0: Map[Int, IndexedSeq[String]], ops0: Seq[Op],
-               seed: Long, reorder: Boolean, maxEpochs: Int = 64): SimResult = {
+               seed: Long, reorder: Boolean, maxEpochs: Int = 64,
+               fallbackCommitRate: Double = 0.0,
+               nTxns0: Option[Int] = None): SimResult = {
     val table = mutable.Map[Int, IndexedSeq[String]]() ++= table0
     var batch: Seq[Seq[Op]] = ops0.groupBy(_.tid).toSeq.sortBy(_._1).map(_._2.sortBy(_.opIdx))
+    var txnsThisEpoch = nTxns0.getOrElse(batch.size)
     val stats = Seq.newBuilder[(Int, Long, Long)]
     var epoch = 0
     while (batch.nonEmpty && epoch < maxEpochs) {
@@ -60,12 +70,25 @@ class AriaSpec extends SparkSpec {
       // Install: committed txns in tid order, ops in op order (serial replay)
       for ((tid, ops) <- present if !aborted.contains(tid); o <- ops if o.isUpdate)
         table(o.key) = (0 until 10).map(i => md5_10(seed, "write", epoch, tid, o.opIdx, i))
-      stats += ((epoch, (present.size - aborted.size).toLong, aborted.size.toLong))
+      stats += ((epoch, (txnsThisEpoch - aborted.size).toLong, aborted.size.toLong))
       // Collect: keep aborted txns' FULL op lists, renumber 1..m in order
       batch = present.filter(p => aborted.contains(p._1)).sortBy(_._1)
         .zipWithIndex.map { case ((_, ops), i) =>
           ops.map(o => o.copy(tid = i + 1))
         }.filter(_.nonEmpty)
+      val rate = (txnsThisEpoch - aborted.size).toDouble
+      if (batch.nonEmpty && fallbackCommitRate > 0 &&
+          rate < fallbackCommitRate * txnsThisEpoch) {
+        // contention collapse: replay the renumbered residual SERIALLY —
+        // txns in (new) tid order, ops in op order — at the next epoch
+        epoch += 1
+        for (ops <- batch; o <- ops if o.isUpdate && table.contains(o.key))
+          table(o.key) = (0 until 10).map(i =>
+            md5_10(seed, "write", epoch, ops.head.tid, o.opIdx, i))
+        stats += ((epoch, batch.size.toLong, 0L))
+        batch = Seq.empty
+      }
+      txnsThisEpoch = batch.size
       epoch += 1
     }
     SimResult(table.toMap, stats.result())
@@ -234,6 +257,64 @@ class AriaSpec extends SparkSpec {
       val t2 = collectTable(Aria.run(spark, c).table)
       assert(t1 === t2)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("contention collapse: 20k-txn/20k-key starvation drains via the deterministic fallback") {
+    // batch≈keyspace is the regime the reference never survives (its
+    // operating point is 150 txns / 20k keys, Transction.h:24-33): min-Tid
+    // reservations starve and each epoch commits a near-constant handful.
+    // With the fallback the drain is bounded: the collapse is detected and
+    // the residual applied as ONE deterministic serial pass, and the final
+    // table must equal the serial-replay oracle's.
+    val c = AriaConfig(nTxns = 20000, maxOps = 30, writePct = 40,
+      keysMax = 20000, tableKeys = 20000, seed = 42L, maxEpochs = 64,
+      fallbackCommitRate = 0.10)
+    val table0 = collectTable(Workload.kvTable(spark, c.tableKeys, c.seed))
+    val ops0 = Workload.txnOps(spark, c.nTxns, c.maxOps, c.writePct, c.keysMax, c.seed)
+      .collect().map(r => Op(r.getInt(0), r.getInt(2), r.getInt(3), r.getBoolean(4))).toSeq
+    val sim = simulate(table0, ops0, c.seed, reorder = false,
+      fallbackCommitRate = c.fallbackCommitRate, nTxns0 = Some(c.nTxns))
+    val run = Aria.run(spark, c)
+    // drains to empty in bounded epochs (without the fallback this regime
+    // needs O(batch) epochs — cf. the 26–57-epoch trajectories in
+    // BASELINE.md "contention collapse")
+    assert(run.stats.last.aborted === 0L, "drain must end empty")
+    assert(run.stats.length <= 4,
+      s"fallback must bound the drain; took ${run.stats.length} epochs")
+    assert(run.stats.last.txns === run.stats.last.committed,
+      "the fallback epoch commits its whole residual")
+    assert(run.stats.map(s => (s.epoch, s.committed, s.aborted)) === sim.epochStats,
+      s"trajectory diverges: ${run.stats} vs ${sim.epochStats}")
+    val sparkTable = collectTable(run.table)
+    assert(sparkTable.size === sim.table.size)
+    val diffs = sparkTable.keySet.filter(k => sparkTable(k) != sim.table(k))
+    assert(diffs.isEmpty, s"fallback table diverges from serial replay at keys: ${diffs.take(5)}")
+  }
+
+  test("fallback that never triggers leaves the drain bit-identical") {
+    // a threshold below every epoch's commit rate must be a no-op: same
+    // trajectory, same final table as the plain drain
+    val plain = Aria.run(spark, cfg)
+    val minRate = plain.stats.map(s => s.committed.toDouble / s.txns).min
+    val c = cfg.copy(fallbackCommitRate = minRate * 0.5)
+    val guarded = Aria.run(spark, c)
+    assert(guarded.stats === plain.stats)
+    assert(collectTable(guarded.table) === collectTable(plain.table))
+  }
+
+  test("harness fallback config collapses mid-drain, not at epoch 0") {
+    // fixture meaningfulness: the aria_fallback_drain board query must
+    // exercise BOTH regimes — normal Aria epochs first, then the
+    // threshold crossing, then the serial fallback epoch
+    val run = Aria.run(spark, graft.aria.AriaQueries.fbCfg)
+    val thr = graft.aria.AriaQueries.fbCfg.fallbackCommitRate
+    assert(run.stats.length >= 3, s"want ≥2 normal epochs + fallback, got ${run.stats}")
+    assert(run.stats.last.aborted === 0L)
+    assert(run.stats.last.committed === run.stats.last.txns)
+    val trigger = run.stats(run.stats.length - 2)
+    assert(trigger.committed < thr * trigger.txns, s"penultimate epoch must trip the threshold: ${run.stats}")
+    assert(run.stats.head.committed >= thr * run.stats.head.txns,
+      s"epoch 0 must NOT trip the threshold: ${run.stats}")
   }
 
   test("epoch loop drains: committed+aborted = batch size each epoch, ends at 0") {
