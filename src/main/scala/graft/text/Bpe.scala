@@ -366,7 +366,13 @@ object Bpe {
 
   /** Occurrence-level training rounds as CTEs (p/b/s per round); with
     * `cntInBest` the b-CTEs also carry the winning pair's count for the
-    * merge report. */
+    * merge report. s$r joins the 1-row best-pair CTE with LEFT JOIN ON
+    * TRUE + null-safe guards (not a comma join): if a round finds NO
+    * qualifying pair (pairs run dry before the fixed round count on a
+    * tiny/degenerate corpus), b$r is empty and a comma join would
+    * silently drop every document, where the Spark rewrite's null-safe
+    * left join no-ops the round — the guards keep the two engines
+    * aligned on that edge (ADVICE r15). */
   private[text] def sqlRounds(cntInBest: Boolean): String =
     (1 to rounds).map { r =>
       val cnt = if (cntInBest) ", count(*) AS cnt" else ""
@@ -381,9 +387,9 @@ object Bpe {
          |  GROUP BY sym, nxt ORDER BY count(*) DESC, sym, nxt LIMIT 1),
          |s$r AS MATERIALIZED (
          |  SELECT doc_id, wid, pos,
-         |         CASE WHEN sym = b.bx AND coalesce(nxt = b.by, FALSE)
+         |         CASE WHEN coalesce(sym = b.bx AND nxt = b.by, FALSE)
          |              THEN sym || nxt ELSE sym END AS sym
-         |  FROM p$r, b$r b
+         |  FROM p$r LEFT JOIN b$r b ON TRUE
          |  WHERE NOT coalesce(prv = b.bx AND sym = b.by, FALSE))""".stripMargin
     }.mkString(",\n")
 

@@ -19,33 +19,47 @@ class NnDescentSpec extends SparkSpec {
     assert(g.filter(col("src") === col("dst")).count() === 0L)
   }
 
-  test("graph cosines are honest: spot rows equal the exact quantized cosine") {
-    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+  /** Quantized vectors (the build's own 1e4 fixed-point axis), driver-side. */
+  private lazy val qVecs: Map[Long, Array[Long]] =
+    spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map { r =>
         val v = r.getAs[scala.collection.Seq[Float]]("embedding")
           .map(x => math.floor(x.toDouble * 10000d + 0.5d).toLong).toArray
         r.getAs[Long]("vec_id") -> v
       }.toMap
-    def cos(a: Array[Long], b: Array[Long]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
-        math.sqrt(b.map(x => x * x).sum.toDouble))
-    }
+
+  private def cos(a: Array[Long], b: Array[Long]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+      math.sqrt(b.map(x => x * x).sum.toDouble))
+  }
+
+  test("graph cosines are honest: spot rows equal the exact quantized cosine") {
     NnDescent.knnGraph(spark, dir).limit(64).collect().foreach { r =>
-      val want = cos(vecs(r.getAs[Long]("src")), vecs(r.getAs[Long]("dst")))
+      val want = cos(qVecs(r.getAs[Long]("src")), qVecs(r.getAs[Long]("dst")))
       assert(r.getAs[Double]("cosine") === want)
     }
   }
 
-  test("each neighbor list is the best-found set: sorted check against exact top-degree") {
-    // NN-Descent is approximate, but for EVERY node the kept cosine of
-    // its best neighbor must be <= the true best (never invented) and
-    // the list must be internally consistent (distinct dsts)
+  test("each neighbor list is the best-found set: kept best never beats the exact best") {
+    // NN-Descent is approximate, but for EVERY node (a) the list is
+    // internally consistent (distinct dsts) and (b) the kept best cosine
+    // is <= the node's TRUE best over all other vectors (computed from
+    // the same quantized axis) — the graph may miss neighbors, never
+    // invent better-than-possible ones (ADVICE r15: the comparison is
+    // now actually performed, not just stated).
     val g = NnDescent.knnGraph(spark, dir).collect()
+    val ids = qVecs.keys.toArray
     val bySrc = g.groupBy(_.getAs[Long]("src"))
-    bySrc.foreach { case (_, rows) =>
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rows) =>
       val dsts = rows.map(_.getAs[Long]("dst"))
       assert(dsts.distinct.length === dsts.length)
+      val keptBest = rows.map(_.getAs[Double]("cosine")).max
+      val exactBest = ids.iterator.filter(_ != src)
+        .map(o => cos(qVecs(src), qVecs(o))).max
+      assert(keptBest <= exactBest + 1e-12,
+        s"node $src kept cosine $keptBest beats the exact best $exactBest")
     }
   }
 
