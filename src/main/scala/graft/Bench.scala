@@ -122,12 +122,16 @@ object Bench {
         if (graft.Cache.mode(spark) == "persist")
           spark.sharedState.cacheManager.clearCache() }
       selected.map { case (name, fn) =>
+        // label the jobs (guide §1.5) so event-log/UI stage metrics
+        // attribute to the query being timed
+        spark.sparkContext.setJobDescription(s"$name (pass $p)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed (pass $p): ${e.getMessage}")
         }
+        finally spark.sparkContext.setJobDescription(null)
         // NOT cleared per query in persist mode: the memoized family
         // state (dedup pairs index, trained quantizers) is INTENDED
         // cross-query sharing — train once, apply many — and lives in

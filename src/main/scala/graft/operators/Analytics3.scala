@@ -179,7 +179,14 @@ object Analytics3 {
     val weight = cdf.zipWithIndex.foldRight(lit(cdf.length.toLong)) {
       case ((thr, k), els) => when(col("u") < thr, k.toLong).otherwise(els)
     }
-    val reps32 = t(spark, dir, "events")
+    // fanOut before the ×R explode: the single-file events scan is ONE
+    // task, and the 3.2M-row explode+md5 downstream of it was measured
+    // serialized on one core (3.4 s of a 3.6 s query at sf0.1). The
+    // round-robin repartition costs one tiny 100k-row shuffle and lets
+    // the hash/weight map run at full parallelism (guide §2.5: fix
+    // input skew right after the read); a multi-split production scan
+    // makes it a planning-time no-op.
+    val reps32 = Tables.fanOut(t(spark, dir, "events"))
       .select(col("event_id"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"),
         explode(sequence(lit(0L), lit(reps - 1L))).as("r"))

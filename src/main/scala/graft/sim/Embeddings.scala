@@ -449,8 +449,17 @@ object GraphOps {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
     val mids = deg.filter(col("deg") <= maxMidDeg)
       .select(col("src").as("m"))
+    // Pin the wedge join's parallelism: the staged edge list is a
+    // byte-tiny LogicalRDD that AQE coalesces to ~1 partition, which
+    // serialized the deg(m)²-row wedge explode+agg (measured 1.6 s of
+    // a 2.9 s query in one 3-task stage at sf0.1). An explicit m0-keyed
+    // repartition at defaultParallelism is what the planner picks for
+    // this join at production sizes anyway; both self-join branches
+    // reuse the ONE exchange (ReusedExchange), so this adds no shuffle
+    // — it only widens the wedge stage. (guide §2.5 / §2.4)
     val capped = e.join(mids, e("src") === mids("m"))
       .select(col("src").as("m0"), col("dst"))
+      .repartition(spark.sparkContext.defaultParallelism, col("m0"))
     val wedges = capped.as("x").join(capped.as("y"), Seq("m0"))
       .filter(col("x.dst") < col("y.dst"))
       .select(col("x.dst").as("a"), col("y.dst").as("b"))
