@@ -115,6 +115,7 @@ object Bench {
         graft.sim.Pq.evictTrained(spark)
         graft.sim.NnDescent.evictBuilt(spark)
         graft.dedup.Dedup.evictPairs(spark)
+        graft.text.TrainMemo.evict(spark)
         // persist mode: cached plans are keyed on the ANALYZED PLAN, so
         // pass 2 rebuilding the same query would silently hit pass 1's
         // cache — clear so every pass re-pays materialization, matching

@@ -69,7 +69,7 @@ object Bpe {
     * rows — is kept in SQL and the correctness gate proves the
     * equivalence every round). */
   def bpeCounts(spark: SparkSession, dir: String): DataFrame =
-    bpeCountsFrom(t(spark, dir, "documents"))
+    bpeCountsFrom(t(spark, dir, "documents"), Some(s"$dir|bpe|full"))
 
   /** One round's count-weighted adjacent-pair statistics over a form
     * table (w, wcnt, syms): the ONLY per-round shuffle, keyed on the
@@ -132,8 +132,23 @@ object Bpe {
     (forms, merges.result())
   }
 
+  /** [[trainForms]] memoized under `memoKey` via [[TrainMemo]] (None =
+    * direct call, unmemoized — the spec hand-corpus path). Memoized
+    * trainings always record merges so ONE cache entry serves every
+    * consumer in the family (counts need only forms; encode needs the
+    * merge table; recording adds six 1-row staged frames and changes no
+    * result — trainForms' scaladoc pins the equivalence). */
+  private def trainedForms(forms0: DataFrame, memoKey: Option[String],
+                           recordMerges: Boolean): (DataFrame, Seq[DataFrame]) =
+    memoKey match {
+      case None => trainForms(forms0, recordMerges)
+      case k => TrainMemo.memo(forms0.sparkSession, k)(
+        trainForms(forms0, recordMerges = true))
+    }
+
   /** Core on any (doc_id, text) frame — see [[bpeCounts]]. */
-  private[graft] def bpeCountsFrom(docs: DataFrame): DataFrame = {
+  private[graft] def bpeCountsFrom(docs: DataFrame,
+                                   memoKey: Option[String] = None): DataFrame = {
     // occurrences folded to (doc_id, w, occ): one corpus shuffle, read
     // twice (form derivation + final application join)
     val occ = docs
@@ -147,7 +162,7 @@ object Bpe {
     val forms0 = occ.groupBy("w").agg(sum(col("occ")).as("wcnt"))
       .select(col("w"), col("wcnt"), symsExpr.as("syms"))
       .localCheckpoint(false)
-    val (forms, _) = trainForms(forms0, recordMerges = false)
+    val (forms, _) = trainedForms(forms0, memoKey, recordMerges = false)
     // apply the learned vocabulary ONCE: occurrences ⋈ rewritten forms.
     // Explicit broadcast: the checkpointed form table carries no stats
     // (sizeInBytes defaults to huge), so the hint — not the optimizer —
@@ -184,10 +199,11 @@ object Bpe {
     * family rests on (the token-count queries prove it only indirectly
     * through downstream totals). */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesFrom(t(spark, dir, "documents"))
+    bpeMergesFrom(t(spark, dir, "documents"), Some(s"$dir|bpe|full"))
 
-  private[graft] def bpeMergesFrom(docs: DataFrame): DataFrame = {
-    val (_, merges) = trainForms(formTable(docs), recordMerges = true)
+  private[graft] def bpeMergesFrom(docs: DataFrame,
+                                   memoKey: Option[String] = None): DataFrame = {
+    val (_, merges) = trainedForms(formTable(docs), memoKey, recordMerges = true)
     merges.reduce(_ unionAll _).orderBy("rank")
   }
 
@@ -198,10 +214,11 @@ object Bpe {
     * Zipf-small state, never the corpus) + one token-keyed agg; top-k
     * plans as TakeOrderedAndProject. */
   def bpeVocab(spark: SparkSession, dir: String, topK: Int = 30): DataFrame =
-    bpeVocabFrom(t(spark, dir, "documents"), topK)
+    bpeVocabFrom(t(spark, dir, "documents"), topK, Some(s"$dir|bpe|full"))
 
-  private[graft] def bpeVocabFrom(docs: DataFrame, topK: Int = 30): DataFrame = {
-    val (forms, _) = trainForms(formTable(docs), recordMerges = false)
+  private[graft] def bpeVocabFrom(docs: DataFrame, topK: Int = 30,
+                                  memoKey: Option[String] = None): DataFrame = {
+    val (forms, _) = trainedForms(formTable(docs), memoKey, recordMerges = false)
     forms.select(explode(col("syms")).as("token"), col("wcnt"))
       .groupBy("token").agg(sum("wcnt").as("occurrences"))
       .orderBy(desc("occurrences"), col("token")).limit(topK)
@@ -244,7 +261,8 @@ object Bpe {
     * corpus-sized work is the one occurrence shuffle and the final
     * occ ⋈ form-stats broadcast join — same shape as [[bpeCounts]]. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodeFrom(t(spark, dir, "documents"))
+    bpeEncodeFrom(t(spark, dir, "documents"),
+      memoKey = Some(s"$dir|bpe|full"))
 
   /** Replay a recorded merge table (the `merges` frames of
     * [[trainForms]]) in rank order over a form table — the shipped-
@@ -297,7 +315,8 @@ object Bpe {
   }
 
   private[graft] def bpeEncodeFrom(docs: DataFrame,
-                                   vocabK: Int = releasedVocabK): DataFrame = {
+                                   vocabK: Int = releasedVocabK,
+                                   memoKey: Option[String] = None): DataFrame = {
     val occ = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
@@ -306,7 +325,7 @@ object Bpe {
       .select(col("w"), col("wcnt"), symsExpr.as("syms"))
       .localCheckpoint(false)
     // learn — keep only the merge-table artifact, discard the trained state
-    val (_, merges) = trainForms(forms0, recordMerges = true)
+    val (_, merges) = trainedForms(forms0, memoKey, recordMerges = true)
     // encode — replay the artifact in rank order over a fresh form table
     val encoded = replayMerges(forms0, merges)
     accountUnderVocab(occ, encoded, releasedVocab(encoded, vocabK))
@@ -340,15 +359,17 @@ object Bpe {
     val docs = t(spark, dir, "documents")
     val h = TextAnalysis.splitHash(col("doc_id"))
     bpeEncodeAcross(docs.filter(h < 80), docs.filter(h >= 80 && h < 90),
-      heldoutVocabK)
+      heldoutVocabK, Some(s"$dir|bpe|train80"))
   }
 
   private[graft] def bpeEncodeAcross(trainDocs: DataFrame, evalDocs: DataFrame,
-                                     vocabK: Int = releasedVocabK): DataFrame = {
+                                     vocabK: Int = releasedVocabK,
+                                     memoKey: Option[String] = None): DataFrame = {
     // artifacts from the TRAIN corpus: merge table + released vocab
     // (vocab from the trained state — identical to replaying the merges
     // over the train forms, which trainForms' loop just did)
-    val (trained, merges) = trainForms(formTable(trainDocs), recordMerges = true)
+    val (trained, merges) =
+      trainedForms(formTable(trainDocs), memoKey, recordMerges = true)
     val vocab = releasedVocab(trained, vocabK)
     // EVAL corpus: fresh form table (unseen words included), replay
     val occ = evalDocs
@@ -519,7 +540,7 @@ object Bpe {
     * language aggregate. */
   def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    bpeCountsFrom(docs)
+    bpeCountsFrom(docs, Some(s"$dir|bpe|full"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -172,7 +172,7 @@ object Unigram {
     * [[Bpe.bpeMerges]]' merges.txt. Integer columns only, so the oracle
     * comparison is exact without any float column. */
   def unigramTrain(spark: SparkSession, dir: String): DataFrame =
-    trainModel(Bpe.formTable(t(spark, dir, "documents")))
+    trainedModel(t(spark, dir, "documents"), Some(s"$dir|unigram|full"))
       .orderBy(desc("cnt"), col("piece"))
 
   /** Encode the corpus under the learned model — per-doc token
@@ -182,7 +182,7 @@ object Unigram {
     * structural zero. */
   def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    encodeAcross(docs, docs)
+    encodeAcross(docs, docs, Some(s"$dir|unigram|full"))
   }
 
   /** Held-out encode — model learned on the canonical TRAIN split
@@ -192,15 +192,23 @@ object Unigram {
   def unigramEncodeHeldout(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val h = TextAnalysis.splitHash(col("doc_id"))
-    encodeAcross(docs.filter(h < 80), docs.filter(h >= 80 && h < 90))
+    encodeAcross(docs.filter(h < 80), docs.filter(h >= 80 && h < 90),
+      Some(s"$dir|unigram|train80"))
   }
 
   /** Train on `trainDocs`, Viterbi-encode `evalDocs`, account per doc.
     * The eval corpus pays one occurrence shuffle; everything else is
     * form-level work under broadcast models. */
+  /** [[trainModel]] memoized under `memoKey` (None = direct). */
+  private[graft] def trainedModel(trainDocs: DataFrame,
+                                  memoKey: Option[String]): DataFrame =
+    TrainMemo.memo(trainDocs.sparkSession, memoKey)(
+      trainModel(Bpe.formTable(trainDocs)))
+
   private[graft] def encodeAcross(trainDocs: DataFrame,
-                                  evalDocs: DataFrame): DataFrame = {
-    val model = trainModel(Bpe.formTable(trainDocs))
+                                  evalDocs: DataFrame,
+                                  memoKey: Option[String] = None): DataFrame = {
+    val model = trainedModel(trainDocs, memoKey)
     val occ = evalDocs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))

@@ -114,7 +114,7 @@ object WordPiece {
   /** The vocab as a query artifact — (piece, cnt), integer columns
     * only, the WordPiece analog of [[Bpe.bpeVocab]]. */
   def wordpieceVocab(spark: SparkSession, dir: String): DataFrame =
-    vocabOf(Bpe.formTable(t(spark, dir, "documents")))
+    trainedVocab(t(spark, dir, "documents"), Some(s"$dir|wordpiece|full"))
       .orderBy(desc("cnt"), col("piece"))
 
   /** Encode the corpus under its own vocab — per-doc accounting plus a
@@ -123,7 +123,7 @@ object WordPiece {
     * (no char floor in the vocab). */
   def wordpieceEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    encodeAcross(docs, docs)
+    encodeAcross(docs, docs, Some(s"$dir|wordpiece|full"))
   }
 
   /** Held-out encode — vocab from the canonical TRAIN split
@@ -133,15 +133,23 @@ object WordPiece {
   def wordpieceEncodeHeldout(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val h = TextAnalysis.splitHash(col("doc_id"))
-    encodeAcross(docs.filter(h < 80), docs.filter(h >= 80 && h < 90))
+    encodeAcross(docs.filter(h < 80), docs.filter(h >= 80 && h < 90),
+      Some(s"$dir|wordpiece|train80"))
   }
 
   /** Vocab from `trainDocs`, greedy-encode `evalDocs`, account per
     * doc. Eval corpus pays one occurrence shuffle; the greedy scan is
     * form-level under the broadcast vocab map. */
+  /** [[vocabOf]] memoized under `memoKey` (None = direct). */
+  private[graft] def trainedVocab(trainDocs: DataFrame,
+                                  memoKey: Option[String]): DataFrame =
+    TrainMemo.memo(trainDocs.sparkSession, memoKey)(
+      vocabOf(Bpe.formTable(trainDocs)))
+
   private[graft] def encodeAcross(trainDocs: DataFrame,
-                                  evalDocs: DataFrame): DataFrame = {
-    val vocab = vocabOf(Bpe.formTable(trainDocs))
+                                  evalDocs: DataFrame,
+                                  memoKey: Option[String] = None): DataFrame = {
+    val vocab = trainedVocab(trainDocs, memoKey)
     val occ = evalDocs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("occ"))
