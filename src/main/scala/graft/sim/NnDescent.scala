@@ -105,30 +105,48 @@ object NnDescent {
         Window.partitionBy("src").orderBy(desc("cosine"), col("dst"))))
       .filter(col("rn") <= degree).drop("rn")
 
-  /** One NN-Descent round over graph (src, dst, cosine). */
+  /** One NN-Descent round over graph (src, dst, cosine).
+    *
+    * The local-join list is built in ONE owner-keyed aggregation
+    * (optimization round 16; was: a reverse-cap window + a union
+    * DISTINCT + a hash-sample window = 3 exchanges per round): both
+    * edge directions are tagged and shuffled ONCE to their owner node,
+    * then the reverse cap (the `degree` smallest in-neighbors —
+    * `slice(array_sort(rl))` ≡ the old `row_number ORDER BY rdst`
+    * window), the forward∪reverse dedup (`array_distinct` ≡ the old
+    * DISTINCT — both inputs are per-key duplicate-free, so overlap is
+    * the only dup source), and the deterministic ρ-sample (sort by
+    * (hash60(src_dst), dst), take `degree` — identical key and tie
+    * order to the old window) all run map-side over the per-node
+    * arrays. Candidate pairs also lost their standalone DISTINCT: the
+    * union with g is deduplicated once before scoring either way.
+    * Row-for-row identical output (the unchanged DuckDB oracle is the
+    * proof); 7 → 4 exchanges per round, and the same fusion is the
+    * 100 TB shape (per-node state is degree-bounded arrays). */
   private def round(g: DataFrame, qn: DataFrame): DataFrame = {
-    // reverse edges capped at `degree` per node = Dong et al.'s reverse
-    // sampling
-    val rev = g
-      .select(col("dst").as("rsrc"), col("src").as("rdst"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("rsrc").orderBy("rdst")))
-      .filter(col("rn") <= degree)
-      .select(col("rsrc").as("src"), col("rdst").as("dst"))
-    // ...and the LOCAL-JOIN list (forward ∪ reverse) sampled back down
-    // to `degree` per node, hash-ordered (their ρ-sampling, made
-    // deterministic) — candidate mass per round is n·K², not n·(2K)²,
-    // at no measured recall cost (0.900 both ways at sf0.1)
-    val und = g.select("src", "dst").union(rev).distinct()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("src").orderBy(
-          Portable.hash60(concat(col("src"), lit("_"), col("dst"))), col("dst"))))
-      .filter(col("rn") <= degree).drop("rn")
-    val a = und.select(col("src"), col("dst").as("via"))
-    val b = und.select(col("src").as("via"), col("dst"))
+    val tagged = g
+      .select(col("src").as("owner"), col("dst").as("nbr"), lit(true).as("fwd"))
+      .unionAll(g.select(col("dst").as("owner"), col("src").as("nbr"),
+        lit(false).as("fwd")))
+    val und = tagged.groupBy("owner")
+      .agg(collect_list(when(col("fwd"), col("nbr"))).as("fl"),
+        collect_list(when(not(col("fwd")), col("nbr"))).as("rl"))
+      .select(col("owner"),
+        array_distinct(concat(col("fl"),
+          slice(array_sort(col("rl")), 1, degree))).as("ua"))
+      .select(col("owner"),
+        transform(col("ua"), x => struct(
+          Portable.hash60(concat(col("owner"), lit("_"), x)).as("h"),
+          x.as("nbr"))).as("hs"))
+      .select(col("owner").as("src"),
+        transform(slice(array_sort(col("hs")), 1, degree),
+          s => s.getField("nbr")).as("ds"))
+    val undPairs = und.select(col("src"), explode(col("ds")).as("dst"))
+    val a = undPairs.select(col("src"), col("dst").as("via"))
+    val b = undPairs.select(col("src").as("via"), col("dst"))
     val cand = a.join(b, "via")
       .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+      .select("src", "dst")
     keepBest(scorePairs(cand.union(g.select("src", "dst")).distinct(), qn))
   }
 
