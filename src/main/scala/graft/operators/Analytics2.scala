@@ -158,9 +158,16 @@ object Analytics2 {
     * partial top-k pushed before the final shuffle). Tiebreak
     * (n_orders DESC, p2 ASC) is total, so ranks are deterministic. */
   def copurchaseTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // okey-keyed repartition at session parallelism: the distinct's
+    // byte-tiny output is AQE-coalesced to ~1 partition, which
+    // serialized the basket-choose-2 fanout + count (measured 1.3 s of
+    // a 2.5 s query in one low-parallelism stage at sf0.1). Both
+    // self-join branches reuse the ONE exchange (ReusedExchange);
+    // production-size inputs get this exchange from the planner anyway.
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("p"))
       .distinct()
+      .repartition(spark.sparkContext.defaultParallelism, col("okey"))
     val pairs = li.as("a").join(li.as("b"), Seq("okey"))
       .filter(col("a.p") < col("b.p"))
       .select(col("a.p").as("p1"), col("b.p").as("p2"))
