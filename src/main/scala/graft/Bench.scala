@@ -114,6 +114,7 @@ object Bench {
         graft.sim.Clustering.evictTrained(spark)
         graft.sim.Pq.evictTrained(spark)
         graft.sim.NnDescent.evictBuilt(spark)
+        graft.sim.GraphOps.evictShared(spark)
         graft.dedup.Dedup.evictPairs(spark)
         graft.text.TrainMemo.evict(spark)
         // persist mode: cached plans are keyed on the ANALYZED PLAN, so

@@ -129,25 +129,11 @@ object Analytics4 {
     * degree agg are both node-keyed single shuffles.
     */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "lineitem")
-      .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
-      .distinct().staged
-    val eligible = pairs.groupBy("part").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") <= lccDegreeCap).select("part")
-    val p2 = pairs.join(eligible, "part")
-    val und = p2.select(col("part"), col("supp").as("u"))
-      .join(p2.select(col("part"), col("supp").as("v")), "part")
-      .filter(col("u") < col("v"))
-      .select("u", "v").distinct().staged
+    // capped projection + orientation + wedge close shared with
+    // graph_triangles (identical up to the final aggregation)
+    val (und, tri) = graft.sim.GraphOps.triShared(spark, dir, lccDegreeCap)
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    val edges = graft.sim.GraphOps.orientByDegree(und).staged
-    val wedges = edges.select(col("u").as("a"), col("v").as("b"))
-      .join(edges.select(col("u").as("b"), col("v").as("c")), "b")
-    val tri = wedges.join(edges,
-      wedges("a") === edges("u") && wedges("c") === edges("v"), "left_semi")
-      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("tri"))
     deg.filter(col("deg") >= 2)
       .join(tri, Seq("n"), "left")
       .select(col("n"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
@@ -230,9 +216,11 @@ object Analytics4 {
     * checkpoint trade as pageRank, measured there). */
   def hits(spark: SparkSession, dir: String): DataFrame = {
     val S = lit(hitsScale).cast(D)
-    val edges = t(spark, dir, "lineitem")
-      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
-      .distinct().staged
+    // the memoized distinct (part, supp) projection, renamed — one
+    // narrow map over the shared staged blocks instead of a per-query
+    // scan + DISTINCT exchange + materialization
+    val edges = graft.sim.GraphOps.pairsStaged(spark, dir)
+      .select(col("supp").as("s"), col("part").as("p"))
     // Every score frame is sum-normalized to mass S — INCLUDING the
     // init (h0 = S DIV n_s, not S each) — so every shuffled sum is
     // bounded by S = 1e12 and stays BIGINT; DECIMAL(38,0) appears only
@@ -975,8 +963,9 @@ object Analytics4 {
     * is the estimator that tolerates exactly that).
     */
   def closeness(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.sim.GraphOps.edges(spark, dir).staged
-    val landmarks = e.select(col("src").as("node")).distinct()
+    val e = graft.sim.GraphOps.edgesStaged(spark, dir)
+    val landmarks = graft.sim.GraphOps.degrees(spark, dir)
+      .select(col("src").as("node"))
       .filter(col("node") % 2 === 1) // suppliers are odd-encoded
       .orderBy("node").limit(closenessLandmarks)
       .select(col("node").as("lm"))
@@ -1066,8 +1055,9 @@ object Analytics4 {
     * landmarks route through it.
     */
   def betweenness(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.sim.GraphOps.edges(spark, dir).staged
-    val landmarks = e.select(col("src").as("node")).distinct()
+    val e = graft.sim.GraphOps.edgesStaged(spark, dir)
+    val landmarks = graft.sim.GraphOps.degrees(spark, dir)
+      .select(col("src").as("node"))
       .filter(col("node") % 2 === 1)
       .orderBy("node").limit(closenessLandmarks)
       .select(col("node").as("lm"))

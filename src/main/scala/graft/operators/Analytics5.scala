@@ -52,9 +52,9 @@ object Analytics5 {
     * fixture node ids — sizes are the portable signal). */
   def labelPropagation(spark: SparkSession, dir: String,
                        rounds: Int = lpaRounds): DataFrame = {
-    val e = GraphOps.edges(spark, dir).staged // reused every round
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val e = GraphOps.edgesStaged(spark, dir) // reused every round
+    var labels = GraphOps.degrees(spark, dir)
+      .select(col("src").as("node"), col("src").as("label"))
     for (_ <- 1 to rounds) {
       val prop = e.join(labels, e("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
@@ -131,9 +131,9 @@ object Analytics5 {
     * open-ended convergence loop would add per-round cuts). The final
     * per-landmark top-k plans as a WindowGroupLimit partial top-k. */
   def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphOps.edges(spark, dir).staged // reused every round
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
-    val landmarks = e.select(col("src").as("lm")).distinct()
+    val e = GraphOps.edgesStaged(spark, dir) // reused every round
+    val deg = GraphOps.degrees(spark, dir)
+    val landmarks = deg.select(col("src").as("lm"))
       .filter(col("lm") % 2 === 1) // suppliers are odd-encoded
       .orderBy("lm").limit(pprLandmarks)
     val teleport = landmarks

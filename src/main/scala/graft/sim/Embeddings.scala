@@ -177,12 +177,114 @@ object GraphOps {
       |  SELECT s AS src, p AS dst FROM pairs
       |)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Shared graph surface, memoized per (session, dir) — optimization r16
+  // ---------------------------------------------------------------------
+
+  /** (pairs, edges, degrees), all lazily staged, built once per
+    * (session, dir): ~20 graph-family queries derive from the SAME
+    * distinct part↔supplier projection of lineitem and re-paid its scan
+    * + DISTINCT exchange + materialization per query (~0.2–0.4 s each
+    * at sf0.1). Build-once/read-many is the established
+    * [[graft.sim.Clustering]]/[[graft.sim.Pq]]/[[NnDescent]]/TrainMemo
+    * memo shape; Bench evicts between passes so every timed pass
+    * re-pays exactly one build (charged to the alphabetically first
+    * graph consumer, like the NN-Descent build on beam_curve). All
+    * three frames are lazy until the first consumer materializes them. */
+  private val sharedMemo =
+    new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame, DataFrame)]]
+
+  /** Drop this session's memoized graph frames (Bench, between passes). */
+  private[graft] def evictShared(spark: SparkSession): Unit =
+    sharedMemo.synchronized { sharedMemo.remove(spark); triMemo.remove(spark); () }
+
+  private def shared(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    sharedMemo.synchronized {
+      sharedMemo.keySet.removeIf(s => s.sparkContext.isStopped)
+      sharedMemo.getOrDefault(spark, Map.empty).get(dir) match {
+        case Some(v) => v
+        case None =>
+          val pairs = t(spark, dir, "lineitem")
+            .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+            .distinct().staged
+          val enc = pairs.select((col("part") * 2).as("p"),
+            (col("supp") * 2 + 1).as("s"))
+          val e = enc.select(col("p").as("src"), col("s").as("dst"))
+            .unionAll(enc.select(col("s").as("src"), col("p").as("dst")))
+            .staged
+          val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+          val v = (pairs, e, deg)
+          sharedMemo.put(spark, sharedMemo.getOrDefault(spark, Map.empty) + (dir -> v))
+          v
+      }
+    }
+
+  /** The distinct (part, supp) membership projection, staged. */
+  private[graft] def pairsStaged(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir)._1
+
+  /** The integer-encoded undirected edge list, staged. */
+  private[graft] def edgesStaged(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir)._2
+
+  /** Per-src degree table over [[edgesStaged]] (src, deg), staged. Its
+    * src column is the distinct node set — consumers that only need
+    * node identities project it instead of re-paying a DISTINCT. */
+  private[graft] def degrees(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir)._3
+
+  /** (und, triPerNode) of the degree-capped supplier co-purchase
+    * projection — `graph_triangles` and `graph_clustering_coeff`
+    * recomputed the identical projection + degree orientation + wedge
+    * close per query (the two halves differ only in the final
+    * aggregation). Memoized per (session, dir, cap) beside [[shared]];
+    * the un-memoized core stays visible via [[triCore]] for the plan
+    * test. */
+  private val triMemo =
+    new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame)]]
+
+  /** Un-memoized core: the capped undirected co-purchase edge list and
+    * the per-node triangle-end counts (n, tri), full lineage. */
+  private[graft] def triCore(spark: SparkSession, dir: String,
+                             maxPartDegree: Int): (DataFrame, DataFrame) = {
+    val pairs = pairsStaged(spark, dir)
+    val eligible = pairs.groupBy("part").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxPartDegree).select("part")
+    val p2 = pairs.join(eligible, "part")
+    val und = p2.select(col("part"), col("supp").as("u"))
+      .join(p2.select(col("part"), col("supp").as("v")), "part")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct().staged
+    val edges = orientByDegree(und).staged
+    val wedges = edges.select(col("u").as("a"), col("v").as("b"))
+      .join(edges.select(col("u").as("b"), col("v").as("c")), "b")
+    val tri = wedges.join(edges,
+      wedges("a") === edges("u") && wedges("c") === edges("v"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    (und, tri)
+  }
+
+  private[graft] def triShared(spark: SparkSession, dir: String,
+                               maxPartDegree: Int): (DataFrame, DataFrame) =
+    triMemo.synchronized {
+      triMemo.keySet.removeIf(s => s.sparkContext.isStopped)
+      val key = s"$dir#$maxPartDegree"
+      triMemo.getOrDefault(spark, Map.empty).get(key) match {
+        case Some(v) => v
+        case None =>
+          val (und, tri) = triCore(spark, dir, maxPartDegree)
+          val v = (und, tri.staged)
+          triMemo.put(spark, triMemo.getOrDefault(spark, Map.empty) + (key -> v))
+          v
+      }
+    }
+
   /** 3 rounds of scaled-integer PageRank (d=0.85), top-20 nodes.
     * r0 = S DIV N; r' = (15*S DIV 100) DIV N + 85 * Σ(r(u) DIV deg(u)) DIV 100. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3, topN: Int = 20): DataFrame = {
-    val e = edges(spark, dir).staged // reused every round
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .staged
+    val e = edgesStaged(spark, dir) // reused every round
+    val deg = degrees(spark, dir)
     val n = deg.count() // node count (every node has outdegree here)
     val baseRank = expr(s"${S}L DIV ${n}L")
     val teleport = expr(s"(15 * ${S}L DIV 100) DIV ${n}L")
@@ -252,12 +354,14 @@ object GraphOps {
     * benign either way; TriangleOrientationSpec plants a hub and pins
     * the fanout difference. */
   def triangles(spark: SparkSession, dir: String,
-                maxPartDegree: Int = 16, topN: Int = 20): DataFrame =
-    trianglesFrom(
-      t(spark, dir, "lineitem")
-        .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
-        .distinct(),
-      maxPartDegree, topN)
+                maxPartDegree: Int = 16, topN: Int = 20): DataFrame = {
+    // per-node triangle counts shared with graph_clustering_coeff
+    // (identical capped projection + orientation + wedge close)
+    val (_, tri) = triShared(spark, dir, maxPartDegree)
+    tri.select(col("n").as("supp"), col("tri").as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("supp"))
+      .limit(topN)
+  }
 
   /** Orient an undirected distinct edge list (u, v) by (degree, id):
     * each edge leaves its (deg, id)-smaller endpoint. Two node-table
@@ -333,7 +437,7 @@ object GraphOps {
     * keys — no shuffle grows beyond the (shrinking) edge list, so the
     * round cost is monotonically decreasing at any scale. */
   def kcore(spark: SparkSession, dir: String, k: Int = 4, rounds: Int = 4): DataFrame = {
-    var e = edges(spark, dir).staged
+    var e = edgesStaged(spark, dir)
     for (r <- 1 to rounds) {
       // drain cut at the top of each round (Cache scaladoc): plans nest
       // otherwise; cutting the PREVIOUS round keeps the last round's
@@ -391,8 +495,8 @@ object GraphOps {
     * degree agg + two equi-joins back onto the edge list), then a single
     * identical IEEE expression in both engines. One row out. */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val e = edgesStaged(spark, dir)
+    val deg = degrees(spark, dir)
     val xy = e
       .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
@@ -445,8 +549,8 @@ object GraphOps {
     * Top-50 overall by (permille DESC, a, b) — a bounded TakeOrdered. */
   def jaccardNeighbors(spark: SparkSession, dir: String,
                        maxMidDeg: Int = 32, topN: Int = 50): DataFrame = {
-    val e = edges(spark, dir).staged
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val e = edgesStaged(spark, dir)
+    val deg = degrees(spark, dir)
     val mids = deg.filter(col("deg") <= maxMidDeg)
       .select(col("src").as("m"))
     // Pin the wedge join's parallelism: the staged edge list is a
@@ -507,8 +611,9 @@ object GraphOps {
     * cuts once K is convergence-driven rather than fixed. */
   def bfsLayers(spark: SparkSession, dir: String,
                 rounds: Int = 4, seedMod: Int = 101): DataFrame = {
-    val e = edges(spark, dir).staged // reused every round
-    val nodes = e.select(col("src").as("node")).distinct().staged
+    val e = edgesStaged(spark, dir) // reused every round
+    // degrees' src IS the distinct node set — no per-query DISTINCT
+    val nodes = degrees(spark, dir).select(col("src").as("node"))
     var dist = nodes.filter(pmod(col("node"), lit(seedMod.toLong)) === 0L)
       .select(col("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
@@ -564,9 +669,9 @@ object GraphOps {
     * the same key layout; the histogram is label-cardinality bounded. */
   def connectedComponents(spark: SparkSession, dir: String,
                           rounds: Int = 4): DataFrame = {
-    val e = edges(spark, dir).staged // reused every round
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val e = edgesStaged(spark, dir) // reused every round
+    var labels = degrees(spark, dir)
+      .select(col("src").as("node"), col("src").as("label"))
     for (_ <- 1 to rounds) {
       val prop = e.join(labels, e("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
@@ -613,9 +718,9 @@ object GraphOps {
     * never edge-sized). */
   def connectedComponentsDoubling(spark: SparkSession, dir: String,
                                   rounds: Int = 3): DataFrame = {
-    val e = edges(spark, dir).staged
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val e = edgesStaged(spark, dir)
+    var labels = degrees(spark, dir)
+      .select(col("src").as("node"), col("src").as("label"))
     for (_ <- 1 to rounds) {
       val nb = e.join(labels, e("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
@@ -672,12 +777,11 @@ object GraphOps {
     * round. */
   def modularityCurve(spark: SparkSession, dir: String,
                       rounds: Int = 2): DataFrame = {
-    val e = edges(spark, dir).staged
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val e = edgesStaged(spark, dir)
+    val deg = degrees(spark, dir)
     val d = DecimalType(38, 0)
     val mRow = e.agg(count(lit(1)).cast(d).as("m_dir")).staged
-    var labels = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    var labels = deg.select(col("src").as("node"), col("src").as("label"))
     val perRound = (0 to rounds).map { r =>
       if (r > 0) {
         val prop = e.join(labels, e("src") === labels("node"))
@@ -761,15 +865,15 @@ object GraphOps {
     * the indexed adjacency on (node, rank) — walks are rows, K fixed,
     * one job, chained hash joins. */
   def randomWalks(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir).staged
+    val e = edgesStaged(spark, dir)
     // deg and the rank-indexed adjacency each feed every step of the
     // walk loop — without the cuts the per-source window re-executes
     // once per step (measured 2.8 s staged vs 4× window replays not)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).staged
+    val deg = degrees(spark, dir)
     val wAdj = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("dst")
     val adj = e.withColumn("rn", row_number().over(wAdj).cast("long")).staged
-    var walks = e.select(col("src").as("walk")).distinct()
+    var walks = deg.select(col("src").as("walk"))
       .filter(col("walk") % 2 === 1 &&
         expr(s"(walk - 1) DIV 2 % $walkSeedMod") === 0L)
       .select(col("walk"), col("walk").as("cur"),

@@ -244,7 +244,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("triangle enumeration is equi-joins + one semi probe (no all-pairs)") {
-    val p = planString(graft.sim.GraphOps.triangles(spark, sf("sf0.001")))
+    // the memoized per-node counts are lazily checkpointed (like the
+    // perplexity tf frame below), so assert on the un-memoized core —
+    // the plan graph_triangles/graph_clustering_coeff actually execute
+    val (_, tri) = graft.sim.GraphOps.triCore(spark, sf("sf0.001"), 16)
+    val p = planString(tri)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
     assert(p.contains("LeftSemi"), p.take(1500))
