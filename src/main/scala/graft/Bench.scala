@@ -115,6 +115,7 @@ object Bench {
         graft.sim.Pq.evictTrained(spark)
         graft.sim.NnDescent.evictBuilt(spark)
         graft.sim.GraphOps.evictShared(spark)
+        graft.sim.ExactPanels.evict(spark)
         graft.dedup.Dedup.evictPairs(spark)
         graft.text.TrainMemo.evict(spark)
         // persist mode: cached plans are keyed on the ANALYZED PLAN, so

@@ -370,7 +370,7 @@ object Clustering {
             .orderBy(desc("cosine"), col("cand_id"))).as("rank"))
       .filter(col("rank") <= k)
       .select(col("budget"), col("query_id"), col("cand_id"), lit(1L).as("hit"))
-    val exact = Similarity.cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     exact.crossJoin(broadcast(budgetF))
       .join(top, Seq("budget", "query_id", "cand_id"), "left")
       .groupBy("budget")

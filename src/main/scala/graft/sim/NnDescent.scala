@@ -153,9 +153,36 @@ object NnDescent {
   private val cache =
     new java.util.HashMap[SparkSession, Map[String, (DataFrame, DataFrame, DataFrame)]]
 
-  /** Drop this session's memoized graphs (Bench, between passes). */
-  private[graft] def evictBuilt(spark: SparkSession): Unit =
+  /** Memoized SEARCH states (final beam frames), beside the build memo:
+    * `sim_nndescent_recall` re-paid `nnDescentTopK`'s whole beam loop
+    * (already run for `sim_nndescent_topk`) and
+    * `sim_nndescent_insert_recall` re-paid the full 5-round insert
+    * search (already run for `sim_nndescent_insert`) — search-once,
+    * gate-many, the same shape as the build memo. Keys:
+    * `"<dir>|beams|<widths>|<rounds>"`, `"<dir>|insert"`. */
+  private val searchCache =
+    new java.util.HashMap[SparkSession, Map[String, DataFrame]]
+
+  private def memoSearch(spark: SparkSession, key: String)
+                        (build: => DataFrame): DataFrame =
+    searchCache.synchronized {
+      searchCache.keySet.removeIf(s => s.sparkContext.isStopped)
+      searchCache.getOrDefault(spark, Map.empty).get(key) match {
+        case Some(v) => v
+        case None =>
+          val v = build
+          searchCache.put(spark,
+            searchCache.getOrDefault(spark, Map.empty) + (key -> v))
+          v
+      }
+    }
+
+  /** Drop this session's memoized graphs + search states (Bench,
+    * between passes). */
+  private[graft] def evictBuilt(spark: SparkSession): Unit = {
     cache.synchronized { cache.remove(spark); () }
+    searchCache.synchronized { searchCache.remove(spark); () }
+  }
 
   /** (qn, graph, undirected graph), built once per (session, dir). */
   private def built(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
@@ -202,7 +229,8 @@ object NnDescent {
   /** Beam search over the built graph, one beam per (budget, query).
     * Returns the final beams (beam, query_id, cand_id, cosine). */
   private def beams(spark: SparkSession, dir: String, widths: Seq[Long],
-                    rounds: Int): DataFrame = {
+                    rounds: Int): DataFrame =
+      memoSearch(spark, s"$dir|beams|${widths.mkString(",")}|$rounds") {
     val (qn, g, und) = built(spark, dir)
     val panel = qn.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
@@ -252,7 +280,7 @@ object NnDescent {
     * the gate that prices the (degree, rounds, beam) budget, beside
     * the LSH/IVF/PQ/BQ gates. */
   def nnDescentRecall(spark: SparkSession, dir: String, k: Int = topK): DataFrame = {
-    val exact = Similarity.cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     val approx = nnDescentTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
@@ -274,7 +302,7 @@ object NnDescent {
         Window.partitionBy("beam", "query_id").orderBy(desc("cosine"), col("cand_id"))))
       .filter(col("rank") <= k)
       .select(col("beam"), col("query_id"), col("cand_id"), lit(1L).as("hit"))
-    val exact = Similarity.cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     val budgets = spark.range(1)
       .select(explode(array(curveBeams.map(lit): _*)).as("beam"))
     exact.crossJoin(broadcast(budgets))
@@ -314,7 +342,10 @@ object NnDescent {
     * the id-keyed corpus + a (query)-windowed top-beam — all keyed
     * shuffles, delta-sized, never corpus². The recall gate prices the
     * whole path against the exact delta×base brute force. */
-  def nnDescentInsert(spark: SparkSession, dir: String, k: Int = topK): DataFrame = {
+  /** The insert search's final beam state, memoized (search-once,
+    * gate-many: the insert query and its recall gate share it). */
+  private def insertBeams(spark: SparkSession, dir: String): DataFrame =
+      memoSearch(spark, s"$dir|insert") {
     val (qn, g, _) = built(spark, dir)
     val bg = g.filter(splitH(col("src")) < 90 && splitH(col("dst")) < 90)
     val ubi = bg.select("src", "dst")
@@ -354,13 +385,16 @@ object NnDescent {
         .cutRound
     }
     bb
+  }
+
+  def nnDescentInsert(spark: SparkSession, dir: String, k: Int = topK): DataFrame =
+    insertBeams(spark, dir)
       .select(col("query_id"), col("cand_id"), col("cosine"),
         row_number().over(
           Window.partitionBy("query_id").orderBy(desc("cosine"), col("cand_id")))
           .cast("long").as("rank"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
-  }
 
   /** Measurement-panel size for the insert recall gate: the exact side
     * is a brute-force scan per panel query, so the panel must be FIXED

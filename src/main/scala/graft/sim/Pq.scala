@@ -232,7 +232,7 @@ object Pq {
   /** Exact full-dimension L2² top-k over the panel — the ground truth
     * the ADC path approximates (PQ is an L2 method; the cosine family
     * has its own exact baseline in Similarity.cosineTopK). */
-  private def exactL2TopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private[sim] def exactL2TopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val c = qn(spark, dir)
     val queries = c.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
@@ -254,7 +254,7 @@ object Pq {
     * measurement posture as sim_ann_recall/sim_ivf_recall: exact side
     * only over the fixed panel. */
   def pqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val exact = exactL2TopK(spark, dir, k)
+    val exact = ExactPanels.l2(spark, dir, k)
     val approx = pqTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
@@ -354,7 +354,7 @@ object Pq {
     * at the SAME (M, Ks, nprobe) budget: its gap to THIS gate is the
     * raw-vs-residual coding gain (PqSpec pins residual ≥ raw). */
   def ivfPqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val exact = exactL2TopK(spark, dir, k)
+    val exact = ExactPanels.l2(spark, dir, k)
     val approx = ivfPqTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
@@ -437,7 +437,7 @@ object Pq {
     * the permutation against [[pqRecall]] at the identical (M, Ks)
     * budget; the gap is pure subspace-layout effect. */
   def opqRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val exact = exactL2TopK(spark, dir, k)
+    val exact = ExactPanels.l2(spark, dir, k)
     val approx = opqTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
@@ -503,7 +503,7 @@ object Pq {
     * that prices residual encoding against [[ivfPqRecall]]'s raw-code
     * composition at the identical (M, Ks, nprobe) budget. */
   def ivfAdcRecall(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val exact = exactL2TopK(spark, dir, k)
+    val exact = ExactPanels.l2(spark, dir, k)
     val approx = ivfAdcTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")

@@ -498,8 +498,7 @@ object Similarity {
     * (query, candidate) + per-query counts; recall = hits/k is a
     * division of identical small integers → identical doubles. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = cosineTopK(spark, dir, k)
-      .select(col("query_id"), col("cand_id"))
+    val exact = ExactPanels.cosine(spark, dir, k)
     val approx = annLsh(spark, dir, k)
       .filter(col("query_id") < 8)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
@@ -528,8 +527,7 @@ object Similarity {
     * query (nprobe tuning reads directly off this report). Same scale
     * posture: the exact side runs only over the fixed query panel. */
   def ivfRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = cosineTopK(spark, dir, k)
-      .select(col("query_id"), col("cand_id"))
+    val exact = ExactPanels.cosine(spark, dir, k)
     val approx = ivfTopK(spark, dir, k)
       .filter(col("query_id") < 8)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
@@ -572,7 +570,7 @@ object Similarity {
     * and random vectors don't. */
   def mrlRecall(spark: SparkSession, dir: String, k: Int = 5,
                 prefixDims: Int = 16): DataFrame = {
-    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     val pq = quantized(spark, dir)
       .select(col("vec_id"), slice(col("q"), 1, prefixDims).as("pq"))
       .withColumn("pnsq", Portable.normSqQ(col("pq")))
@@ -746,7 +744,7 @@ object Similarity {
   /** Recall@k of the BQ-shortlist+rerank path against exact cosine — the
     * gate that prices the 32× memory saving, beside the LSH/IVF/PQ gates. */
   def bqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     val approx = bqTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
@@ -887,7 +885,7 @@ object Similarity {
     * [[bqRecall]] it separates the cell-pruning loss from the sign-code
     * loss, the same two-gate decomposition as sim_ivfpq vs sim_pq. */
   def ivfBqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     val approx = ivfBqTopK(spark, dir, k)
       .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "cand_id"), "left")
@@ -1015,7 +1013,7 @@ object Similarity {
       explode(array(col("bucket") +: (0 until probeBits).map(p =>
         col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("probe")), "h_multi")
     val singleTop = topOf(panelBase.withColumnRenamed("bucket", "probe"), "h_single")
-    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     exact
       .join(singleTop, Seq("query_id", "cand_id"), "left")
       .join(multiTop, Seq("query_id", "cand_id"), "left")
@@ -1131,7 +1129,7 @@ object Similarity {
             .orderBy(desc("cosine"), col("cand_id"))).as("rank"))
       .filter(col("rank") <= k)
       .select(col("budget"), col("query_id"), col("cand_id"), lit(1L).as("hit"))
-    val exact = cosineTopK(spark, dir, k).select("query_id", "cand_id")
+    val exact = ExactPanels.cosine(spark, dir, k)
     val budgets = Seq(0, 1, 2).map(b =>
         struct(lit(b).as("budget"), lit(nProbes(b).toLong).as("n_probes")))
     exact.crossJoin(broadcast(

@@ -165,16 +165,16 @@ class RapidsReadinessSpec extends SparkSpec {
     "rec_copurchase_lift" -> Set("rdd-segment"),
     "q21_sole_return_supplier" -> Set("rdd-segment"),
     "sim_ann_lsh" -> Set("custom-expression", "rdd-segment"),
-    "sim_ann_multiprobe" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
-    "sim_ann_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ann_multiprobe" -> Set("custom-expression", "rdd-segment"),
+    "sim_ann_recall" -> Set("custom-expression", "rdd-segment"),
     "sim_bq_topk" -> Set("custom-expression", "bit-count", "rdd-segment"),
-    "sim_bq_recall" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
+    "sim_bq_recall" -> Set("custom-expression", "bit-count", "rdd-segment"),
     "sim_ivfbq_topk" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
     "sim_ivfbq_recall" -> Set("custom-expression", "higher-order-function", "bit-count", "rdd-segment"),
     "sim_cosine_topk" -> Set("custom-expression", "higher-order-function"),
     "sim_embed_quantize" -> Set("higher-order-function"),
     "sim_ivf_topk" -> Set("custom-expression", "rdd-segment"),
-    "sim_ivf_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ivf_recall" -> Set("custom-expression", "rdd-segment"),
     "sim_ivf_trained" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_ivf_probe_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_kmeans" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -195,8 +195,8 @@ class RapidsReadinessSpec extends SparkSpec {
     // exact panel (quantize transform + ArrayDotLong) on top
     "sim_nndescent_graph" -> Set("rdd-segment"),
     "sim_nndescent_topk" -> Set("rdd-segment"),
-    "sim_nndescent_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
-    "sim_nndescent_beam_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_nndescent_recall" -> Set("rdd-segment"),
+    "sim_nndescent_beam_curve" -> Set("rdd-segment"),
     "sim_nndescent_insert" -> Set("rdd-segment"),
     "sim_nndescent_insert_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
@@ -207,7 +207,7 @@ class RapidsReadinessSpec extends SparkSpec {
     "sim_ivfadc_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_opq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_opq_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
-    "sim_ann_probe_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_ann_probe_curve" -> Set("custom-expression", "rdd-segment"),
     "sim_pq_incremental" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     // the quantize HOF sits upstream of the moments barrier; everything
     // post-barrier is joins + integral arithmetic
@@ -382,8 +382,8 @@ class RapidsReadinessSpec extends SparkSpec {
     // nndescent build rounds cut per round in both modes (Cache.cut)
     "sim_nndescent_graph" -> Set("rdd-segment"),
     "sim_nndescent_topk" -> Set("rdd-segment"),
-    "sim_nndescent_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
-    "sim_nndescent_beam_curve" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
+    "sim_nndescent_recall" -> Set("rdd-segment"),
+    "sim_nndescent_beam_curve" -> Set("rdd-segment"),
     "sim_nndescent_insert" -> Set("rdd-segment"),
     "sim_nndescent_insert_recall" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
     "sim_pq_topk" -> Set("custom-expression", "higher-order-function", "rdd-segment"),
