@@ -116,6 +116,7 @@ object Bench {
         graft.sim.NnDescent.evictBuilt(spark)
         graft.sim.GraphOps.evictShared(spark)
         graft.sim.ExactPanels.evict(spark)
+        graft.operators.Analytics4.evictBfs(spark)
         graft.dedup.Dedup.evictPairs(spark)
         graft.text.TrainMemo.evict(spark)
         // persist mode: cached plans are keyed on the ANALYZED PLAN, so

@@ -53,21 +53,54 @@ object Dedup {
       |                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |    ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
-  /** doc_id → distinct shingles (shared sub-plan of the near-dup ops).
-    * Repartition first: the harness tables are single parquet files (one
-    * scan partition), which would serialize the tokenize/shingle map
-    * stage; at production scale the source has natural splits and this
-    * is a no-op-equivalent. */
+  /** Session-scoped memo of the family's shared input frames (the
+    * staged token corpus and its CJK variant), keyed `"<dir>|<form>"`
+    * — optimization r16: a dozen dedup queries each re-paid the scan +
+    * tokenize + exchange + materialization of the SAME (doc_id, toks)
+    * frame per query (the stage the 12s-vs-1s note below pins as the
+    * family's critical path). Same memo shape as [[rareCache]]; Bench
+    * evicts via [[evictPairs]] between passes. */
+  private val frameCache =
+    new java.util.HashMap[SparkSession, Map[String, DataFrame]]
+
+  private def memoFrame(spark: SparkSession, key: String)
+                       (build: => DataFrame): DataFrame =
+    frameCache.synchronized {
+      frameCache.keySet.removeIf(s => s.sparkContext.isStopped)
+      val per = frameCache.getOrDefault(spark, Map.empty)
+      per.get(key) match {
+        case Some(df) => df
+        case None =>
+          val df = build
+          frameCache.put(spark, per + (key -> df))
+          df
+      }
+    }
+
+  /** Tokenized corpus (doc_id, toks), staged — the shared prefix of
+    * every shingle/gram consumer and the hard projection barrier every
+    * position-exploding consumer needs. Repartition first: the harness
+    * tables are single parquet files (one scan partition), which would
+    * serialize the tokenize map stage; at production scale the source
+    * has natural splits and this is a no-op-equivalent. */
+  private def tokensFrame(spark: SparkSession, dir: String): DataFrame =
+    memoFrame(spark, s"$dir|toks") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        // parallelize off the single-file scan…
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        // …and HARD-materialize the token arrays: an exchange alone is
+        // not a projection barrier (the optimizer pushes the tokenize
+        // past it), and an inlined tokenizer re-runs per element_at
+        // inside the shingle lambda — measured 12s vs 1s on sf0.1
+        .staged
+    }
+
+  /** doc_id → distinct shingles (shared sub-plan of the near-dup ops);
+    * the shingle map re-derives per consumer over the memoized token
+    * blocks (one codegen'd map — cf. NnDescent.quantizedPlan). */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      // parallelize off the single-file scan…
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      // …and HARD-materialize the token arrays: an exchange alone is not
-      // a projection barrier (the optimizer pushes the tokenize past it),
-      // and an inlined tokenizer re-runs per element_at inside the
-      // shingle lambda — measured 12s vs 1s on sf0.1
-      .staged
+    tokensFrame(spark, dir)
       .select(col("doc_id"), shingles(col("toks")).as("sh"))
 
   private val shingleTableSql: String =
@@ -331,12 +364,14 @@ object Dedup {
     * production keys this off a whitespace-ratio or Unicode-block test,
     * the same per-row decision), word 3-grams otherwise. */
   private def cjkShingleTable(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.tokens(col("text")).as("toks"),
-        regexp_replace(lower(col("text")), "\\s+", "").as("cs"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .staged
+    memoFrame(spark, s"$dir|cjk") {
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("toks"),
+          regexp_replace(lower(col("text")), "\\s+", "").as("cs"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .staged
+    }
       .select(col("doc_id"),
         when(col("lang") === "zh", charShingles(col("cs")))
           .otherwise(shingles(col("toks"))).as("sh"))
@@ -755,7 +790,9 @@ object Dedup {
 
   private[graft] def evictPairs(spark: SparkSession): Unit =
     pairsCache.synchronized {
-      pairsCache.remove(spark); rareCache.remove(spark); ()
+      pairsCache.remove(spark); rareCache.remove(spark)
+      frameCache.synchronized { frameCache.remove(spark) }
+      ()
     }
 
   private def rareIndex(spark: SparkSession, dir: String): DataFrame =
@@ -1129,13 +1166,8 @@ object Dedup {
     substringSpansFrom(tokensFrame(spark, dir), k)
       .orderBy("doc_id", "span_start")
 
-  /** Tokenized corpus with the hard projection barrier every
-    * position-exploding consumer needs (cf. [[repeatedSpans]]). */
-  private def tokensFrame(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .staged
+  // (tokensFrame — the shared memoized token corpus — is defined beside
+  // shingleTable at the top of the file)
 
   /** (doc_id, pos, gram) k-gram occurrence rows of a (doc_id, toks)
     * frame — positions kept, within-doc repeats kept. */

@@ -963,29 +963,16 @@ object Analytics4 {
     * is the estimator that tolerates exactly that).
     */
   def closeness(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.sim.GraphOps.edgesStaged(spark, dir)
-    val landmarks = graft.sim.GraphOps.degrees(spark, dir)
-      .select(col("src").as("node"))
-      .filter(col("node") % 2 === 1) // suppliers are odd-encoded
-      .orderBy("node").limit(closenessLandmarks)
-      .select(col("node").as("lm"))
-    val d0 = landmarks
-      .select(col("lm"), col("lm").as("node"), lit(0L).as("dist")).staged
-    var settled = Seq(d0) // union of per-round staged deltas
-    var frontier = d0
-    for (_ <- 1 to closenessRounds) {
-      val prop = e.join(frontier, e("src") === frontier("node"))
-        .select(col("lm"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
-        .groupBy("lm", "node").agg(min("dist").as("dist"))
-      // three consumers (next round's anti-join, frontier join, final
-      // union) — the cut also bounds the union tree's lineage
-      val fresh = prop
-        .join(settled.reduce(_ unionAll _), Seq("lm", "node"), "left_anti")
-        .select("lm", "node", "dist").staged
-      settled :+= fresh
-      frontier = fresh
-    }
-    settled.reduce(_ unionAll _)
+    // the memoized Brandes forward pass IS this BFS with sigma riding
+    // along: a (lm, node) pair is settled the round it is first
+    // reached in both forms, and every round-r arrival has dist = r
+    // (closeness's per-round min over arrivals ≡ betweenness's literal
+    // r), so the settled set serves both queries — closeness no longer
+    // re-pays a full k·2E BFS when betweenness has run (optimization
+    // r16; per-query oracles unchanged at both SFs are the proof).
+    require(closenessRounds == betweennessRounds,
+      "closeness shares the landmark BFS with betweenness")
+    landmarkBfs(spark, dir)
       .filter(col("dist") > 0L)
       .groupBy("lm")
       .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"),
@@ -1054,29 +1041,54 @@ object Analytics4 {
     * never enters a backward round) — reported per node with how many
     * landmarks route through it.
     */
+  /** The Brandes forward pass — the landmark delta-BFS carrying σ —
+    * memoized per (session, dir): its settled set (lm, node, dist,
+    * sigma) is ALSO exactly [[closeness]]'s BFS state, so the two
+    * queries share one k·2E forward pass per session (the
+    * GraphOps.shared memo shape). Bench evicts between passes. */
+  private val bfsCache =
+    new java.util.HashMap[SparkSession, Map[String, DataFrame]]
+
+  private[graft] def evictBfs(spark: SparkSession): Unit =
+    bfsCache.synchronized { bfsCache.remove(spark); () }
+
+  private def landmarkBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsCache.synchronized {
+      bfsCache.keySet.removeIf(s => s.sparkContext.isStopped)
+      bfsCache.getOrDefault(spark, Map.empty).get(dir) match {
+        case Some(v) => v
+        case None =>
+          val e = graft.sim.GraphOps.edgesStaged(spark, dir)
+          val landmarks = graft.sim.GraphOps.degrees(spark, dir)
+            .select(col("src").as("node"))
+            .filter(col("node") % 2 === 1) // suppliers are odd-encoded
+            .orderBy("node").limit(closenessLandmarks)
+            .select(col("node").as("lm"))
+          val d0 = landmarks.select(col("lm"), col("lm").as("node"),
+            lit(0L).as("dist"), lit(1L).as("sigma")).staged
+          var settled = Seq(d0)
+          var frontier = d0
+          for (r <- 1 to betweennessRounds) {
+            val prop = e.join(frontier, e("src") === frontier("node"))
+              .select(col("lm"), col("dst").as("node"), col("sigma"))
+              .groupBy("lm", "node").agg(sum("sigma").as("sigma"))
+            val fresh = prop
+              .join(settled.reduce(_ unionAll _), Seq("lm", "node"), "left_anti")
+              .select(col("lm"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
+              .cutRound // per-round drain cut (Cache scaladoc)
+            settled :+= fresh
+            frontier = fresh
+          }
+          val sAll = settled.reduce(_ unionAll _).cutRound // 2K level reads
+          bfsCache.put(spark,
+            bfsCache.getOrDefault(spark, Map.empty) + (dir -> sAll))
+          sAll
+      }
+    }
+
   def betweenness(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.sim.GraphOps.edgesStaged(spark, dir)
-    val landmarks = graft.sim.GraphOps.degrees(spark, dir)
-      .select(col("src").as("node"))
-      .filter(col("node") % 2 === 1)
-      .orderBy("node").limit(closenessLandmarks)
-      .select(col("node").as("lm"))
-    val d0 = landmarks.select(col("lm"), col("lm").as("node"),
-      lit(0L).as("dist"), lit(1L).as("sigma")).staged
-    var settled = Seq(d0)
-    var frontier = d0
-    for (r <- 1 to betweennessRounds) {
-      val prop = e.join(frontier, e("src") === frontier("node"))
-        .select(col("lm"), col("dst").as("node"), col("sigma"))
-        .groupBy("lm", "node").agg(sum("sigma").as("sigma"))
-      val fresh = prop
-        .join(settled.reduce(_ unionAll _), Seq("lm", "node"), "left_anti")
-        .select(col("lm"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
-        .cutRound // per-round drain cut (Cache scaladoc)
-      settled :+= fresh
-      frontier = fresh
-    }
-    val sAll = settled.reduce(_ unionAll _).cutRound // 2K level reads below
+    val sAll = landmarkBfs(spark, dir)
     def level(r: Int) = sAll.filter(col("dist") === r.toLong)
     var deltas = Seq.empty[DataFrame]
     var deltaNext: Option[DataFrame] = None
