@@ -117,6 +117,7 @@ object Bench {
         graft.sim.GraphOps.evictShared(spark)
         graft.sim.ExactPanels.evict(spark)
         graft.operators.Analytics4.evictBfs(spark)
+        graft.sim.Pca.evictShared(spark)
         graft.dedup.Dedup.evictPairs(spark)
         graft.text.TrainMemo.evict(spark)
         // persist mode: cached plans are keyed on the ANALYZED PLAN, so

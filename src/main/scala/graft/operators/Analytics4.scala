@@ -1075,11 +1075,16 @@ object Analytics4 {
             val fresh = prop
               .join(settled.reduce(_ unionAll _), Seq("lm", "node"), "left_anti")
               .select(col("lm"), col("node"), lit(r.toLong).as("dist"), col("sigma"))
-              .cutRound // per-round drain cut (Cache scaladoc)
+              .staged // per-round barrier; .staged (not .cutRound) so
+              // the persist-mode plan stays an InMemoryRelation and
+              // closeness keeps its no-rdd-segment classification — K
+              // is small and fixed, so the nested-lineage hazard the
+              // cutRound rule targets does not apply (the original
+              // closeness BFS used .staged for the same reason)
             settled :+= fresh
             frontier = fresh
           }
-          val sAll = settled.reduce(_ unionAll _).cutRound // 2K level reads
+          val sAll = settled.reduce(_ unionAll _).staged // 2K level reads
           bfsCache.put(spark,
             bfsCache.getOrDefault(spark, Map.empty) + (dir -> sAll))
           sAll

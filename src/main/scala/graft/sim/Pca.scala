@@ -78,6 +78,39 @@ object Pca {
         (expr(s"((CAST(c0 AS DECIMAL(38,0)) + m) * $S) DIV m") - S).as("c"))
   }
 
+  /** Session memo of the staged covariance model and the power-iterate
+    * (optimization r16): pcaPower, pcaExplained and anisotropyReport
+    * each re-paid the corpus moment pass + the 3-round iteration per
+    * query — train-once/apply-many like the Clustering/Pq memos. Bench
+    * evicts between passes. */
+  private val cache =
+    new java.util.HashMap[SparkSession, Map[String, DataFrame]]
+
+  private[graft] def evictShared(spark: SparkSession): Unit =
+    cache.synchronized { cache.remove(spark); () }
+
+  private def memo(spark: SparkSession, key: String)
+                  (build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.keySet.removeIf(s => s.sparkContext.isStopped)
+      val per = cache.getOrDefault(spark, Map.empty)
+      per.get(key) match {
+        case Some(df) => df
+        case None =>
+          val df = build
+          cache.put(spark, per + (key -> df))
+          df
+      }
+    }
+
+  /** The staged 4096-cell covariance model, memoized per (session, dir). */
+  private[graft] def covStaged(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"$dir|cov")(scaledCov(spark, dir).staged)
+
+  /** The final power-iterate over [[covStaged]], memoized. */
+  private[graft] def leadVec(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, s"$dir|v")(iterate(covStaged(spark, dir)))
+
   /** Three power-iteration rounds; returns the (dim, v) iterate at
     * scale S. Every join is model-cardinality. */
   private[graft] def iterate(cov: DataFrame, rounds: Int = 3): DataFrame = {
@@ -97,7 +130,7 @@ object Pca {
   /** Leading principal direction after 3 rounds: (dim, v) with v at
     * scale 1e6, renormalized to max|v| = S each round. */
   def pcaPower(spark: SparkSession, dir: String): DataFrame =
-    iterate(scaledCov(spark, dir).staged)
+    leadVec(spark, dir)
       .select(col("d").cast("long").as("dim"), col("v"))
       .orderBy("dim")
 
@@ -153,8 +186,8 @@ object Pca {
     * of them — far inside 38 digits and order-independent); the two
     * ratios are single IEEE divisions of exact integers. One row. */
   def pcaExplained(spark: SparkSession, dir: String): DataFrame = {
-    val cov = scaledCov(spark, dir).staged
-    val v = iterate(cov)
+    val cov = covStaged(spark, dir)
+    val v = leadVec(spark, dir)
     val quad = cov.join(v.select(col("d").as("i"), col("v").as("vi")), "i")
       .join(v.select(col("d").as("j"), col("v").as("vj")), "j")
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * vi * vj")).as("vcv"))
@@ -210,7 +243,7 @@ object Pca {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(Portable.quantize(col("embedding"))).as(Seq("i", "xi")))
       .staged // one corpus explode feeds projection, residual and both cosine passes
-    val v = iterate(scaledCov(spark, dir).staged).staged
+    val v = leadVec(spark, dir)
     val vb = v.select(col("d").as("i"), col("v").as("vi"))
     val vv = v.agg(sum(col("v") * col("v")).as("vv"))
     val p = cells.join(broadcast(vb), "i")
